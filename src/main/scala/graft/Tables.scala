@@ -8,14 +8,22 @@ import org.apache.spark.sql.types.DecimalType
 /** Fixture-table loaders + shared numeric-parity helpers.
   *
   * The driver's correctness gate hash-compares our parquet output against a
-  * DuckDB run of `SparkEntry.oracleSql` (see /root/repo/BASELINE.md). Two
-  * rules make that comparison deterministic:
+  * DuckDB run of `SparkEntry.oracleSql` (see /root/repo/BASELINE.md). Rules
+  * that make that comparison deterministic:
   *
   *  1. Money/measure aggregates go through exact DECIMAL arithmetic
   *     ([[Tables.dec]]), then cast to DOUBLE at the very end. Summation of
   *     doubles is order-dependent across shuffle partitions; summation of
   *     decimals is exact, so both engines produce bit-identical doubles.
-  *  2. Every query ends in a total-order `ORDER BY` (callers' duty).
+  *     Both Spark and DuckDB cast double→decimal through the shortest
+  *     round-trip decimal string with round-half-up (verified empirically:
+  *     CAST(0.15::DOUBLE AS DECIMAL(18,1)) = 0.2 in both), so the same
+  *     IEEE double always lands on the same decimal in both engines.
+  *  2. Derived measures (price*(1-disc)) carry more fractional digits than
+  *     base measures; use [[dec4]]/[[dec6]] so the decimal cast is exact
+  *     (a product of two 2-decimal quantities has <=4 decimals, of three
+  *     has <=6) — the oracle SQL must mirror the same CAST scale.
+  *  3. Every query ends in a total-order `ORDER BY` (callers' duty).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -23,15 +31,35 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * by default. Read it as a nanosecond long (legacy conf), then truncate
+    * to microseconds — the same truncation DuckDB applies when it loads a
+    * nanos column into its native µs timestamp, so oracle compares agree. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 
   /** Exact decimal view of a double measure column (2 fractional digits in
     * every fixture measure: prices, discounts, balances, quantities). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Exact decimal SUM surfaced as a deterministic DOUBLE. */
+  /** Exact decimal for a product of two 2-decimal measures (<=4 decimals). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact decimal for a product of three 2-decimal measures (<=6 decimals). */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Exact decimal SUM surfaced as a deterministic DOUBLE.
+    * Oracle twin: CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE). */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Deterministic average: exact decimal sum, one IEEE double division. */
-  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  /** Deterministic average: exact decimal sum, one IEEE double division by
+    * the non-null count (matches SQL AVG null semantics).
+    * Oracle twin: CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c). */
+  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
 }

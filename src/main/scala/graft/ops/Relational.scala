@@ -1,0 +1,413 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.{dec, dec4, dec6, dsum, davg}
+
+/** Layer-B relational query surface (SURVEY.md §2.4 categories C1–C6).
+  *
+  * The reference framework (sohammehendale/map_reduce485) has no joins,
+  * aggregations, windows, sorts, set ops or scalar expressions — its only
+  * grouping mechanism is the sorted-stream reduce contract
+  * (reference worker/__main__.py:182-208). These queries re-express that
+  * absent analytic surface on Catalyst built-ins per SURVEY.md §2.4.
+  *
+  * Conventions (driver oracle-hash parity):
+  *  - every query ends in a deterministic total-order `orderBy`;
+  *  - money aggregates use exact decimal arithmetic (see [[graft.Tables]]);
+  *  - output column names match the oracle SQL exactly;
+  *  - integer-typed outputs are cast so Spark and DuckDB types agree
+  *    (DuckDB SUM(int)=HUGEINT, EXTRACT=BIGINT, Spark year()=INT, ...).
+  *
+  * Scale notes (100 TB design point): filters/projections reach the
+  * parquet scan (Catalyst pushdown); dimension joins (region/nation/
+  * customer/supplier are tiny relative to lineitem at any SF) broadcast
+  * explicitly; fact-fact joins shuffle on the join key; aggregations are
+  * partial (map-side combine) by construction with groupBy().agg().
+  */
+object Relational {
+
+  private val TS = "timestamp"
+
+  /** TPC-H-Q1-style pricing summary: scan→filter→agg→sort. The flagship. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TS))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection; predicate and column pruning push to the scan. */
+  def qFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TS) &&
+        col("l_shipdate") <= lit("1997-12-31").cast(TS) &&
+        col("l_discount") > 0.03 && col("l_quantity") < 20)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Multi-way join with broadcast dims: revenue per nation (Q5-style).
+    * lineitem⋈orders is the big shuffle join; customer/nation/region are
+    * dimension tables → broadcast (no shuffle of the fact side for them). */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TS) &&
+        col("o_orderdate") < lit("1999-01-01").cast(TS))
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Left-semi join: customers having at least one high-value order. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no high-value (>300k) order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** ROLLUP over region→nation of customer counts/balances.
+    * Expressed in SQL: the DataFrame rollup-after-join path trips Spark
+    * 4.1's ambiguous-self-join detector (false positive — verified:
+    * single-table rollup and SQL ROLLUP of the identical plan both work).
+    * The dimension tables are tiny → broadcast hint on both. */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    Tables(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    Tables(spark, dir, "region").createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT /*+ BROADCAST(graft_nation), BROADCAST(graft_region) */
+        |  r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** CUBE over order status × priority. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Window ranking: top-3 orders per customer + previous order price.
+    * Unique (o_totalprice DESC, o_orderkey) ordering keeps row_number
+    * deterministic under ties. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "prev_price")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window frame: running decimal-exact total per customer over time. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w)
+        .cast("double"))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global sort + limit (top-k). TakeOrdered in the physical plan: no
+    * full global sort materialization, only per-partition heaps + merge. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(25)
+
+  /** Set ops: UNION / INTERSECT / EXCEPT on customer-key segments. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val lowNation = c.filter(col("c_nationkey") < 12).select("c_custkey")
+    val nation3 = c.filter(col("c_nationkey") === 3).select("c_custkey")
+    building.union(rich).distinct()
+      .intersect(lowNation)
+      .except(nation3)
+      .orderBy("c_custkey")
+  }
+
+  /** String scalar functions over customer. */
+  def qScalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("tagged"),
+        regexp_replace(col("c_name"), "Customer#0*", "C").as("short_name"),
+        reverse(col("c_mktsegment")).as("rseg"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+      .orderBy("c_custkey")
+
+  /** Date/time scalar functions over orders. */
+  def qScalarDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        col("o_orderdate").cast("date").as("odate"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** Math scalar functions over orders (IEEE-exact ops only: no round/ln
+    * whose cross-engine double behavior differs). */
+  def qScalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 100000.0).as("dist"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("cl"),
+        sqrt(col("o_totalprice")).as("rt"),
+        (col("o_orderkey") % 7).as("m7"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("hi"),
+        least(col("o_totalprice"), lit(50000.0)).as("lo"))
+      .orderBy("o_orderkey")
+
+  /** JSON + misc scalar functions over the events.props JSON column. */
+  def qScalarJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2).as("k2"),
+        upper(col("event_type")).as("etype"),
+        length(col("props")).as("props_len"))
+      .orderBy("event_id")
+
+  /** Distinct aggregation + min/max over orders. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).cast("date").as("first_date"),
+        max(col("o_orderdate")).cast("date").as("last_date"))
+      .orderBy("o_orderstatus")
+
+  /** Batch windowed (tumbling 1h) event aggregation — the batch twin of the
+    * Structured Streaming demo (graft.streaming). Bucket emitted as a
+    * string for cross-engine timestamp-format safety. */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("bucket", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing _,
+    "q_filter_project" -> qFilterProject _,
+    "q_join_broadcast" -> qJoinBroadcast _,
+    "q_semi_join" -> qSemiJoin _,
+    "q_anti_join" -> qAntiJoin _,
+    "q_agg_rollup" -> qAggRollup _,
+    "q_agg_cube" -> qAggCube _,
+    "q_window_rank" -> qWindowRank _,
+    "q_window_running" -> qWindowRunning _,
+    "q_topk" -> qTopK _,
+    "q_setops" -> qSetOps _,
+    "q_scalar_string" -> qScalarString _,
+    "q_scalar_date" -> qScalarDate _,
+    "q_scalar_math" -> qScalarMath _,
+    "q_scalar_json" -> qScalarJson _,
+    "q_distinct_agg" -> qDistinctAgg _,
+    "q_events_window" -> qEventsWindow _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate <= TIMESTAMP '1997-12-31'
+        |  AND l_discount > 0.03 AND l_quantity < 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_nationkey < 12
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 3) t
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS uname,
+        |  LENGTH(c_name) AS name_len,
+        |  SUBSTRING(c_name, 1, 8) AS prefix,
+        |  c_name || '#' || c_mktsegment AS tagged,
+        |  REGEXP_REPLACE(c_name, 'Customer#0*', 'C') AS short_name,
+        |  REVERSE(c_mktsegment) AS rseg,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT o_orderkey,
+        |  ABS(o_totalprice - 100000.0) AS dist,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS fl,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS cl,
+        |  SQRT(o_totalprice) AS rt,
+        |  o_orderkey % 7 AS m7,
+        |  GREATEST(o_totalprice, 50000.0) AS hi,
+        |  LEAST(o_totalprice, 50000.0) AS lo
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k2,
+        |  UPPER(event_type) AS etype,
+        |  LENGTH(props) AS props_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin)
+}
