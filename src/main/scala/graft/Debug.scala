@@ -9,6 +9,23 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("mr")) {
+      // drive the MapReduce facade's file surface end-to-end
+      val in = java.nio.file.Files.createTempDirectory("mr-drive")
+      java.nio.file.Files.writeString(in.resolve("doc1.txt"),
+        "to be or not to be\nthat is the question\n")
+      java.nio.file.Files.writeString(in.resolve("doc2.txt"),
+        "be the question\n")
+      val out = "/tmp/mr-drive-out"
+      mr.WordCount.job(in.toString, out, numReducers = 3).run(spark)
+      println("part files:")
+      new java.io.File(out).listFiles.sortBy(_.getName)
+        .filter(_.getName.startsWith("part-")).foreach { f =>
+        println(s"  ${f.getName}:")
+        scala.io.Source.fromFile(f).getLines().foreach(l => println(s"    $l"))
+      }
+      spark.stop(); return
+    }
     val entryRows = SparkEntry.entry(spark).collect()
     println(s"entry rows: ${entryRows.length}")
     entryRows.take(3).foreach(println)

@@ -1,0 +1,130 @@
+package graft.mr
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+/** Spark-native rebuild of the reference MapReduce framework's one dataflow
+  * shape (reference map_reduce/mapreduce/worker/__main__.py:89-208,
+  * manager/__main__.py:212-424):
+  *
+  *   scan text dir → map (0..n output lines per input line)
+  *   → hash-partition by tab-key (MD5 mod R)
+  *   → sort runs / k-way merge (one globally sorted stream per partition)
+  *   → reduce (streaming over the sorted stream, grouping by contiguity)
+  *   → part-{i:05d} text files
+  *
+  * All of the reference's cluster plumbing — registration, heartbeats,
+  * barriers, retry (manager/__main__.py §2.2 of SURVEY.md) — is deleted,
+  * not ported: Spark's DAG scheduler provides it. The entire pipeline is
+  * one `repartitionAndSortWithinPartitions` shuffle:
+  *   - O4 hash partition → [[Md5Partitioner]] (placement-exact)
+  *   - O5 per-partition sort runs → shuffle-write sort (spills, unlike the
+  *     reference's in-memory `lines.sort()` at worker/__main__.py:158-161)
+  *   - O6 k-way merge → shuffle-read merge (same algorithm as the
+  *     reference's `heapq.merge(*files)` at worker/__main__.py:201)
+  *
+  * Line/key contract is the reference's exactly: a record is one text
+  * line; key = substring before the first tab (worker/__main__.py:115);
+  * the framework never parses values. Sort order is (key, wholeLine) —
+  * the reference sorts whole lines, which coincides with key-major order
+  * for keys free of control chars below '\t' (see SURVEY.md §7.5).
+  *
+  * At 100 TB: the mapper is a narrow op (pipelined with the scan), the
+  * single shuffle is sort-based with spilling, and the reducer streams —
+  * nothing here materializes a partition in memory.
+  */
+final case class MapReduceJob(
+    inputDir: String,
+    outputDir: String,
+    mapper: String => IterableOnce[String],
+    reducer: Iterator[String] => Iterator[String],
+    numReducers: Int = 2) {
+
+  /** The full dataflow as an RDD of output lines, partitioned exactly as
+    * the reference's reduce tasks would be (partition i = part-{i:05d}). */
+  def transform(spark: SparkSession): RDD[String] =
+    MapReduceJob.shuffle(
+      spark.sparkContext.textFile(inputDir).flatMap(mapper), numReducers)
+      .mapPartitions(reducer)
+
+  /** Run the job: overwrite outputDir with part-{i:05d} text files (the
+    * reference deletes + recreates the output dir at job submission,
+    * manager/__main__.py:95-101; saveAsTextFile's Hadoop naming yields
+    * part-00000.. exactly like worker/__main__.py:193). */
+  def run(spark: SparkSession): Unit = {
+    MapReduceJob.clearDir(spark, outputDir)
+    transform(spark).saveAsTextFile(outputDir)
+  }
+}
+
+/** Executable-compat variant: mapper/reducer are external commands with the
+  * reference's streaming stdin/stdout contract (worker/__main__.py:104-125
+  * map, :194-202 reduce) — one process per partition, line-streamed, reduce
+  * input sorted with equal keys contiguous. */
+final case class PipeMapReduceJob(
+    inputDir: String,
+    outputDir: String,
+    mapperCmd: Seq[String],
+    reducerCmd: Seq[String],
+    numReducers: Int = 2) {
+
+  def transform(spark: SparkSession): RDD[String] =
+    MapReduceJob.shuffle(
+      spark.sparkContext.textFile(inputDir).pipe(mapperCmd), numReducers)
+      .pipe(reducerCmd)
+
+  def run(spark: SparkSession): Unit = {
+    MapReduceJob.clearDir(spark, outputDir)
+    transform(spark).saveAsTextFile(outputDir)
+  }
+}
+
+object MapReduceJob {
+
+  /** O4+O5+O6 in one shuffle: MD5-mod partition on the tab key, sort by
+    * (key, whole line) within each partition, stream the merged lines. */
+  def shuffle(mapped: RDD[String], numReducers: Int): RDD[String] =
+    mapped.map(line => ((tabKey(line), line), ()))
+      .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
+      .mapPartitions(_.map(_._1._2), preservesPartitioning = true)
+
+  /** key = substring before the first tab (worker/__main__.py:115);
+    * a line with no tab is its own key, like Python's split()[0]. */
+  def tabKey(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Streaming sorted-group reducer adapter: turns a per-key fold into the
+    * reference's whole-partition streaming contract. Groups by contiguity
+    * of sorted keys — constant memory, never materializes a group list. */
+  def groupedReducer(reduceGroup: (String, Iterator[String]) => IterableOnce[String])
+      : Iterator[String] => Iterator[String] = { lines =>
+    // named `in` (not `buffered`): inside the anonymous Iterator subclasses
+    // below, a local called `buffered` would be shadowed by Iterator's own
+    // .buffered member
+    val in = lines.buffered
+    new Iterator[Iterator[String]] {
+      override def hasNext: Boolean = in.hasNext
+      override def next(): Iterator[String] = {
+        val key = tabKey(in.head)
+        val group = new Iterator[String] {
+          override def hasNext: Boolean =
+            in.hasNext && tabKey(in.head) == key
+          override def next(): String = in.next()
+        }
+        val out = reduceGroup(key, group).iterator.toList
+        // drain any unconsumed tail of the group before moving on
+        while (group.hasNext) group.next()
+        out.iterator
+      }
+    }.flatten
+  }
+
+  private[mr] def clearDir(spark: SparkSession, dir: String): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.mr
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's default job (reference map_reduce/mapreduce/submit.py:
+  * 30-49 wires wc_map.sh / wc_reduce.sh): classic word count, here as
+  * native mapper/reducer functions with the same line contract.
+  * The executable twins live in src/test/resources/mr/exec/. */
+object WordCount {
+
+  /** wc_map: one "word\t1" line per whitespace-separated word. */
+  val mapper: String => IterableOnce[String] =
+    line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => s"$w\t1")
+
+  /** wc_reduce: sum the values of each contiguous key group. */
+  val reducer: Iterator[String] => Iterator[String] =
+    MapReduceJob.groupedReducer { (key, group) =>
+      var n = 0L
+      group.foreach { line => n += line.substring(key.length + 1).toLong }
+      Iterator.single(s"$key\t$n")
+    }
+
+  def job(inputDir: String, outputDir: String, numReducers: Int = 2): MapReduceJob =
+    MapReduceJob(inputDir, outputDir, mapper, reducer, numReducers)
+
+  /** Word count over an already-loaded RDD of text lines (same dataflow as
+    * [[job]] minus the directory scan) surfaced as a (word, n) DataFrame. */
+  def countWords(spark: SparkSession, lines: RDD[String], numReducers: Int): DataFrame = {
+    val reduced = MapReduceJob.shuffle(lines.flatMap(mapper), numReducers)
+      .mapPartitions(reducer)
+    import spark.implicits._
+    reduced.map { l =>
+      val k = MapReduceJob.tabKey(l)
+      (k, l.substring(k.length + 1).toLong)
+    }.toDF("word", "n")
+  }
+}
+
+/** Driver-gate queries exercising the Layer-A MapReduce dataflow. */
+object MrQueries {
+
+  /** Word count over documents.text THROUGH the MapReduce facade (flatMap →
+    * MD5 shuffle → streaming sorted reduce), proving the Layer-A pipeline
+    * against the same DuckDB oracle as the pure-DataFrame twin. */
+  def qWordcountMr(spark: SparkSession, dir: String): DataFrame = {
+    val lines = graft.Tables(spark, dir, "documents")
+      .select("text").rdd.map(_.getString(0))
+    WordCount.countWords(spark, lines, numReducers = 32)
+      .orderBy("word")
+  }
+
+  /** Pure-DataFrame word count (Catalyst path: explode+groupBy). */
+  def qWordcountDf(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  private val wordcountOracle =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wordcount_mr" -> qWordcountMr _,
+    "q_wordcount_df" -> qWordcountDf _)
+
+  val oracles: Map[String, String] = Map(
+    "q_wordcount_mr" -> wordcountOracle,
+    "q_wordcount_df" -> wordcountOracle)
+}
