@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis + exact-dedup operators over the `documents` table — the
+  * training-data-pipeline surface (dedup, quality scoring, language ID,
+  * token counting, fingerprinting). The reference's only text operation is
+  * word count via user executables (SURVEY.md §2.1 O9); everything here is
+  * the generalization a 100 TB curation pipeline needs.
+  *
+  * Scale design: every operator is a narrow map (scalar expressions over
+  * one row) or a single hash aggregation keyed on a hash/token — no
+  * all-pairs work, no driver-side loops, everything whole-stage codegen.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (empty tokens removed). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Exact near... exact duplicate groups by content hash: one row per
+    * distinct md5, with the surviving (minimum) doc_id and group size.
+    * Keyed on the hash → bucketable/shuffle-friendly at 100 TB (never a
+    * full-row sort). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("content_hash")
+
+  /** The deduplicated corpus: doc_ids surviving exact dedup (first row of
+    * each content-hash group, deterministic by doc_id order). */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream
+    * (letter runs / digit runs / single non-alnum marks — RE2-safe so the
+    * DuckDB oracle can mirror it exactly). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("bpe_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Quality scoring: length, punctuation density, stopword ratio, mean
+    * token length — the standard cheap heuristics for corpus filtering. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        (col("n_chars_actual") - (col("n_tokens") - lit(1))).cast("double")
+          / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language ID by stopword-hit voting (classic n-gram/stopword
+    * heuristic): count distinct-stopword hits per language, predict the
+    * argmax with a fixed priority order (en>es>de>fr>zh) for ties.
+    * Compared against the fixture's `lang` label. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val hitCols = langStops.map { case (lang, stops) =>
+      size(array_intersect(toks, array(stops.map(lit): _*))).as(s"hits_$lang")
+    }
+    val df = Tables(spark, dir, "documents")
+      .select(col("doc_id") +: col("lang") +: hitCols: _*)
+    val best = langStops.map(_._1).map(l => col(s"hits_$l"))
+      .reduce((a, b) => greatest(a, b))
+    val predicted = langStops.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, elsE) => when(col(s"hits_$lang") === best && best > 0,
+        lit(lang)).otherwise(elsE)
+    }
+    // foldRight gives en the first WHEN branch → the fixed tie priority
+    df.withColumn("predicted", predicted)
+      .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+      .select("doc_id", "lang", "predicted", "is_match")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over the whitespace-normalized lowercase
+    * text — the canonical-form content fingerprint used for fuzzy-exact
+    * dedup (case/spacing-insensitive). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Top word bigrams corpus-wide (text n-gram analysis). Guarded to docs
+    * with >= 2 tokens: Spark's sequence(0, n-2) runs DESCENDING when
+    * n-2 < 0 instead of producing an empty array. */
+  def qTextBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_survivors" -> qDedupSurvivors _,
+    "q_token_count" -> qTokenCount _,
+    "q_text_quality" -> qTextQuality _,
+    "q_lang_id" -> qLangId _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_text_bigrams" -> qTextBigrams _)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_dedup_survivors" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
+        |  CAST(LENGTH(text) AS INT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(LENGTH(text) AS INT) AS n_chars_actual,
+        |  CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS INT) AS n_stop,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |    / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS stop_ratio,
+        |  CAST(LENGTH(text) - (len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) - 1) AS DOUBLE)
+        |    / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['the','and','of','to','in'])) AS hits_en,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['el','la','de','que','y'])) AS hits_es,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['der','die','und','das','ist'])) AS hits_de,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['le','la','et','les','des'])) AS hits_fr,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['的','是','了','在','我'])) AS hits_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
+        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
+        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
+        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
+        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END AS predicted,
+        |  CAST(CASE
+        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
+        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
+        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
+        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
+        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END = lang AS INT) AS is_match
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_bigrams" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        |  SELECT l[i] || ' ' || l[i+1] AS bigram FROM (
+        |    SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |    FROM documents) t, UNNEST(range(1, len(l))) u(i)) b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin)
+}
