@@ -9,6 +9,21 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("vec")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(col("vec_id") === 454)
+        .select(explode(col("embedding")).as("x"))
+        .select(col("x"),
+          col("x").cast(DecimalType(18, 9)).as("direct"),
+          col("x").cast("double").cast(DecimalType(18, 9)).as("via_double"),
+          col("x").cast("double").as("dbl"))
+      emb.collect().take(64).foreach { r =>
+        println(s"${r.get(0)}|${r.get(1)}|${r.get(2)}|${r.get(3)}")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("mr")) {
       // drive the MapReduce facade's file surface end-to-end
       val in = java.nio.file.Files.createTempDirectory("mr-drive")

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column handling: media as opaque `binary` payloads with typed
+  * metadata, plus a batched decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake ([[FakeDecode]]) — but the Spark-side
+  * plumbing is real and tested: binary columns, typed Dataset rows, a
+  * mapPartitions batch stage shaped exactly like a Pandas-UDF/mapInPandas
+  * decode (iterator-in/iterator-out, one codec init per partition, never
+  * one per row), and fixed-size feature vectors out.
+  *
+  * Payloads here are the utf-8 bytes of documents.text standing in for
+  * media bytes; at 100 TB the same plan reads real bytes from parquet
+  * binary columns and the per-partition batching amortizes codec setup. */
+object Multimodal {
+
+  /** One "media" row: id + raw bytes + declared metadata. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], declared_len: Long)
+
+  /** Deterministic fake decoder — stands in for an image/audio codec.
+    * Batch-oriented: constructed once per partition (like a codec). */
+  final class FakeDecode {
+    /** "Decode" → fake (width, height) from payload size. */
+    def dims(payload: Array[Byte]): (Int, Int) =
+      (payload.length % 640, payload.length % 480)
+    /** "Feature-extract" → 16-bin histogram of high nibbles. */
+    def features(payload: Array[Byte]): Array[Long] = {
+      val bins = new Array[Long](16)
+      payload.foreach(b => bins((b & 0xF0) >> 4) += 1)
+      bins
+    }
+    /** "Frame-sample" → every 16th byte of the first 128 (stride read). */
+    def frameSample(payload: Array[Byte]): Array[Int] =
+      payload.take(128).grouped(16).map(_.head.toInt).toArray
+  }
+
+  /** documents.text as binary payloads (media stand-in). */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("n_chars").cast("long").as("declared_len"))
+
+  /** Metadata audit over binary payloads — byte length + content digest,
+    * SQL-expressible → oracle-checked. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(col("doc_id"),
+        length(col("payload")).as("payload_len"),
+        sha2(col("payload"), 256).as("digest"),
+        col("declared_len"))
+      .orderBy("doc_id")
+
+  /** Batched decode + feature extraction through the typed Dataset API.
+    * Deterministic integers → reproducible, but the decode itself is fake
+    * → rows-only check (no SQL oracle). */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = payloads(spark, dir).as[MediaRow]
+    ds.mapPartitions { rows =>
+      val codec = new FakeDecode // one per partition, as a real codec would be
+      rows.map { r =>
+        val (w, h) = codec.dims(r.payload)
+        (r.doc_id, w, h, codec.features(r.payload), codec.frameSample(r.payload))
+      }
+    }.toDF("doc_id", "width", "height", "nibble_hist", "frame_sample")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_multimodal_features" -> qMultimodalFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
+        |  sha256(text) AS digest,
+        |  n_chars AS declared_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

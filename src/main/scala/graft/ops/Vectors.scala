@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label). Brute-force cosine top-k is the correctness
+  * baseline; sign-random-projection LSH bucketing is the scale path
+  * (bucketed candidates instead of the O(n²) cross join).
+  *
+  * Numeric parity strategy: cosine is dot/(|a||b|). Both dot and squared
+  * norms are computed in EXACT decimal arithmetic (each float element cast
+  * via double to DECIMAL(18,9); sums exact in DECIMAL(38,18)), converted
+  * to double only at the end — so Spark and the DuckDB oracle perform the
+  * identical IEEE ops on identical inputs and the result hashes equal
+  * (same shortest-string double→decimal cast semantics, see Tables). */
+object Vectors {
+
+  private val El = DecimalType(18, 9)
+  private val Acc = DecimalType(38, 18)
+
+  /** Array<float> → array<decimal(18,9)>. Direct float→decimal in BOTH
+    * engines: Catalyst simplifies a float→double→decimal chain to
+    * float→decimal (shortest-float-string semantics), so the oracle must
+    * cast straight from FLOAT too — verified equal on fixture data. */
+  private def decArr(c: Column): Column =
+    transform(c, x => x.cast(El))
+
+  /** Exact decimal dot product of two float arrays, surfaced as DOUBLE. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(decArr(a), decArr(b), (x, y) => x * y),
+      // (38,18)+(37,18) widens past the 38-precision cap and Spark trims
+      // the scale to 17; cast back each step (exact: |dot| << 10^20).
+      // Final rounding to scale 8 BEFORE the double cast: at 18 digits the
+      // decimal→double conversion differs in the last ulp across engines
+      // (DuckDB's int128/10^s path double-rounds); at <=9 significant
+      // digits both convert exactly.
+      lit(0).cast(Acc), (acc, x) => (acc + x).cast(Acc))
+      .cast(DecimalType(28, 8)).cast("double")
+
+  /** Per-vector id/dim/norm audit: exact-decimal squared norm. */
+  def qEmbNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        col("label"),
+        size(col("embedding")).as("dim"),
+        dotD(col("embedding"), col("embedding")).as("norm2"))
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-5 for the first 20 query vectors — the
+    * correctness baseline for similarity search. The neighbor side is the
+    * full table; the query side is a tiny broadcast. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("norm2"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm2").as("qnorm2"))
+    val pairs = broadcast(queries).join(emb, col("qid") =!= col("vec_id"))
+      .withColumn("sim", dotD(col("qemb"), col("embedding"))
+        / (sqrt(col("qnorm2")) * sqrt(col("norm2"))))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("sim"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val AnnTables = 8
+  private val AnnPlanes = 6
+
+  /** Deterministic Rademacher (±1) hyperplane signs for plane p, dim d —
+    * splitmix64-style bit mix so both build runs and all executors agree. */
+  private[ops] def planeSign(p: Int, d: Int): Int = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1 else -1
+  }
+
+  /** Sign-random-projection LSH ANN, multi-table: 8 independent tables of
+    * 6 Rademacher hyperplanes each (a single 12-bit table was measured at
+    * ~0 recall here — too many buckets for the corpus; L smaller tables is
+    * the standard recall knob). Candidates are same-(table,bucket) pairs —
+    * the 100 TB path: the shuffle key is (table, bucket), never all pairs —
+    * then exact cosine re-ranking, top-3 per query. Recall < 1 by
+    * construction → rows-only check (no SQL oracle). */
+  def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("norm2"))
+    val tableBuckets = (0 until AnnTables).map { t =>
+      val bits = (0 until AnnPlanes).map { p =>
+        val signs = array((0 until dim).map(d =>
+          lit(planeSign(t * 64 + p, d))): _*)
+        val dot = aggregate(
+          zip_with(col("embedding"), signs,
+            (x, s) => x.cast("double") * s.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1 << p)).otherwise(lit(0)): Column
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = emb
+      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .select(col("vec_id"), col("tb.t").as("t"),
+        col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm2").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dotD(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+    // symmetrize so every vector ranks its in-bucket neighbors
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** Per-label centroid statistics: exact-decimal mean of the first
+    * embedding component + count (grouped embedding analytics). */
+  def qEmbLabelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        element_at(col("embedding"), 1).cast(El).as("e0"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("e0")).cast("double").as("sum_e0"))
+      .withColumn("mean_e0", col("sum_e0") / col("n"))
+      .orderBy("label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_norms" -> qEmbNorms _,
+    "q_cosine_topk" -> qCosineTopk _,
+    "q_cosine_ann" -> qCosineAnn _,
+    "q_emb_label_stats" -> qEmbLabelStats _)
+
+  /** DuckDB twin of [[dotD]]. Two engine quirks mirrored:
+    *  - elements cast float→DOUBLE→decimal (DuckDB's direct float→decimal
+    *    scales in float32 and is lossy; Spark's float→decimal equals the
+    *    via-double path — verified element-wise on fixture data);
+    *  - ROUND(x,8) before the scale-8 cast (DuckDB's decimal→decimal cast
+    *    TRUNCATES; ROUND is half-away-from-zero = Spark's HALF_UP). */
+  private val dotSql = (a: String, b: String) =>
+    s"CAST(CAST(ROUND(list_sum(list_transform(list_zip($a, $b), " +
+      "s -> CAST(CAST(s[1] AS DOUBLE) AS DECIMAL(18,9)) * " +
+      "CAST(CAST(s[2] AS DOUBLE) AS DECIMAL(18,9)))), 8) AS DECIMAL(28,8)) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q_emb_norms" ->
+      s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+         |  ${dotSql("embedding", "embedding")} AS norm2
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${dotSql("embedding", "embedding")} AS norm2
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id qid, n.vec_id nid,
+         |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.norm2) * sqrt(n.norm2)) AS sim
+         |  FROM e q JOIN e n ON q.vec_id < 20 AND n.vec_id <> q.vec_id)
+         |SELECT qid, nid, sim, rank FROM (
+         |  SELECT qid, nid, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+         |  FROM pairs) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_emb_label_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_e0,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_e0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+}
