@@ -9,6 +9,31 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("stream")) {
+      // drive the streaming file-source path end-to-end
+      val dir = java.nio.file.Files.createTempDirectory("stream-in")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve("events.parquet"))
+      val agg = streaming.EventsStream.fromParquetDir(spark, dir.toString)
+      streaming.EventsStream.runToMemory(agg, "drive_out",
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      val rows = spark.sql(
+        "SELECT * FROM drive_out ORDER BY bucket, event_type LIMIT 5").collect()
+      println(s"stream rows: ${spark.table("drive_out").count()}")
+      rows.foreach(println)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("explain")) {
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("q1_pricing"))
+        .foreach { q =>
+          println(s"===== $q =====")
+          println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      spark.stop(); return
+    }
     if (args.headOption.contains("vec")) {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.DecimalType

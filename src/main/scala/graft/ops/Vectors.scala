@@ -117,13 +117,18 @@ object Vectors {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct()
+    // plain double dot for re-ranking: no oracle here, and the exact-decimal
+    // path costs ~10x (interpreted BigDecimal lambda) on the candidate set
+    val dot2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
     val pairs = cand
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn")), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("norm2").as("nn")), "nid")
       .select(col("qid"), col("nid"),
-        (dotD(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
           .as("sim"))
     // symmetrize so every vector ranks its in-bucket neighbors
     val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape (ts, user_id,
+  * event_type, value). The reference is strictly batch with a hard phase
+  * barrier (SURVEY.md §2.4 — streaming absent); this is the rebuild's
+  * streams path: watermarked tumbling-window aggregation (the streaming
+  * twin of the batch query `q_events_window`) and custom keyed state via
+  * mapGroupsWithState.
+  *
+  * At scale: state is partitioned by group key across executors, the
+  * watermark bounds state size (old windows are dropped), and the same
+  * partial-aggregation machinery as batch applies per micro-batch. */
+object EventsStream {
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String,
+    value: Double)
+
+  /** Tumbling 1-hour windowed counts/sums with a 10-minute watermark —
+    * late data beyond the watermark is dropped, bounded state. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class UserStats(n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user event count/value via
+    * mapGroupsWithState (the KeyValueGroupedDataset stateful path). */
+  def runningUserStats(events: Dataset[Event]): Dataset[(Long, UserStats)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, (Long, UserStats)](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserStats(n, v)
+          state.update(next)
+          (userId, next)
+      }
+  }
+
+  /** Demo wiring for a file source: the same windowed agg reading a
+    * parquet directory as a stream. The fixture's ts is TIMESTAMP(NANOS),
+    * which Spark's parquet reader only surfaces as a nanosecond long
+    * (legacy conf) — read it as BIGINT and truncate to µs, exactly like
+    * the batch path in [[graft.Tables.events]]. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    windowedAgg(spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+  }
+
+  /** Run a streaming DataFrame to a named memory sink until drained. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

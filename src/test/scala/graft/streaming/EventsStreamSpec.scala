@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import EventsStream.{Event, UserStats}
+
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling-window agg matches the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 00:25:00"), 2, "click", 3.0),
+      Event(ts("2024-01-01 00:45:00"), 1, "view", 1.5),
+      Event(ts("2024-01-01 01:10:00"), 3, "click", 4.0))
+    EventsStream.runToMemory(
+      EventsStream.windowedAgg(input.toDF()), "win_out", OutputMode.Update)
+    val got = spark.sql(
+      "SELECT cast(bucket AS STRING), event_type, n, total_value " +
+        "FROM win_out ORDER BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", "click", 2L, 5.0),
+      ("2024-01-01 00:00:00", "view", 1L, 1.5),
+      ("2024-01-01 01:00:00", "click", 1L, 4.0)))
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.runningUserStats(input.toDS()).toDF("user_id", "stats")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out").start()
+
+    input.addData(
+      Event(ts("2024-01-01 00:00:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 00:01:00"), 1, "view", 3.0),
+      Event(ts("2024-01-01 00:02:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(ts("2024-01-01 00:10:00"), 1, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // latest state per user = the one with the highest event count
+    // (monotone; memory-sink row order across batches isn't guaranteed)
+    val last = spark.sql("SELECT user_id, stats.* FROM state_out")
+      .collect().map(r => r.getLong(0) -> UserStats(r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_.n_events) }
+    assert(last(1L) === UserStats(3L, 10.0))
+    assert(last(2L) === UserStats(1L, 1.0))
+  }
+}
