@@ -29,15 +29,26 @@ object Vectors {
   private def decArr(c: Column): Column =
     transform(c, x => x.cast(El))
 
-  /** Exact decimal dot product of two float arrays, surfaced as DOUBLE. */
+  /** Exact decimal dot product of two float arrays, surfaced as DOUBLE.
+    * Semantics: round_to_8(sum_i dec9(a_i)*dec9(b_i)) — each element is
+    * the float's value rounded HALF_UP to 9 decimals, the sum is exact,
+    * the result is rounded to 8 decimals before the double cast (at <=9
+    * significant digits Spark and DuckDB convert decimals to double
+    * identically; at scale 18 they differ in the last ulp).
+    *
+    * Implemented as the native Catalyst expression
+    * [[graft.functions.DecimalDotProduct]] (128-bit long accumulator,
+    * ~20x the interpreted aggregate/zip_with decimal pipeline, verified
+    * bit-identical to it in DecimalDotProductSpec). */
   def dotD(a: Column, b: Column): Column =
+    graft.functions.DecimalDotProduct.decimalDot(a, b)
+
+  /** The equivalent higher-order-function pipeline (kept as the reference
+    * implementation the custom expression is property-tested against). */
+  def dotViaHof(a: Column, b: Column): Column =
     aggregate(zip_with(decArr(a), decArr(b), (x, y) => x * y),
       // (38,18)+(37,18) widens past the 38-precision cap and Spark trims
-      // the scale to 17; cast back each step (exact: |dot| << 10^20).
-      // Final rounding to scale 8 BEFORE the double cast: at 18 digits the
-      // decimal→double conversion differs in the last ulp across engines
-      // (DuckDB's int128/10^s path double-rounds); at <=9 significant
-      // digits both convert exactly.
+      // the scale to 17; cast back each step (exact: |dot| << 10^20)
       lit(0).cast(Acc), (acc, x) => (acc + x).cast(Acc))
       .cast(DecimalType(28, 8)).cast("double")
 
