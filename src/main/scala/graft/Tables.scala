@@ -41,7 +41,9 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `ts div 1000`, NOT ts/1000: Spark's / is double division, which
+      // loses precision on ~1.7e18 nanosecond values (off-by-1 µs)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Exact decimal view of a double measure column (2 fractional digits in

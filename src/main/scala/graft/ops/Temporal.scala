@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal join operators over `events`: as-of join and range join —
+  * the join flavors SURVEY.md §2.4 lists as absent in the reference.
+  *
+  * Scale design:
+  *  - as-of join: NOT a per-row inequality join (which explodes on skewed
+  *    keys); instead the classic scalable composition — union both
+  *    streams, sort within the key partition, carry the last match
+  *    forward with an ignoreNulls last() running window. One shuffle on
+  *    the key, O(n log n) per key, no candidate blowup.
+  *  - range join: the small side (static bands) broadcasts; the fact side
+  *    never shuffles.
+  */
+object Temporal {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** As-of join: for each `error` event, the most recent `purchase` of
+    * the same user at-or-before it (ties on ts resolved purchase-first,
+    * then by highest purchase event_id — purchases are deduped to one per
+    * (user, ts) so the DuckDB ASOF oracle is deterministic too). */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    // dedupe purchases to one per (user, ts): keep max event_id
+    val dedupW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(desc("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1).drop("rn")
+    val errors = ev.filter(col("event_type") === "error")
+    val unioned = errors.select(col("event_id"), col("user_id"), col("ts"),
+        lit(0).as("is_p"), lit(null).cast("double").as("value"))
+      .unionByName(purchases.select(col("event_id"), col("user_id"),
+        col("ts"), lit(1).as("is_p"), col("value")))
+    // purchase-first at equal ts so it is visible to the error row
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), desc("is_p"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("p_ts",
+        last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("p_event_id",
+        last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("p_value",
+        last(when(col("is_p") === 1, col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("ets"),
+        col("p_event_id"),
+        date_format(col("p_ts"), TsFmt).as("pts"),
+        col("p_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: classify purchase values into static bands (broadcast
+    * small side; BETWEEN condition), then count per band. */
+  def qRangeBand(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("p00_small", 0.0, 50.0),
+      ("p01_mid", 50.0, 120.0),
+      ("p02_large", 120.0, 250.0),
+      ("p03_huge", 250.0, 1e9))).toDF("band", "lo", "hi")
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total"))
+      .orderBy("band")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin _,
+    "q_range_band" -> qRangeBand _)
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('error', 'purchase')),
+        |purchases AS (
+        |  SELECT * FROM (
+        |    SELECT event_id, user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        |  p.event_id AS p_event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  p.value AS p_value
+        |FROM errors e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_band" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |JOIN (VALUES ('p00_small', 0.0, 50.0), ('p01_mid', 50.0, 120.0),
+        |             ('p02_large', 120.0, 250.0), ('p03_huge', 250.0, 1e9))
+        |  b(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |WHERE event_type = 'purchase'
+        |GROUP BY band ORDER BY band""".stripMargin)
+}

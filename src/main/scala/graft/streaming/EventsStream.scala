@@ -61,7 +61,8 @@ object EventsStream {
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     windowedAgg(spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long"))))
+      // integer div: double division loses precision on nano longs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
   /** Run a streaming DataFrame to a named memory sink until drained. */
