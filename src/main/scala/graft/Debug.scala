@@ -9,6 +9,20 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("timeq")) {
+      // time one query N times in a warm JVM: Debug timeq <name> [n] [dir]
+      val name = args(1)
+      val n = args.lift(2).map(_.toInt).getOrElse(3)
+      val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("stream")) {
       // drive the streaming file-source path end-to-end
       val dir = java.nio.file.Files.createTempDirectory("stream-in")

@@ -46,6 +46,10 @@ object Similarity {
     * candidate set is complete; then verify exactly on full shingle sets. */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.8
+    // the shingle set feeds 5 plan branches and Catalyst replicates the
+    // scan+explode+distinct subtree; measured A/B: re-running the codegen
+    // subtree beats localCheckpoint block ser/deser here (3.5-4.2s vs
+    // 4.8-5.8s warm), so no materialization
     val sh = shingles(spark, dir)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -86,7 +90,7 @@ object Similarity {
     * SQL oracle — the driver records a rows-only check). */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
-    val sh = shingles(spark, dir)
+    val sh = shingles(spark, dir) // no checkpoint — see qJaccardPairs
     val minhashCols = (0 until MinhashK).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     val minh = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
