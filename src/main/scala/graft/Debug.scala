@@ -36,6 +36,22 @@ object Debug {
         "SELECT * FROM drive_out ORDER BY bucket, event_type LIMIT 5").collect()
       println(s"stream rows: ${spark.table("drive_out").count()}")
       rows.foreach(println)
+      // session-window flavor over the same file source (complete mode so
+      // open sessions surface without a watermark-advancing second file)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir.toString)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      streaming.EventsStream.runToMemory(
+        streaming.EventsStream.sessionAgg(raw), "sess_drive",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      println(s"session rows: ${spark.table("sess_drive").count()}")
+      spark.sql("SELECT * FROM sess_drive ORDER BY user_id, session_start LIMIT 3")
+        .collect().foreach(println)
       spark.stop(); return
     }
     if (args.headOption.contains("explain")) {

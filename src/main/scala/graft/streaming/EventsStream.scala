@@ -30,6 +30,18 @@ object EventsStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Session windows: activity sessions per user closed by a 30-minute
+    * gap — the dynamic-window flavor (vs fixed tumbling windows above). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total_value"))
+
   final case class UserStats(n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user event count/value via

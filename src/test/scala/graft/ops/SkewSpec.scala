@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.Tables.dec
+
+/** Skew-mitigation pattern: salted two-stage aggregation. At 100 TB a
+  * hot grouping key funnels into one reduce task; salting splits it into
+  * S sub-keys for the partial stage, then a second (tiny) stage merges the
+  * S partials. This spec proves the rewrite is result-identical on a
+  * deliberately skewed dataset (decimal-exact sums, so equality is exact,
+  * not approximate). */
+class SkewSpec extends SparkSpec {
+
+  test("salted two-stage aggregation equals direct aggregation exactly") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+      // skew it: collapse most keys onto one hot flag value
+      .withColumn("key", when(col("l_orderkey") % 10 < 8, lit("HOT"))
+        .otherwise(col("l_returnflag")))
+
+    val direct = li.groupBy("key")
+      .agg(sum(dec(col("l_quantity"))).as("q"), count(lit(1)).as("n"))
+
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("key", "salt")
+      .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+      .groupBy("key")
+      .agg(sum(col("pq")).as("q"), sum(col("pn")).as("n"))
+
+    val d = direct.collect().map(r => r.getString(0) ->
+      (r.getDecimal(1), r.getLong(2))).toMap
+    val s = salted.collect().map(r => r.getString(0) ->
+      (r.getDecimal(1), r.getLong(2))).toMap
+    assert(s.keySet === d.keySet)
+    d.foreach { case (k, (q, n)) =>
+      assert(s(k)._1.compareTo(q) === 0, s"sum for $k")
+      assert(s(k)._2 === n, s"count for $k")
+    }
+  }
+}

@@ -33,6 +33,36 @@ class EventsStreamSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "click", 1L, 4.0)))
   }
 
+  test("session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(ts("2024-01-01 10:10:00"), 1, "click", 2.0),  // same session
+      Event(ts("2024-01-01 11:30:00"), 1, "click", 4.0),  // gap > 30min: new
+      Event(ts("2024-01-01 10:05:00"), 2, "view", 8.0))
+    val q = EventsStream.sessionAgg(input.toDF())
+      .writeStream.outputMode(OutputMode.Append) // session windows: append-only
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    // append mode emits a session only once the watermark passes its end;
+    // push the watermark forward with a later event (whose own session
+    // stays open and is NOT expected in the output)
+    input.addData(Event(ts("2024-01-02 00:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, cast(session_start AS STRING), n, total_value " +
+        "FROM sess_out ORDER BY user_id, 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00", 2L, 3.0),
+      (1L, "2024-01-01 11:30:00", 1L, 4.0),
+      (2L, "2024-01-01 10:05:00", 1L, 8.0)))
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
