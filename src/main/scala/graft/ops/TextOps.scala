@@ -134,7 +134,22 @@ object TextOps {
       .orderBy(desc("n"), asc("bigram"))
       .limit(100)
 
+  /** Top-20 words via the SpaceSaving heavy-hitters aggregate
+    * ([[graft.functions.SpaceSavingTopK]]). Capacity 4096 >> vocabulary →
+    * the sketch is in its exact regime, so the DuckDB oracle is the plain
+    * exact top-20; at 100 TB the same plan keeps constant state per
+    * partition instead of shuffling the full frequency table. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .select(graft.functions.SpaceSavingTopK
+        .spaceSavingTopK(col("word"), 20, 4096).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("word"), col("e.est").as("n"))
+      .orderBy(desc("n"), asc("word"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_survivors" -> qDedupSurvivors _,
     "q_token_count" -> qTokenCount _,
@@ -144,6 +159,11 @@ object TextOps {
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS dup_count
