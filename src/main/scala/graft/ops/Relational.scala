@@ -287,7 +287,41 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Distributed statistics with DETERMINISTIC results: Spark's built-in
+    * stddev/corr sum doubles in shuffle order (not reproducible run to
+    * run), so the moments are accumulated as exact decimals and the
+    * textbook formulas applied once on the final doubles — identical
+    * bits in both engines, any partitioning. Measures chosen small
+    * (quantity <= 50, discount <= 0.1) so every decimal sum's unscaled
+    * value stays below 2^53 and the decimal→double conversion is exact in
+    * both engines — with large measures (price²) the conversion's last
+    * ulp would be amplified by the variance formula's cancellation. */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val d = dec(col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(d).cast("double").as("sd"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(d * d).cast("double").as("sdd"),
+        sum(q * d).cast("double").as("sqd"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"),
+        ((col("sqd") - col("sq") * col("sd") / col("n"))
+          / (sqrt(col("sqq") - col("sq") * col("sq") / col("n"))
+            * sqrt(col("sdd") - col("sd") * col("sd") / col("n"))))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_corr" -> qStatsCorr _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_scalar_array" -> qScalarArray _,
     "q1_pricing" -> q1Pricing _,
@@ -309,6 +343,21 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_stats_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sqq - sq * sq / n) / (n - 1) AS var_qty,
+        |  sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+        |  (sqd - sq * sd / n)
+        |    / (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n)) AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
         |  CAST(GROUPING(r_name) AS INT) AS g_region,
