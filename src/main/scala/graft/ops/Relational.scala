@@ -320,7 +320,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Extended window-function coverage: ntile, percent_rank, cume_dist,
+    * first/last over a range frame — all rank-based outputs are integer
+    * ratios (deterministic doubles) and the unique (orderkey) ordering
+    * keeps every function stable. */
+  def qWindowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(-2, 0)).cast("double").as("moving3"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_misc" -> qWindowMisc _,
     "q_stats_corr" -> qStatsCorr _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_scalar_array" -> qScalarArray _,
@@ -343,6 +362,18 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_window_misc" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_stats_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

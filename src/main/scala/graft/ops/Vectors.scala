@@ -160,7 +160,20 @@ object Vectors {
       .withColumn("mean_e0", col("sum_e0") / col("n"))
       .orderBy("label")
 
+  /** Embedding-cosine near-dup: same multi-table LSH candidate generation
+    * as [[qCosineAnn]], thresholded instead of top-k — the dedup decision
+    * view (keep the lower vec_id of each near-dup pair). Threshold 0.25 is
+    * calibrated to the synthetic fixture's near-orthogonal vectors (max
+    * observed sim ≈ 0.31); real embedding spaces would use ~0.9.
+    * Rows-only (LSH recall < 1). */
+  def qCosineNeardup(spark: SparkSession, dir: String): DataFrame =
+    qCosineAnn(spark, dir)
+      .filter(col("sim") >= 0.25 && col("qid") < col("nid"))
+      .select(col("qid").as("keep_id"), col("nid").as("dup_id"), col("sim"))
+      .orderBy("keep_id", "dup_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_neardup" -> qCosineNeardup _,
     "q_emb_norms" -> qEmbNorms _,
     "q_cosine_topk" -> qCosineTopk _,
     "q_cosine_ann" -> qCosineAnn _,

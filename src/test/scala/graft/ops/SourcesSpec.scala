@@ -45,6 +45,18 @@ class SourcesSpec extends SparkSpec {
     assert(k.filter(col("k").isNotNull).count() === src.count())
   }
 
+  test("orc round-trip preserves rows and types") {
+    val out = tmp("orc-out") + "/customer"
+    val src = Tables(spark, sf("sf0.001"), "customer")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    val a = src.orderBy("c_custkey").collect().map(_.toSeq)
+    val b = back.orderBy("c_custkey").collect().map(_.toSeq)
+    assert(a === b)
+  }
+
   test("text sink + source round-trip (the reference's native format)") {
     val out = tmp("text-out") + "/words"
     val src = Tables(spark, sf("sf0.001"), "documents")
