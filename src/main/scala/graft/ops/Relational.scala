@@ -338,7 +338,21 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Top-3 orders per customer through the CUSTOM physical operator
+    * [[graft.plans.TopKPerKey]] (bounded per-key heaps, no sort, k·keys
+    * shuffle bytes) — same semantics as the row_number window plan the
+    * oracle expresses, radically cheaper at scale. */
+  def qTopkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables(spark, dir, "orders"),
+        keys = Seq(col("o_custkey")),
+        order = Seq(desc("o_totalprice"), asc("o_orderkey")),
+        k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_native" -> qTopkNative _,
     "q_window_misc" -> qWindowMisc _,
     "q_stats_corr" -> qStatsCorr _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -362,6 +376,13 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_misc" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(NTILE(4) OVER w AS INT) AS quartile,
