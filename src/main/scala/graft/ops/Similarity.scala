@@ -155,7 +155,50 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end dedup pipeline, the composition a corpus-curation job
+    * runs: (1) exact dedup — keep the min doc_id of each content-hash
+    * group; (2) near-dup removal — among exact survivors, drop any doc
+    * with a Jaccard >= 0.8 partner of smaller id (single greedy pass by
+    * id, NOT transitive closure — deterministic and SQL-expressible).
+    * Returns the clean corpus. */
+  def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val docs = Tables(spark, dir, "documents")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val survivors = docs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars")
+    val sh = shingles(spark, dir)
+      .join(survivors.select("doc_id"), "doc_id")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pw = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(pw))
+      .join(sz, "doc_id")
+      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(sh)
+    val removed = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("common").cast("double")
+        / (col("na") + col("nb") - col("common")) >= t)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_lsh" -> qMinhashLsh _,
     "q_simhash_neardup" -> qSimhashNeardup _)
@@ -164,6 +207,30 @@ object Similarity {
     * their semantics depend on engine-specific hash functions (recall of
     * LSH banding, xxhash64 bit patterns) — rows-only checks. */
   val oracles: Map[String, String] = Map(
+    "q_dedup_pipeline" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, n_chars, text FROM (
+        |    SELECT doc_id, lang, n_chars, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |    FROM documents) s WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM survivors),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |removed AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8)
+        |SELECT doc_id, lang, n_chars FROM survivors
+        |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY doc_id""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
