@@ -148,6 +148,84 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
+  private val IvfLists = 16
+  private val IvfProbes = 4
+  private val IvfIters = 3
+
+  /** IVF-style ANN: a coarse k-means quantizer (nlist=16 centroids, 3
+    * Lloyd iterations, deterministic: init = first 16 vectors by id,
+    * decimal-exact per-dimension means) partitions the corpus into
+    * inverted lists; each query probes its nprobe=4 nearest lists and
+    * exact-reranks only those candidates (~nprobe/nlist of the corpus).
+    *
+    * Per-iteration centroids (16×64 doubles) are collected to the driver
+    * and rebroadcast — the canonical k-means pattern (bounded state, same
+    * as MLlib's implementation); the data-sized work stays distributed.
+    * Rows-only check (recall < 1 like any ANN). */
+  def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("norm2"))
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+
+    // squared L2 to a constant centroid as norm2 + |c|^2 - 2<x,c> with the
+    // native float_dot — one expression eval per centroid instead of a
+    // 64-element interpreted lambda (measured ~3x on the whole query)
+    def l2ToCentroid(c: Array[Double]): Column = {
+      val cNorm2 = c.map(v => v * v).sum
+      val cFloat = array(c.map(v => lit(v.toFloat)): _*)
+      col("norm2") + lit(cNorm2) -
+        lit(2.0) * dot2(col("embedding"), cFloat)
+    }
+
+    // deterministic init: the first IvfLists vectors by id
+    var centroids: Array[Array[Double]] = emb.orderBy("vec_id")
+      .limit(IvfLists).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    // argmin via array_sort over (dist, cid) structs: each distance is
+    // evaluated ONCE. (A when(a.d<=b.d, a) reduce would re-expand each
+    // operand subtree at every level — 3^nlist expression nodes.)
+    def assignExpr(cs: Array[Array[Double]]): Column =
+      element_at(array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
+      }: _*)), 1).getField("cid")
+
+    (1 to IvfIters).foreach { _ =>
+      // decimal-exact per-dimension means -> deterministic centroids
+      val sums = emb.withColumn("cid", assignExpr(centroids))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast(El)).cast("double") / count(lit(1))).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val next = centroids.zipWithIndex.map(_._1.clone())
+      sums.foreach { case (cid, pos, m) => next(cid)(pos) = m }
+      centroids = next
+    }
+
+    val assigned = emb.withColumn("cid", assignExpr(centroids))
+    // each query probes its IvfProbes nearest centroid lists
+    val rankedCids = array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) => struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
+    }: _*))
+    val probes = emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("norm2").as("qn"),
+        explode(slice(rankedCids, 1, IvfProbes)).as("probe"))
+      .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
+    val cands = probes.join(
+        assigned.select(col("cid"), col("vec_id").as("nid"),
+          col("embedding").as("ne"), col("norm2").as("nn")), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }
+
   /** Per-label centroid statistics: exact-decimal mean of the first
     * embedding component + count (grouped embedding analytics). */
   def qEmbLabelStats(spark: SparkSession, dir: String): DataFrame =
@@ -173,6 +251,7 @@ object Vectors {
       .orderBy("keep_id", "dup_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_ivf" -> qCosineIvf _,
     "q_cosine_neardup" -> qCosineNeardup _,
     "q_emb_norms" -> qEmbNorms _,
     "q_cosine_topk" -> qCosineTopk _,
