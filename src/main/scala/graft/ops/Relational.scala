@@ -351,7 +351,29 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "o_orderkey")
 
+  /** Pivot: order counts + decimal-exact totals per priority, one column
+    * group per status (fixed value list → stable schema). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): wide per-status counts back to long form. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot _,
+    "q_unpivot" -> qUnpivot _,
     "q_topk_native" -> qTopkNative _,
     "q_window_misc" -> qWindowMisc _,
     "q_stats_corr" -> qStatsCorr _,
@@ -376,6 +398,27 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_total,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+        |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'O', o FROM w
+        |  UNION ALL SELECT o_orderpriority, 'P', p FROM w) t
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "q_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
