@@ -25,15 +25,18 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Word 3-shingles, one row per distinct (doc_id, shingle). */
+  /** Word 3-shingles, one row per distinct (doc_id, shingle).
+    * Deduplication happens ROW-LOCALLY via array_distinct before the
+    * explode — per-doc shingle dedup needs no shuffle, and this subtree is
+    * replicated into every consumer branch, so a post-explode .distinct()
+    * would pay its exchange once per branch. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
         .as("shingle"))
-      .distinct()
 
   private def shingleSets(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id")

@@ -107,15 +107,13 @@ object Vectors {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         dotD(col("embedding"), col("embedding")).as("norm2"))
+    val dotF = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>
         val signs = array((0 until dim).map(d =>
-          lit(planeSign(t * 64 + p, d))): _*)
-        val dot = aggregate(
-          zip_with(col("embedding"), signs,
-            (x, s) => x.cast("double") * s.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1 << p)).otherwise(lit(0)): Column
+          lit(planeSign(t * 64 + p, d).toFloat)): _*)
+        when(dotF(col("embedding"), signs) >= 0, lit(1 << p))
+          .otherwise(lit(0)): Column
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
@@ -238,17 +236,48 @@ object Vectors {
       .withColumn("mean_e0", col("sum_e0") / col("n"))
       .orderBy("label")
 
-  /** Embedding-cosine near-dup: same multi-table LSH candidate generation
-    * as [[qCosineAnn]], thresholded instead of top-k — the dedup decision
-    * view (keep the lower vec_id of each near-dup pair). Threshold 0.25 is
+  /** Embedding-cosine near-dup: multi-table LSH candidate generation
+    * (same tables as [[qCosineAnn]]), thresholded directly — no top-k
+    * window or symmetrization, just every in-bucket pair with sim >= t
+    * as a dedup decision view (keep the lower vec_id). Threshold 0.25 is
     * calibrated to the synthetic fixture's near-orthogonal vectors (max
     * observed sim ≈ 0.31); real embedding spaces would use ~0.9.
     * Rows-only (LSH recall < 1). */
-  def qCosineNeardup(spark: SparkSession, dir: String): DataFrame =
-    qCosineAnn(spark, dir)
-      .filter(col("sim") >= 0.25 && col("qid") < col("nid"))
-      .select(col("qid").as("keep_id"), col("nid").as("dup_id"), col("sim"))
+  def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("norm2"))
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val tableBuckets = (0 until AnnTables).map { t =>
+      val bits = (0 until AnnPlanes).map { p =>
+        val signs = array((0 until dim).map(d =>
+          lit(planeSign(t * 64 + p, d).toFloat)): _*)
+        when(dot2(col("embedding"), signs) >= 0,
+          lit(1 << p)).otherwise(lit(0)): Column
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = emb
+      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .select(col("vec_id"), col("tb.t").as("t"),
+        col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("keep_id"), col("embedding").as("qe"),
+        col("norm2").as("qn")), "keep_id")
+      .join(emb.select(col("vec_id").as("dup_id"), col("embedding").as("ne"),
+        col("norm2").as("nn")), "dup_id")
+      .select(col("keep_id"), col("dup_id"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+      .filter(col("sim") >= 0.25)
       .orderBy("keep_id", "dup_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_ivf" -> qCosineIvf _,
