@@ -81,11 +81,47 @@ object Temporal {
       .orderBy("band")
   }
 
+  /** Batch sessionization: per-user activity sessions closed by a
+    * 30-minute gap, via Spark's session_window — the batch twin of
+    * [[graft.streaming.EventsStream.sessionAgg]]. The oracle expresses
+    * the identical semantics as gaps-and-islands SQL (new-session flag on
+    * gap > 30min, running sum as session id). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value")).as("total"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), TsFmt).as("session_start"),
+        col("n"), col("total"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    -- >= : Spark session windows are [start, last+gap), so a gap
+        |    -- of exactly the duration starts a NEW session
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |ids AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, ts, event_type, value FROM events
