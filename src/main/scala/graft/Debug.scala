@@ -9,6 +9,17 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("pct")) {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderstatus")
+        .collect().foreach(r =>
+          println(s"PCT: ${r.getString(0)} ${r.getDouble(1)} ${r.getDouble(2)}"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("timeq")) {
       // time one query N times in a warm JVM: Debug timeq <name> [n] [dir]
       val name = args(1)

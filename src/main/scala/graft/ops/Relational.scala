@@ -371,7 +371,21 @@ object Relational {
         Array(col("F"), col("O"), col("P")), "status", "n")
       .orderBy("o_orderpriority", "status")
 
+  /** Exact percentiles (sort-based `percentile`, which interpolates
+    * identically to DuckDB's percentile_cont — verified to the last ulp
+    * on fixture data; the approx_percentile sketch would not oracle). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile" -> qPercentile _,
     "q_pivot" -> qPivot _,
     "q_unpivot" -> qUnpivot _,
     "q_topk_native" -> qTopkNative _,
@@ -398,6 +412,13 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |  percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,

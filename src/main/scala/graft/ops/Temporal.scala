@@ -95,12 +95,48 @@ object Temporal {
         col("n"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** Interval-overlap self-join: pairs of a customer's own orders whose
+    * 30-day fulfillment windows overlap. The equi-key (custkey) carries
+    * the shuffle; the interval condition only filters within the key
+    * group — the scalable shape for interval joins (never a blind
+    * inequality-only join). */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("w_start"))
+      .withColumn("w_end", date_add(col("w_start"), 30))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          col("a.w_start") < col("b.w_end") &&
+          col("b.w_start") < col("a.w_end"))
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("k1"), col("b.o_orderkey").as("k2"),
+        datediff(least(col("a.w_end"), col("b.w_end")),
+          greatest(col("a.w_start"), col("b.w_start"))).as("overlap_days"))
+      .orderBy("custkey", "k1", "k2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> qIntervalJoin _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
+        |    CAST(o_orderdate AS DATE) + 30 AS w_end
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  CAST(date_diff('day',
+        |    GREATEST(a.w_start, b.w_start), LEAST(a.w_end, b.w_end)) AS INT)
+        |    AS overlap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.w_start < b.w_end AND b.w_start < a.w_end
+        |ORDER BY custkey, k1, k2""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
