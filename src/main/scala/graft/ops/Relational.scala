@@ -384,7 +384,21 @@ object Relational {
         expr("percentile(o_totalprice, 0.99)").as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Regex scalar family (RE2-safe patterns so the DuckDB oracle mirrors
+    * them: no lookahead/backrefs). */
+  def qScalarRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).as("prio_num"),
+        col("o_orderpriority").rlike("URGENT|HIGH").cast("int").as("is_hot"),
+        regexp_replace(col("o_orderpriority"), "[^A-Z]", "").as("letters"),
+        size(expr("regexp_extract_all(o_orderpriority, '[A-Z]+', 0)"))
+          .as("n_words"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_regex" -> qScalarRegex _,
     "q_percentile" -> qPercentile _,
     "q_pivot" -> qPivot _,
     "q_unpivot" -> qUnpivot _,
@@ -412,6 +426,13 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_regex" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,
+        |  CAST(regexp_matches(o_orderpriority, 'URGENT|HIGH') AS INT) AS is_hot,
+        |  regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS letters,
+        |  CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INT) AS n_words
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
