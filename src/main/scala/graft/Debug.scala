@@ -9,6 +9,15 @@ object Debug {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("docgen")) {
+      val df = spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", 2000).option("numPartitions", 8).load()
+      println(s"docgen rows: ${df.count()}")
+      df.orderBy("doc_id").limit(3).collect().foreach(println)
+      df.groupBy("lang").count().orderBy("lang").collect()
+        .foreach(r => println(s"lang ${r.getString(0)}: ${r.getLong(1)}"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("pct")) {
       import org.apache.spark.sql.functions._
       spark.read.parquet("/root/testdata/sf0.01/orders.parquet")

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2 source: a deterministic synthetic document
+  * generator — the "source" extension point the reference lacks entirely
+  * (its only source is a text directory, SURVEY.md §2.1 O1). Demonstrates
+  * the full connector surface: TableProvider → Table → ScanBuilder (with
+  * column pruning) → Batch → InputPartition → PartitionReader.
+  *
+  * Options: `numDocs` (default 1000), `numPartitions` (default 4),
+  * `seed` (default 42). Content is a pure function of (seed, doc_id) —
+  * any executor, any retry, same rows (splittable + deterministic, the
+  * two properties a 100 TB source must have).
+  *
+  * Usage: spark.read.format("graft.sources.DocGenSource")
+  *          .option("numDocs", 10000).load()
+  */
+class DocGenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DocGenTable(properties.asScala.toMap)
+}
+
+object DocGenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  private val Words = Array("spark", "scan", "join", "merge", "sort",
+    "batch", "stream", "window", "filter", "group", "key", "value",
+    "table", "query", "row", "hash")
+  private val Langs = Array("en", "es", "de", "fr", "zh")
+
+  /** splitmix64 — deterministic per (seed, id, salt). */
+  private def mix(seed: Long, id: Long, salt: Long): Long = {
+    var z = seed * 0x9E3779B97F4A7C15L + id * 0xBF58476D1CE4E5B9L +
+      salt * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def textFor(seed: Long, id: Long): String = {
+    val n = 8 + (mix(seed, id, 0) & 0x7FFFFFFF).toInt % 25
+    (0 until n).map { i =>
+      Words((mix(seed, id, i + 1) & 0x7FFFFFFF).toInt % Words.length)
+    }.mkString(" ")
+  }
+
+  def langFor(seed: Long, id: Long): String =
+    Langs((mix(seed, id, -1) & 0x7FFFFFFF).toInt % Langs.length)
+}
+
+private class DocGenTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "docgen"
+  override def schema(): StructType = DocGenSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala
+    new DocGenScanBuilder(
+      merged.getOrElse("numdocs",
+        merged.getOrElse("numDocs", "1000")).toLong,
+      merged.getOrElse("numpartitions",
+        merged.getOrElse("numPartitions", "4")).toInt,
+      merged.getOrElse("seed", "42").toLong)
+  }
+}
+
+private class DocGenScanBuilder(numDocs: Long, numPartitions: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocGenSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new DocGenScan(numDocs, numPartitions, seed, required)
+}
+
+private class DocGenScan(numDocs: Long, numPartitions: Int, seed: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (numDocs + numPartitions - 1) / numPartitions)
+    (0L until numDocs by per).map { start =>
+      DocGenPartition(start, math.min(start + per, numDocs)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(seed, required.fieldNames)
+}
+
+private case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+private class DocGenReaderFactory(seed: Long, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.map {
+        case "doc_id" => java.lang.Long.valueOf(id)
+        case "text" => UTF8String.fromString(DocGenSource.textFor(seed, id))
+        case "lang" => UTF8String.fromString(DocGenSource.langFor(seed, id))
+      }.toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
