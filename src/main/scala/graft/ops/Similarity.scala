@@ -126,22 +126,18 @@ object Similarity {
   }
 
   /** 64-bit SimHash near-dup pairs within Hamming distance 3.
-    * Per-token xxhash64 bit votes (+1/-1 per bit, token multiset), then
-    * candidate generation by 4×16-bit chunk equality — exact for the ≤3
-    * threshold by pigeonhole. No oracle: xxhash64 is engine-specific. */
+    * Per-token xxhash64 bit votes (+1/-1 per bit, token multiset) via the
+    * custom [[graft.functions.SimHashAgg]] aggregate (one int[64] buffer
+    * vs 64 conditional-SUM slots), then candidate generation by 4×16-bit
+    * chunk equality — exact for the ≤3 threshold by pigeonhole.
+    * No oracle: xxhash64 is engine-specific. */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
       .withColumn("h", xxhash64(col("token")))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val voted = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simhash = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
-      .reduce(_ + _)
-    val hashed = voted.select(col("doc_id"), simhash.as("simhash"))
+    val hashed = toks.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
     val chunks = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
