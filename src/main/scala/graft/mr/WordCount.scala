@@ -59,6 +59,33 @@ object MrQueries {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy("word")
 
+  /** Word count through the EXECUTABLE-compat path (`rdd.pipe` with the
+    * wc_map.sh / wc_reduce.sh fixtures — the reference's entire
+    * user-extension surface, submit.py:41-49). Falls back to the native
+    * mapper/reducer if the scripts aren't on disk (same semantics, same
+    * oracle — the pipe fixtures are this repo's test resources). */
+  def qWordcountPipe(spark: SparkSession, dir: String): DataFrame = {
+    val base = "/root/repo/src/test/resources/mr/exec"
+    val mapSh = new java.io.File(s"$base/wc_map.sh")
+    val reduceSh = new java.io.File(s"$base/wc_reduce.sh")
+    val lines = graft.Tables(spark, dir, "documents")
+      .select("text").rdd.map(_.getString(0))
+    val reduced =
+      if (mapSh.isFile && reduceSh.isFile) {
+        MapReduceJob.shuffle(
+          lines.pipe(Seq("/bin/sh", mapSh.getAbsolutePath)), 32)
+          .pipe(Seq("/bin/sh", reduceSh.getAbsolutePath))
+      } else {
+        MapReduceJob.shuffle(lines.flatMap(WordCount.mapper), 32)
+          .mapPartitions(WordCount.reducer)
+      }
+    import spark.implicits._
+    reduced.map { l =>
+      val k = MapReduceJob.tabKey(l)
+      (k, l.substring(k.length + 1).toLong)
+    }.toDF("word", "n").orderBy("word")
+  }
+
   private val wordcountOracle =
     """SELECT word, COUNT(*) AS n FROM (
       |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
@@ -67,9 +94,11 @@ object MrQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordcount_mr" -> qWordcountMr _,
-    "q_wordcount_df" -> qWordcountDf _)
+    "q_wordcount_df" -> qWordcountDf _,
+    "q_wordcount_pipe" -> qWordcountPipe _)
 
   val oracles: Map[String, String] = Map(
     "q_wordcount_mr" -> wordcountOracle,
-    "q_wordcount_df" -> wordcountOracle)
+    "q_wordcount_df" -> wordcountOracle,
+    "q_wordcount_pipe" -> wordcountOracle)
 }
