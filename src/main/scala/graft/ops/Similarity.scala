@@ -57,13 +57,18 @@ object Similarity {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
+    // the self-join key is xxhash64(shingle), not the string: 8-byte keys
+    // keep the exchange small and the join-strategy choice stable (a
+    // borderline-size broadcast of the string side caused 3-6x run-to-run
+    // swings); a hash collision can only ADD a candidate pair, which the
+    // exact verification below filters out
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(w))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -176,9 +181,9 @@ object Similarity {
       .withColumn("pos", row_number().over(pw))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select("doc_id", "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -161,14 +161,14 @@ object Vectors {
     * as MLlib's implementation); the data-sized work stays distributed.
     * Rows-only check (recall < 1 like any ANN). */
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: this subplan feeds 3 Lloyd iterations + assignment
-    // + probes + 2 candidate joins — and unlike the (big, cheap) shingle
-    // case, emb is small with an expensive derived column (decimal norm2),
-    // exactly when materialization wins
+    // NO localCheckpoint here: it shaved ~3s off this query but its
+    // blocks linger until ContextCleaner GC and were measured causing
+    // intermittent 3x spikes in LATER queries sharing the session
+    // (storage pressure on their execution memory) — cross-query
+    // stability wins
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         dotD(col("embedding"), col("embedding")).as("norm2"))
-      .localCheckpoint(false)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
 
     // squared L2 to a constant centroid as norm2 + |c|^2 - 2<x,c> with the
