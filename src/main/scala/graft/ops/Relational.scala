@@ -397,7 +397,20 @@ object Relational {
           .as("n_words"))
       .orderBy("o_orderkey")
 
+  /** Sketch aggregates: HLL++ approximate distinct next to the exact
+    * count (rows-only: sketch estimates are engine-specific). */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> qApproxDistinct _,
     "q_scalar_regex" -> qScalarRegex _,
     "q_percentile" -> qPercentile _,
     "q_pivot" -> qPivot _,
