@@ -23,7 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", "", name, usage, "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(

@@ -409,7 +409,21 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** RANGE window frame (value-based bounds, unlike the ROWS frames
+    * elsewhere): for each order, the count and decimal-exact sum of the
+    * same customer's orders priced within 10000 below it. */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_band"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("band_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_scalar_regex" -> qScalarRegex _,
     "q_percentile" -> qPercentile _,
@@ -439,6 +453,14 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_band,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_scalar_regex" ->
       """SELECT o_orderkey,
         |  regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,

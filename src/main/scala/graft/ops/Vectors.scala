@@ -176,7 +176,7 @@ object Vectors {
     // 64-element interpreted lambda (measured ~3x on the whole query)
     def l2ToCentroid(c: Array[Double]): Column = {
       val cNorm2 = c.map(v => v * v).sum
-      val cFloat = array(c.map(v => lit(v.toFloat)): _*)
+      val cFloat = array(c.toIndexedSeq.map(v => lit(v.toFloat)): _*)
       col("norm2") + lit(cNorm2) -
         lit(2.0) * dot2(col("embedding"), cFloat)
     }
@@ -190,7 +190,7 @@ object Vectors {
     // evaluated ONCE. (A when(a.d<=b.d, a) reduce would re-expand each
     // operand subtree at every level — 3^nlist expression nodes.)
     def assignExpr(cs: Array[Array[Double]]): Column =
-      element_at(array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+      element_at(array_sort(array(cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
       }: _*)), 1).getField("cid")
 
@@ -208,7 +208,7 @@ object Vectors {
 
     val assigned = emb.withColumn("cid", assignExpr(centroids))
     // each query probes its IvfProbes nearest centroid lists
-    val rankedCids = array_sort(array(centroids.zipWithIndex.map {
+    val rankedCids = array_sort(array(centroids.toIndexedSeq.zipWithIndex.map {
       case (c, i) => struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
     }: _*))
     val probes = emb.select(col("vec_id").as("qid"),
