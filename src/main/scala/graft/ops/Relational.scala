@@ -422,7 +422,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Correlated subqueries: a scalar subquery (max order per customer)
+    * and an IN-subquery predicate — Catalyst decorrelates both into
+    * joins (no per-row re-execution, unlike the naive semantics). */
+  def qSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM graft_orders
+        |   WHERE o_custkey = c_custkey) AS max_order,
+        |  (SELECT COUNT(*) FROM graft_orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS n_open
+        |FROM graft_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM graft_orders
+        |                    WHERE o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subqueries" -> qSubqueries _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_scalar_regex" -> qScalarRegex _,
@@ -453,6 +472,16 @@ object Relational {
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
+    "q_subqueries" ->
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'O') AS n_open
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_band,
