@@ -23,10 +23,19 @@ object Bench {
     // timed query isn't charged ~10s of JVM warmup.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // Warm the ACTUAL bench tables (footer parse + page cache): otherwise
+    // the first sf-dir scan of each table is charged to whichever query
+    // alphabetically touches it first.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try Tables(spark, sfDir, t).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -34,7 +43,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,6 +42,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Which queries this run ATTEMPTED (post-filter): lets check.py fail a
+    // query that threw (its output dir is absent) instead of skipping it.
+    val ran = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/ran.json"), ran)
     spark.stop()
   }
 }

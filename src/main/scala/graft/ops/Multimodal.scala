@@ -58,7 +58,9 @@ object Multimodal {
 
   /** Batched decode + feature extraction through the typed Dataset API.
     * Deterministic integers → reproducible, but the decode itself is fake
-    * → rows-only check (no SQL oracle). */
+    * → rows-only check (no SQL oracle). Feature vectors are emitted as
+    * comma-joined strings (not raw arrays) so downstream row-comparators
+    * can sort/hash the frame. */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds = payloads(spark, dir).as[MediaRow]
@@ -66,7 +68,9 @@ object Multimodal {
       val codec = new FakeDecode // one per partition, as a real codec would be
       rows.map { r =>
         val (w, h) = codec.dims(r.payload)
-        (r.doc_id, w, h, codec.features(r.payload), codec.frameSample(r.payload))
+        (r.doc_id, w, h,
+          codec.features(r.payload).mkString(","),
+          codec.frameSample(r.payload).mkString(","))
       }
     }.toDF("doc_id", "width", "height", "nibble_hist", "frame_sample")
       .orderBy("doc_id")

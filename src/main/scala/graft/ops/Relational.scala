@@ -279,7 +279,7 @@ object Relational {
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        slice(sort_array(array_distinct(toks)), 1, 3).as("first3_sorted"),
+        concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("first3_sorted"),
         array_contains(toks, "the").cast("int").as("has_the"),
         element_at(toks, 1).as("first_token"),
         element_at(toks, -1).as("last_token"),
@@ -571,7 +571,7 @@ object Relational {
     "q_scalar_array" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
-        |  list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))[1:3] AS first3_sorted,
+        |  array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')))[1:3], ',') AS first3_sorted,
         |  CAST(list_contains(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 'the') AS INT) AS has_the,
         |  list_filter(string_split_regex(text, '\s+'), t -> t <> '')[1] AS first_token,
         |  list_filter(string_split_regex(text, '\s+'), t -> t <> '')[-1] AS last_token,
@@ -664,7 +664,7 @@ object Relational {
     "q_scalar_string" ->
       """SELECT c_custkey,
         |  UPPER(c_name) AS uname,
-        |  LENGTH(c_name) AS name_len,
+        |  CAST(LENGTH(c_name) AS INT) AS name_len,
         |  SUBSTRING(c_name, 1, 8) AS prefix,
         |  c_name || '#' || c_mktsegment AS tagged,
         |  REGEXP_REPLACE(c_name, 'Customer#0*', 'C') AS short_name,
@@ -696,7 +696,7 @@ object Relational {
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k2,
         |  UPPER(event_type) AS etype,
-        |  LENGTH(props) AS props_len
+        |  CAST(LENGTH(props) AS INT) AS props_len
         |FROM events ORDER BY event_id""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderstatus,

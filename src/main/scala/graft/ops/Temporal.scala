@@ -45,21 +45,20 @@ object Temporal {
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts"), desc("is_p"), asc("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE last() carrying the whole matched purchase row as a struct: all
+    // p_* columns come from the same row even if value were NULL (three
+    // independent ignoreNulls last() calls could mix rows in that case).
     unioned
-      .withColumn("p_ts",
-        last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("p_event_id",
-        last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true)
-          .over(w))
-      .withColumn("p_value",
-        last(when(col("is_p") === 1, col("value")), ignoreNulls = true)
-          .over(w))
+      .withColumn("p_match",
+        last(when(col("is_p") === 1,
+            struct(col("ts"), col("event_id"), col("value"))),
+          ignoreNulls = true).over(w))
       .filter(col("is_p") === 0)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), TsFmt).as("ets"),
-        col("p_event_id"),
-        date_format(col("p_ts"), TsFmt).as("pts"),
-        col("p_value"))
+        col("p_match.event_id").as("p_event_id"),
+        date_format(col("p_match.ts"), TsFmt).as("pts"),
+        col("p_match.value").as("p_value"))
       .orderBy("event_id")
   }
 

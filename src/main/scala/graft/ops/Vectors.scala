@@ -22,10 +22,11 @@ object Vectors {
   private val El = DecimalType(18, 9)
   private val Acc = DecimalType(38, 18)
 
-  /** Array<float> → array<decimal(18,9)>. Direct float→decimal in BOTH
-    * engines: Catalyst simplifies a float→double→decimal chain to
-    * float→decimal (shortest-float-string semantics), so the oracle must
-    * cast straight from FLOAT too — verified equal on fixture data. */
+  /** Array<float> → array<decimal(18,9)>. Spark's direct float→decimal
+    * uses shortest-float-string semantics and EQUALS the float→DOUBLE→
+    * decimal path; DuckDB's direct cast scales in float32 (lossy), so the
+    * oracle ([[dotSql]]) must go via DOUBLE — per the CLAUDE.md invariant.
+    * Verified element-wise equal on fixture data. */
   private def decArr(c: Column): Column =
     transform(c, x => x.cast(El))
 

@@ -35,6 +35,15 @@ def main(sf_dir, out_dir):
     import os
     qnames = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
+    # A query Verify attempted but that produced no output dir THREW —
+    # fail it instead of silently skipping (gate must not pass vacuously).
+    ran_path = os.path.join(out_dir, "ran.json")
+    if os.path.exists(ran_path):
+        with open(ran_path) as f:
+            attempted = set(json.load(f))
+        for m in sorted(attempted - set(qnames)):
+            print(f"{m}: NO OUTPUT (query threw in Verify)")
+            failures.append(m)
     for name in qnames:
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
