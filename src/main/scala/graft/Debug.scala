@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 // scratch smoke/debug main — not part of the shipped surface
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    // default 8 cpus; set SPARK_GRAFT_CPUS=32 to time under the Bench shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("docgen")) {
@@ -30,16 +33,20 @@ object Debug {
       spark.stop(); return
     }
     if (args.headOption.contains("timeq")) {
-      // time one query N times in a warm JVM: Debug timeq <name> [n] [dir]
-      val name = args(1)
+      // time queries N times in a warm JVM: Debug timeq <n1,n2,..> [n] [dir]
+      // multiple names run INTERLEAVED round-robin so machine-contention
+      // drift hits all variants equally
+      val names = args(1).split(",").toSeq
       val n = args.lift(2).map(_.toInt).getOrElse(3)
       val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
       SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
       (1 to n).foreach { i =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.mode("overwrite").format("noop").save()
-        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        names.foreach { name =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       }
       spark.stop(); return
     }

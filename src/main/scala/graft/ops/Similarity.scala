@@ -25,11 +25,33 @@ import graft.Tables
   */
 object Similarity {
 
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Materialize an expensive, multiply-consumed subtree to a session-temp
+    * parquet and read it back: the subtree computes ONCE and every consumer
+    * branch becomes a cheap columnar scan of the intermediate instead of a
+    * full recompute (Catalyst replicates shared subtrees into each branch —
+    * the round-2 q_dedup_pipeline plan re-read the corpus 17×). At 100 TB
+    * this is the difference between one corpus scan and seventeen.
+    * Temp parquet is chosen over localCheckpoint deliberately: checkpoint
+    * blocks linger in the block manager until ContextCleaner GC and
+    * intermittently slow LATER queries in a shared session; a temp parquet
+    * is self-contained and removed on JVM exit. */
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-")
+    sys.addShutdownHook(deleteRec(dir.toFile))
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
   /** Word 3-shingles, one row per distinct (doc_id, shingle).
     * Deduplication happens ROW-LOCALLY via array_distinct before the
-    * explode — per-doc shingle dedup needs no shuffle, and this subtree is
-    * replicated into every consumer branch, so a post-explode .distinct()
-    * would pay its exchange once per branch. */
+    * explode — per-doc shingle dedup needs no shuffle. Consumers that fan
+    * this into several branches should [[materialize]] it first. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -38,41 +60,73 @@ object Similarity {
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
         .as("shingle"))
 
-  private def shingleSets(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("sset"), count(lit(1)).as("n"))
+  /** Two candidate-pair generators over a bucketed (doc_id, bucket-key)
+    * table, picked per caller by the expected bucket-size distribution
+    * (interleaved A/B at sf0.1, 5 rounds each):
+    *
+    *  - [[bucketPairs]]: groupBy + row-local pair explosion — ONE shuffle
+    *    of the bucket table. A bucket of k docs emits k(k-1)/2 pairs from
+    *    one row, so it wants BOUNDED buckets; wins when the corpus has no
+    *    exact-dup clusters (q_dedup_pipeline, post-exact-dedup: 4.9s vs
+    *    6.4s).
+    *  - [[bucketPairsJoin]]: materialize the bucket table, equi-self-join
+    *    on the bucket key — two scans, but hot buckets distribute across
+    *    the hash join instead of concentrating in one aggregation row;
+    *    wins when exact-dup clusters make buckets hot (q_jaccard_pairs:
+    *    5.3s vs 8.3s; q_minhash_lsh, where identical docs share every
+    *    band signature: 2.2s vs 2.4s). */
+  private def bucketPairs(buckets: DataFrame, bucket: Seq[String]): DataFrame =
+    buckets.groupBy(bucket.map(col): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    b -> struct(ids[i] AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
-  /** Exact all-pairs Jaccard >= t via prefix filtering (PPJoin family):
-    * order every doc's shingles by global (document-frequency, shingle)
-    * rarity, keep only the first n - ceil(t*n) + 1 as join keys — any pair
-    * with J >= t must collide on at least one prefix shingle, so the
-    * candidate set is complete; then verify exactly on full shingle sets. */
-  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.8
-    // the shingle set feeds 5 plan branches and Catalyst replicates the
-    // scan+explode+distinct subtree; measured A/B: re-running the codegen
-    // subtree beats localCheckpoint block ser/deser here (3.5-4.2s vs
-    // 4.8-5.8s warm), so no materialization
-    val sh = shingles(spark, dir)
+  /** See [[bucketPairs]]. Materializes `buckets` so its subtree computes
+    * once rather than per self-join side. */
+  private def bucketPairsJoin(buckets: DataFrame, bucket: Seq[String],
+      tag: String): DataFrame = {
+    val b = materialize(buckets, tag)
+    val cond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    b.as("a").join(b.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** PPJoin-style prefix keys from a (materialized) shingle table: order
+    * every doc's shingles by global (document-frequency, shingle) rarity,
+    * keep the first n - ceil(t*n) + 1 as bucket keys — any pair with
+    * J >= t must collide on at least one prefix shingle, so the candidate
+    * set is complete; key on xxhash64(shingle) (8-byte keys keep the
+    * exchange small; a collision only ADDs a candidate, which exact
+    * verification filters out). */
+  private def prefixKeys(sh: DataFrame, t: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
-    // the self-join key is xxhash64(shingle), not the string: 8-byte keys
-    // keep the exchange small and the join-strategy choice stable (a
-    // borderline-size broadcast of the string side caused 3-6x run-to-run
-    // swings); a hash collision can only ADD a candidate pair, which the
-    // exact verification below filters out
-    val prefix = sh.join(dfreq, "shingle")
+    sh.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(w))
       .join(sz, "doc_id")
       .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh_h") === col("b.sh_h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = shingleSets(sh)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * full per-doc shingle sets (one collect_set shuffle of the shingle
+    * table, then the tiny candidate set joins against it twice and
+    * array_intersect counts the overlap row-locally). A/B'd against a
+    * join-back count of common shingles at sf0.1: the join-back re-streams
+    * or broadcasts the full shingle table per side and lost (6.9-7.7s vs
+    * 5.3-5.8s full-query warm). Keeps pairs with J >= t. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sset"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
         col("n").as("na")), "doc_a")
@@ -83,6 +137,20 @@ object Similarity {
       .withColumn("jac",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jac") >= t)
+  }
+
+  /** Exact all-pairs Jaccard >= t via prefix filtering (PPJoin family):
+    * candidates from [[prefixKeys]] + [[bucketPairsJoin]] (the corpus
+    * keeps exact-dup clusters, so prefix buckets run hot — the join
+    * generator wins), verified exactly on full shingle sets. The shingle
+    * subtree is [[materialize]]d once — round 2 left it replicated into 5
+    * branches (re-tokenizing the corpus each time); now the corpus is
+    * read once and every branch scans the small (doc_id, shingle)
+    * intermediate. */
+  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val sh = materialize(shingles(spark, dir), "shingles")
+    verifyJaccard(bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), "prefix"), sh, t)
       .select("doc_a", "doc_b", "common", "jac")
       .orderBy("doc_a", "doc_b")
   }
@@ -98,7 +166,7 @@ object Similarity {
     * SQL oracle — the driver records a rows-only check). */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
-    val sh = shingles(spark, dir) // no checkpoint — see qJaccardPairs
+    val sh = materialize(shingles(spark, dir), "shingles")
     val minhashCols = (0 until MinhashK).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     val minh = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
@@ -110,22 +178,10 @@ object Similarity {
     val banded = minh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = shingleSets(sh)
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
-        col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("common",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jac",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jac") >= t)
+    // join generator: identical docs share every band signature, so LSH
+    // buckets are hot wherever exact dups exist (see bucketPairs scaladoc)
+    val cand = bucketPairsJoin(banded, Seq("band", "sig"), "banded")
+    verifyJaccard(cand, sh, t)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
   }
@@ -169,33 +225,15 @@ object Similarity {
     val t = 0.8
     val docs = Tables(spark, dir, "documents")
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val survivors = docs
+    // materialized: consumed by the shingle filter AND the final anti-join
+    val survivors = materialize(docs
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("doc_id", "lang", "n_chars")
-    val sh = shingles(spark, dir)
-      .join(survivors.select("doc_id"), "doc_id")
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pw = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
-    val prefix = sh.join(dfreq, "shingle")
-      .withColumn("pos", row_number().over(pw))
-      .join(sz, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh_h") === col("b.sh_h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = shingleSets(sh)
-    val removed = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
-        col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
-      .filter(col("common").cast("double")
-        / (col("na") + col("nb") - col("common")) >= t)
+      .select("doc_id", "lang", "n_chars"), "survivors")
+    val sh = materialize(shingles(spark, dir)
+      .join(survivors.select("doc_id"), "doc_id"), "shingles")
+    // row-local pair generator: exact dups are gone by this point, so
+    // prefix buckets are bounded and the one-shuffle generator wins
+    val removed = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)
       .select(col("doc_b").as("doc_id")).distinct()
     survivors.join(removed, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
