@@ -51,10 +51,16 @@ final case class MapReduceJob(
   /** Run the job: overwrite outputDir with part-{i:05d} text files (the
     * reference deletes + recreates the output dir at job submission,
     * manager/__main__.py:95-101; saveAsTextFile's Hadoop naming yields
-    * part-00000.. exactly like worker/__main__.py:193). */
-  def run(spark: SparkSession): Unit = {
+    * part-00000.. exactly like worker/__main__.py:193).
+    *
+    * `exactPartNames = true` additionally pins BYTE-exact reference output
+    * naming (worker/__main__.py:193): exactly `part-{i:05d}` per reduce
+    * partition and nothing else in the directory (drops Hadoop's _SUCCESS
+    * marker). */
+  def run(spark: SparkSession, exactPartNames: Boolean = false): Unit = {
     MapReduceJob.clearDir(spark, outputDir)
     transform(spark).saveAsTextFile(outputDir)
+    if (exactPartNames) MapReduceJob.normalizePartNames(spark, outputDir)
   }
 }
 
@@ -67,16 +73,24 @@ final case class PipeMapReduceJob(
     outputDir: String,
     mapperCmd: Seq[String],
     reducerCmd: Seq[String],
-    numReducers: Int = 2) {
+    numReducers: Int = 2,
+    numMappers: Int = 2) {
 
+  /** `numMappers` is a MINIMUM split count (Hadoop minPartitions): the
+    * reference assigns whole files round-robin to exactly N map tasks
+    * (manager/__main__.py:440-455); byte-based splitting is deliberately
+    * finer (SURVEY.md §7.4) but honors the requested parallelism floor. */
   def transform(spark: SparkSession): RDD[String] =
     MapReduceJob.shuffle(
-      spark.sparkContext.textFile(inputDir).pipe(mapperCmd), numReducers)
+      spark.sparkContext.textFile(inputDir, numMappers).pipe(mapperCmd),
+      numReducers)
       .pipe(reducerCmd)
 
-  def run(spark: SparkSession): Unit = {
+  /** See [[MapReduceJob.run]] for `exactPartNames`. */
+  def run(spark: SparkSession, exactPartNames: Boolean = false): Unit = {
     MapReduceJob.clearDir(spark, outputDir)
     transform(spark).saveAsTextFile(outputDir)
+    if (exactPartNames) MapReduceJob.normalizePartNames(spark, outputDir)
   }
 }
 
@@ -126,5 +140,31 @@ object MapReduceJob {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Rename Hadoop's `part-NNNNN[-extra]` outputs to the reference's exact
+    * `part-{i:05d}` (worker/__main__.py:193) and drop the _SUCCESS marker,
+    * leaving a byte-compat output directory. A driver-side directory
+    * listing + rename — O(R) filesystem ops, no data movement. */
+  private[mr] def normalizePartNames(spark: SparkSession, dir: String): Unit = {
+    val path = new Path(dir)
+    // the RAW filesystem: ChecksumFileSystem (local fs) hides its .crc
+    // sidecars from its own listStatus, so they'd survive the cleanup
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      // Hadoop bookkeeping (_SUCCESS marker, .part-*.crc checksums) has no
+      // reference counterpart — drop it for byte compat
+      if (name.startsWith("_") || name.startsWith(".")) {
+        fs.delete(st.getPath, false); ()
+      } else if (name.startsWith("part-")) {
+        val digits = name.stripPrefix("part-").takeWhile(_.isDigit)
+        val target = f"part-${digits.toInt}%05d"
+        if (name != target) { fs.rename(st.getPath, new Path(path, target)); () }
+      }
+    }
   }
 }
