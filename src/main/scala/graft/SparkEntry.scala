@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries
+    ops.Relational.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries ++ sources.DocGenQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

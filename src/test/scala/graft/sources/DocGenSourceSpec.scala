@@ -31,6 +31,17 @@ class DocGenSourceSpec extends SparkSpec {
     assert(df.distinct().count() <= 5)
   }
 
+  test("golden: the registered q_docgen_wordcount query is stable") {
+    val rows = DocGenQueries.qDocgenWordcount(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // generator content is a pure function of (seed, doc_id): these values
+    // must never drift across Spark versions or partitioning changes
+    assert(rows.length === 16)
+    assert(rows.map(_._2).sum === 99908L)
+    assert(rows.take(3).toSeq ===
+      Seq(("batch", 6406L), ("filter", 6191L), ("group", 6230L)))
+  }
+
   test("composes with the engine's operators (wordcount over the source)") {
     val counts = read(500)
       .select(explode(split(col("text"), " ")).as("word"))
