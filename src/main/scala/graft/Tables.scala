@@ -46,6 +46,29 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Materialize an expensive, multiply-consumed subtree to a session-temp
+    * parquet and read it back: the subtree computes ONCE and every consumer
+    * branch becomes a cheap columnar scan of the intermediate instead of a
+    * full recompute (Catalyst replicates shared subtrees into each branch —
+    * the round-2 q_dedup_pipeline plan re-read the corpus 17×). At 100 TB
+    * this is the difference between one corpus scan and seventeen.
+    * Temp parquet is chosen over localCheckpoint deliberately: checkpoint
+    * blocks linger in the block manager until ContextCleaner GC and
+    * intermittently slow LATER queries in a shared session; a temp parquet
+    * is self-contained and removed on JVM exit. */
+  def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-")
+    sys.addShutdownHook(deleteRec(dir.toFile))
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
   /** Exact decimal view of a double measure column (2 fractional digits in
     * every fixture measure: prices, discounts, balances, quantities). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

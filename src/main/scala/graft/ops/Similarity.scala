@@ -25,28 +25,10 @@ import graft.Tables
   */
 object Similarity {
 
-  private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete(); ()
-  }
-
-  /** Materialize an expensive, multiply-consumed subtree to a session-temp
-    * parquet and read it back: the subtree computes ONCE and every consumer
-    * branch becomes a cheap columnar scan of the intermediate instead of a
-    * full recompute (Catalyst replicates shared subtrees into each branch —
-    * the round-2 q_dedup_pipeline plan re-read the corpus 17×). At 100 TB
-    * this is the difference between one corpus scan and seventeen.
-    * Temp parquet is chosen over localCheckpoint deliberately: checkpoint
-    * blocks linger in the block manager until ContextCleaner GC and
-    * intermittently slow LATER queries in a shared session; a temp parquet
-    * is self-contained and removed on JVM exit. */
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-")
-    sys.addShutdownHook(deleteRec(dir.toFile))
-    df.write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.parquet(dir.toString)
-  }
+  /** See [[graft.Tables.materialize]] — single computation of a
+    * multiply-consumed subtree via session-temp parquet. */
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    Tables.materialize(df, tag)
 
   /** Word 3-shingles, one row per distinct (doc_id, shingle).
     * Deduplication happens ROW-LOCALLY via array_distinct before the

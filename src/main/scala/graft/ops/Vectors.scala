@@ -105,9 +105,13 @@ object Vectors {
     * construction → rows-only check (no SQL oracle). */
   def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        dotD(col("embedding"), col("embedding")).as("norm2"))
+    // consumed by the bucket self-join side AND both re-rank joins —
+    // materialized so the decimal norm2 computes once
+    val emb = Tables.materialize(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          dotD(col("embedding"), col("embedding")).as("norm2")),
+      "emb")
     val dotF = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>
@@ -162,14 +166,17 @@ object Vectors {
     * as MLlib's implementation); the data-sized work stays distributed.
     * Rows-only check (recall < 1 like any ANN). */
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
-    // NO localCheckpoint here: it shaved ~3s off this query but its
-    // blocks linger until ContextCleaner GC and were measured causing
-    // intermittent 3x spikes in LATER queries sharing the session
-    // (storage pressure on their execution memory) — cross-query
-    // stability wins
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        dotD(col("embedding"), col("embedding")).as("norm2"))
+    // The (vec_id, embedding, norm2) subtree is consumed by EVERY Lloyd
+    // iteration, the init collect, and three final branches — materialized
+    // once to session-temp parquet (localCheckpoint was tried and removed:
+    // its blocks linger until ContextCleaner GC and caused intermittent 3x
+    // spikes in LATER queries sharing the session; a temp parquet has no
+    // lingering storage footprint)
+    val emb = Tables.materialize(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          dotD(col("embedding"), col("embedding")).as("norm2")),
+      "emb")
     val dot2 = graft.functions.FloatDotProduct.floatDot _
 
     // squared L2 to a constant centroid as norm2 + |c|^2 - 2<x,c> with the
@@ -251,9 +258,12 @@ object Vectors {
     * Rows-only (LSH recall < 1). */
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        dotD(col("embedding"), col("embedding")).as("norm2"))
+    // four consumers (bucket self-join sides + both verify joins)
+    val emb = Tables.materialize(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          dotD(col("embedding"), col("embedding")).as("norm2")),
+      "emb")
     val dot2 = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>

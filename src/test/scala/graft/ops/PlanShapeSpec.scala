@@ -40,4 +40,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_dedup_pipeline: final plan scans the materialized intermediates, not the corpus") {
+    // the shingle/survivor subtrees are materialized to session-temp
+    // parquet; if the final plan reads documents.parquet directly, the
+    // round-2 17x subtree replication has regressed
+    val p = plan("q_dedup_pipeline")
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("graft-mat-shingles"), p)
+    assert(p.contains("graft-mat-survivors"), p)
+  }
+
+  test("q_cosine_ivf: final plan scans the materialized embedding table once-per-branch") {
+    val p = plan("q_cosine_ivf")
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("graft-mat-emb"), p)
+  }
 }
