@@ -39,13 +39,15 @@ final case class MapReduceJob(
     outputDir: String,
     mapper: String => IterableOnce[String],
     reducer: Iterator[String] => Iterator[String],
-    numReducers: Int = 2) {
+    numReducers: Int = 2,
+    wholeFiles: Boolean = false) {
 
   /** The full dataflow as an RDD of output lines, partitioned exactly as
     * the reference's reduce tasks would be (partition i = part-{i:05d}). */
   def transform(spark: SparkSession): RDD[String] =
     MapReduceJob.shuffle(
-      spark.sparkContext.textFile(inputDir).flatMap(mapper), numReducers)
+      MapReduceJob.inputLines(spark, inputDir, wholeFiles).flatMap(mapper),
+      numReducers)
       .mapPartitions(reducer)
 
   /** Run the job: overwrite outputDir with part-{i:05d} text files (the
@@ -74,15 +76,19 @@ final case class PipeMapReduceJob(
     mapperCmd: Seq[String],
     reducerCmd: Seq[String],
     numReducers: Int = 2,
-    numMappers: Int = 2) {
+    numMappers: Int = 2,
+    wholeFiles: Boolean = false) {
 
   /** `numMappers` is a MINIMUM split count (Hadoop minPartitions): the
     * reference assigns whole files round-robin to exactly N map tasks
     * (manager/__main__.py:440-455); byte-based splitting is deliberately
-    * finer (SURVEY.md §7.4) but honors the requested parallelism floor. */
+    * finer (SURVEY.md §7.4) but honors the requested parallelism floor.
+    * `wholeFiles = true` restores the reference's granularity exactly —
+    * see [[MapReduceJob.inputLines]]. */
   def transform(spark: SparkSession): RDD[String] =
     MapReduceJob.shuffle(
-      spark.sparkContext.textFile(inputDir, numMappers).pipe(mapperCmd),
+      MapReduceJob.inputLines(spark, inputDir, wholeFiles, numMappers)
+        .pipe(mapperCmd),
       numReducers)
       .pipe(reducerCmd)
 
@@ -102,6 +108,22 @@ object MapReduceJob {
     mapped.map(line => ((tabKey(line), line), ()))
       .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
       .mapPartitions(_.map(_._1._2), preservesPartitioning = true)
+
+  /** O1/O2 input scan. Default: byte-split text lines (Hadoop splits —
+    * finer-grained than the reference, deliberately; SURVEY.md §7.4).
+    * `wholeFiles = true` is the compat knob for MAPPERS WITH PER-FILE
+    * STATE: like the reference's round-robin whole-file assignment
+    * (manager/__main__.py:440-455), no file is ever split across map
+    * tasks — every file's lines stay contiguous in one partition, in
+    * order. Costs memory proportional to the largest file (wholeTextFiles
+    * materializes each file), which is exactly why byte-splitting is the
+    * default at 100 TB. */
+  private[mr] def inputLines(spark: SparkSession, inputDir: String,
+      wholeFiles: Boolean, minPartitions: Int = 2): RDD[String] =
+    if (wholeFiles)
+      spark.sparkContext.wholeTextFiles(inputDir, minPartitions)
+        .flatMap { case (_, content) => content.linesIterator }
+    else spark.sparkContext.textFile(inputDir, minPartitions)
 
   /** key = substring before the first tab (worker/__main__.py:115);
     * a line with no tab is its own key, like Python's split()[0]. */

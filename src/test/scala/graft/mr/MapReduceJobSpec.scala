@@ -90,6 +90,30 @@ class MapReduceJobSpec extends SparkSpec {
     assert(nativeLines.nonEmpty)
   }
 
+  test("wholeFiles compat mode: same results, no file split across map tasks") {
+    val in = tmpDir("mr-whole")
+    writeInput(in, corpus)
+    // identical output to the default byte-split mode (stateless mapper)
+    val a = WordCount.job(in, tmpDir("mr-w1") + "/o", 3)
+      .copy(wholeFiles = true).transform(spark).collect().sorted
+    val b = WordCount.job(in, tmpDir("mr-w2") + "/o", 3)
+      .transform(spark).collect().sorted
+    assert(a === b)
+    // reference granularity (manager/__main__.py:440-455): every file's
+    // lines land contiguous in ONE map partition, in file order
+    val byPartition = MapReduceJob.inputLines(spark, in, wholeFiles = true)
+      .mapPartitionsWithIndex { (i, it) => it.map(l => (i, l)) }
+      .collect()
+    corpus.values.foreach { content =>
+      val fileLines = content.linesIterator.toSeq
+      val idx = byPartition.indexWhere(_._2 == fileLines.head)
+      assert(idx >= 0)
+      val window = byPartition.slice(idx, idx + fileLines.length)
+      assert(window.map(_._2).toSeq === fileLines, "lines contiguous in order")
+      assert(window.map(_._1).distinct.length === 1, "single partition")
+    }
+  }
+
   test("groupedReducer streams contiguous groups without materializing") {
     val lines = Iterator("a\t1", "a\t2", "b\t5", "c\t1", "c\t1")
     val out = MapReduceJob.groupedReducer { (k, g) =>
