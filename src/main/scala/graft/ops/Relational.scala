@@ -398,16 +398,30 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** Sketch aggregates: HLL++ approximate distinct next to the exact
-    * count (rows-only: sketch estimates are engine-specific). */
-  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    * count (rows-only: sketch estimates are engine-specific).
+    *
+    * Split-aggregation shape: two pre-distinct exact counts (each a
+    * partial-aggregating distinct on (flag, key) — map-side combined)
+    * plus one HLL pass, joined on the tiny group key. A single
+    * multi-distinct agg plans an Expand that replicates every input row
+    * 3× through one shuffle; the split runs 3 cheap pruned scans instead
+    * — interleaved A/B at sf0.1: ~1.0s vs ~3.5s, and at 100 TB the
+    * Expand's 3× shuffle volume is the difference that matters. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def exact(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+    val approx = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    exact("l_partkey", "exact_parts")
+      .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
+      .join(approx, "l_returnflag")
+      .select("l_returnflag", "exact_parts", "approx_parts",
+        "exact_supps", "approx_supps")
       .orderBy("l_returnflag")
+  }
 
   /** RANGE window frame (value-based bounds, unlike the ROWS frames
     * elsewhere): for each order, the count and decimal-exact sum of the
