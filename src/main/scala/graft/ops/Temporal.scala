@@ -94,6 +94,22 @@ object Temporal {
         col("n"), col("total"))
       .orderBy("user_id", "session_start")
 
+  /** Batch twin of [[graft.streaming.EventsStream.dedupStream]]: exact
+    * dedup of events on (user_id, event_type, value), keeping the FIRST
+    * occurrence (min ts, then min event_id) — the keep-first semantics a
+    * watermarked streaming dedup produces, expressed as one windowed
+    * rank so the streaming behavior is pinned by a SQL oracle. */
+  def qEventsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "value")
+      .orderBy(asc("ts"), asc("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), TsFmt).as("first_ts"),
+        col("event_id").as("first_event_id"))
+      .orderBy(asc("user_id"), asc("event_type"), asc_nulls_first("value"))
+  }
+
   /** Interval-overlap self-join: pairs of a customer's own orders whose
     * 30-day fulfillment windows overlap. The equi-key (custkey) carries
     * the shuffle; the interval condition only filters within the key
@@ -117,12 +133,24 @@ object Temporal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_dedup" -> qEventsDedup _,
     "q_interval_join" -> qIntervalJoin _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_events_dedup" ->
+      """SELECT user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  event_id AS first_event_id
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type, value
+        |    ORDER BY ts, event_id) rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id ASC, event_type ASC, value ASC NULLS FIRST""".stripMargin,
     "q_interval_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS w_start,

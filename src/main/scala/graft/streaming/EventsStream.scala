@@ -42,6 +42,19 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the streams twin of the batch dedup family:
+    * keep the first occurrence of each (user_id, event_type, value) key,
+    * with state bounded by the event-time watermark
+    * (dropDuplicatesWithinWatermark: a key's dedup state is dropped once
+    * the watermark passes it, so state stays proportional to the
+    * watermark horizon, never the stream's history — the only shape that
+    * survives an unbounded 100 TB/day ingest; plain dropDuplicates keeps
+    * ALL keys forever). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   final case class UserStats(n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user event count/value via

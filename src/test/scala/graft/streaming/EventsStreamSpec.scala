@@ -63,6 +63,40 @@ class EventsStreamSpec extends SparkSpec {
       (2L, "2024-01-01 10:05:00", 1L, 8.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicates, evicts state past it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedupStream(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    // batch 1: a duplicate key inside the watermark window → dropped
+    input.addData(
+      Event(ts("2024-01-01 00:00:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 00:01:00"), 1, "click", 2.0), // dup, dropped
+      Event(ts("2024-01-01 00:02:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance event time far past the 10-min watermark so the
+    // keys' dedup state is evicted...
+    input.addData(Event(ts("2024-01-01 01:00:00"), 3, "click", 9.0))
+    q.processAllAvailable()
+    // batch 3: ...then the SAME key reappears and is emitted again —
+    // state is bounded by the watermark horizon, not stream history
+    input.addData(Event(ts("2024-01-01 01:01:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT cast(ts AS STRING), user_id, event_type, value " +
+        "FROM dedup_out ORDER BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", 1L, "click", 2.0),
+      ("2024-01-01 00:02:00", 2L, "view", 1.0),
+      ("2024-01-01 01:00:00", 3L, "click", 9.0),
+      ("2024-01-01 01:01:00", 1L, "click", 2.0)))
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
