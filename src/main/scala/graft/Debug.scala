@@ -50,6 +50,37 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("jacprof")) {
+      // stage-by-stage timing of the rep-first jaccard pipeline
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val t = 0.8
+      def time[A](tag: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      (1 to 3).foreach { i =>
+        println(s"round $i")
+        val docs = Tables(spark, dir, "documents")
+        val clusters = time("clusters-mat")(Tables.materialize(
+          docs.select(col("doc_id"), md5(col("text")).as("h"))
+            .withColumn("rep", min(col("doc_id"))
+              .over(Window.partitionBy(col("h"))))
+            .select(col("doc_id"), col("rep")), "clusters"))
+        val sh = time("sh-mat")(Tables.materialize(
+          ops.Similarity.shinglesOf(docs.join(
+            clusters.filter(col("doc_id") === col("rep"))
+              .select("doc_id"), "doc_id")), "shingles"))
+        val cand = ops.Similarity.prefixKeys(sh, t)
+        val pairs = time("pairs+verify")(
+          ops.Similarity.verifyJaccard(
+            ops.Similarity.bucketPairs(cand, Seq("sh_h")), sh, t)
+            .write.mode("overwrite").format("noop").save())
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("stream")) {
       // drive the streaming file-source path end-to-end
       val dir = java.nio.file.Files.createTempDirectory("stream-in")

@@ -13,15 +13,21 @@ import graft.Tables
   * than any O(n²) cross join.
   *
   * Scale design, per operator:
-  *  - exact Jaccard: candidates come from a self-join on PREFIX shingles
-  *    only (global rarity order) — provably complete for the threshold,
-  *    and it skips exactly the hot high-df shingles that would skew a
-  *    naive inverted-index join;
+  *  - exact Jaccard: representative-first — exact-dup clusters collapse
+  *    to one rep before candidate generation (a k-dup cluster costs k
+  *    rows, not k² hot-bucket pairs), candidates come from PREFIX
+  *    shingles only (global rarity order: provably complete for the
+  *    threshold, skips exactly the hot high-df shingles), pairs expand
+  *    back to members by identity;
   *  - MinHash-LSH: shuffle key is (band, signature) — equal-signature
   *    buckets only, never all pairs;
   *  - SimHash: shuffle key is (chunk index, 16-bit chunk) — by pigeonhole
   *    any pair within Hamming distance 3 shares one of 4 chunks, so the
   *    banding is exact (recall 1.0) for the ≤3 threshold.
+  *
+  * Every multiply-consumed heavy subtree (shingles, clusters, bucket
+  * tables) is [[materialize]]d once to session-temp parquet — round 2's
+  * replicated plans re-read the corpus up to 17× per query.
   */
 object Similarity {
 
@@ -33,14 +39,20 @@ object Similarity {
   /** Word 3-shingles, one row per distinct (doc_id, shingle).
     * Deduplication happens ROW-LOCALLY via array_distinct before the
     * explode — per-doc shingle dedup needs no shuffle. Consumers that fan
-    * this into several branches should [[materialize]] it first. */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    * this into several branches should [[materialize]] it first.
+    * Takes the docs FRAME (not the dir) so callers restrict the corpus
+    * (survivors, representatives) BEFORE the tokenize+explode — filtering
+    * after the explode pays the heaviest op on rows that are dropped. */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
         .as("shingle"))
+
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables(spark, dir, "documents"))
 
   /** Two candidate-pair generators over a bucketed (doc_id, bucket-key)
     * table, picked per caller by the expected bucket-size distribution
@@ -57,7 +69,7 @@ object Similarity {
     *    wins when exact-dup clusters make buckets hot (q_jaccard_pairs:
     *    5.3s vs 8.3s; q_minhash_lsh, where identical docs share every
     *    band signature: 2.2s vs 2.4s). */
-  private def bucketPairs(buckets: DataFrame, bucket: Seq[String]): DataFrame =
+  private[graft] def bucketPairs(buckets: DataFrame, bucket: Seq[String]): DataFrame =
     buckets.groupBy(bucket.map(col): _*)
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -71,7 +83,7 @@ object Similarity {
 
   /** See [[bucketPairs]]. Materializes `buckets` so its subtree computes
     * once rather than per self-join side. */
-  private def bucketPairsJoin(buckets: DataFrame, bucket: Seq[String],
+  private[graft] def bucketPairsJoin(buckets: DataFrame, bucket: Seq[String],
       tag: String): DataFrame = {
     val b = materialize(buckets, tag)
     val cond = bucket.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -88,7 +100,7 @@ object Similarity {
     * set is complete; key on xxhash64(shingle) (8-byte keys keep the
     * exchange small; a collision only ADDs a candidate, which exact
     * verification filters out). */
-  private def prefixKeys(sh: DataFrame, t: Double): DataFrame = {
+  private[graft] def prefixKeys(sh: DataFrame, t: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
@@ -106,7 +118,7 @@ object Similarity {
     * join-back count of common shingles at sf0.1: the join-back re-streams
     * or broadcasts the full shingle table per side and lost (6.9-7.7s vs
     * 5.3-5.8s full-query warm). Keeps pairs with J >= t. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sset"), count(lit(1)).as("n"))
     cand
@@ -156,9 +168,8 @@ object Similarity {
         .select(col("doc_id"), col("rep")),
       "clusters")
     val sh = materialize(
-      shingles(spark, dir)
-        .join(clusters.filter(col("doc_id") === col("rep"))
-          .select("doc_id"), "doc_id"),
+      shinglesOf(docs.join(clusters.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), "doc_id")),
       "shingles")
     val repPairs = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
@@ -260,8 +271,8 @@ object Similarity {
     val survivors = materialize(docs
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("doc_id", "lang", "n_chars"), "survivors")
-    val sh = materialize(shingles(spark, dir)
-      .join(survivors.select("doc_id"), "doc_id"), "shingles")
+    val sh = materialize(
+      shinglesOf(docs.join(survivors.select("doc_id"), "doc_id")), "shingles")
     // row-local pair generator: exact dups are gone by this point, so
     // prefix buckets are bounded and the one-shuffle generator wins
     val removed = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)
