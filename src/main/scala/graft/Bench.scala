@@ -26,8 +26,7 @@ object Bench {
     // Warm the ACTUAL bench tables (footer parse + page cache): otherwise
     // the first sf-dir scan of each table is charged to whichever query
     // alphabetically touches it first.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings"))
+    for (t <- Tables.names)
       try Tables(spark, sfDir, t).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     var failed = List.empty[String]

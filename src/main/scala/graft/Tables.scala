@@ -52,6 +52,17 @@ object Tables {
     f.delete(); ()
   }
 
+  // ONE shutdown hook for all materialized temp dirs: sys.addShutdownHook
+  // spawns a thread per call, and a bench session materializes hundreds.
+  // Keyed by tag: re-materializing a tag deletes the previous run's copy
+  // (a materialization's consumers never outlive their query's action),
+  // so repeated invocations don't grow disk linearly.
+  private val matDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val matCleanup: Unit = {
+    sys.addShutdownHook(
+      matDirs.values.forEach(p => deleteRec(new java.io.File(p)))); ()
+  }
+
   /** Materialize an expensive, multiply-consumed subtree to a session-temp
     * parquet and read it back: the subtree computes ONCE and every consumer
     * branch becomes a cheap columnar scan of the intermediate instead of a
@@ -62,11 +73,29 @@ object Tables {
     * blocks linger in the block manager until ContextCleaner GC and
     * intermittently slow LATER queries in a shared session; a temp parquet
     * is self-contained and removed on JVM exit. */
+  /** Base dir selection: `spark.graft.materializeDir` when set (point it
+    * at SHARED storage — HDFS/S3 — on a real cluster; the intermediate is
+    * written and read through the Hadoop FS), else a driver-local temp
+    * dir, which is only correct under local[*] masters. Not safe for
+    * concurrent query execution in one session (per-tag GC assumes the
+    * previous invocation's consumers are done). */
   def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-")
-    sys.addShutdownHook(deleteRec(dir.toFile))
-    df.write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.parquet(dir.toString)
+    val spark = df.sparkSession
+    val base = spark.conf.get("spark.graft.materializeDir", "")
+    val dir =
+      if (base.isEmpty)
+        java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-").toString
+      else s"$base/graft-mat-$tag-${java.util.UUID.randomUUID}"
+    matCleanup
+    val prev = matDirs.put(tag, dir)
+    if (prev != null) {
+      val p = new org.apache.hadoop.fs.Path(prev)
+      try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true); () }
+      catch { case _: Throwable => () }
+    }
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
   }
 
   /** Exact decimal view of a double measure column (2 fractional digits in

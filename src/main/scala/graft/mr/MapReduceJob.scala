@@ -168,6 +168,8 @@ object MapReduceJob {
     * `part-{i:05d}` (worker/__main__.py:193) and drop the _SUCCESS marker,
     * leaving a byte-compat output directory. A driver-side directory
     * listing + rename — O(R) filesystem ops, no data movement. */
+  private[mr] val PartName = "^part-(?:[mr]-)?([0-9]+)$".r
+
   private[mr] def normalizePartNames(spark: SparkSession, dir: String): Unit = {
     val path = new Path(dir)
     // the RAW filesystem: ChecksumFileSystem (local fs) hides its .crc
@@ -182,10 +184,18 @@ object MapReduceJob {
       // reference counterpart — drop it for byte compat
       if (name.startsWith("_") || name.startsWith(".")) {
         fs.delete(st.getPath, false); ()
-      } else if (name.startsWith("part-")) {
-        val digits = name.stripPrefix("part-").takeWhile(_.isDigit)
-        val target = f"part-${digits.toInt}%05d"
-        if (name != target) { fs.rename(st.getPath, new Path(path, target)); () }
+      } else {
+        // normalize only plain (possibly mapred-style) part names; a
+        // suffixed name like part-00000.gz is compressed output whose
+        // extension must survive — byte compat doesn't apply to it
+        name match {
+          case MapReduceJob.PartName(digits) =>
+            val target = f"part-${digits.toInt}%05d"
+            if (name != target && !fs.rename(st.getPath, new Path(path, target)))
+              throw new java.io.IOException(
+                s"failed to rename $name to $target in $dir")
+          case _ => ()
+        }
       }
     }
   }

@@ -38,10 +38,13 @@ object Submit {
       throw new IllegalArgumentException(s"unknown option: $other")
   }
 
+  // executables run DIRECTLY (shebang honored), exactly like the
+  // reference workers exec them — wrapping in /bin/sh would break any
+  // non-shell mapper (e.g. a python script)
   private def job(a: Args): PipeMapReduceJob = PipeMapReduceJob(
     inputDir = a.input, outputDir = a.output,
-    mapperCmd = Seq("/bin/sh", a.mapper),
-    reducerCmd = Seq("/bin/sh", a.reducer),
+    mapperCmd = Seq(new java.io.File(a.mapper).getAbsolutePath),
+    reducerCmd = Seq(new java.io.File(a.reducer).getAbsolutePath),
     numReducers = a.numReducers, numMappers = a.numMappers)
 
   /** CLI-shaped entry usable from tests: parse args, run, return output dir. */

@@ -410,7 +410,9 @@ object Relational {
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     def exact(c: String, as: String) =
-      li.select(col("l_returnflag"), col(c)).distinct()
+      li.select(col("l_returnflag"), col(c))
+        .filter(col(c).isNotNull) // countDistinct semantics: NULLs don't count
+        .distinct()
         .groupBy("l_returnflag").agg(count(lit(1)).as(as))
     val approx = li.groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),

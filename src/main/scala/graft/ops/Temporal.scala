@@ -94,11 +94,14 @@ object Temporal {
         col("n"), col("total"))
       .orderBy("user_id", "session_start")
 
-  /** Batch twin of [[graft.streaming.EventsStream.dedupStream]]: exact
-    * dedup of events on (user_id, event_type, value), keeping the FIRST
-    * occurrence (min ts, then min event_id) — the keep-first semantics a
-    * watermarked streaming dedup produces, expressed as one windowed
-    * rank so the streaming behavior is pinned by a SQL oracle. */
+  /** Batch companion of [[graft.streaming.EventsStream.dedupStream]]:
+    * exact dedup of events on (user_id, event_type, value), keeping the
+    * first occurrence in EVENT TIME (min ts, then min event_id). Note the
+    * semantics deliberately differ from the streaming op where arrival
+    * order ≠ event order: the stream keeps the first-ARRIVED row and may
+    * re-emit a key after its watermark state is evicted (asserted in
+    * EventsStreamSpec); the batch query is the deterministic global
+    * answer — each key exactly once, earliest event wins. */
   def qEventsDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type", "value")
       .orderBy(asc("ts"), asc("event_id"))
@@ -107,7 +110,8 @@ object Temporal {
       .select(col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), TsFmt).as("first_ts"),
         col("event_id").as("first_event_id"))
-      .orderBy(asc("user_id"), asc("event_type"), asc_nulls_first("value"))
+      .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"),
+        asc_nulls_first("value"))
   }
 
   /** Interval-overlap self-join: pairs of a customer's own orders whose
@@ -150,7 +154,8 @@ object Temporal {
         |    ORDER BY ts, event_id) rn
         |  FROM events) t
         |WHERE rn = 1
-        |ORDER BY user_id ASC, event_type ASC, value ASC NULLS FIRST""".stripMargin,
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST,
+        |  value ASC NULLS FIRST""".stripMargin,
     "q_interval_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS w_start,

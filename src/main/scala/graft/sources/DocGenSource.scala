@@ -25,27 +25,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage: spark.read.format("graft.sources.DocGenSource")
   *          .option("numDocs", 10000).load()
   */
-/** Driver-gate query over the custom V2 source. Content is generator-
-  * defined (no parquet table to oracle against) → rows-only in the driver
-  * gate; exact values are pinned by DocGenSourceSpec's golden test. */
-object DocGenQueries {
-  import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions._
-
-  /** Word count over the generated corpus — reads ONLY text, so the
-    * connector's column pruning is on the hot path (asserted in
-    * DocGenSourceSpec). `dir` is unused: the source is synthetic. */
-  def qDocgenWordcount(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("graft.sources.DocGenSource")
-      .option("numDocs", 5000).option("numPartitions", 32).load()
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy("word")
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_docgen_wordcount" -> qDocgenWordcount _)
-}
-
 class DocGenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DocGenSource.schema
@@ -83,6 +62,27 @@ object DocGenSource {
 
   def langFor(seed: Long, id: Long): String =
     Langs((mix(seed, id, -1) & 0x7FFFFFFF).toInt % Langs.length)
+}
+
+/** Driver-gate query over the custom V2 source. Content is generator-
+  * defined (no parquet table to oracle against) → rows-only in the driver
+  * gate; exact values are pinned by DocGenSourceSpec's golden test. */
+object DocGenQueries {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** Word count over the generated corpus — reads ONLY text, so the
+    * connector's column pruning is on the hot path (asserted in
+    * DocGenSourceSpec). `dir` is unused: the source is synthetic. */
+  def qDocgenWordcount(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", 5000).option("numPartitions", 32).load()
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_docgen_wordcount" -> qDocgenWordcount _)
 }
 
 private class DocGenTable(props: Map[String, String])

@@ -22,13 +22,23 @@ class SubmitSpec extends SparkSpec {
       .flatMap(p => Files.readAllLines(p).asScala)
       .toSeq
 
+  /** Submit executes the file DIRECTLY (shebang honored, like the
+    * reference workers) — stage the classpath fixture as an executable. */
+  private def stageExecutable(resource: String): String = {
+    val src = Paths.get(getClass.getResource(resource).toURI)
+    val dst = Paths.get(tmpDir("submit-exec"), src.getFileName.toString)
+    Files.copy(src, dst)
+    assert(dst.toFile.setExecutable(true))
+    dst.toString
+  }
+
   test("Submit.run drives the executable word count end-to-end") {
     val in = tmpDir("submit-in")
     Files.writeString(Paths.get(in, "a.txt"), "to be or not to be\n")
     Files.writeString(Paths.get(in, "b.txt"), "be or be\n")
     val out = tmpDir("submit-out") + "/result"
-    val mapSh = Paths.get(getClass.getResource("/mr/exec/wc_map.sh").toURI).toString
-    val reduceSh = Paths.get(getClass.getResource("/mr/exec/wc_reduce.sh").toURI).toString
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
 
     Submit.run(spark, Seq(
       "-i", in, "-o", out, "-m", mapSh, "-r", reduceSh,
@@ -40,6 +50,29 @@ class SubmitSpec extends SparkSpec {
     assert(counts === Map("to" -> 2L, "be" -> 4L, "or" -> 2L, "not" -> 1L))
     // exact-naming mode: only part-{i:05d} files, no _SUCCESS marker
     assert(listNames(out) === Set("part-00000", "part-00001", "part-00002"))
+  }
+
+  test("Submit honors a non-shell mapper's shebang (direct exec, no sh wrapper)") {
+    val in = tmpDir("submit-py-in")
+    Files.writeString(Paths.get(in, "a.txt"), "x y x\n")
+    val out = tmpDir("submit-py-out") + "/result"
+    // a python mapper would be misparsed by a /bin/sh wrapper
+    val pyMap = Paths.get(tmpDir("submit-py"), "map.py")
+    Files.writeString(pyMap,
+      """#!/usr/bin/env python3
+        |import sys
+        |for line in sys.stdin:
+        |    for w in line.split():
+        |        print(f"{w}\t1")
+        |""".stripMargin)
+    assert(pyMap.toFile.setExecutable(true))
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    Submit.run(spark, Seq("-i", in, "-o", out,
+      "-m", pyMap.toString, "-r", reduceSh, "--nreducers", "2"))
+    val counts = readAll(out).map { l =>
+      val Array(k, v) = l.split("\t", 2); (k, v.toLong)
+    }.toMap
+    assert(counts === Map("x" -> 2L, "y" -> 1L))
   }
 
   test("Submit rejects unknown options") {

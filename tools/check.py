@@ -87,7 +87,11 @@ def main(sf_dir, out_dir):
             print(f"{name}: ORACLE ERROR {str(e)[:300]}")
             failures.append(name)
 
-    print(f"\n{len(qnames) - len(failures)}/{len(qnames)} green")
+    # total = present output dirs + attempted-but-missing (the latter are
+    # already counted in failures, so don't double-subtract them)
+    missing_count = len([f for f in failures if f not in qnames])
+    total = len(qnames) + missing_count
+    print(f"\n{total - len(failures)}/{total} green")
     return 1 if failures else 0
 
 
