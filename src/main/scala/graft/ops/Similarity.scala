@@ -112,14 +112,29 @@ object Similarity {
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
-    * full per-doc shingle sets (one collect_set shuffle of the shingle
-    * table, then the tiny candidate set joins against it twice and
-    * array_intersect counts the overlap row-locally). A/B'd against a
-    * join-back count of common shingles at sf0.1: the join-back re-streams
-    * or broadcasts the full shingle table per side and lost (6.9-7.7s vs
-    * 5.3-5.8s full-query warm). Keeps pairs with J >= t. */
-  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
-    val sets = sh.groupBy("doc_id")
+    * per-doc shingle sets (collect_set, then the candidate set joins
+    * against it twice and array_intersect counts the overlap row-locally).
+    * A/B'd against a join-back count of common shingles at sf0.1: the
+    * join-back re-streams or broadcasts the full shingle table per side
+    * and lost (6.9-7.7s vs 5.3-5.8s full-query warm). Keeps pairs with
+    * J >= t.
+    *
+    * `restrictSets = true` additionally (a) materializes the candidate
+    * set and (b) builds shingle sets only for CANDIDATE docs — the
+    * collect_set shuffles a candidate-sized slice instead of the corpus.
+    * Costs one extra materialization, so it pays only where the corpus
+    * slice it avoids is large (q_jaccard_pairs: 8.3s vs 10.4s; dedup and
+    * minhash measured FASTER without it). */
+  private[graft] def verifyJaccard(cand0: DataFrame, sh: DataFrame, t: Double,
+      restrictSets: Boolean = false): DataFrame = {
+    val cand = if (restrictSets) materialize(cand0, "cand") else cand0
+    val shSets =
+      if (restrictSets) {
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        sh.join(candDocs, "doc_id")
+      } else sh
+    val sets = shSets.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sset"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
@@ -171,7 +186,8 @@ object Similarity {
       shinglesOf(docs.join(clusters.filter(col("doc_id") === col("rep"))
         .select("doc_id"), "doc_id")),
       "shingles")
-    val repPairs = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)
+    val repPairs = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")),
+        sh, t, restrictSets = true)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("common"), col("jac"))
     // cross-cluster: every (member of rep_a) × (member of rep_b); member
