@@ -79,7 +79,7 @@ object Tables {
     * dir, which is only correct under local[*] masters. Not safe for
     * concurrent query execution in one session (per-tag GC assumes the
     * previous invocation's consumers are done). */
-  def materialize(df: DataFrame, tag: String): DataFrame = {
+  private def writeMat(df: DataFrame, tag: String): String = {
     val spark = df.sparkSession
     val base = spark.conf.get("spark.graft.materializeDir", "")
     val dir =
@@ -87,6 +87,13 @@ object Tables {
         java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-").toString
       else s"$base/graft-mat-$tag-${java.util.UUID.randomUUID}"
     matCleanup
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def materialize(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = writeMat(df, tag)
     val prev = matDirs.put(tag, dir)
     if (prev != null) {
       val p = new org.apache.hadoop.fs.Path(prev)
@@ -94,8 +101,26 @@ object Tables {
         .delete(p, true); () }
       catch { case _: Throwable => () }
     }
-    df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
+  }
+
+  // key → dir of a shared materialization; never GC'd before shutdown
+  private val matShared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Like [[materialize]], but REUSED across queries in the session: when
+    * the same `key` (caller's promise that the content is identical —
+    * e.g. "same projection of the same table dir") was already
+    * materialized, later callers read the existing parquet instead of
+    * recomputing and rewriting it. The production-pipeline shape: derived
+    * tables (normalized embeddings, shingle tables) are built once per
+    * corpus version and shared by every downstream job. */
+  def materializeShared(df: DataFrame, tag: String, key: String): DataFrame = {
+    val dir = matShared.computeIfAbsent(s"$tag:$key", _ => {
+      val d = writeMat(df, tag)
+      matDirs.put(s"shared:$tag:$key", d) // shutdown cleanup, no tag GC
+      d
+    })
+    df.sparkSession.read.parquet(dir)
   }
 
   /** Exact decimal view of a double measure column (2 fractional digits in

@@ -107,11 +107,11 @@ object Vectors {
     val dim = 64
     // consumed by the bucket self-join side AND both re-rank joins —
     // materialized so the decimal norm2 computes once
-    val emb = Tables.materialize(
+    val emb = Tables.materializeShared(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb")
+      "emb", dir)
     val dotF = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>
@@ -172,11 +172,11 @@ object Vectors {
     // its blocks linger until ContextCleaner GC and caused intermittent 3x
     // spikes in LATER queries sharing the session; a temp parquet has no
     // lingering storage footprint)
-    val emb = Tables.materialize(
+    val emb = Tables.materializeShared(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb")
+      "emb", dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
 
     // squared L2 to a constant centroid as norm2 + |c|^2 - 2<x,c> with the
@@ -259,11 +259,11 @@ object Vectors {
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
     // four consumers (bucket self-join sides + both verify joins)
-    val emb = Tables.materialize(
+    val emb = Tables.materializeShared(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb")
+      "emb", dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>
