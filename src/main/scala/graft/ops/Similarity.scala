@@ -102,13 +102,18 @@ object Similarity {
     * verification filters out). */
   private[graft] def prefixKeys(sh: DataFrame, t: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(asc("df"), asc("shingle"))
+    // per-doc selection is ROW-LOCAL: collect each doc's (df, shingle)
+    // pairs and sort/slice inside the row — 2 shuffles of the shingle
+    // table (df join, doc groupBy) vs 3 for a window-rank formulation
+    // (df join, window re-sort, size join); interleaved A/B at sf0.1:
+    // jaccard 6.9-7.6s vs 7.5-8.4s, dedup equal
     sh.join(dfreq, "shingle")
-      .withColumn("pos", row_number().over(w))
-      .join(sz, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("ss"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(array_sort(ss), 1, cast(size(ss) - ceil(size(ss) * $t) + 1 as int))"))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s.shingle")).as("sh_h"))
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
@@ -212,6 +217,7 @@ object Similarity {
       .select("doc_a", "doc_b", "common", "jac")
       .orderBy("doc_a", "doc_b")
   }
+
 
   private val MinhashK = 32
   private val Bands = 8
