@@ -122,10 +122,13 @@ object Vectors {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
-    val bucketed = emb
+    // self-joined AND identical across the ANN queries (same planes, same
+    // emb): shared materialization — the 48 hyperplane dot products per
+    // vector compute once per session, not twice per query
+    val bucketed = Tables.materializeShared(emb
       .withColumn("tb", explode(array(tableBuckets: _*)))
       .select(col("vec_id"), col("tb.t").as("t"),
-        col("tb.bucket").as("bucket"))
+        col("tb.bucket").as("bucket")), "annbuckets", dir)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -274,10 +277,13 @@ object Vectors {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
-    val bucketed = emb
+    // self-joined AND identical across the ANN queries (same planes, same
+    // emb): shared materialization — the 48 hyperplane dot products per
+    // vector compute once per session, not twice per query
+    val bucketed = Tables.materializeShared(emb
       .withColumn("tb", explode(array(tableBuckets: _*)))
       .select(col("vec_id"), col("tb.t").as("t"),
-        col("tb.bucket").as("bucket"))
+        col("tb.bucket").as("bucket")), "annbuckets", dir)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
