@@ -187,10 +187,12 @@ object Similarity {
           .over(Window.partitionBy(col("h"))))
         .select(col("doc_id"), col("rep")),
       "clusters")
-    val sh = materialize(
+    // reps = min doc_id per md5 group = EXACTLY qDedupPipeline's
+    // survivors, so the two queries share one shingle materialization
+    val sh = Tables.materializeShared(
       shinglesOf(docs.join(clusters.filter(col("doc_id") === col("rep"))
         .select("doc_id"), "doc_id")),
-      "shingles")
+      "shsurv", dir)
     val repPairs = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")),
         sh, t, restrictSets = true)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
@@ -293,8 +295,10 @@ object Similarity {
     val survivors = materialize(docs
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("doc_id", "lang", "n_chars"), "survivors")
-    val sh = materialize(
-      shinglesOf(docs.join(survivors.select("doc_id"), "doc_id")), "shingles")
+    // shared with q_jaccard_pairs — see its shsurv note
+    val sh = Tables.materializeShared(
+      shinglesOf(docs.join(survivors.select("doc_id"), "doc_id")),
+      "shsurv", dir)
     // row-local pair generator: exact dups are gone by this point, so
     // prefix buckets are bounded and the one-shuffle generator wins
     val removed = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)

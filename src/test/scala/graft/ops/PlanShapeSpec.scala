@@ -47,7 +47,7 @@ class PlanShapeSpec extends SparkSpec {
     // round-2 17x subtree replication has regressed
     val p = plan("q_dedup_pipeline")
     assert(!p.contains("documents.parquet"), p)
-    assert(p.contains("graft-mat-shingles"), p)
+    assert(p.contains("graft-mat-shsurv"), p)
     assert(p.contains("graft-mat-survivors"), p)
   }
 
