@@ -54,6 +54,36 @@ object Similarity {
   def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables(spark, dir, "documents"))
 
+  /** Shingle table of the exact-dedup SURVIVORS (= representatives: min
+    * doc_id per md5(text) group), shared across the whole dedup family via
+    * [[graft.Tables.materializeShared]] — q_jaccard_pairs' reps and
+    * q_dedup_pipeline's survivors are the same set, so the heavy
+    * tokenize+explode runs once per session. */
+  private[graft] def survivorShingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ids = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id")
+    Tables.materializeShared(shinglesOf(docs.join(ids, "doc_id")), "shsurv", dir)
+  }
+
+  /** Verified near-dup pairs among the survivor corpus at J >= [[NearDupT]]
+    * — (doc_a, doc_b, common, jac), the shared HEART of the dedup family:
+    * q_jaccard_pairs expands these rep pairs back to cluster members;
+    * q_dedup_pipeline drops every doc_b. The full prefix-filter +
+    * candidate-join + exact-verify pipeline runs once per session
+    * ([[graft.Tables.materializeShared]]); the result is tiny (pair rows),
+    * so the share costs one small parquet write. */
+  private[graft] val NearDupT = 0.8
+  private[graft] def survivorPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = survivorShingles(spark, dir)
+    Tables.materializeShared(
+      verifyJaccard(bucketPairs(prefixKeys(sh, NearDupT), Seq("sh_h")),
+        sh, NearDupT, restrictSets = true)
+        .select("doc_a", "doc_b", "common", "jac"),
+      "survpairs", dir)
+  }
+
   /** Two candidate-pair generators over a bucketed (doc_id, bucket-key)
     * table, picked per caller by the expected bucket-size distribution
     * (interleaved A/B at sf0.1, 5 rounds each):
@@ -177,7 +207,6 @@ object Similarity {
     * shingles and are excluded throughout (matching the oracle's sh CTE),
     * via the inner joins against the rep shingle/size tables. */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.8
     val docs = Tables(spark, dir, "documents")
     // (doc_id, rep): exact-dup cluster membership; materialized — consumed
     // by the rep filter, both cross-expansion joins, and within-pairs
@@ -188,13 +217,10 @@ object Similarity {
         .select(col("doc_id"), col("rep")),
       "clusters")
     // reps = min doc_id per md5 group = EXACTLY qDedupPipeline's
-    // survivors, so the two queries share one shingle materialization
-    val sh = Tables.materializeShared(
-      shinglesOf(docs.join(clusters.filter(col("doc_id") === col("rep"))
-        .select("doc_id"), "doc_id")),
-      "shsurv", dir)
-    val repPairs = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")),
-        sh, t, restrictSets = true)
+    // survivors: the shingle table AND the verified rep pairs are shared
+    // with the rest of the dedup family (one build per session)
+    val sh = survivorShingles(spark, dir)
+    val repPairs = survivorPairs(spark, dir)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("common"), col("jac"))
     // cross-cluster: every (member of rep_a) × (member of rep_b); member
@@ -288,20 +314,15 @@ object Similarity {
     * id, NOT transitive closure — deterministic and SQL-expressible).
     * Returns the clean corpus. */
   def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.8
     val docs = Tables(spark, dir, "documents")
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    // materialized: consumed by the shingle filter AND the final anti-join
-    val survivors = materialize(docs
+    // single consumer (the anti-join): the shingle filter now reads the
+    // SHARED survivor tables, so no per-query materialization is needed
+    val survivors = docs
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("doc_id", "lang", "n_chars"), "survivors")
-    // shared with q_jaccard_pairs — see its shsurv note
-    val sh = Tables.materializeShared(
-      shinglesOf(docs.join(survivors.select("doc_id"), "doc_id")),
-      "shsurv", dir)
-    // row-local pair generator: exact dups are gone by this point, so
-    // prefix buckets are bounded and the one-shuffle generator wins
-    val removed = verifyJaccard(bucketPairs(prefixKeys(sh, t), Seq("sh_h")), sh, t)
+      .select("doc_id", "lang", "n_chars")
+    // shared verified pairs — same subtree as q_jaccard_pairs' rep pairs
+    val removed = survivorPairs(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     survivors.join(removed, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")

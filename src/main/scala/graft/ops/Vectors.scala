@@ -96,22 +96,23 @@ object Vectors {
     if ((z & 1L) == 0L) 1 else -1
   }
 
-  /** Sign-random-projection LSH ANN, multi-table: 8 independent tables of
-    * 6 Rademacher hyperplanes each (a single 12-bit table was measured at
-    * ~0 recall here — too many buckets for the corpus; L smaller tables is
-    * the standard recall knob). Candidates are same-(table,bucket) pairs —
-    * the 100 TB path: the shuffle key is (table, bucket), never all pairs —
-    * then exact cosine re-ranking, top-3 per query. Recall < 1 by
-    * construction → rows-only check (no SQL oracle). */
-  def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
-    val dim = 64
-    // consumed by the bucket self-join side AND both re-rank joins —
-    // materialized so the decimal norm2 computes once
-    val emb = Tables.materializeShared(
+  /** (vec_id, embedding, norm2) projection of the embeddings table, shared
+    * across the whole ANN family via [[graft.Tables.materializeShared]] —
+    * the decimal norm2 computes once per session. */
+  private[graft] def sharedEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           dotD(col("embedding"), col("embedding")).as("norm2")),
       "emb", dir)
+
+  /** Multi-table sign-LSH bucket table (vec_id, t, bucket) — self-joined
+    * AND identical across the ANN queries (same planes, same emb): shared
+    * materialization, so the AnnTables×AnnPlanes hyperplane dot products
+    * per vector compute once per session, not twice per query. */
+  private[graft] def annBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = sharedEmb(spark, dir)
     val dotF = graft.functions.FloatDotProduct.floatDot _
     val tableBuckets = (0 until AnnTables).map { t =>
       val bits = (0 until AnnPlanes).map { p =>
@@ -122,13 +123,24 @@ object Vectors {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
     }
-    // self-joined AND identical across the ANN queries (same planes, same
-    // emb): shared materialization — the 48 hyperplane dot products per
-    // vector compute once per session, not twice per query
-    val bucketed = Tables.materializeShared(emb
+    Tables.materializeShared(emb
       .withColumn("tb", explode(array(tableBuckets: _*)))
       .select(col("vec_id"), col("tb.t").as("t"),
         col("tb.bucket").as("bucket")), "annbuckets", dir)
+  }
+
+  /** Sign-random-projection LSH ANN, multi-table: 8 independent tables of
+    * 6 Rademacher hyperplanes each (a single 12-bit table was measured at
+    * ~0 recall here — too many buckets for the corpus; L smaller tables is
+    * the standard recall knob). Candidates are same-(table,bucket) pairs —
+    * the 100 TB path: the shuffle key is (table, bucket), never all pairs —
+    * then exact cosine re-ranking, top-3 per query. Recall < 1 by
+    * construction → rows-only check (no SQL oracle). */
+  def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
+    // consumed by the bucket self-join side AND both re-rank joins —
+    // shared materializations (see sharedEmb / annBuckets)
+    val emb = sharedEmb(spark, dir)
+    val bucketed = annBuckets(spark, dir)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -175,11 +187,7 @@ object Vectors {
     // its blocks linger until ContextCleaner GC and caused intermittent 3x
     // spikes in LATER queries sharing the session; a temp parquet has no
     // lingering storage footprint)
-    val emb = Tables.materializeShared(
-      Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb", dir)
+    val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
 
     // squared L2 to a constant centroid as norm2 + |c|^2 - 2<x,c> with the
@@ -260,30 +268,11 @@ object Vectors {
     * observed sim ≈ 0.31); real embedding spaces would use ~0.9.
     * Rows-only (LSH recall < 1). */
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val dim = 64
-    // four consumers (bucket self-join sides + both verify joins)
-    val emb = Tables.materializeShared(
-      Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb", dir)
+    // four consumers (bucket self-join sides + both verify joins) —
+    // shared materializations (see sharedEmb / annBuckets)
+    val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val tableBuckets = (0 until AnnTables).map { t =>
-      val bits = (0 until AnnPlanes).map { p =>
-        val signs = array((0 until dim).map(d =>
-          lit(planeSign(t * 64 + p, d).toFloat)): _*)
-        when(dot2(col("embedding"), signs) >= 0,
-          lit(1 << p)).otherwise(lit(0)): Column
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
-    }
-    // self-joined AND identical across the ANN queries (same planes, same
-    // emb): shared materialization — the 48 hyperplane dot products per
-    // vector compute once per session, not twice per query
-    val bucketed = Tables.materializeShared(emb
-      .withColumn("tb", explode(array(tableBuckets: _*)))
-      .select(col("vec_id"), col("tb.t").as("t"),
-        col("tb.bucket").as("bucket")), "annbuckets", dir)
+    val bucketed = annBuckets(spark, dir)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
