@@ -50,6 +50,32 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("annrecall")) {
+      // Debug annrecall [dir] — measured top-3 recall of q_cosine_ann and
+      // q_cosine_ivf vs the brute-force ground truth
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      val emb = ops.Vectors.sharedEmb(spark, dir)
+      val dot2 = functions.FloatDotProduct.floatDot _
+      val brute = emb.as("q").join(emb.as("n"),
+          col("q.vec_id") =!= col("n.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("n.vec_id").as("nid"),
+          (dot2(col("q.embedding"), col("n.embedding")) /
+            (sqrt(col("q.norm2")) * sqrt(col("n.norm2")))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+      val bruteTop = brute.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("qid", "nid")
+      val total = bruteTop.count()
+      for (q <- Seq("q_cosine_ann", "q_cosine_ivf")) {
+        val t0 = System.nanoTime()
+        val top = SparkEntry.queries(q)(spark, dir).select("qid", "nid")
+        val hits = bruteTop.join(top, Seq("qid", "nid")).count()
+        println(f"$q top-3 recall: ${hits.toDouble / total}%.3f " +
+          f"($hits/$total, ${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("jacprof")) {
       // stage-by-stage timing of the rep-first jaccard pipeline
       import org.apache.spark.sql.functions._

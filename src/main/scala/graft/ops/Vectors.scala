@@ -83,8 +83,19 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
-  private val AnnTables = 8
-  private val AnnPlanes = 6
+  /** Scale knobs, settable per session via spark conf (defaults match the
+    * shipped behavior; SCALE.md documents the 100 TB settings):
+    *  - spark.graft.ann.tables / .planes / .probeFlips — sign-LSH table
+    *    count L, hyperplanes per table b, and multiprobe bit flips F
+    *  - spark.graft.ivf.nlist / .nprobe / .iters — IVF coarse quantizer
+    *  - spark.graft.minhash.k / .bands — MinHash signature length / bands
+    */
+  private[graft] def intConf(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key).map(_.toInt).getOrElse(default)
+
+  private def annTablesN(spark: SparkSession) = intConf(spark, "spark.graft.ann.tables", 8)
+  private def annPlanesN(spark: SparkSession) = intConf(spark, "spark.graft.ann.planes", 6)
+  private def annFlipsN(spark: SparkSession) = intConf(spark, "spark.graft.ann.probeFlips", 3)
 
   /** Deterministic Rademacher (±1) hyperplane signs for plane p, dim d —
     * splitmix64-style bit mix so both build runs and all executors agree. */
@@ -106,28 +117,70 @@ object Vectors {
           dotD(col("embedding"), col("embedding")).as("norm2")),
       "emb", dir)
 
-  /** Multi-table sign-LSH bucket table (vec_id, t, bucket) — self-joined
-    * AND identical across the ANN queries (same planes, same emb): shared
-    * materialization, so the AnnTables×AnnPlanes hyperplane dot products
-    * per vector compute once per session, not twice per query. */
-  private[graft] def annBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Multi-table sign-LSH table (vec_id, t, bucket, probes) — identical
+    * across the ANN queries (same planes, same emb): shared
+    * materialization, so the L×b hyperplane dot products per vector
+    * compute once per session, not twice per query.
+    *
+    * `probes` is the margin-ordered MULTIPROBE set: the vector's own
+    * bucket plus the F buckets reached by flipping the hyperplane bits
+    * with the smallest |dot| margin — the planes most likely to disagree
+    * between true neighbors (a near-orthogonal pair flips each plane with
+    * p≈0.5, but flips concentrate where the projection is nearest zero).
+    * Probing F+1 buckets per table multiplies candidate volume by ~(F+1)
+    * but raises per-table neighbor-collision probability from p^b to
+    * ~p^b + F·p^(b-1)(1-p) — the standard recall knob that does NOT
+    * require more tables (hashing stays L×b dots per vector). */
+  private[graft] def annTable(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
+    val (nT, nP, nF) = (annTablesN(spark), annPlanesN(spark), annFlipsN(spark))
     val emb = sharedEmb(spark, dir)
     val dotF = graft.functions.FloatDotProduct.floatDot _
-    val tableBuckets = (0 until AnnTables).map { t =>
-      val bits = (0 until AnnPlanes).map { p =>
-        val signs = array((0 until dim).map(d =>
-          lit(planeSign(t * 64 + p, d).toFloat)): _*)
-        when(dotF(col("embedding"), signs) >= 0, lit(1 << p))
-          .otherwise(lit(0)): Column
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("bucket"))
+    val perTable = (0 until nT).map { t =>
+      struct(lit(t).as("t"),
+        array((0 until nP).map { p =>
+          val signs = array((0 until dim).map(d =>
+            lit(planeSign(t * 64 + p, d).toFloat)): _*)
+          dotF(col("embedding"), signs): Column
+        }: _*).as("dots"))
     }
-    Tables.materializeShared(emb
-      .withColumn("tb", explode(array(tableBuckets: _*)))
-      .select(col("vec_id"), col("tb.t").as("t"),
-        col("tb.bucket").as("bucket")), "annbuckets", dir)
+    val withDots = emb.select(col("vec_id"), explode(array(perTable: _*)).as("td"))
+      .select(col("vec_id"), col("td.t").as("t"), col("td.dots").as("dots"))
+    val bucketExpr = (0 until nP).map(p =>
+      when(col("dots").getItem(p) >= 0, lit(1 << p)).otherwise(lit(0)): Column)
+      .reduce(_ + _)
+    // flip the nF lowest-|margin| bits: row-local sort of (|dot|, plane)
+    val probesExpr = expr(
+      s"""concat(array(bucket), transform(
+         |  slice(array_sort(transform(dots, (d, p) -> struct(abs(d) AS m, p AS p))), 1, $nF),
+         |  s -> cast(bucket ^ shiftleft(1, s.p) AS INT)))""".stripMargin)
+    Tables.materializeShared(
+      withDots.select(col("vec_id"), col("t"), bucketExpr.as("bucket"), col("dots"))
+        .select(col("vec_id"), col("t"), col("bucket"), probesExpr.as("probes")),
+      "anntable", s"$dir#L${nT}b${nP}f$nF")
   }
+
+  /** Exact-bucket view of [[annTable]] (the join build side). */
+  private[graft] def annBuckets(spark: SparkSession, dir: String): DataFrame =
+    annTable(spark, dir).select(col("vec_id"), col("t"), col("bucket"))
+
+  /** Probe-expanded view of [[annTable]] (the query side): one row per
+    * (vec_id, t, probed bucket). */
+  private[graft] def annProbes(spark: SparkSession, dir: String): DataFrame =
+    annTable(spark, dir).select(col("vec_id"), col("t"),
+      explode(col("probes")).as("pbucket"))
+
+  /** Undirected multiprobe candidate pairs: (a, b) is a candidate when
+    * either endpoint probes the other's bucket in some table — the
+    * least/greatest normalization + distinct covers both directions. The
+    * shuffle key stays (t, bucket): never all pairs. */
+  private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame =
+    annProbes(spark, dir).as("a").join(annBuckets(spark, dir).as("b"),
+        col("a.t") === col("b.t") && col("a.pbucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("qid"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("nid"))
+      .distinct()
 
   /** Sign-random-projection LSH ANN, multi-table: 8 independent tables of
     * 6 Rademacher hyperplanes each (a single 12-bit table was measured at
@@ -138,14 +191,9 @@ object Vectors {
     * construction → rows-only check (no SQL oracle). */
   def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
     // consumed by the bucket self-join side AND both re-rank joins —
-    // shared materializations (see sharedEmb / annBuckets)
+    // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
-    val bucketed = annBuckets(spark, dir)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
-      .distinct()
+    val cand = annCandidates(spark, dir)
     // plain double dot for re-ranking: no oracle here, and the exact-decimal
     // path costs ~10x on the candidate set
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -166,9 +214,9 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
-  private val IvfLists = 16
-  private val IvfProbes = 4
-  private val IvfIters = 3
+  private def ivfListsN(spark: SparkSession) = intConf(spark, "spark.graft.ivf.nlist", 16)
+  private def ivfProbesN(spark: SparkSession) = intConf(spark, "spark.graft.ivf.nprobe", 4)
+  private def ivfItersN(spark: SparkSession) = intConf(spark, "spark.graft.ivf.iters", 3)
 
   /** IVF-style ANN: a coarse k-means quantizer (nlist=16 centroids, 3
     * Lloyd iterations, deterministic: init = first 16 vectors by id,
@@ -200,9 +248,11 @@ object Vectors {
         lit(2.0) * dot2(col("embedding"), cFloat)
     }
 
-    // deterministic init: the first IvfLists vectors by id
+    val (nList, nProbe, nIter) =
+      (ivfListsN(spark), ivfProbesN(spark), ivfItersN(spark))
+    // deterministic init: the first nlist vectors by id
     var centroids: Array[Array[Double]] = emb.orderBy("vec_id")
-      .limit(IvfLists).collect()
+      .limit(nList).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
     // argmin via array_sort over (dist, cid) structs: each distance is
@@ -213,7 +263,7 @@ object Vectors {
         struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
       }: _*)), 1).getField("cid")
 
-    (1 to IvfIters).foreach { _ =>
+    (1 to nIter).foreach { _ =>
       // decimal-exact per-dimension means -> deterministic centroids
       val sums = emb.withColumn("cid", assignExpr(centroids))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -226,13 +276,13 @@ object Vectors {
     }
 
     val assigned = emb.withColumn("cid", assignExpr(centroids))
-    // each query probes its IvfProbes nearest centroid lists
+    // each query probes its nprobe nearest centroid lists
     val rankedCids = array_sort(array(centroids.toIndexedSeq.zipWithIndex.map {
       case (c, i) => struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
     }: _*))
     val probes = emb.select(col("vec_id").as("qid"),
         col("embedding").as("qe"), col("norm2").as("qn"),
-        explode(slice(rankedCids, 1, IvfProbes)).as("probe"))
+        explode(slice(rankedCids, 1, nProbe)).as("probe"))
       .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
     val cands = probes.join(
         assigned.select(col("cid"), col("vec_id").as("nid"),
@@ -269,15 +319,11 @@ object Vectors {
     * Rows-only (LSH recall < 1). */
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     // four consumers (bucket self-join sides + both verify joins) —
-    // shared materializations (see sharedEmb / annBuckets)
+    // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val bucketed = annBuckets(spark, dir)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"))
-      .distinct()
+    val cand = annCandidates(spark, dir)
+      .select(col("qid").as("keep_id"), col("nid").as("dup_id"))
     cand
       .join(emb.select(col("vec_id").as("keep_id"), col("embedding").as("qe"),
         col("norm2").as("qn")), "keep_id")

@@ -55,6 +55,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe sign-LSH ANN top-3 recall >= 0.7 vs brute force") {
+    // measured on the sf0.01 fixture (500 near-orthogonal vectors — the
+    // HARD case for sign-LSH: p(plane agrees) ≈ 0.5-0.6 even for true
+    // neighbors). Margin-ordered multiprobe (probeFlips=3) lifts the
+    // default config from the 0.28 recall of exact-bucket probing to
+    // ~0.87; assert a 0.7 floor so knob regressions fail loudly.
+    import org.apache.spark.sql.expressions.Window
+    val dir = sf("sf0.01")
+    val emb = Vectors.sharedEmb(spark, dir)
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val brute = emb.as("q").join(emb.as("n"),
+        col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("n.vec_id").as("nid"),
+        (dot2(col("q.embedding"), col("n.embedding")) /
+          (sqrt(col("q.norm2")) * sqrt(col("n.norm2")))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val bruteTop = brute.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("qid", "nid")
+    val annTop = Vectors.qCosineAnn(spark, dir).select("qid", "nid")
+    val hits = bruteTop.join(annTop, Seq("qid", "nid")).count()
+    val total = bruteTop.count()
+    val recall = hits.toDouble / total
+    info(f"measured top-3 recall: $recall%.3f ($hits/$total)")
+    assert(recall >= 0.7)
+  }
+
   test("minhash-lsh pairs are a subset of exact jaccard>=0.7 and nonempty") {
     val exact = Similarity.shingles(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
