@@ -104,6 +104,13 @@ object Tables {
     spark.read.parquet(dir)
   }
 
+  /** Register a session-temp dir for deletion at JVM exit (the same hook
+    * the materializations use). `tag` must be unique per dir. */
+  private[graft] def registerTempDir(tag: String, dir: String): Unit = {
+    matCleanup
+    matDirs.put(tag, dir); ()
+  }
+
   // key → dir of a shared materialization; never GC'd before shutdown
   private val matShared = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

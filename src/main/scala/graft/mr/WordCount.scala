@@ -86,6 +86,33 @@ object MrQueries {
     }.toDF("word", "n").orderBy("word")
   }
 
+  /** Word count through the SQL `TRANSFORM ... USING` surface — the
+    * declarative twin of the reference's executable-mapper contract
+    * (reference worker/__main__.py:104-125): rows stream tab-delimited
+    * through wc_map.sh as an external process inside the SQL plan
+    * (ScriptTransformation operator), then Catalyst aggregates the
+    * emitted (word, 1) lines. ROW FORMAT DELIMITED must be declared on
+    * BOTH sides — the default TRANSFORM delimiter is Hive's U+0001 (^A), not
+    * the tab the reference convention uses (see SqlTransformSpec).
+    * Falls back to the native mapper if the script isn't on disk. */
+  def qWordcountTransform(spark: SparkSession, dir: String): DataFrame = {
+    val mapSh = new java.io.File(
+      "/root/repo/src/test/resources/mr/exec/wc_map.sh")
+    if (mapSh.isFile) {
+      graft.Tables(spark, dir, "documents")
+        .select("text").createOrReplaceTempView("t_wc_transform_in")
+      spark.sql(
+        s"""SELECT TRANSFORM(text)
+           |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+           |  USING 'sh ${mapSh.getAbsolutePath}'
+           |  AS (word STRING, one STRING)
+           |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+           |FROM t_wc_transform_in""".stripMargin)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    } else qWordcountDf(spark, dir)
+  }
+
   private val wordcountOracle =
     """SELECT word, COUNT(*) AS n FROM (
       |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
@@ -95,10 +122,12 @@ object MrQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordcount_mr" -> qWordcountMr _,
     "q_wordcount_df" -> qWordcountDf _,
-    "q_wordcount_pipe" -> qWordcountPipe _)
+    "q_wordcount_pipe" -> qWordcountPipe _,
+    "q_wordcount_transform" -> qWordcountTransform _)
 
   val oracles: Map[String, String] = Map(
     "q_wordcount_mr" -> wordcountOracle,
     "q_wordcount_df" -> wordcountOracle,
-    "q_wordcount_pipe" -> wordcountOracle)
+    "q_wordcount_pipe" -> wordcountOracle,
+    "q_wordcount_transform" -> wordcountOracle)
 }

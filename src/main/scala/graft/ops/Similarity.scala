@@ -247,25 +247,35 @@ object Similarity {
   }
 
 
-  private val MinhashK = 32
-  private val Bands = 8
-  private val RowsPerBand = MinhashK / Bands
+  /** MinHash scale knobs, settable per session via spark conf (defaults
+    * match the shipped behavior; SCALE.md documents the 100 TB settings):
+    * spark.graft.minhash.k (signature length) / .bands (band count; must
+    * divide k). More bands at fixed k raises recall at the LSH threshold
+    * and candidate volume; longer signatures sharpen the S-curve. */
+  private def minhashKN(spark: SparkSession) =
+    Vectors.intConf(spark, "spark.graft.minhash.k", 32)
+  private def bandsN(spark: SparkSession) =
+    Vectors.intConf(spark, "spark.graft.minhash.bands", 8)
 
   /** Banded MinHash-LSH near-dup candidates, verified with exact Jaccard.
-    * k=32 salted xxhash64 min-hashes, 8 bands × 4 rows: P(candidate) at
-    * J=0.8 is 1-(1-0.8^4)^8 ≈ 0.99 — candidates are then exactly verified,
-    * so output precision is 1.0 (recall is the LSH probability; hence no
-    * SQL oracle — the driver records a rows-only check). */
+    * Default k=32 salted xxhash64 min-hashes, 8 bands × 4 rows:
+    * P(candidate) at J=0.8 is 1-(1-0.8^4)^8 ≈ 0.99 — candidates are then
+    * exactly verified, so output precision is 1.0 (recall is the LSH
+    * probability; hence no SQL oracle — the driver records a rows-only
+    * check). */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
+    val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
+    require(minhashK % bands == 0, s"minhash.k=$minhashK not divisible by bands=$bands")
+    val rowsPerBand = minhashK / bands
     val sh = materialize(shingles(spark, dir), "shingles")
-    val minhashCols = (0 until MinhashK).map(i =>
+    val minhashCols = (0 until minhashK).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     val minh = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("_", (0 until RowsPerBand).map(r =>
-          col(s"mh${b * RowsPerBand + r}")): _*).as("sig"))
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
     }
     val banded = minh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Skew mitigation: salted two-stage aggregation as a reusable operator.
+  *
+  * A Zipfian grouping key funnels its hottest value into ONE reduce task —
+  * at 100 TB the token "the" alone can exceed an executor. Salting
+  * splits every group into `nSalts` sub-groups for the heavy partial
+  * stage (hot keys spread across nSalts tasks), then a second stage over
+  * the tiny partial table merges them. Correct for any ALGEBRAIC
+  * aggregate (one whose partials merge exactly: sum/count/min/max, or
+  * decimal sums — which merge bit-exactly, so the rewrite is
+  * result-IDENTICAL, not approximate; SkewSpec proves equality).
+  *
+  * Note Spark's own map-side partial aggregation already handles skew
+  * when inputs arrive unaggregated; the salt matters when data lands
+  * pre-grouped by something else (post-join, post-explode with hot keys
+  * concentrated per partition) or when per-key partial state is too wide
+  * to combine map-side. AQE's skew handling covers JOINS only — skewed
+  * aggregation needs this rewrite.
+  */
+object Skew {
+
+  /** One algebraic aggregate: output name, stage-1 partial expression
+    * (over raw rows), stage-2 merge (over the named partial column). */
+  final case class Algebraic(name: String, partial: Column,
+      merge: Column => Column)
+
+  /** count(*) — partials merge by summation. */
+  def countAll(name: String): Algebraic =
+    Algebraic(name, count(lit(1)), sum(_))
+
+  /** Exact decimal sum (see [[Tables.dec]]) surfaced as the decimal —
+    * callers cast at the end; decimal partials merge bit-exactly. */
+  def sumDec(name: String, c: Column): Algebraic =
+    Algebraic(name, sum(Tables.dec(c)), sum(_))
+
+  def minOf(name: String, c: Column): Algebraic = Algebraic(name, min(c), min(_))
+  def maxOf(name: String, c: Column): Algebraic = Algebraic(name, max(c), max(_))
+
+  /** Two-stage salted groupBy: `df.groupBy(keys).agg(...)` rewritten as
+    * groupBy(keys :+ salt).agg(partials) → groupBy(keys).agg(merges).
+    * `salt` is any integer column that spreads a hot key's rows (row
+    * provenance like a doc/order id is ideal — deterministic and
+    * uncorrelated with the grouping key). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Column,
+      nSalts: Int, aggs: Seq[Algebraic]): DataFrame = {
+    require(aggs.nonEmpty && nSalts > 0)
+    val partials = aggs.map(a => a.partial.as(s"__p_${a.name}"))
+    val stage1 = df.withColumn("__salt", pmod(salt, lit(nSalts)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val merges = aggs.map(a => a.merge(col(s"__p_${a.name}")).as(a.name))
+    stage1.groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Token frequency over the documents corpus — Zipfian BY CONSTRUCTION
+    * (natural-language token ranks follow ~1/rank) — through the salted
+    * rewrite: count + first/last doc provenance per token, salted by
+    * doc_id, top-100 by frequency. Oracle-gated: the rewrite must equal
+    * the direct groupBy exactly. */
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    saltedAgg(toks, Seq("token"), col("doc_id"), nSalts = 16, Seq(
+      countAll("n"),
+      minOf("first_doc", col("doc_id")),
+      maxOf("last_doc", col("doc_id"))))
+      .orderBy(desc("n"), asc("token"))
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> qSkewAgg _)
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS n, MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM toks GROUP BY token
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin)
+}

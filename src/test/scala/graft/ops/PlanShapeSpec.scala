@@ -41,19 +41,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_dedup_pipeline: final plan scans the materialized intermediates, not the corpus") {
-    // the shingle/survivor subtrees are materialized to session-temp
-    // parquet; if the final plan reads documents.parquet directly, the
-    // round-2 17x subtree replication has regressed
+  test("q_dedup_pipeline: one corpus scan + the shared verified-pairs intermediate") {
+    // the whole near-dup subtree (shingle -> prefix -> verify) lives in the
+    // session-shared survpairs materialization; the final plan is ONE
+    // documents scan (the survivors window) anti-joined against that tiny
+    // intermediate. More corpus scans = the round-2 17x subtree
+    // replication has regressed
     val p = plan("q_dedup_pipeline")
-    assert(!p.contains("documents.parquet"), p)
-    assert(p.contains("graft-mat-shsurv"), p)
-    assert(p.contains("graft-mat-survivors"), p)
+    val corpusScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(corpusScans == 1, s"expected 1 corpus scan, got $corpusScans:\n$p")
+    assert(p.contains("graft-mat-survpairs"), p)
   }
 
   test("q_cosine_ivf: final plan scans the materialized embedding table once-per-branch") {
     val p = plan("q_cosine_ivf")
     assert(!p.contains("embeddings.parquet"), p)
     assert(p.contains("graft-mat-emb"), p)
+  }
+
+  test("q_join_bucketed: bucket-co-located sort-merge join with no exchange below it") {
+    // disable size-based broadcast so the assertion exercises the bucketed
+    // layout itself (at real fact×fact scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Bucketed.qJoinBucketed(spark, sf("sf0.001"))
+      df.collect() // finalize the adaptive plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val joins = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a sort-merge join:\n${nodes.head}")
+      joins.foreach { j =>
+        val shuffles = j.children.flatMap(allNodes)
+          .collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"join input was shuffled:\n$j")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -21,12 +21,9 @@ class SkewSpec extends SparkSpec {
     val direct = li.groupBy("key")
       .agg(sum(dec(col("l_quantity"))).as("q"), count(lit(1)).as("n"))
 
-    val salted = li
-      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
-      .groupBy("key", "salt")
-      .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
-      .groupBy("key")
-      .agg(sum(col("pq")).as("q"), sum(col("pn")).as("n"))
+    val salted = Skew.saltedAgg(li, Seq("key"), col("l_orderkey"), 16, Seq(
+      Skew.sumDec("q", col("l_quantity")),
+      Skew.countAll("n")))
 
     val d = direct.collect().map(r => r.getString(0) ->
       (r.getDecimal(1), r.getLong(2))).toMap
