@@ -47,6 +47,37 @@ object Submit {
     reducerCmd = Seq(new java.io.File(a.reducer).getAbsolutePath),
     numReducers = a.numReducers, numMappers = a.numMappers)
 
+  /** Cluster-lifecycle subcommands mirroring the reference's
+    * `bin/mapreduce start|stop|status|restart` launcher (reference
+    * map_reduce/bin/mapreduce:14-103, which pgrep/pkills a manager on
+    * port 6000 plus two workers). Under Spark the manager/worker fleet IS
+    * the scheduler inside the job JVM — there are no daemons to launch or
+    * kill — so `start`/`restart` report the scheduler ready, `status`
+    * mirrors the reference's "manager running / workers running" lines
+    * (exit-0 semantics: a live SparkContext), and `stop` explains the
+    * no-daemon model. On a real cluster these map to the cluster
+    * manager's own lifecycle (spark-submit / YARN / K8s), not this CLI. */
+  def lifecycle(spark: SparkSession, cmd: String): Int = cmd match {
+    case "start" | "restart" | "status" =>
+      if (spark.sparkContext.isStopped) { println("scheduler not running"); 1 }
+      else {
+        // the two reference lines, reinterpreted: manager := DAGScheduler
+        // in this JVM; workers := the executor slots it schedules into
+        println(s"manager running (Spark ${spark.version} scheduler, " +
+          s"master ${spark.sparkContext.master})")
+        println(s"workers running (${spark.sparkContext.defaultParallelism} " +
+          "executor slots)")
+        0
+      }
+    case "stop" =>
+      println("nothing to stop: the Spark local scheduler lives in the job " +
+        "JVM and exits with it (cluster masters have their own lifecycle)")
+      0
+    case other =>
+      println(s"Usage: Submit (start|stop|status|restart) | -i ... -o ...")
+      println(s"unknown lifecycle command: $other"); 1
+  }
+
   /** CLI-shaped entry usable from tests: parse args, run, return output dir. */
   def run(spark: SparkSession, argv: Seq[String]): String = {
     val a = parse(argv.toList, Args())
@@ -70,7 +101,12 @@ object Submit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toSeq)
-    finally spark.stop()
+    val code =
+      try {
+        if (args.headOption.exists(Set("start", "stop", "status", "restart")))
+          lifecycle(spark, args.head)
+        else { run(spark, args.toSeq); 0 }
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

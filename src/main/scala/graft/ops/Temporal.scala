@@ -136,7 +136,32 @@ object Temporal {
       .orderBy("custkey", "k1", "k2")
   }
 
+  /** Purchase→error funnel join: every (purchase, same-user error within
+    * the 30 minutes after) pair — the batch twin of
+    * [[graft.streaming.EventsStream.purchaseErrorJoin]], pinning the
+    * stream-stream join's semantics behind the SQL oracle. The equi-key
+    * (user_id) carries the shuffle; the time band only filters within the
+    * key group — same scalable shape as [[qIntervalJoin]]. */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    p.join(e, col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        date_format(col("p_ts"), TsFmt).as("pts"),
+        date_format(col("e_ts"), TsFmt).as("ets"),
+        col("value"))
+      .orderBy("p_id", "e_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> qStreamJoin _,
     "q_events_dedup" -> qEventsDedup _,
     "q_interval_join" -> qIntervalJoin _,
     "q_sessionize" -> qSessionize _,
@@ -144,6 +169,20 @@ object Temporal {
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p_id, e_id, p.user_id AS user_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  strftime(e_ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        |  value
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL '30 minutes'
+        |ORDER BY p_id, e_id""".stripMargin,
     "q_events_dedup" ->
       """SELECT user_id, event_type, value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,

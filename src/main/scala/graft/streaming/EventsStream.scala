@@ -55,6 +55,33 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Stream-stream interval join: every purchase joined to the same
+    * user's errors in the 30 minutes after it (the funnel "purchase
+    * followed by error" pattern). Both sides carry a watermark AND the
+    * join condition bounds event-time distance, so Spark derives state
+    * eviction for BOTH buffers: a purchase is dropped once the error-side
+    * watermark passes p_ts + 30min, an error once the purchase-side
+    * watermark passes its ts — state is proportional to the watermark
+    * horizon, never stream history (an unwatermarked stream-stream join
+    * buffers both streams forever — the non-scalable shape).
+    * Batch twin with SQL oracle: [[graft.ops.Temporal.qStreamJoin]]. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        col("p_ts"), col("e_ts"), col("value"))
+  }
+
   final case class UserStats(n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user event count/value via

@@ -81,6 +81,16 @@ class SubmitSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle subcommands mirror the reference launcher's exit semantics") {
+    // reference bin/mapreduce:53-65: status exits 0 iff the fleet is up;
+    // here the fleet is the live SparkContext
+    assert(Submit.lifecycle(spark, "status") === 0)
+    assert(Submit.lifecycle(spark, "start") === 0)
+    assert(Submit.lifecycle(spark, "restart") === 0)
+    assert(Submit.lifecycle(spark, "stop") === 0)
+    assert(Submit.lifecycle(spark, "bogus") === 1)
+  }
+
   test("exactPartNames pins part-{i:05d} for R=3 on the native job") {
     val in = tmpDir("exact-in")
     Files.writeString(Paths.get(in, "f.txt"), "a b c d e f\n")

@@ -97,6 +97,57 @@ class EventsStreamSpec extends SparkSpec {
       ("2024-01-01 01:01:00", 1L, "click", 2.0)))
   }
 
+  final case class IdEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  test("stream-stream purchase-error join pairs within the 30-minute band") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[IdEvent]
+    val q = EventsStream.purchaseErrorJoin(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("join_out").start()
+    input.addData(
+      IdEvent(10, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+      IdEvent(11, ts("2024-01-01 10:10:00"), 1, "error", 0.0), // in band
+      IdEvent(12, ts("2024-01-01 10:29:00"), 1, "error", 0.0), // in band
+      IdEvent(13, ts("2024-01-01 10:45:00"), 1, "error", 0.0), // > 30min: out
+      IdEvent(14, ts("2024-01-01 10:05:00"), 2, "error", 0.0), // other user
+      IdEvent(15, ts("2024-01-01 09:59:00"), 1, "error", 0.0)) // before: out
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT p_id, e_id, user_id, value FROM join_out " +
+        "ORDER BY p_id, e_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq((10L, 11L, 1L, 50.0), (10L, 12L, 1L, 50.0)))
+  }
+
+  test("stream-stream join drops matches arriving past the watermark horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[IdEvent]
+    val q = EventsStream.purchaseErrorJoin(input.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("join_wm_out").start()
+    input.addData(IdEvent(20, ts("2024-01-01 10:00:00"), 5, "purchase", 9.0))
+    q.processAllAvailable()
+    // advance both watermarks far past p_ts + 30min + 10min delay: the
+    // buffered purchase's state is evicted
+    input.addData(IdEvent(21, ts("2024-01-01 12:00:00"), 6, "purchase", 1.0),
+      IdEvent(22, ts("2024-01-01 12:00:00"), 6, "error", 0.0))
+    q.processAllAvailable()
+    // a LATE in-band error (event time 10:10, arriving after the watermark
+    // passed it) finds no buffered purchase — bounded state means late
+    // matches are dropped, the documented streaming/batch divergence
+    input.addData(IdEvent(23, ts("2024-01-01 10:10:00"), 5, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT p_id, e_id FROM join_wm_out ORDER BY p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((21L, 22L)))
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
