@@ -103,6 +103,67 @@ object EventsStream {
       }
   }
 
+  final case class SessionState(start: Timestamp, lastTs: Timestamp,
+    n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+    n: Long, total_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState + event-time
+    * timeout — the fully-general keyed-state path (vs [[sessionAgg]]'s
+    * built-in session_window): a user's session accumulates in state and
+    * is EMITTED ONLY when the watermark passes its 30-minute gap horizon
+    * (the timeout), i.e. when no in-order event can extend it. flatMap
+    * (not map) because a timeout emits zero-or-one rows and a single
+    * batch can close several sessions for one key in sequence.
+    *
+    * State is one SessionState per ACTIVE user — bounded by concurrently
+    * active keys, evicted by the event-time timeout; the pattern for
+    * custom state machines (funnels, CEP, abandoned-cart) that built-in
+    * windows can't express. */
+  def sessionizeWithState(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gap = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty) {
+            // timeout fired: the watermark passed lastTs + gap — close and
+            // emit the session, drop the state
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.start, s.n, s.total)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // in-batch events sorted by event time; fold them through the
+            // session machine, emitting sessions closed by in-batch gaps
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs.getTime < gap =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.n, s.total)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // wake this key once the watermark passes its gap horizon
+              state.setTimeoutTimestamp(s.lastTs.getTime + gap)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Demo wiring for a file source: the same windowed agg reading a
     * parquet directory as a stream. The fixture's ts is TIMESTAMP(NANOS),
     * which Spark's parquet reader only surfaces as a nanosecond long

@@ -97,6 +97,42 @@ class EventsStreamSpec extends SparkSpec {
       ("2024-01-01 01:01:00", 1L, "click", 2.0)))
   }
 
+  test("flatMapGroupsWithState sessions close via in-batch gaps AND event-time timeouts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeWithState(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("fmgs_out").start()
+    // batch 1: user 1 has an in-batch 80-min gap (first session closes
+    // inside the batch); user 1's second and user 2's only session stay
+    // open in state
+    input.addData(
+      Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 11:30:00"), 1, "click", 4.0),
+      Event(ts("2024-01-01 10:05:00"), 2, "view", 8.0))
+    q.processAllAvailable()
+    // batches 2+3: push the watermark past every open session's 30-min
+    // horizon (timeouts are evaluated at the START of the batch AFTER the
+    // watermark advances, hence two triggers); user 99's own session
+    // stays open and must NOT be emitted
+    input.addData(Event(ts("2024-01-02 00:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(ts("2024-01-02 00:01:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, cast(session_start AS STRING), n, total_value " +
+        "FROM fmgs_out ORDER BY user_id, 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00", 2L, 3.0),
+      (1L, "2024-01-01 11:30:00", 1L, 4.0),
+      (2L, "2024-01-01 10:05:00", 1L, 8.0)))
+  }
+
   final case class IdEvent(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
