@@ -78,6 +78,24 @@ object Submit {
       println(s"unknown lifecycle command: $other"); 1
   }
 
+  /** Multi-job FIFO submission mirroring the reference manager's queue
+    * (reference manager/__main__.py:104,215-222: submitted jobs append to
+    * a FIFO queue and run strictly one at a time, each under an
+    * incrementing job id): argv groups separated by `--then` run
+    * sequentially in submission order. Under Spark the in-session
+    * equivalent is the FIFO scheduler; this surfaces the reference's
+    * multi-job CLI semantics over it. Returns each job's output dir. */
+  def runQueue(spark: SparkSession, argv: Seq[String]): Seq[String] = {
+    val jobs = argv.foldLeft(Vector(Vector.empty[String])) {
+      case (acc, "--then") => acc :+ Vector.empty
+      case (acc, a) => acc.init :+ (acc.last :+ a)
+    }
+    jobs.zipWithIndex.map { case (jargv, i) =>
+      println(s"running job $i") // mirrors manager/__main__.py:216
+      run(spark, jargv)
+    }
+  }
+
   /** CLI-shaped entry usable from tests: parse args, run, return output dir. */
   def run(spark: SparkSession, argv: Seq[String]): String = {
     val a = parse(argv.toList, Args())
@@ -105,6 +123,7 @@ object Submit {
       try {
         if (args.headOption.exists(Set("start", "stop", "status", "restart")))
           lifecycle(spark, args.head)
+        else if (args.contains("--then")) { runQueue(spark, args.toSeq); 0 }
         else { run(spark, args.toSeq); 0 }
       } finally spark.stop()
     if (code != 0) sys.exit(code)

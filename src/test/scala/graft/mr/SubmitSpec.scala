@@ -81,6 +81,25 @@ class SubmitSpec extends SparkSpec {
     }
   }
 
+  test("--then queues multiple jobs FIFO, one at a time, in submission order") {
+    val in = tmpDir("queue-in")
+    Files.writeString(Paths.get(in, "a.txt"), "x y x\n")
+    val out1 = tmpDir("queue-out1") + "/r1"
+    val out2 = tmpDir("queue-out2") + "/r2"
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    val job = Seq("-i", in, "-m", mapSh, "-r", reduceSh, "--nreducers", "1")
+    val outs = Submit.runQueue(spark,
+      (job ++ Seq("-o", out1)) ++ Seq("--then") ++ (job ++ Seq("-o", out2)))
+    assert(outs === Seq(out1, out2)) // FIFO: submission order preserved
+    Seq(out1, out2).foreach { o =>
+      val counts = readAll(o).map { l =>
+        val Array(k, v) = l.split("\t", 2); (k, v.toLong)
+      }.toMap
+      assert(counts === Map("x" -> 2L, "y" -> 1L))
+    }
+  }
+
   test("lifecycle subcommands mirror the reference launcher's exit semantics") {
     // reference bin/mapreduce:53-65: status exits 0 iff the fleet is up;
     // here the fleet is the live SparkContext
