@@ -12,6 +12,36 @@ import graft.Tables.dec
   * not approximate). */
 class SkewSpec extends SparkSpec {
 
+  test("saltedAgg equals direct aggregation for random data, keys, and salt counts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Zipfian-ish key pool (one hot key) + 2-decimal measures (exact in
+    // Tables.dec); salt column deliberately CORRELATED with rows, not keys
+    val rowGen = for {
+      k <- Gen.frequency((8, Gen.const("hot")), (2, Gen.oneOf("a", "b", "c")))
+      v <- Gen.choose(-99999, 99999).map(_ / 100.0)
+      id <- Gen.choose(0L, 1000L)
+    } yield (k, v, id)
+    val prop = Prop.forAll(Gen.listOfN(60, rowGen), Gen.choose(1, 16)) {
+      (rows: List[(String, Double, Long)], nSalts: Int) =>
+        import spark.implicits._
+        val df = rows.toDF("key", "v", "id")
+        def collect(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => r.getString(0) ->
+            (Option(r.getDecimal(1)).map(_.toPlainString), r.getLong(2),
+              r.getLong(3))).toMap
+        val direct = collect(df.groupBy("key").agg(
+          sum(dec(col("v"))).as("s"), count(lit(1)).as("n"),
+          min(col("id")).as("m")))
+        val salted = collect(Skew.saltedAgg(df, Seq("key"), col("id"), nSalts,
+          Seq(Skew.sumDec("s", col("v")), Skew.countAll("n"),
+            Skew.minOf("m", col("id")))))
+        direct == salted
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("salted two-stage aggregation equals direct aggregation exactly") {
     val li = Tables(spark, sf("sf0.001"), "lineitem")
       // skew it: collapse most keys onto one hot flag value
