@@ -384,6 +384,24 @@ object Relational {
         expr("percentile(o_totalprice, 0.99)").as("p99"))
       .orderBy("o_orderstatus")
 
+  /** Approximate percentile sketch next to its exact twin — the quantile
+    * member of the sketch family (HLL distinct in [[qApproxDistinct]],
+    * SpaceSaving heavy hitters). percentile_approx keeps a bounded
+    * mergeable summary per group (accuracy parameter bounds retained
+    * values) — the 100 TB path where the exact percentile must gather
+    * every value of a group onto one task. Rows-only check (sketch
+    * internals are engine-specific); ApproxSketchSpec pins the error
+    * envelope against the exact columns. */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
+        expr("percentile_approx(o_totalprice, 0.9, 10000)").as("approx_p90"))
+      .orderBy("o_orderstatus")
+
   /** Regex scalar family (RE2-safe patterns so the DuckDB oracle mirrors
     * them: no lookahead/backrefs). */
   def qScalarRegex(spark: SparkSession, dir: String): DataFrame =
@@ -485,6 +503,7 @@ object Relational {
     "q_scalar_math" -> qScalarMath _,
     "q_scalar_json" -> qScalarJson _,
     "q_distinct_agg" -> qDistinctAgg _,
+    "q_approx_percentile" -> qApproxPercentile _,
     "q_events_window" -> qEventsWindow _)
 
   val oracles: Map[String, String] = Map(
