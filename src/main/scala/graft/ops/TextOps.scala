@@ -134,6 +134,51 @@ object TextOps {
       .orderBy(desc("n"), asc("bigram"))
       .limit(100)
 
+  private val ChunkW = 64 // tokens per chunk
+  private val ChunkS = 48 // stride (16-token overlap)
+
+  /** Document chunking: overlapping token windows (W=64, stride=48) —
+    * the embedding-prep shape (each chunk goes to an encoder; overlap
+    * keeps boundary context). Entirely ROW-LOCAL: window starts are a
+    * `sequence` + `transform` inside the row, no shuffle at all — at
+    * 100 TB chunking is a free map over the corpus scan. Docs with no
+    * tokens produce no chunks. */
+  def qDocChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        // start offsets 0, S, 2S, ... while start < n  (n>=1 here)
+        s"transform(sequence(0, (size(t) - 1) div $ChunkS), i -> concat_ws(' ', slice(t, i * $ChunkS + 1, $ChunkW)))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).as("n_tokens"), col("chunk"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val PackB = 256 // sequence token budget
+
+  /** Sequence packing: concatenate each language shard's docs in doc_id
+    * order and cut every B=256 tokens — exactly how pretraining batches
+    * pack variable-length docs into fixed-length sequences. Emits each
+    * doc's (seq_id, offset) = where its text starts in the packed stream.
+    * The running sum is per-LANGUAGE (the shard key), so the window
+    * parallelizes across shards — the 100 TB shape where each corpus
+    * shard packs independently; a single global ordering would serialize
+    * into one partition. */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("prior", coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        // integer div, NOT `/` (double division — the CLAUDE.md trap)
+        expr(s"prior div $PackB").as("seq_id"),
+        (col("prior") % PackB).as("offset"))
+      .orderBy("doc_id")
+  }
+
   /** Top-20 words via the SpaceSaving heavy-hitters aggregate
     * ([[graft.functions.SpaceSavingTopK]]). Capacity 4096 >> vocabulary →
     * the sketch is in its exact regime, so the DuckDB oracle is the plain
@@ -156,6 +201,8 @@ object TextOps {
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_fingerprint" -> qFingerprint _,
+    "q_doc_chunks" -> qDocChunks _,
+    "q_seq_pack" -> qSeqPack _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +269,31 @@ object TextOps {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |base AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 1),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    array_to_string(l[i*48+1 : i*48+64], ' ') AS chunk
+        |  FROM base, UNNEST(range(0, (n-1)//48 + 1)) u(i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens, chunk
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM d WHERE n_tokens >= 1)
+        |SELECT doc_id, lang, n_tokens,
+        |  prior // 256 AS seq_id, prior % 256 AS offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_text_bigrams" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         |  SELECT l[i] || ' ' || l[i+1] AS bigram FROM (
