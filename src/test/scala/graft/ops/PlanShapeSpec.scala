@@ -59,6 +59,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft-mat-emb"), p)
   }
 
+  test("q_doc_chunks: chunking is shuffle-free (only the final sort exchanges)") {
+    // SCALE.md: chunk generation is a row-local transform+explode — the
+    // only exchange allowed is the deterministic-output range sort
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("rangepartitioning"), p) // the orderBy, nothing else
+  }
+
   test("q_join_bucketed: bucket-co-located sort-merge join with no exchange below it") {
     // disable size-based broadcast so the assertion exercises the bucketed
     // layout itself (at real fact×fact scale neither side broadcasts)
