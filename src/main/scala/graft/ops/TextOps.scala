@@ -179,6 +179,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic content-addressed split assignment: each doc lands in
+    * train/val/test by a threshold on md5(doc_id) — reproducible across
+    * runs, engines, and corpus re-partitions (a seeded RNG sample is
+    * none of those), which is the property a 100 TB held-out split must
+    * have. Pure narrow map, no shuffle; thresholds on the first hex byte:
+    * < 'f0' train (~93.75%), < 'f8' val (~3.125%), else test. The hash
+    * key is the doc ID, not the text, so exact-duplicate docs can land in
+    * different splits — hash `text` instead to make splits leak-proof
+    * under duplication (after dedup the two coincide). */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h2.as("h2"))
+      .withColumn("split",
+        when(col("h2") < "f0", "train")
+          .when(col("h2") < "f8", "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Top-20 words via the SpaceSaving heavy-hitters aggregate
     * ([[graft.functions.SpaceSavingTopK]]). Capacity 4096 >> vocabulary →
     * the sketch is in its exact regime, so the DuckDB oracle is the plain
@@ -203,6 +223,7 @@ object TextOps {
     "q_fingerprint" -> qFingerprint _,
     "q_doc_chunks" -> qDocChunks _,
     "q_seq_pack" -> qSeqPack _,
+    "q_hash_split" -> qHashSplit _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +315,12 @@ object TextOps {
         |SELECT doc_id, lang, n_tokens,
         |  prior // 256 AS seq_id, prior % 256 AS offset
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_bigrams" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         |  SELECT l[i] || ' ' || l[i+1] AS bigram FROM (
