@@ -35,6 +35,7 @@ object SparkEntry {
   def prewarm(spark: SparkSession, dir: String): Unit = {
     ops.Vectors.annBuckets(spark, dir) // also forces the shared emb table
     ops.Similarity.survivorPairs(spark, dir) // also forces shsurv
+    ops.Similarity.corpusShingles(spark, dir) // q_minhash_lsh's heavy subtree
     // bucketed layout: built once per corpus version, amortized over
     // every co-located join against it
     ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

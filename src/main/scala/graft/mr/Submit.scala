@@ -85,16 +85,36 @@ object Submit {
     * sequentially in submission order. Under Spark the in-session
     * equivalent is the FIFO scheduler; this surfaces the reference's
     * multi-job CLI semantics over it. Returns each job's output dir. */
-  def runQueue(spark: SparkSession, argv: Seq[String]): Seq[String] = {
+  private def splitQueue(argv: Seq[String]): Vector[Vector[String]] = {
     val jobs = argv.foldLeft(Vector(Vector.empty[String])) {
       case (acc, "--then") => acc :+ Vector.empty
       case (acc, a) => acc.init :+ (acc.last :+ a)
     }
-    jobs.zipWithIndex.map { case (jargv, i) =>
+    // a leading/trailing/doubled --then produces an empty group; name the
+    // queue syntax in the error instead of failing later on missing -i/-o
+    if (jobs.exists(_.isEmpty))
+      throw new IllegalArgumentException(
+        "empty job group in --then queue: every --then must separate two " +
+          "complete '-i ... -o ...' argument groups")
+    jobs
+  }
+
+  def runQueue(spark: SparkSession, argv: Seq[String]): Seq[String] =
+    splitQueue(argv).zipWithIndex.map { case (jargv, i) =>
       println(s"running job $i") // mirrors manager/__main__.py:216
       run(spark, jargv)
     }
-  }
+
+  /** main's queue path: like the reference manager, a failed job doesn't
+    * stop the FIFO — later jobs still run — but the process exit code
+    * reports the failure (1 if any queued job failed). */
+  private def runQueueCli(spark: SparkSession, argv: Seq[String]): Int =
+    splitQueue(argv).zipWithIndex.map { case (jargv, i) =>
+      println(s"running job $i")
+      try { run(spark, jargv); 0 }
+      catch { case e: Throwable =>
+        System.err.println(s"job $i failed: ${e.getMessage}"); 1 }
+    }.max
 
   /** CLI-shaped entry usable from tests: parse args, run, return output dir. */
   def run(spark: SparkSession, argv: Seq[String]): String = {
@@ -123,7 +143,7 @@ object Submit {
       try {
         if (args.headOption.exists(Set("start", "stop", "status", "restart")))
           lifecycle(spark, args.head)
-        else if (args.contains("--then")) { runQueue(spark, args.toSeq); 0 }
+        else if (args.contains("--then")) runQueueCli(spark, args.toSeq)
         else { run(spark, args.toSeq); 0 }
       } finally spark.stop()
     if (code != 0) sys.exit(code)

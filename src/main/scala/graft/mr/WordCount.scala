@@ -59,26 +59,38 @@ object MrQueries {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy("word")
 
+  /** Resolve a repo-tracked executable fixture from
+    * `spark.graft.mr.execDir` (conf override) or the checkout's
+    * src/test/resources/mr/exec relative to the working directory.
+    * THROWS when absent: these queries exist to prove the executable
+    * contract (reference worker/__main__.py:104-125); a silent native
+    * fallback would let the driver gate pass without the pipe path ever
+    * executing. */
+  private[mr] def execScript(spark: SparkSession, name: String): java.io.File = {
+    val candidates = Seq(
+      spark.conf.get("spark.graft.mr.execDir", ""),
+      s"${sys.props("user.dir")}/src/test/resources/mr/exec",
+      "/root/repo/src/test/resources/mr/exec").filter(_.nonEmpty)
+    candidates.map(d => new java.io.File(d, name)).find(_.isFile)
+      .getOrElse(throw new IllegalStateException(
+        s"executable fixture $name not found under ${candidates.mkString(", ")}" +
+          " — set spark.graft.mr.execDir; the executable-compat queries must" +
+          " not fall back to the native mapper"))
+  }
+
   /** Word count through the EXECUTABLE-compat path (`rdd.pipe` with the
     * wc_map.sh / wc_reduce.sh fixtures — the reference's entire
-    * user-extension surface, submit.py:41-49). Falls back to the native
-    * mapper/reducer if the scripts aren't on disk (same semantics, same
-    * oracle — the pipe fixtures are this repo's test resources). */
+    * user-extension surface, submit.py:41-49). Scripts are repo-tracked
+    * test resources; their absence THROWS via [[execScript]] rather than
+    * silently downgrading to the native mapper. */
   def qWordcountPipe(spark: SparkSession, dir: String): DataFrame = {
-    val base = "/root/repo/src/test/resources/mr/exec"
-    val mapSh = new java.io.File(s"$base/wc_map.sh")
-    val reduceSh = new java.io.File(s"$base/wc_reduce.sh")
+    val mapSh = execScript(spark, "wc_map.sh")
+    val reduceSh = execScript(spark, "wc_reduce.sh")
     val lines = graft.Tables(spark, dir, "documents")
       .select("text").rdd.map(_.getString(0))
-    val reduced =
-      if (mapSh.isFile && reduceSh.isFile) {
-        MapReduceJob.shuffle(
-          lines.pipe(Seq("/bin/sh", mapSh.getAbsolutePath)), 32)
-          .pipe(Seq("/bin/sh", reduceSh.getAbsolutePath))
-      } else {
-        MapReduceJob.shuffle(lines.flatMap(WordCount.mapper), 32)
-          .mapPartitions(WordCount.reducer)
-      }
+    val reduced = MapReduceJob.shuffle(
+        lines.pipe(Seq("/bin/sh", mapSh.getAbsolutePath)), 32)
+      .pipe(Seq("/bin/sh", reduceSh.getAbsolutePath))
     import spark.implicits._
     reduced.map { l =>
       val k = MapReduceJob.tabKey(l)
@@ -94,23 +106,21 @@ object MrQueries {
     * emitted (word, 1) lines. ROW FORMAT DELIMITED must be declared on
     * BOTH sides — the default TRANSFORM delimiter is Hive's U+0001 (^A), not
     * the tab the reference convention uses (see SqlTransformSpec).
-    * Falls back to the native mapper if the script isn't on disk. */
+    * A missing script THROWS via [[execScript]] — no silent native
+    * fallback. */
   def qWordcountTransform(spark: SparkSession, dir: String): DataFrame = {
-    val mapSh = new java.io.File(
-      "/root/repo/src/test/resources/mr/exec/wc_map.sh")
-    if (mapSh.isFile) {
-      graft.Tables(spark, dir, "documents")
-        .select("text").createOrReplaceTempView("t_wc_transform_in")
-      spark.sql(
-        s"""SELECT TRANSFORM(text)
-           |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
-           |  USING 'sh ${mapSh.getAbsolutePath}'
-           |  AS (word STRING, one STRING)
-           |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
-           |FROM t_wc_transform_in""".stripMargin)
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy("word")
-    } else qWordcountDf(spark, dir)
+    val mapSh = execScript(spark, "wc_map.sh")
+    graft.Tables(spark, dir, "documents")
+      .select("text").createOrReplaceTempView("t_wc_transform_in")
+    spark.sql(
+      s"""SELECT TRANSFORM(text)
+         |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+         |  USING 'sh ${mapSh.getAbsolutePath}'
+         |  AS (word STRING, one STRING)
+         |  ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t'
+         |FROM t_wc_transform_in""".stripMargin)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
   }
 
   private val wordcountOracle =

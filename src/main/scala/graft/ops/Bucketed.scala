@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -22,29 +20,38 @@ import graft.Tables.dec4
   */
 object Bucketed {
 
-  // (dir, table, key, buckets) → catalog table name; built once per session
-  private val built = new ConcurrentHashMap[String, String]()
+  // serializes concurrent layout builds; reuse is decided by the CATALOG
+  // (catalog.tableExists), not a JVM-global map — a map entry can outlive
+  // the session whose catalog holds the table (stop + new session in one
+  // JVM) and would then serve a dangling name
+  private val buildLock = new Object
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Write `table` bucketed+sorted on `key` once per session (external
     * table backed by a session-temp dir, like Tables.materialize; on a
     * real cluster the path would be shared storage and the layout built
     * once per corpus version, not per session). Later calls reuse the
-    * catalog table. */
+    * catalog table. The name carries the full md5 of the cache key, so
+    * distinct (dir, key, buckets) combinations can never collide into
+    * serving each other's data (String.hashCode could). */
   def bucketedTable(spark: SparkSession, dir: String, table: String,
       key: String, buckets: Int = 32): DataFrame = {
-    val name = built.computeIfAbsent(s"$dir:$table:$key:$buckets", _ => {
-      val tname = s"b_${table}_${Integer.toHexString(s"$dir:$key:$buckets".hashCode)}"
-      val path = java.nio.file.Files
-        .createTempDirectory(s"graft-bucket-$table-").toString
-      Tables.registerTempDir(s"bucket:$tname", path)
-      spark.sql(s"DROP TABLE IF EXISTS $tname")
-      Tables(spark, dir, table).write
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", path)
-        .mode("overwrite").saveAsTable(tname)
-      tname
-    })
-    spark.table(name)
+    val tname = s"b_${table}_${md5Hex(s"$dir:$table:$key:$buckets").take(16)}"
+    buildLock.synchronized {
+      if (!spark.catalog.tableExists(tname)) {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-bucket-$table-").toString
+        Tables.registerTempDir(s"bucket:$tname:$path", path)
+        Tables(spark, dir, table).write
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", path)
+          .mode("overwrite").saveAsTable(tname)
+      }
+    }
+    spark.table(tname)
   }
 
   /** Revenue per order priority over the bucketed lineitem⋈orders join.

