@@ -17,13 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries ++ sources.DocGenQueries.queries ++ ops.Bucketed.queries ++ ops.Skew.queries
+    ops.Relational.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Curation.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries ++ sources.DocGenQueries.queries ++ ops.Bucketed.queries ++ ops.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (reserved for genuinely non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles
+    ops.Relational.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Curation.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles
 
   /** Build the session-shared derived tables (embedding projection, LSH
     * bucket table, survivor shingles, verified survivor pairs) up front.
@@ -36,6 +36,7 @@ object SparkEntry {
     ops.Vectors.annBuckets(spark, dir) // also forces the shared emb table
     ops.Similarity.survivorPairs(spark, dir) // also forces shsurv
     ops.Similarity.corpusShingles(spark, dir) // q_minhash_lsh's heavy subtree
+    ops.Similarity.minhashSignatures(spark, dir) // k=32 signature agg (BENCH_r06 tail)
     // bucketed layout: built once per corpus version, amortized over
     // every co-located join against it
     ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation operators beyond dedup/similarity: leak-proof split
+  * assignment, benchmark-contamination detection, PII redaction,
+  * paragraph-level dedup, and doc-boundary-preserving sequence packing.
+  * The reference has none of these (its only text op is word count,
+  * SURVEY.md §2.1 O9); they are the curation surface a 100 TB
+  * training-data pipeline runs between raw crawl and tokenizer.
+  *
+  * Scale design: every operator is either a narrow map (split, PII) or
+  * shuffles on a derived hash key (paragraph md5, 13-gram md5) — no
+  * all-pairs work anywhere; the packing fold is sequential per shard by
+  * definition (greedy first-fit is order-dependent) and parallelizes
+  * across shards exactly like [[TextOps.qSeqPack]].
+  */
+object Curation {
+
+  /** Content-keyed split assignment: same thresholds as
+    * [[TextOps.qHashSplit]] but keyed on md5 of the FINGERPRINT-normalized
+    * text (lowercase, whitespace collapsed — [[TextOps.qFingerprint]]'s
+    * canonical form) instead of the doc id. Exact and near-exact
+    * (case/spacing) duplicate docs therefore always land in the SAME
+    * split — the leak-proofness property an id-keyed split cannot give
+    * under duplication (the caveat conceded in qHashSplit's scaladoc).
+    * Still a pure narrow map: no shuffle, reproducible across runs,
+    * engines, and corpus re-partitions. */
+  def qHashSplitContent(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h2.as("h2"))
+      .withColumn("split",
+        when(col("h2") < "f0", "train")
+          .when(col("h2") < "f8", "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** 13-token grams of a tokenized doc, distinct per doc, keyed by md5 —
+    * the standard benchmark-contamination unit (13-gram overlap, as in the
+    * GPT-3/PaLM decontamination writeups). md5 rather than xxhash64 so the
+    * DuckDB oracle can mirror the key EXACTLY (collisions and all); the
+    * 8→32-byte key cost is irrelevant next to the gram strings it
+    * replaces in the exchange. */
+  private def gramKeys(df: DataFrame): DataFrame =
+    df.filter(size(col("t")) >= 13)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(t) - 13), i -> concat_ws(' ', slice(t, i + 1, 13)))")))
+        .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+
+  /** Benchmark-contamination check: for every held-out eval doc (the
+    * id-keyed 'test' split), count how many of its distinct 13-grams also
+    * appear in any 'train' doc, and how many train docs share one. One
+    * row per eval doc INCLUDING clean ones (n_hit = 0) — a contamination
+    * report that returns no rows when the eval set is clean would be
+    * indistinguishable from one that never ran.
+    *
+    * Scale shape: shuffle key is the gram hash; the eval side is small by
+    * nature (benchmarks are thousands of docs, not billions), so it
+    * BROADCASTS and the train-side gram stream never shuffles at all —
+    * the whole check is one map-side join over the train scan plus a tiny
+    * per-eval-doc aggregation. Uses the id-keyed split deliberately: run
+    * against q_hash_split's assignment, nonzero n_hit rows are exactly
+    * the train/test leakage that split permits. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"), h2.as("h2"))
+    val trainGrams = gramKeys(toks.filter(col("h2") < "f0"))
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    val evalDocs = toks.filter(col("h2") >= "f8")
+      .select(col("doc_id"), size(col("t")).as("n_tokens"))
+    val evalGrams = gramKeys(toks.filter(col("h2") >= "f8"))
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    val hits = trainGrams.join(broadcast(evalGrams), "gh")
+      .groupBy("eval_doc")
+      .agg(countDistinct(col("gh")).as("n_hit"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .withColumnRenamed("eval_doc", "doc_id")
+    evalDocs.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_hit").isNotNull).cast("int").as("contaminated"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** RE2-safe PII patterns (no lookaround, identical semantics under
+    * Java regex and DuckDB's RE2) — interpolated verbatim into the oracle
+    * SQL so both engines run the same pattern. */
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII detection + redaction: count email/phone matches per doc and emit
+    * the redacted text (emails → <EMAIL> first, then phones → <PHONE> —
+    * order matters and the oracle mirrors it). A pure narrow map over the
+    * corpus scan — at 100 TB this is a free pass fused into whatever scan
+    * runs anyway. The fixture corpus contains no PII (counts 0, redacted =
+    * original — the oracle still proves the plumbing); CurationSpec proves
+    * the match/redact semantics on synthetic PII. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+
+  private val ParaW = 16 // tokens per paragraph-block
+
+  /** Paragraph-level dedup: split each doc into paragraphs, drop every
+    * paragraph whose content (md5) already appeared earlier in the corpus
+    * (first occurrence by (doc_id, para_idx) survives), and reassemble
+    * each doc from its surviving paragraphs — the Dolma/RefinedWeb-style
+    * sub-document dedup pass that full-doc dedup cannot express.
+    *
+    * Paragraph boundary: real corpora split on blank lines; this fixture
+    * has no newlines (single-space token streams), so the registered
+    * query uses fixed [[ParaW]]-token blocks as the paragraph unit — the
+    * fixture's docs share exact phrase blocks, so the pass is non-vacuous
+    * — while [[paraDedupBy]] takes any paragraph-array column and
+    * CurationSpec exercises the blank-line variant on synthetic docs.
+    *
+    * Scale shape: one shuffle on md5(paragraph) for the first-occurrence
+    * window, one shuffle on doc_id for reassembly — never on raw text
+    * order, no all-pairs. */
+  def paraDedupBy(docs: DataFrame, paras: Column): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col("doc_id"), col("para_idx"))
+    p.withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum(col("kept").cast("int")).cast("int").as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(para_idx, para) END)), s -> s.para)"))
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  def qParaDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedupBy(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 1),
+      expr(s"transform(sequence(0, (size(t) - 1) div $ParaW), i -> concat_ws(' ', slice(t, i * $ParaW + 1, $ParaW)))"))
+
+  private val PackB = 256 // sequence token budget (same as qSeqPack)
+
+  /** Doc-boundary-preserving sequence packing: greedy first-fit in doc_id
+    * order per language shard — a doc that would overflow the current
+    * B=256 sequence STARTS A NEW ONE instead of being cut mid-doc
+    * ([[TextOps.qSeqPack]] cuts; this variant never splits a doc, the
+    * packing used when examples must stay intact). A doc longer than B
+    * gets a sequence of its own, and the next doc starts fresh.
+    *
+    * The fold is inherently sequential per shard (each doc's placement
+    * depends on the running fill), so it runs ROW-LOCALLY over the
+    * shard's collected (doc_id, n_tokens) list — list of per-doc token
+    * COUNTS, not text, so a shard of millions of docs is tens of MB; at
+    * 100 TB the shard key is (lang, shard_id) and shards pack
+    * independently in parallel, exactly like qSeqPack's window. The
+    * DuckDB oracle expresses the same fold as a recursive CTE. */
+  def qSeqPackGreedy(spark: SparkSession, dir: String): DataFrame = {
+    val fold =
+      s"""aggregate(
+         |  ds,
+         |  struct(
+         |    cast(array() as array<struct<doc_id:bigint,n_tokens:int,seq_id:int,offset:int>>) AS out,
+         |    0 AS seq, 0 AS fill),
+         |  (a, x) -> struct(
+         |    array_append(a.out, struct(
+         |      x.doc_id AS doc_id, x.n_tokens AS n_tokens,
+         |      IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, a.seq + 1, a.seq) AS seq_id,
+         |      IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, 0, a.fill) AS offset)) AS out,
+         |    IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, a.seq + 1, a.seq) AS seq,
+         |    IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, x.n_tokens, a.fill + x.n_tokens) AS fill),
+         |  a -> a.out)""".stripMargin
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .groupBy("lang")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens"))))
+        .as("ds"))
+      .select(col("lang"), explode(expr(fold)).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("lang"),
+        col("p.n_tokens").as("n_tokens"), col("p.seq_id").as("seq_id"),
+        col("p.offset").as("offset"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_split_content" -> qHashSplitContent _,
+    "q_contamination" -> qContamination _,
+    "q_pii_scrub" -> qPiiScrub _,
+    "q_para_dedup" -> qParaDedup _,
+    "q_seq_pack_greedy" -> qSeqPackGreedy _)
+
+  val oracles: Map[String, String] = Map(
+    "q_hash_split_content" ->
+      """SELECT doc_id, lang,
+        |  substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2) AS h2,
+        |  CASE WHEN substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2) < 'f0' THEN 'train'
+        |       WHEN substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2) < 'f8' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) h2
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, h2, md5(array_to_string(l[i+1 : i+13], ' ')) gh
+        |  FROM (SELECT doc_id, h2, l, len(l) n FROM toks WHERE len(l) >= 13),
+        |    UNNEST(range(0, n - 12)) u(i)),
+        |hits AS (
+        |  SELECT e.doc_id, COUNT(DISTINCT e.gh) n_hit,
+        |    COUNT(DISTINCT t.doc_id) n_train_docs
+        |  FROM g e JOIN g t ON e.gh = t.gh AND t.h2 < 'f0'
+        |  WHERE e.h2 >= 'f8'
+        |  GROUP BY 1)
+        |SELECT ev.doc_id, CAST(len(ev.l) AS INT) AS n_tokens,
+        |  CAST(CASE WHEN hits.n_hit IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated,
+        |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(hits.n_train_docs, 0) AS BIGINT) AS n_train_docs
+        |FROM toks ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+        |WHERE ev.h2 >= 'f8' ORDER BY ev.doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_para_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS INT) para_idx,
+        |    array_to_string(l[i*16+1 : i*16+16], ' ') para
+        |  FROM (SELECT doc_id, l, len(l) n FROM toks WHERE len(l) >= 1),
+        |    UNNEST(range(0, (n - 1) // 16 + 1)) u(i)),
+        |m AS (
+        |  SELECT doc_id, para_idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) rn
+        |  FROM p)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  COALESCE(array_to_string(list(para ORDER BY para_idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_seq_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rn
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 1),
+        |g AS (
+        |  SELECT doc_id, lang, n_tokens, rn,
+        |    0 AS seq_id, 0 AS "offset", n_tokens AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+        |    CASE WHEN g.fill + d.n_tokens > 256 THEN g.seq_id + 1 ELSE g.seq_id END,
+        |    CASE WHEN g.fill + d.n_tokens > 256 THEN 0 ELSE g.fill END,
+        |    CASE WHEN g.fill + d.n_tokens > 256 THEN d.n_tokens ELSE g.fill + d.n_tokens END
+        |  FROM g JOIN d ON d.lang = g.lang AND d.rn = g.rn + 1)
+        |SELECT doc_id, lang, n_tokens, CAST(seq_id AS INT) AS seq_id,
+        |  CAST("offset" AS INT) AS "offset"
+        |FROM g ORDER BY doc_id""".stripMargin)
+}

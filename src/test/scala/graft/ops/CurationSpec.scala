@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics of the curation operators that the driver's fixture-corpus
+  * oracle can't exercise: blank-line paragraph dedup (the fixture has no
+  * newlines), PII match/redact on synthetic PII (the fixture has none),
+  * greedy-packing invariants, and the leak-proofness property that
+  * motivates the content-keyed split. */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("paraDedupBy on blank-line paragraphs drops repeats, keeps first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared para text\n\ngamma"),
+      (2L, "shared para text\n\ndelta epsilon"),
+      (3L, "shared para text")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\n\\s*\\n"), p => p =!= "").as("t"))
+    val got = Curation.paraDedupBy(docs, col("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3, 3, "alpha beta shared para text gamma"),
+      (2L, 2, 1, "delta epsilon"), // shared para already seen in doc 1
+      (3L, 1, 0, ""))) // every paragraph a dup -> empty doc survives as row
+  }
+
+  test("q_para_dedup never drops a paragraph that appears only once") {
+    val out = Curation.qParaDedup(spark, dir).collect()
+    // every doc present, kept <= total, and corpus-wide each distinct
+    // paragraph is kept exactly once
+    val docs = graft.Tables(spark, dir, "documents").count()
+    assert(out.length === docs)
+    assert(out.forall(r => r.getInt(2) <= r.getInt(1)))
+    val keptTotal = out.map(_.getInt(2).toLong).sum
+    val distinctParas = graft.Tables(spark, dir, "documents")
+      .select(explode(expr(
+        "transform(sequence(0, (size(filter(split(text, '\\\\s+'), t -> t != '')) - 1) div 16), i -> concat_ws(' ', slice(filter(split(text, '\\\\s+'), t -> t != ''), i * 16 + 1, 16)))"))
+        .as("p")).select("p").distinct().count()
+    assert(keptTotal === distinctParas)
+  }
+
+  test("pii scrub counts and redacts emails and phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact john.doe+x@ex-ample.co.uk or 555-123-4567 now"),
+      (2L, "two mails a@b.io c@d.org and phone 123.456.7890"),
+      (3L, "no pii here, 12-34 is not a phone, a@b is not a mail"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        regexp_count(col("text"), lit(Curation.EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(Curation.PhoneRe)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), Curation.EmailRe, "<EMAIL>"),
+          Curation.PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) === ((1L, 1, 1, "contact <EMAIL> or <PHONE> now")))
+    assert(out(1) === ((2L, 2, 1, "two mails <EMAIL> <EMAIL> and phone <PHONE>")))
+    assert(out(2) === ((3L, 0, 0, "no pii here, 12-34 is not a phone, a@b is not a mail")))
+  }
+
+  test("greedy packing never splits a doc and never overfills a sequence") {
+    val rows = Curation.qSeqPackGreedy(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val byId = shard.sortBy(_._1)
+      // seq_ids start at 0 and are nondecreasing in doc order, +0 or +1
+      assert(byId.head._4 === 0)
+      byId.sliding(2).foreach {
+        case Array((_, _, _, s1, _), (_, _, _, s2, _)) =>
+          assert(s2 === s1 || s2 === s1 + 1)
+        case _ => ()
+      }
+      byId.foreach { case (_, _, n, _, off) =>
+        // a doc placed at nonzero offset fits entirely inside the budget
+        // (offset 0 = doc starts its own sequence; may legally exceed B)
+        if (off > 0) assert(off + n <= 256)
+      }
+      // offset equals the sum of earlier docs in the same sequence
+      byId.groupBy(_._4).foreach { case (_, seq) =>
+        val inOrder = seq.sortBy(_._1)
+        var fill = 0
+        inOrder.foreach { case (_, _, n, _, off) =>
+          assert(off === fill); fill += n
+        }
+      }
+    }
+  }
+
+  test("content-keyed split puts exact and near-exact duplicates in one split") {
+    import spark.implicits._
+    // the fixture has no duplicate docs at sf0.001, so prove the property
+    // on a synthetic corpus through the SAME column logic
+    val docs = Seq(
+      (1L, "en", "Hello  World"), (2L, "en", "hello world"),
+      (3L, "en", "other doc"), (4L, "en", "Other   DOC"))
+      .toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("curation_split_docs")
+    val h2 = substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
+    val out = docs.select(col("doc_id"),
+        when(h2 < "f0", "train").when(h2 < "f8", "val").otherwise("test").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(3L) === out(4L))
+    // and the registered query emits one row per doc with the h2 column
+    val reg = Curation.qHashSplitContent(spark, dir).collect()
+    assert(reg.length === graft.Tables(spark, dir, "documents").count())
+  }
+
+  test("contamination marks train/test 13-gram leakage and reports clean docs too") {
+    val out = Curation.qContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty, "eval split should be nonempty")
+    // flag consistent with counts
+    out.foreach { case (_, _, c, nHit, nTrain) =>
+      assert((c === 1) === (nHit > 0))
+      assert((nHit > 0) === (nTrain > 0))
+    }
+    // independent ground truth: brute-force 13-gram overlap on the same split
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h2(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x"
+    }
+    def grams(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(13).filter(_.length == 13).map(_.mkString(" ")).toSet
+    val train = docs.filter(d => h2(d._1) < "f0").map(d => grams(d._2))
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expect = docs.filter(d => h2(d._1) >= "f8")
+      .map { case (id, t) => id -> grams(t).count(train.contains) }.toMap
+    out.foreach { case (id, _, _, nHit, _) =>
+      assert(nHit === expect(id).toLong, s"doc $id")
+    }
+  }
+}
