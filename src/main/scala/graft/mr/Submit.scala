@@ -108,12 +108,15 @@ object Submit {
   /** main's queue path: like the reference manager, a failed job doesn't
     * stop the FIFO — later jobs still run — but the process exit code
     * reports the failure (1 if any queued job failed). */
-  private def runQueueCli(spark: SparkSession, argv: Seq[String]): Int =
+  private[mr] def runQueueCli(spark: SparkSession, argv: Seq[String]): Int =
     splitQueue(argv).zipWithIndex.map { case (jargv, i) =>
       println(s"running job $i")
+      // NonFatal only: a fatal JVM error (OOM, thread death) must abort the
+      // queue, not keep scheduling jobs into a possibly corrupted JVM.
+      // e.toString, not getMessage — getMessage is null for e.g. bare NPEs.
       try { run(spark, jargv); 0 }
-      catch { case e: Throwable =>
-        System.err.println(s"job $i failed: ${e.getMessage}"); 1 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"job $i failed: ${Option(e.getMessage).getOrElse(e.toString)}"); 1 }
     }.max
 
   /** CLI-shaped entry usable from tests: parse args, run, return output dir. */

@@ -67,10 +67,14 @@ object MrQueries {
     * fallback would let the driver gate pass without the pipe path ever
     * executing. */
   private[mr] def execScript(spark: SparkSession, name: String): java.io.File = {
-    val candidates = Seq(
-      spark.conf.get("spark.graft.mr.execDir", ""),
-      s"${sys.props("user.dir")}/src/test/resources/mr/exec",
-      "/root/repo/src/test/resources/mr/exec").filter(_.nonEmpty)
+    // An EXPLICIT conf override is authoritative: resolving only against it
+    // means a misconfigured path fails loudly instead of being silently
+    // masked by the checked-in repo copies. The checkout-relative default
+    // applies only when no override is set.
+    val conf = spark.conf.get("spark.graft.mr.execDir", "")
+    val candidates =
+      if (conf.nonEmpty) Seq(conf)
+      else Seq(s"${sys.props("user.dir")}/src/test/resources/mr/exec")
     candidates.map(d => new java.io.File(d, name)).find(_.isFile)
       .getOrElse(throw new IllegalStateException(
         s"executable fixture $name not found under ${candidates.mkString(", ")}" +

@@ -20,11 +20,13 @@ import graft.Tables.dec4
   */
 object Bucketed {
 
-  // serializes concurrent layout builds; reuse is decided by the CATALOG
-  // (catalog.tableExists), not a JVM-global map — a map entry can outlive
-  // the session whose catalog holds the table (stop + new session in one
-  // JVM) and would then serve a dangling name
-  private val buildLock = new Object
+  // serializes concurrent builds PER TABLE NAME (unrelated layouts build in
+  // parallel); reuse is decided by the CATALOG (catalog.tableExists), not a
+  // JVM-global map — a map entry can outlive the session whose catalog
+  // holds the table (stop + new session in one JVM) and would then serve a
+  // dangling name
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -37,11 +39,26 @@ object Bucketed {
     * catalog table. The name carries the full md5 of the cache key, so
     * distinct (dir, key, buckets) combinations can never collide into
     * serving each other's data (String.hashCode could). */
+  /** A catalog entry only serves reuse while its backing dir still exists:
+    * the table lives in a session-temp dir, and a long session can lose it
+    * to an external /tmp cleaner — reusing it then fails every later scan
+    * with no rebuild path, so a missing location drops + rebuilds. */
+  private def locationMissing(spark: SparkSession, tname: String): Boolean =
+    try {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tname")
+        .filter(col("col_name") === "Location")
+        .collect().headOption.map(_.getString(1))
+      loc.exists(l => !new java.io.File(new java.net.URI(l).getPath).exists())
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def bucketedTable(spark: SparkSession, dir: String, table: String,
       key: String, buckets: Int = 32): DataFrame = {
     val tname = s"b_${table}_${md5Hex(s"$dir:$table:$key:$buckets").take(16)}"
-    buildLock.synchronized {
-      if (!spark.catalog.tableExists(tname)) {
+    buildLocks.computeIfAbsent(tname, _ => new Object).synchronized {
+      val stale = spark.catalog.tableExists(tname) &&
+        locationMissing(spark, tname)
+      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tname")
+      if (stale || !spark.catalog.tableExists(tname)) {
         val path = java.nio.file.Files
           .createTempDirectory(s"graft-bucket-$table-").toString
         Tables.registerTempDir(s"bucket:$tname:$path", path)

@@ -121,4 +121,46 @@ class SubmitSpec extends SparkSpec {
     WordCount.job(in, out2, numReducers = 3).run(spark)
     assert(listNames(out2).contains("_SUCCESS"))
   }
+
+  test("--then with an empty job group is rejected up front") {
+    val e = intercept[IllegalArgumentException](
+      Submit.runQueue(spark, Seq("--then")))
+    assert(e.getMessage.contains("empty job group"))
+    intercept[IllegalArgumentException](
+      Submit.runQueue(spark, Seq("-i", "x", "--then")))
+    intercept[IllegalArgumentException](
+      Submit.runQueue(spark, Seq("--then", "-i", "x")))
+  }
+
+  test("queue CLI exits nonzero on a failed job but still runs later jobs") {
+    val in = tmpDir("queue-in")
+    Files.writeString(Paths.get(in, "a.txt"), "x y x\n")
+    val out1 = tmpDir("queue-out1") + "/r"
+    val out2 = tmpDir("queue-out2") + "/r"
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    val bad = Seq("-i", "/graft-no-such-input-dir", "-o", out1,
+      "-m", mapSh, "-r", reduceSh, "--nreducers", "1")
+    val good = Seq("-i", in, "-o", out2,
+      "-m", mapSh, "-r", reduceSh, "--nreducers", "1")
+    val code = Submit.runQueueCli(spark, bad ++ Seq("--then") ++ good)
+    assert(code === 1)
+    // the failed job didn't stop the FIFO: job 1 completed normally
+    val counts = readAll(out2).map { l =>
+      val Array(k, v) = l.split("\t", 2); (k, v.toLong)
+    }.toMap
+    assert(counts === Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("an explicit execDir override never falls back to the repo fixtures") {
+    val empty = tmpDir("exec-empty")
+    spark.conf.set("spark.graft.mr.execDir", empty)
+    try {
+      val e = intercept[IllegalStateException](
+        MrQueries.qWordcountPipe(spark, "/root/testdata/sf0.001"))
+      assert(e.getMessage.contains(empty))
+      // the checked-in copies exist but must NOT rescue a bad override
+      assert(!e.getMessage.contains("src/test/resources"))
+    } finally spark.conf.unset("spark.graft.mr.execDir")
+  }
 }

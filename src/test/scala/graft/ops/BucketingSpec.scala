@@ -65,4 +65,27 @@ class BucketingSpec extends SparkSpec {
       assert(shuffles.isEmpty, s"join input was shuffled:\n$j")
     }
   }
+
+  test("bucketedTable rebuilds when its backing dir was externally removed") {
+    val dir = sf("sf0.001")
+    // a (table, key) no other suite or prewarm uses, so clobbering its
+    // layout can't race shared state
+    val t1 = Bucketed.bucketedTable(spark, dir, "nation", "n_nationkey")
+    val n = t1.count()
+    assert(n > 0)
+    val tname = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("b_nation_")).get
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tname")
+      .filter(col("col_name") === "Location").collect().head.getString(1)
+    val root = new java.io.File(new java.net.URI(loc).getPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(root) // the long-session /tmp-cleaner scenario
+    assert(!root.exists())
+    // reuse must detect the lost location and drop+rebuild, not serve a
+    // permanently broken catalog entry
+    val t2 = Bucketed.bucketedTable(spark, dir, "nation", "n_nationkey")
+    assert(t2.count() === n)
+  }
 }

@@ -209,4 +209,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(last(1L) === UserStats(3L, 10.0))
     assert(last(2L) === UserStats(1L, 1.0))
   }
+
+  test("cross-batch late event min-extends the session start and keeps the timeout horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionizeWithState(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    // batch 1: user 1 session (10:30); watermark -> 10:20
+    input.addData(Event(ts("2024-01-01 10:30:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: LATE event 10:21 — older than the stored lastTs but inside
+    // the watermark. The fix (r6) keeps lastTs = 10:30 (horizon 11:00) and
+    // min-extends start to 10:21; the pre-fix machine overwrote lastTs
+    // with the late ts, rewinding the horizon to 10:51
+    input.addData(Event(ts("2024-01-01 10:21:00"), 1, "click", 2.0))
+    q.processAllAvailable()
+    // batch 3: 10:55 is 25 min after the TRUE lastTs (same session) but
+    // 34 min after the rewound one — under the old bug this event split
+    // the session in two
+    input.addData(Event(ts("2024-01-01 10:55:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    // close everything: watermark past 10:55 + 30 min
+    input.addData(Event(ts("2024-01-01 12:00:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(ts("2024-01-01 12:01:00"), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, cast(session_start AS STRING), n, total_value " +
+        "FROM late_out WHERE user_id = 1 ORDER BY 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq((1L, "2024-01-01 10:21:00", 3L, 7.0)))
+  }
 }
