@@ -62,6 +62,21 @@ object Similarity {
   private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.materializeShared(shingles(spark, dir), "shingles", dir)
 
+  /** Exact-dup cluster membership (doc_id, rep, lang, n_chars), rep = min
+    * doc_id of the md5(text) group — session-shared: q_jaccard_pairs
+    * consumes it three times (rep filter + both member-expansion joins)
+    * and q_dedup_pipeline's survivors are exactly its rep rows, so the
+    * corpus-wide content-hash window runs once per corpus version instead
+    * of once per consumer (Debug timeq: each per-query rebuild cost ~1s
+    * of the 3.2s/2.6s warm steady state). */
+  private[graft] def docClusters(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+            .as("rep")),
+      "clusters", dir)
+
   /** Shingle table of the exact-dedup SURVIVORS (= representatives: min
     * doc_id per md5(text) group), shared across the whole dedup family via
     * [[graft.Tables.materializeShared]] — q_jaccard_pairs' reps and
@@ -69,9 +84,8 @@ object Similarity {
     * tokenize+explode runs once per session. */
   private[graft] def survivorShingles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val ids = docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("doc_id")
+    val ids = docClusters(spark, dir)
+      .filter(col("doc_id") === col("rep")).select("doc_id")
     Tables.materializeShared(shinglesOf(docs.join(ids, "doc_id")), "shsurv", dir)
   }
 
@@ -215,15 +229,10 @@ object Similarity {
     * shingles and are excluded throughout (matching the oracle's sh CTE),
     * via the inner joins against the rep shingle/size tables. */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    // (doc_id, rep): exact-dup cluster membership; materialized — consumed
-    // by the rep filter, both cross-expansion joins, and within-pairs
-    val clusters = materialize(
-      docs.select(col("doc_id"), md5(col("text")).as("h"))
-        .withColumn("rep", min(col("doc_id"))
-          .over(Window.partitionBy(col("h"))))
-        .select(col("doc_id"), col("rep")),
-      "clusters")
+    // (doc_id, rep): exact-dup cluster membership — session-shared
+    // ([[docClusters]]); consumed by the rep filter, both cross-expansion
+    // joins, and within-pairs
+    val clusters = docClusters(spark, dir).select("doc_id", "rep")
     // reps = min doc_id per md5 group = EXACTLY qDedupPipeline's
     // survivors: the shingle table AND the verified rep pairs are shared
     // with the rest of the dedup family (one build per session)
@@ -348,12 +357,10 @@ object Similarity {
     * id, NOT transitive closure — deterministic and SQL-expressible).
     * Returns the clean corpus. */
   def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    // single consumer (the anti-join): the shingle filter now reads the
-    // SHARED survivor tables, so no per-query materialization is needed
-    val survivors = docs
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // survivors = the rep rows of the SHARED cluster table (min doc_id per
+    // content-hash group — identical to the old rn=1 window)
+    val survivors = docClusters(spark, dir)
+      .filter(col("doc_id") === col("rep"))
       .select("doc_id", "lang", "n_chars")
     // shared verified pairs — same subtree as q_jaccard_pairs' rep pairs
     val removed = survivorPairs(spark, dir)
