@@ -170,7 +170,10 @@ object Curation {
     * 100 TB the shard key is (lang, shard_id) and shards pack
     * independently in parallel, exactly like qSeqPack's window. The
     * DuckDB oracle expresses the same fold as a recursive CTE. */
-  def qSeqPackGreedy(spark: SparkSession, dir: String): DataFrame = {
+  /** The greedy fold over a (doc_id, lang, n_tokens) frame — extracted so
+    * CurationSpec can property-test it against an in-JVM reference fold
+    * on arbitrary inputs. */
+  private[ops] def greedyPack(d: DataFrame): DataFrame = {
     val fold =
       s"""aggregate(
          |  ds,
@@ -185,11 +188,7 @@ object Curation {
          |    IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, a.seq + 1, a.seq) AS seq,
          |    IF(a.fill > 0 AND a.fill + x.n_tokens > $PackB, x.n_tokens, a.fill + x.n_tokens) AS fill),
          |  a -> a.out)""".stripMargin
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
-      .groupBy("lang")
+    d.groupBy("lang")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens"))))
         .as("ds"))
       .select(col("lang"), explode(expr(fold)).as("p"))
@@ -198,6 +197,13 @@ object Curation {
         col("p.offset").as("offset"))
       .orderBy("doc_id")
   }
+
+  def qSeqPackGreedy(spark: SparkSession, dir: String): DataFrame =
+    greedyPack(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") >= 1))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_split_content" -> qHashSplitContent _,

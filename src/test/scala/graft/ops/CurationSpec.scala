@@ -140,4 +140,35 @@ class CurationSpec extends SparkSpec {
       assert(nHit === expect(id).toLong, s"doc $id")
     }
   }
+
+  test("greedy packing equals the reference sequential fold on arbitrary shards") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // doc ids unique across the corpus; token counts cross the B=256
+    // budget from both sides (tiny docs, mid docs, oversize docs)
+    val rowGen = for {
+      lang <- Gen.oneOf("en", "es", "de")
+      n <- Gen.frequency((6, Gen.choose(1, 120)), (3, Gen.choose(121, 256)),
+        (1, Gen.choose(257, 600)))
+    } yield (lang, n)
+    val prop = Prop.forAll(Gen.listOfN(40, rowGen)) { rows0 =>
+      import spark.implicits._
+      val rows = rows0.zipWithIndex.map { case ((l, n), i) => (i.toLong, l, n) }
+      val got = Curation.greedyPack(rows.toDF("doc_id", "lang", "n_tokens"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(3), r.getInt(4)))).toMap
+      // reference fold: per lang in doc_id order
+      val expect = rows.groupBy(_._2).flatMap { case (_, shard) =>
+        var seq = 0; var fill = 0
+        shard.sortBy(_._1).map { case (id, _, n) =>
+          if (fill > 0 && fill + n > 256) { seq += 1; fill = 0 }
+          val off = fill; fill += n
+          id -> ((seq, off))
+        }
+      }
+      got == expect
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
