@@ -199,6 +199,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc k-gram occurrence counts: (doc_id, gram, c). Shuffle key is
+    * (doc_id, gram) — fine-grained and skew-free at any corpus size. */
+  private def gramCounts(toks: DataFrame, k: Int): DataFrame = {
+    val mk = (0 until k).map(j => s"t[i+$j]").mkString(", ")
+    toks
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $mk))"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+  }
+
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * rules): per doc, the fraction of bigram occurrences whose bigram
+    * repeats within the doc, the same for trigrams, and the top-bigram
+    * occupancy — the standard filters for boilerplate and degenerate
+    * (looping) text that length/stopword heuristics miss. Docs need >= 3
+    * tokens (both gram sizes defined). Two aggregations on the
+    * (doc_id, gram) key joined on doc_id; all fractions are single
+    * long→double divisions (deterministic in both engines). */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val dupSum = coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+    val s2 = gramCounts(toks, 2).groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"),
+      (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"),
+      (dupSum.cast("double") / sum(col("c"))).as("dup_bigram_frac"))
+    val s3 = gramCounts(toks, 3).groupBy("doc_id").agg(
+      (dupSum.cast("double") / sum(col("c"))).as("dup_trigram_frac"))
+    s2.join(s3, "doc_id")
+      .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac",
+        "dup_trigram_frac")
+      .orderBy("doc_id")
+  }
+
   /** Top-20 words via the SpaceSaving heavy-hitters aggregate
     * ([[graft.functions.SpaceSavingTopK]]). Capacity 4096 >> vocabulary →
     * the sketch is in its exact regime, so the DuckDB oracle is the plain
@@ -224,6 +260,7 @@ object TextOps {
     "q_doc_chunks" -> qDocChunks _,
     "q_seq_pack" -> qSeqPack _,
     "q_hash_split" -> qHashSplit _,
+    "q_text_repetition" -> qTextRepetition _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +358,33 @@ object TextOps {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |base AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 3),
+        |c2 AS (
+        |  SELECT doc_id, gram, COUNT(*) c FROM (
+        |    SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+        |    FROM base, UNNEST(range(1, n)) u(i)) g GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT doc_id, gram, COUNT(*) c FROM (
+        |    SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+        |    FROM base, UNNEST(range(1, n - 1)) u(i)) g GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+        |      / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac
+        |  FROM c2 GROUP BY 1),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+        |      / CAST(SUM(c) AS BIGINT) AS dup_trigram_frac
+        |  FROM c3 GROUP BY 1)
+        |SELECT s2.doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac,
+        |  dup_trigram_frac
+        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id ORDER BY s2.doc_id""".stripMargin,
     "q_text_bigrams" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         |  SELECT l[i] || ' ' || l[i+1] AS bigram FROM (

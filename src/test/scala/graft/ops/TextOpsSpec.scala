@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** In-JVM checks for the text-analysis signals beyond the DuckDB gate. */
+class TextOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("repetition signals are bounded, non-vacuous, and match brute force") {
+    val out = TextOps.qTextRepetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, top, d2, d3) =>
+      assert(n >= 2)
+      assert(top > 0 && top <= 1.0)
+      assert(d2 >= 0 && d2 <= 1.0)
+      assert(d3 >= 0 && d3 <= 1.0)
+      // a repeated bigram implies the top bigram repeats
+      if (d2 > 0) assert(top >= 2.0 / n)
+    }
+    // the fixture's docs share and repeat phrase blocks — the signal must
+    // actually fire somewhere or the operator is vacuous on this corpus
+    assert(out.exists(_._4 > 0), "no doc with a repeated bigram")
+
+    // brute-force ground truth for every doc
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) None
+      else {
+        def fracs(k: Int) = {
+          val counts = t.sliding(k).filter(_.length == k).map(_.mkString(" "))
+            .toSeq.groupBy(identity).map(_._2.size)
+          val total = counts.sum.toDouble
+          (counts.sum.toLong, counts.max / total,
+            counts.filter(_ > 1).sum / total)
+        }
+        val (n2, top2, dup2) = fracs(2)
+        val (_, _, dup3) = fracs(3)
+        Some(id -> ((n2, top2, dup2, dup3)))
+      }
+    }.toMap
+    assert(out.length === expect.size)
+    out.foreach { case (id, n, top, d2, d3) =>
+      val (en, etop, ed2, ed3) = expect(id)
+      assert(n === en, s"doc $id n")
+      assert(math.abs(top - etop) < 1e-12, s"doc $id top")
+      assert(math.abs(d2 - ed2) < 1e-12, s"doc $id dup2")
+      assert(math.abs(d3 - ed3) < 1e-12, s"doc $id dup3")
+    }
+  }
+}
