@@ -91,6 +91,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-language sampling rates for [[qCorpusMix]] expressed as 4-hex-char
+    * md5 thresholds (string comparison of fixed-width lowercase hex ==
+    * numeric comparison): en keeps everything, es/de downsample to ~50%,
+    * fr/zh to ~25% — the data-mixing shape (up/down-weighting sources to a
+    * target distribution). */
+  private[ops] val MixThresholds: Seq[(String, String)] = Seq(
+    "en" -> "ffff", "es" -> "8000", "de" -> "8000",
+    "fr" -> "4000", "zh" -> "4000")
+
+  /** Deterministic corpus mixing: stratified downsampling to per-language
+    * target rates by an md5(doc_id) threshold — the hash-based sampling a
+    * 100 TB mixing job needs (reproducible across runs, engines, and
+    * re-partitions; a seeded RNG sample is none of those, and changing
+    * one input doc never flips another doc's membership). Pure narrow
+    * map + filter: the kept fraction of each language approximates its
+    * rate with binomial error, with membership decidable per row. Unknown
+    * languages are dropped (explicit allowlist = the mixing manifest). */
+  def qCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val thr = MixThresholds.foldRight(lit(null).cast("string"): Column) {
+      case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h4.as("h4"), thr.as("thr"))
+      .filter(col("thr").isNotNull && (col("h4") <= col("thr")))
+      .select("doc_id", "lang", "h4")
+      .orderBy("doc_id")
+  }
+
   /** RE2-safe PII patterns (no lookaround, identical semantics under
     * Java regex and DuckDB's RE2) — interpolated verbatim into the oracle
     * SQL so both engines run the same pattern. */
@@ -207,6 +236,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_split_content" -> qHashSplitContent _,
+    "q_corpus_mix" -> qCorpusMix _,
     "q_contamination" -> qContamination _,
     "q_pii_scrub" -> qPiiScrub _,
     "q_para_dedup" -> qParaDedup _,
@@ -220,6 +250,16 @@ object Curation {
         |       WHEN substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" -> {
+      val thrCase = "CASE lang " + MixThresholds.map { case (l, t) =>
+        s"WHEN '$l' THEN '$t'" }.mkString(" ") + " END"
+      s"""SELECT doc_id, lang,
+         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+         |FROM documents
+         |WHERE $thrCase IS NOT NULL
+         |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= $thrCase
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l,

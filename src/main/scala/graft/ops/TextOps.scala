@@ -199,6 +199,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-3 keywords per doc by a rational tf-idf score: tf × N / df
+    * (linear inverse document frequency instead of log(N/df) — ln differs
+    * in the last ulp across libm implementations, while (tf·N)/df is two
+    * exact-int-input IEEE ops that both engines evaluate bit-identically;
+    * the RANKING it induces is the same as tf·(N/df)). df is corpus-wide
+    * distinct-doc frequency — one (token) agg joined to the per-doc
+    * (doc_id, token) counts, then a per-doc top-3 window: the classic
+    * two-pass distributed tf-idf, no driver-side state. */
+  def qTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = lit(Tables(spark, dir, "documents").count())
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("token"))
+    tf.join(df, "token")
+      .withColumn("score", col("tf").cast("double") * n / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"),
+        col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Per-doc k-gram occurrence counts: (doc_id, gram, c). Shuffle key is
     * (doc_id, gram) — fine-grained and skew-free at any corpus size. */
   private def gramCounts(toks: DataFrame, k: Int): DataFrame = {
@@ -261,6 +286,7 @@ object TextOps {
     "q_seq_pack" -> qSeqPack _,
     "q_hash_split" -> qHashSplit _,
     "q_text_repetition" -> qTextRepetition _,
+    "q_tfidf_keywords" -> qTfidfKeywords _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -358,6 +384,21 @@ object TextOps {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df.df AS score
+        |  FROM tf JOIN df ON tf.token = df.token)
+        |SELECT doc_id, rank, token, score, tf, df FROM (
+        |  SELECT doc_id, token, score, tf, df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+        |  FROM s) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l

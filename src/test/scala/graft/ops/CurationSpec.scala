@@ -171,4 +171,23 @@ class CurationSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("corpus mix keeps languages at their target rates, deterministically") {
+    val out = Curation.qCorpusMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val totals = graft.Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // en keeps everything; downsampled langs land near their rate
+    assert(kept("en") === totals("en"))
+    for ((lang, rate) <- Seq("es" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "zh" -> 0.25)) {
+      val f = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(f - rate) < 0.2, s"$lang kept $f, target $rate")
+    }
+    // reproducible: a second run keeps the identical doc set
+    val again = Curation.qCorpusMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === again.toSeq)
+  }
 }

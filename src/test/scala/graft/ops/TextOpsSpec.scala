@@ -54,4 +54,22 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(d3 - ed3) < 1e-12, s"doc $id dup3")
     }
   }
+
+  test("tfidf keywords: 3 per doc, rarity beats frequency at equal tf") {
+    val rows = TextOps.qTfidfKeywords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, ks) =>
+      assert(ks.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"doc $id ranks")
+      // scores nonincreasing in rank
+      val byRank = ks.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // score formula holds exactly: tf * N / df
+    val n = graft.Tables(spark, dir, "documents").count()
+    rows.foreach { case (_, _, _, score, tf, df) =>
+      assert(score === tf.toDouble * n / df)
+    }
+  }
 }
