@@ -234,7 +234,48 @@ object Curation {
           size(TextOps.tokens(col("text"))).as("n_tokens"))
         .filter(col("n_tokens") >= 1))
 
+  /** The END-TO-END curation pass — what a user of this library actually
+    * runs between raw corpus and tokenizer, as ONE query: (1) exact dedup
+    * (content-hash survivors), (2) near-dup removal (Jaccard >= 0.8
+    * greedy-by-id, [[Similarity.qDedupPipeline]]'s semantics), (3) quality
+    * filter (>= 10 tokens and no token longer than 20 chars — the cheap
+    * Gopher-style length gates), (4) language mixing ([[qCorpusMix]]'s
+    * thresholds), (5) content-keyed split assignment
+    * ([[qHashSplitContent]]).
+    *
+    * Every expensive stage reads the session-shared derived tables
+    * (cluster membership, verified near-dup pairs) — the pipeline adds
+    * only narrow maps and one broadcast anti-join on top, so composing
+    * the stages costs no more than their shared parts; stage order
+    * (dedup before filter/mix) is deliberate: dedup's derived tables are
+    * corpus-keyed and REUSABLE only if computed on the unfiltered corpus,
+    * and removing dups first also makes the mix rates dup-robust. */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Similarity.qDedupPipeline(spark, dir).select("doc_id")
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val thr = MixThresholds.foldRight(lit(null).cast("string"): Column) {
+      case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
+    }
+    val h2 = substring(
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
+    Tables(spark, dir, "documents")
+      .join(clean, "doc_id") // stages 1+2: the deduped corpus
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("t"), h4.as("h4"), thr.as("thr"),
+        h2.as("h2"))
+      .filter(size(col("t")) >= 10 &&
+        size(filter(col("t"), x => length(x) > 20)) === 0) // stage 3
+      .filter(col("thr").isNotNull && (col("h4") <= col("thr"))) // stage 4
+      .select(col("doc_id"), col("lang"),
+        size(col("t")).as("n_tokens"),
+        when(col("h2") < "f0", "train") // stage 5
+          .when(col("h2") < "f8", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> qCurationPipeline _,
     "q_hash_split_content" -> qHashSplitContent _,
     "q_corpus_mix" -> qCorpusMix _,
     "q_contamination" -> qContamination _,
@@ -243,6 +284,47 @@ object Curation {
     "q_seq_pack_greedy" -> qSeqPackGreedy _)
 
   val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> {
+      val mixCase = "CASE lang " + MixThresholds.map { case (l, t) =>
+        s"WHEN '$l' THEN '$t'" }.mkString(" ") + " END"
+      s"""WITH survivors AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+         |    FROM documents) s WHERE rn = 1),
+         |toksh AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') l
+         |  FROM survivors),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |  FROM toksh, UNNEST(range(1, len(l) - 1)) u(i)),
+         |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |removed AS (
+         |  SELECT DISTINCT db AS doc_id
+         |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+         |clean AS (
+         |  SELECT s.doc_id, s.lang, s.text,
+         |    list_filter(string_split_regex(s.text, '\\s+'), t -> t <> '') l
+         |  FROM survivors s
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM removed)),
+         |filt AS (
+         |  SELECT doc_id, lang, text, CAST(len(l) AS INT) AS n_tokens
+         |  FROM clean
+         |  WHERE len(l) >= 10 AND len(list_filter(l, x -> LENGTH(x) > 20)) = 0)
+         |SELECT doc_id, lang, n_tokens,
+         |  CASE WHEN substring(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 2) < 'f0' THEN 'train'
+         |       WHEN substring(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 2) < 'f8' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM filt
+         |WHERE $mixCase IS NOT NULL
+         |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= $mixCase
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_hash_split_content" ->
       """SELECT doc_id, lang,
         |  substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2) AS h2,
