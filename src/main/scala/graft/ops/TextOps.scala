@@ -224,6 +224,29 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  private val VocabV = 16 // vocabulary size (fixture vocabulary is 31 words)
+
+  /** Vocabulary coverage — the tokenizer-prep audit: build a top-V
+    * frequency vocabulary (deterministic (count DESC, token) order), then
+    * per doc count tokens outside it and the OOV rate. V=16 against the
+    * fixture's 31-word vocabulary so the signal is non-vacuous; a real
+    * run sets V to the tokenizer's budget. Scale shape: the vocab is
+    * top-V of a token count (TakeOrdered, no full sort) and BROADCASTS to
+    * the per-doc pass — the corpus-sized side never shuffles on token. */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(VocabV)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc k-gram occurrence counts: (doc_id, gram, c). Shuffle key is
     * (doc_id, gram) — fine-grained and skew-free at any corpus size. */
   private def gramCounts(toks: DataFrame, k: Int): DataFrame = {
@@ -287,6 +310,7 @@ object TextOps {
     "q_hash_split" -> qHashSplit _,
     "q_text_repetition" -> qTextRepetition _,
     "q_tfidf_keywords" -> qTfidfKeywords _,
+    "q_vocab_coverage" -> qVocabCoverage _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +408,18 @@ object TextOps {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (SELECT token, COUNT(*) c FROM tk GROUP BY 1) t
+        |  ORDER BY c DESC, token LIMIT 16)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS INT) AS n_oov,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
