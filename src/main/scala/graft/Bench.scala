@@ -110,12 +110,17 @@ object Bench {
     // io_canary_factor >> 1 means the scan path (page cache/disk) was.
     // canary_norm_total = total scaled back to the CPU canaries' warm
     // anchor — the self-describing contention-adjusted figure.
-    val canaryWarm = Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7)
+    // THREE canaries, MEDIAN factor: contention here is bursty enough that
+    // one canary can read ×2.7 while another reads ×1.0 in the same run
+    // (BENCH_r06 and a round-7 run both showed exactly this split); the
+    // median survives one outlier where the old two-canary mean did not.
+    val canaryWarm =
+      Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7, "q_scalar_regex" -> 1.0)
     val ioWarm = 0.55 // quiet-window median of ioCanary() at sf0.1, local[32]
     val canaries = results.filter(r => canaryWarm.contains(r._1))
     val factor =
       if (canaries.isEmpty) 1.0
-      else canaries.map { case (k, v) => v / canaryWarm(k) }.sum / canaries.size
+      else median(canaries.map { case (k, v) => v / canaryWarm(k) })
     val ioSec = median(ioSecs.toSeq)
     val canaryJson = canaries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,15 +41,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_dedup_pipeline: one corpus scan + the shared verified-pairs intermediate") {
-    // the whole near-dup subtree (shingle -> prefix -> verify) lives in the
-    // session-shared survpairs materialization; the final plan is ONE
-    // documents scan (the survivors window) anti-joined against that tiny
-    // intermediate. More corpus scans = the round-2 17x subtree
-    // replication has regressed
+  test("q_dedup_pipeline: zero corpus scans — only shared intermediates") {
+    // the near-dup subtree (shingle -> prefix -> verify) lives in the
+    // session-shared survpairs materialization and the survivors window in
+    // the shared cluster table (round 7): the final plan reads NO corpus
+    // parquet at all — a rep filter on the cluster intermediate anti-joined
+    // against the tiny pair intermediate. Any documents scan = the shared
+    // tables have regressed to per-query rebuilds
     val p = plan("q_dedup_pipeline")
     val corpusScans = "documents\\.parquet".r.findAllIn(p).length
-    assert(corpusScans == 1, s"expected 1 corpus scan, got $corpusScans:\n$p")
+    assert(corpusScans == 0, s"expected 0 corpus scans, got $corpusScans:\n$p")
+    assert(p.contains("graft-mat-clusters"), p)
     assert(p.contains("graft-mat-survpairs"), p)
   }
 
