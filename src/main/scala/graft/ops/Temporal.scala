@@ -160,7 +160,49 @@ object Temporal {
       .orderBy("p_id", "e_id")
   }
 
+  /** First-touch conversion funnel per user: the furthest prefix of
+    * view → click → purchase reached as an ordered subsequence ANCHORED at
+    * the user's FIRST view, with the whole funnel inside a 24-hour
+    * attribution window of that anchor (the standard first-touch
+    * attribution semantic; without a window the fixture's users all
+    * trivially convert). The greedy fold from the fixed anchor equals the
+    * oracle's min-timestamp cascade by construction (first view, then MIN
+    * qualifying click, then MIN qualifying purchase); the fixture has no
+    * (user, ts) ties at any SF, so µs truncation preserves strict order.
+    * One shuffle on user_id, then a row-local fold over the sorted event
+    * list — per-user event counts are session-scale, never corpus-scale,
+    * so the collected list is bounded; the min-cascade alternative costs
+    * three corpus joins. */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    ev.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sort_array(collect_list(struct(col("ts"), col("event_type"))))
+          .as("evs"))
+      .select(col("user_id"), col("n_view"), col("n_click"),
+        col("n_purchase"), expr(
+          """aggregate(evs, struct(0 AS s, CAST(NULL AS TIMESTAMP) AS a),
+            |  (st, e) -> CASE
+            |    WHEN st.s = 0 AND e.event_type = 'view'
+            |      THEN struct(1 AS s, e.ts AS a)
+            |    WHEN st.s = 1 AND e.event_type = 'click'
+            |        AND e.ts <= st.a + INTERVAL 24 HOURS
+            |      THEN struct(2 AS s, st.a AS a)
+            |    WHEN st.s = 2 AND e.event_type = 'purchase'
+            |        AND e.ts <= st.a + INTERVAL 24 HOURS
+            |      THEN struct(3 AS s, st.a AS a)
+            |    ELSE st END,
+            |  st -> st.s)""".stripMargin).as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel" -> qEventFunnel _,
     "q_stream_join" -> qStreamJoin _,
     "q_events_dedup" -> qEventsDedup _,
     "q_interval_join" -> qIntervalJoin _,
@@ -169,6 +211,37 @@ object Temporal {
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, MIN(ts) ts1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) ts2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+        |    AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) ts3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |    AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |  FROM e GROUP BY 1)
+        |SELECT u.user_id AS user_id, u.n_view, u.n_click, u.n_purchase,
+        |  CAST(CASE WHEN t3.ts3 IS NOT NULL THEN 3
+        |            WHEN t2.ts2 IS NOT NULL THEN 2
+        |            WHEN t1.ts1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS funnel_stage
+        |FROM u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_stream_join" ->
       """WITH p AS (
         |  SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events

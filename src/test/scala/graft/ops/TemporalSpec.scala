@@ -46,4 +46,27 @@ class TemporalSpec extends SparkSpec {
     assert(scalable === naive)
     assert(naive.nonEmpty)
   }
+
+  test("event funnel equals brute-force subsequence matching per user") {
+    import org.apache.spark.sql.functions._
+    val got = Temporal.qEventFunnel(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val ev = graft.Tables(spark, sf("sf0.001"), "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val H = 24L * 3600 * 1000
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      var stage = 0; var anchor = 0L
+      es.sortBy(_._2).foreach { case (_, ts, t) =>
+        if (stage == 0 && t == "view") { stage = 1; anchor = ts }
+        else if (stage == 1 && t == "click" && ts <= anchor + H) stage = 2
+        else if (stage == 2 && t == "purchase" && ts <= anchor + H) stage = 3
+      }
+      u -> stage
+    }
+    assert(got === expect)
+    // the signal varies at this SF (not every user converts)
+    assert(got.values.toSet.size > 1, s"degenerate stages: ${got.values.toSet}")
+  }
 }
