@@ -39,6 +39,7 @@ object SparkEntry {
     ops.Similarity.survivorPairs(spark, dir) // also forces shsurv
     ops.Similarity.corpusShingles(spark, dir) // q_minhash_lsh's heavy subtree
     ops.Similarity.minhashSignatures(spark, dir) // k=32 signature agg (BENCH_r06 tail)
+    ops.Curation.trainGramIndex(spark, dir) // 13-gram decontamination index
     // bucketed layout: built once per corpus version, amortized over
     // every co-located join against it
     ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

@@ -68,12 +68,25 @@ object Curation {
     * per-eval-doc aggregation. Uses the id-keyed split deliberately: run
     * against q_hash_split's assignment, nonzero n_hit rows are exactly
     * the train/test leakage that split permits. */
+  /** The train split's 13-gram hash index — session-shared per corpus
+    * version: decontamination checks MANY eval benchmarks against the
+    * SAME train index, so the tokenize+explode of the (large) train side
+    * builds once and each check pays only its (small) eval side. */
+  private[graft] def trainGramIndex(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"), h2.as("h2"))
+    Tables.materializeShared(
+      gramKeys(toks.filter(col("h2") < "f0"))
+        .select(col("doc_id").as("train_doc"), col("gh")),
+      "traingrams", dir)
+  }
+
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"), h2.as("h2"))
-    val trainGrams = gramKeys(toks.filter(col("h2") < "f0"))
-      .select(col("doc_id").as("train_doc"), col("gh"))
+    val trainGrams = trainGramIndex(spark, dir)
     val evalDocs = toks.filter(col("h2") >= "f8")
       .select(col("doc_id"), size(col("t")).as("n_tokens"))
     val evalGrams = gramKeys(toks.filter(col("h2") >= "f8"))

@@ -171,6 +171,41 @@ object EventsStream {
       }
   }
 
+  final case class FunnelState(stage: Int, anchor: Long)
+  final case class FunnelOut(user_id: Long, funnel_stage: Int)
+
+  /** Streaming twin of [[graft.ops.Temporal.qEventFunnel]]: the first-touch
+    * view → click → purchase state machine per user, advanced per
+    * micro-batch via mapGroupsWithState (Update output: each batch emits
+    * the user's current furthest stage). Same semantics as the batch fold
+    * on an in-order stream; the state is two numbers per user — the
+    * pattern for any funnel/CEP stage machine built-in windows can't
+    * express. The 24-hour attribution window uses the same anchored
+    * deadline as batch. */
+  def funnelWithState(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val windowMs = 24L * 3600 * 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.stage == 0 && e.event_type == "view")
+                FunnelState(1, t)
+              else if (st.stage == 1 && e.event_type == "click" &&
+                t <= st.anchor + windowMs) FunnelState(2, st.anchor)
+              else if (st.stage == 2 && e.event_type == "purchase" &&
+                t <= st.anchor + windowMs) FunnelState(3, st.anchor)
+              else st
+          }
+          state.update(st)
+          FunnelOut(userId, st.stage)
+      }
+  }
+
   /** Demo wiring for a file source: the same windowed agg reading a
     * parquet directory as a stream. The fixture's ts is TIMESTAMP(NANOS),
     * which Spark's parquet reader only surfaces as a nanosecond long

@@ -244,4 +244,38 @@ class EventsStreamSpec extends SparkSpec {
         r.getDouble(3))).toSeq
     assert(got === Seq((1L, "2024-01-01 10:21:00", 3L, 7.0)))
   }
+
+  test("streaming funnel matches the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.funnelWithState(input.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_out").start()
+    // batch 1: user 1 views; user 2 clicks first (click before any view
+    // must NOT advance)
+    input.addData(
+      Event(ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks inside the 24h window, user 2 views
+    input.addData(
+      Event(ts("2024-01-01 11:00:00"), 1, "click", 0.0),
+      Event(ts("2024-01-01 11:00:00"), 2, "view", 0.0))
+    q.processAllAvailable()
+    // batch 3: user 1 purchases inside the window -> 3; user 2's click
+    // arrives 25h after their view anchor -> stays 1
+    input.addData(
+      Event(ts("2024-01-01 12:00:00"), 1, "purchase", 0.0),
+      Event(ts("2024-01-02 12:30:00"), 2, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // Update mode: take each user's LAST emitted row
+    val got = spark.sql(
+      "SELECT user_id, funnel_stage FROM funnel_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .zipWithIndex.groupBy(_._1._1).map { case (u, xs) =>
+        u -> xs.maxBy(_._2)._1._2 }
+    assert(got === Map(1L -> 3, 2L -> 1))
+  }
 }
