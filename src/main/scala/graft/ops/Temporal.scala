@@ -201,7 +201,35 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Weekly retention: for each ISO week, the distinct active users and
+    * how many are also active the FOLLOWING week (the product-analytics
+    * cohort staple). Shuffle shape: one distinct on (week, user) — the
+    * natural corpus-size reduction — then a self-equi-join on
+    * (user, week+7d) that only ever moves the distinct'd activity table,
+    * never raw events; the final per-week rollup is tiny. The last week
+    * honestly reports 0 retained (no following week exists). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = graft.Tables(spark, dir, "events")
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct()
+    val retained = act.as("a")
+      .join(act.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.week") === col("a.week") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("a.week").as("week"))
+      .agg(count(lit(1)).as("n_retained"))
+    act.groupBy("week").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("week"), "left")
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"))
+          .as("retention_rate"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> qRetention _,
     "q_event_funnel" -> qEventFunnel _,
     "q_stream_join" -> qStreamJoin _,
     "q_events_dedup" -> qEventsDedup _,
@@ -211,6 +239,21 @@ object Temporal {
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events),
+        |ret AS (
+        |  SELECT a.week, COUNT(*) n_retained FROM act a
+        |  JOIN act b ON b.user_id = a.user_id
+        |    AND b.week = a.week + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |tot AS (SELECT week, COUNT(*) n_active FROM act GROUP BY 1)
+        |SELECT strftime(tot.week, '%Y-%m-%d') AS week,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_active AS retention_rate
+        |FROM tot LEFT JOIN ret ON tot.week = ret.week
+        |ORDER BY week""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_type FROM events
