@@ -190,4 +190,31 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("paragraph dedup equals the reference first-occurrence algorithm on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small paragraph vocabulary forces heavy cross-doc duplication
+    val paraGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, paraGen))
+    val prop = Prop.forAll(Gen.listOfN(8, docGen)) { docs0 =>
+      import spark.implicits._
+      val docs = docs0.zipWithIndex.map { case (ps, i) => (i.toLong, ps) }
+      val df = docs.toDF("doc_id", "t")
+      val got = Curation.paraDedupBy(df, col("t")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toList
+      // reference: first (doc_id, idx) occurrence of each paragraph wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.sortBy(_._1).map { case (id, ps) =>
+        val kept = ps.filter { p =>
+          if (seen.contains(p)) false else { seen += p; true }
+        }
+        (id, ps.length, kept.length, kept.mkString(" "))
+      }
+      got == expect
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
