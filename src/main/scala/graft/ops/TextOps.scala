@@ -224,6 +224,26 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-language corpus report — the summary a curation run prints:
+    * docs, token volume, mean/median/p90 doc length, distinct sources.
+    * One narrow map + one hash agg per language; exact interpolated
+    * percentiles (int inputs → both engines interpolate identically, the
+    * q_percentile parity discipline). */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("median_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
   private val VocabV = 16 // vocabulary size (fixture vocabulary is 31 words)
 
   /** Vocabulary coverage — the tokenizer-prep audit: build a top-V
@@ -311,6 +331,7 @@ object TextOps {
     "q_text_repetition" -> qTextRepetition _,
     "q_tfidf_keywords" -> qTfidfKeywords _,
     "q_vocab_coverage" -> qVocabCoverage _,
+    "q_corpus_stats" -> qCorpusStats _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -408,6 +429,18 @@ object TextOps {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens) AS median_tokens,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens) AS p90_tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
