@@ -36,7 +36,8 @@ object SparkEntry {
     ops.Vectors.annBuckets(spark, dir) // also forces the shared emb table
     ops.Vectors.annCandidates(spark, dir) // shared by q_cosine_ann + q_cosine_neardup
     ops.Vectors.ivfAssigned(spark, dir) // quantizer + inverted lists (q_cosine_ivf)
-    ops.Similarity.survivorPairs(spark, dir) // also forces shsurv
+    ops.Similarity.survivorPairs(spark, dir) // also forces shsurv + clusters
+    ops.Similarity.survivorSizes(spark, dir) // per-survivor shingle counts
     ops.Similarity.corpusShingles(spark, dir) // q_minhash_lsh's heavy subtree
     ops.Similarity.minhashSignatures(spark, dir) // k=32 signature agg (BENCH_r06 tail)
     ops.Curation.trainGramIndex(spark, dir) // 13-gram decontamination index

@@ -89,6 +89,16 @@ object Similarity {
     Tables.materializeShared(shinglesOf(docs.join(ids, "doc_id")), "shsurv", dir)
   }
 
+  /** Per-survivor shingle counts (doc_id, n) — tiny, content-stable, and
+    * consumed per q_jaccard_pairs run for the within-cluster expansion:
+    * shared so the count agg over the ~shingle-table-sized input runs
+    * once per corpus version instead of per query. */
+  private[graft] def survivorSizes(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      survivorShingles(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n")),
+      "shsurvsz", dir)
+
   /** Verified near-dup pairs among the survivor corpus at J >= [[NearDupT]]
     * — (doc_a, doc_b, common, jac), the shared HEART of the dedup family:
     * q_jaccard_pairs expands these rep pairs back to cluster members;
@@ -236,7 +246,7 @@ object Similarity {
     // reps = min doc_id per md5 group = EXACTLY qDedupPipeline's
     // survivors: the shingle table AND the verified rep pairs are shared
     // with the rest of the dedup family (one build per session)
-    val sh = survivorShingles(spark, dir)
+    val sz = survivorSizes(spark, dir)
     val repPairs = survivorPairs(spark, dir)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         col("common"), col("jac"))
@@ -252,7 +262,6 @@ object Similarity {
         col("common"), col("jac"))
     // within-cluster: all member pairs, J = 1.0 by identity; the inner
     // join against the rep shingle sizes drops shingle-less clusters
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val within = bucketPairs(clusters, Seq("rep"))
       .join(clusters.select(col("doc_id").as("doc_a"), col("rep")), "doc_a")
       .join(sz.select(col("doc_id").as("rep"), col("n")), "rep")
