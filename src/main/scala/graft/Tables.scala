@@ -122,7 +122,17 @@ object Tables {
     * tables (normalized embeddings, shingle tables) are built once per
     * corpus version and shared by every downstream job. */
   def materializeShared(df: DataFrame, tag: String, key: String): DataFrame = {
-    val dir = matShared.computeIfAbsent(s"$tag:$key", _ => {
+    val mapKey = s"$tag:$key"
+    // A cached entry only serves reuse while its backing dir still exists:
+    // a long session can lose a /tmp intermediate to an external cleaner
+    // (same scenario ops.Bucketed.locationMissing guards) — serving the
+    // dead path would fail every consumer for the rest of the session
+    // with no rebuild path. Only local paths are cheaply checkable; conf'd
+    // shared-storage dirs (spark.graft.materializeDir) are trusted.
+    val prev = matShared.get(mapKey)
+    if (prev != null && !prev.contains("://") && !new java.io.File(prev).exists())
+      matShared.remove(mapKey, prev)
+    val dir = matShared.computeIfAbsent(mapKey, _ => {
       val d = writeMat(df, tag)
       matDirs.put(s"shared:$tag:$key", d) // shutdown cleanup, no tag GC
       d

@@ -29,17 +29,21 @@ object Curation {
     * under duplication (the caveat conceded in qHashSplit's scaladoc).
     * Still a pure narrow map: no shuffle, reproducible across runs,
     * engines, and corpus re-partitions. */
-  def qHashSplitContent(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = substring(
-      md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
+  /** First 2 hex chars of the fingerprint-normalized content md5 — the
+    * content-keyed split hash (single source for the query, the pipeline,
+    * and the spec; the oracle SQL mirrors it verbatim). */
+  private[ops] def contentH2: Column =
+    substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
+
+  /** train/val/test assignment from a 2-hex-char hash column. */
+  private[ops] def splitOf(h2: Column): Column =
+    when(h2 < "f0", "train").when(h2 < "f8", "val").otherwise("test")
+
+  def qHashSplitContent(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), h2.as("h2"))
-      .withColumn("split",
-        when(col("h2") < "f0", "train")
-          .when(col("h2") < "f8", "val")
-          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), contentH2.as("h2"))
+      .withColumn("split", splitOf(col("h2")))
       .orderBy("doc_id")
-  }
 
   /** 13-token grams of a tokenized doc, distinct per doc, keyed by md5 —
     * the standard benchmark-contamination unit (13-gram overlap, as in the
@@ -61,11 +65,14 @@ object Curation {
     * report that returns no rows when the eval set is clean would be
     * indistinguishable from one that never ran.
     *
-    * Scale shape: shuffle key is the gram hash; the eval side is small by
-    * nature (benchmarks are thousands of docs, not billions), so it
-    * BROADCASTS and the train-side gram stream never shuffles at all —
-    * the whole check is one map-side join over the train scan plus a tiny
-    * per-eval-doc aggregation. Uses the id-keyed split deliberately: run
+    * Scale shape: shuffle key is the gram hash. In the production shape
+    * the eval side is a BOUNDED benchmark set (thousands of docs) and
+    * Catalyst's size stats broadcast it, making the check one map-side
+    * join over the train scan; here the eval side is the corpus's own
+    * test split (a fixed fraction, NOT bounded), so no broadcast hint is
+    * forced — a hinted broadcast of a corpus-proportional side would OOM
+    * at 100 TB, and the planner already picks broadcast whenever the side
+    * is genuinely small. Uses the id-keyed split deliberately: run
     * against q_hash_split's assignment, nonzero n_hit rows are exactly
     * the train/test leakage that split permits. */
   /** The train split's 13-gram hash index — session-shared per corpus
@@ -91,7 +98,7 @@ object Curation {
       .select(col("doc_id"), size(col("t")).as("n_tokens"))
     val evalGrams = gramKeys(toks.filter(col("h2") >= "f8"))
       .select(col("doc_id").as("eval_doc"), col("gh"))
-    val hits = trainGrams.join(broadcast(evalGrams), "gh")
+    val hits = trainGrams.join(evalGrams, "gh")
       .groupBy("eval_doc")
       .agg(countDistinct(col("gh")).as("n_hit"),
         countDistinct(col("train_doc")).as("n_train_docs"))
@@ -121,13 +128,17 @@ object Curation {
     * map + filter: the kept fraction of each language approximates its
     * rate with binomial error, with membership decidable per row. Unknown
     * languages are dropped (explicit allowlist = the mixing manifest). */
-  def qCorpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
-    val thr = MixThresholds.foldRight(lit(null).cast("string"): Column) {
+  /** Per-language 4-hex-char mix threshold for this row's `lang` (null =
+    * not in the mixing manifest → dropped). */
+  private[ops] def mixThr: Column =
+    MixThresholds.foldRight(lit(null).cast("string"): Column) {
       case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
     }
+
+  def qCorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), h4.as("h4"), thr.as("thr"))
+      .select(col("doc_id"), col("lang"), h4.as("h4"), mixThr.as("thr"))
       .filter(col("thr").isNotNull && (col("h4") <= col("thr")))
       .select("doc_id", "lang", "h4")
       .orderBy("doc_id")
@@ -266,24 +277,17 @@ object Curation {
   def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val clean = Similarity.qDedupPipeline(spark, dir).select("doc_id")
     val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
-    val thr = MixThresholds.foldRight(lit(null).cast("string"): Column) {
-      case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
-    }
-    val h2 = substring(
-      md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
     Tables(spark, dir, "documents")
       .join(clean, "doc_id") // stages 1+2: the deduped corpus
       .select(col("doc_id"), col("lang"),
-        TextOps.tokens(col("text")).as("t"), h4.as("h4"), thr.as("thr"),
-        h2.as("h2"))
+        TextOps.tokens(col("text")).as("t"), h4.as("h4"), mixThr.as("thr"),
+        contentH2.as("h2"))
       .filter(size(col("t")) >= 10 &&
         size(filter(col("t"), x => length(x) > 20)) === 0) // stage 3
       .filter(col("thr").isNotNull && (col("h4") <= col("thr"))) // stage 4
       .select(col("doc_id"), col("lang"),
         size(col("t")).as("n_tokens"),
-        when(col("h2") < "f0", "train") // stage 5
-          .when(col("h2") < "f8", "val")
-          .otherwise("test").as("split"))
+        splitOf(col("h2")).as("split")) // stage 5
       .orderBy("doc_id")
   }
 

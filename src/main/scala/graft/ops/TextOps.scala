@@ -212,11 +212,17 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = lit(Tables(spark, dir, "documents").count())
+    // N as a lazy one-row cross join (the oracle's scalar-subquery shape):
+    // a driver-side .count() here would launch a separate job at
+    // DataFrame-CONSTRUCTION time, before the query even runs
+    val n = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("token"))
     tf.join(df, "token")
-      .withColumn("score", col("tf").cast("double") * n / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"), col("score"),

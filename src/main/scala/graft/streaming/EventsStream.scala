@@ -82,6 +82,15 @@ object EventsStream {
         col("p_ts"), col("e_ts"), col("value"))
   }
 
+  /** Full-precision event-time key: java.sql.Timestamp.getTime truncates
+    * to MILLISECONDS, so sorting or comparing by it alone manufactures
+    * ties between events that differ only at µs — and a stable sort then
+    * preserves arbitrary arrival order, diverging from the µs-ordered
+    * batch twins. All intra-batch ordering and window arithmetic here
+    * runs in microseconds. */
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
+
   final case class UserStats(n_events: Long, total_value: Double)
 
   /** Custom keyed state: running per-user event count/value via
@@ -137,9 +146,10 @@ object EventsStream {
             state.remove()
             out.iterator
           } else {
-            // in-batch events sorted by event time; fold them through the
-            // session machine, emitting sessions closed by in-batch gaps
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            // in-batch events sorted by FULL-precision event time; fold
+            // them through the session machine, emitting sessions closed
+            // by in-batch gaps
+            val sorted = batch.toSeq.sortBy(e => micros(e.ts))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
@@ -184,21 +194,21 @@ object EventsStream {
     * deadline as batch. */
   def funnelWithState(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    val windowMs = 24L * 3600 * 1000
+    val windowUs = 24L * 3600 * 1000000 // 24h in MICROseconds (anchor is µs)
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(0, 0L))
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
+          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
             st =
               if (st.stage == 0 && e.event_type == "view")
                 FunnelState(1, t)
               else if (st.stage == 1 && e.event_type == "click" &&
-                t <= st.anchor + windowMs) FunnelState(2, st.anchor)
+                t <= st.anchor + windowUs) FunnelState(2, st.anchor)
               else if (st.stage == 2 && e.event_type == "purchase" &&
-                t <= st.anchor + windowMs) FunnelState(3, st.anchor)
+                t <= st.anchor + windowUs) FunnelState(3, st.anchor)
               else st
           }
           state.update(st)

@@ -100,10 +100,8 @@ class CurationSpec extends SparkSpec {
       (1L, "en", "Hello  World"), (2L, "en", "hello world"),
       (3L, "en", "other doc"), (4L, "en", "Other   DOC"))
       .toDF("doc_id", "lang", "text")
-    docs.createOrReplaceTempView("curation_split_docs")
-    val h2 = substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 2)
     val out = docs.select(col("doc_id"),
-        when(h2 < "f0", "train").when(h2 < "f8", "val").otherwise("test").as("split"))
+        Curation.splitOf(Curation.contentH2).as("split"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out(1L) === out(2L))
     assert(out(3L) === out(4L))

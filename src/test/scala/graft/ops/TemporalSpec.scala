@@ -54,8 +54,13 @@ class TemporalSpec extends SparkSpec {
     val ev = graft.Tables(spark, sf("sf0.001"), "events")
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select("user_id", "ts", "event_type").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
-    val H = 24L * 3600 * 1000
+      .map { r =>
+        val t = r.getTimestamp(1) // full µs precision: getTime alone is ms
+        (r.getLong(0),
+          t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000,
+          r.getString(2))
+      }
+    val H = 24L * 3600 * 1000000
     val expect = ev.groupBy(_._1).map { case (u, es) =>
       var stage = 0; var anchor = 0L
       es.sortBy(_._2).foreach { case (_, ts, t) =>
