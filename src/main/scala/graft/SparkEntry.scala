@@ -33,18 +33,44 @@ object SparkEntry {
     * of charging the whole family's build to whichever query runs first.
     * Queries stay self-contained — each builds what's missing on demand. */
   def prewarm(spark: SparkSession, dir: String): Unit = {
-    ops.Vectors.annBuckets(spark, dir) // also forces the shared emb table
-    ops.Vectors.annCandidates(spark, dir) // shared by q_cosine_ann + q_cosine_neardup
-    ops.Vectors.ivfAssigned(spark, dir) // quantizer + inverted lists (q_cosine_ivf)
-    ops.Similarity.survivorPairs(spark, dir) // also forces shsurv + clusters
-    ops.Similarity.survivorSizes(spark, dir) // per-survivor shingle counts
-    ops.Similarity.corpusShingles(spark, dir) // q_minhash_lsh's heavy subtree
-    ops.Similarity.minhashSignatures(spark, dir) // k=32 signature agg (BENCH_r06 tail)
-    ops.Curation.trainGramIndex(spark, dir) // 13-gram decontamination index
-    // bucketed layout: built once per corpus version, amortized over
-    // every co-located join against it
-    ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
-    ops.Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
-    ()
+    // Independent build CHAINS run concurrently (Spark schedules their
+    // jobs side by side — prewarm wall time drops to ~the longest chain);
+    // within a chain the order respects data dependencies, and
+    // Tables.materializeShared's computeIfAbsent makes concurrent builds
+    // of a shared prerequisite safe (one thread builds, others reuse).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chains: Seq[() => Unit] = Seq(
+      () => { // ANN family: emb projection -> buckets -> candidate pairs
+        ops.Vectors.annBuckets(spark, dir)
+        ops.Vectors.annCandidates(spark, dir)
+        ()
+      },
+      () => { // IVF: quantizer + inverted lists (reuses emb when built)
+        ops.Vectors.ivfAssigned(spark, dir); ()
+      },
+      () => { // dedup family: clusters -> survivor shingles -> pairs/sizes
+        ops.Similarity.survivorPairs(spark, dir)
+        ops.Similarity.survivorSizes(spark, dir)
+        ()
+      },
+      () => { // minhash: corpus shingles -> k=32 signatures
+        ops.Similarity.corpusShingles(spark, dir)
+        ops.Similarity.minhashSignatures(spark, dir)
+        ()
+      },
+      () => { // 13-gram decontamination index
+        ops.Curation.trainGramIndex(spark, dir); ()
+      },
+      () => { // bucketed layouts: built once per corpus version, amortized
+        // over every co-located join against them
+        ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+        ops.Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
+        ()
+      })
+    val fs = chains.map(c => Future(c()))
+    // propagate the FIRST failure (prewarm_err must name a real cause)
+    fs.foreach(Await.result(_, Duration.Inf))
   }
 }
