@@ -83,6 +83,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     var failed = Set.empty[String]
     val ioSecs = Array.fill(passes)(0.0)
+    val passTotals = Array.fill(passes)(0.0)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (p <- 0 until passes) {
       ioSecs(p) = ioCanary()
@@ -95,14 +96,13 @@ object Bench {
           }
         }
         samples(name) = sec :: samples.getOrElse(name, Nil)
+        passTotals(p) += sec
       }
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val passTotals = (0 until passes)
-      .map(p => samples.values.map(_.reverse(p)).sum)
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Contention canaries: constant-work queries whose warm steady-state
     // is known (BASELINE.md adjudicates machine contention with them).

@@ -20,15 +20,19 @@ import graft.Tables
   */
 object Curation {
 
-  /** Content-keyed split assignment: same thresholds as
-    * [[TextOps.qHashSplit]] but keyed on md5 of the FINGERPRINT-normalized
-    * text (lowercase, whitespace collapsed — [[TextOps.qFingerprint]]'s
-    * canonical form) instead of the doc id. Exact and near-exact
-    * (case/spacing) duplicate docs therefore always land in the SAME
-    * split — the leak-proofness property an id-keyed split cannot give
-    * under duplication (the caveat conceded in qHashSplit's scaladoc).
-    * Still a pure narrow map: no shuffle, reproducible across runs,
-    * engines, and corpus re-partitions. */
+  /** First `n` hex chars of md5(doc_id) — the id-keyed hash every
+    * threshold-sampling operator here shares (split, mix, contamination's
+    * split reuse). */
+  private def idHex(n: Int): Column =
+    substring(md5(col("doc_id").cast("string")), 1, n)
+
+  /** (doc_id, tokens, id-hash split key) — the shared base frame of the
+    * contamination family. */
+  private def splitToks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"),
+        idHex(2).as("h2"))
+
   /** First 2 hex chars of the fingerprint-normalized content md5 — the
     * content-keyed split hash (single source for the query, the pipeline,
     * and the spec; the oracle SQL mirrors it verbatim). */
@@ -39,6 +43,15 @@ object Curation {
   private[ops] def splitOf(h2: Column): Column =
     when(h2 < "f0", "train").when(h2 < "f8", "val").otherwise("test")
 
+  /** Content-keyed split assignment: same thresholds as
+    * [[TextOps.qHashSplit]] but keyed on md5 of the FINGERPRINT-normalized
+    * text (lowercase, whitespace collapsed — [[TextOps.qFingerprint]]'s
+    * canonical form) instead of the doc id. Exact and near-exact
+    * (case/spacing) duplicate docs therefore always land in the SAME
+    * split — the leak-proofness property an id-keyed split cannot give
+    * under duplication (the caveat conceded in qHashSplit's scaladoc).
+    * Still a pure narrow map: no shuffle, reproducible across runs,
+    * engines, and corpus re-partitions. */
   def qHashSplitContent(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), contentH2.as("h2"))
@@ -58,6 +71,16 @@ object Curation {
         .as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
 
+  /** The train split's 13-gram hash index — session-shared per corpus
+    * version: decontamination checks MANY eval benchmarks against the
+    * SAME train index, so the tokenize+explode of the (large) train side
+    * builds once and each check pays only its (small) eval side. */
+  private[graft] def trainGramIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      gramKeys(splitToks(spark, dir).filter(col("h2") < "f0"))
+        .select(col("doc_id").as("train_doc"), col("gh")),
+      "traingrams", dir)
+
   /** Benchmark-contamination check: for every held-out eval doc (the
     * id-keyed 'test' split), count how many of its distinct 13-grams also
     * appear in any 'train' doc, and how many train docs share one. One
@@ -75,24 +98,8 @@ object Curation {
     * is genuinely small. Uses the id-keyed split deliberately: run
     * against q_hash_split's assignment, nonzero n_hit rows are exactly
     * the train/test leakage that split permits. */
-  /** The train split's 13-gram hash index — session-shared per corpus
-    * version: decontamination checks MANY eval benchmarks against the
-    * SAME train index, so the tokenize+explode of the (large) train side
-    * builds once and each check pays only its (small) eval side. */
-  private[graft] def trainGramIndex(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"), h2.as("h2"))
-    Tables.materializeShared(
-      gramKeys(toks.filter(col("h2") < "f0"))
-        .select(col("doc_id").as("train_doc"), col("gh")),
-      "traingrams", dir)
-  }
-
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"), h2.as("h2"))
+    val toks = splitToks(spark, dir)
     val trainGrams = trainGramIndex(spark, dir)
     val evalDocs = toks.filter(col("h2") >= "f8")
       .select(col("doc_id"), size(col("t")).as("n_tokens"))
@@ -120,6 +127,13 @@ object Curation {
     "en" -> "ffff", "es" -> "8000", "de" -> "8000",
     "fr" -> "4000", "zh" -> "4000")
 
+  /** Per-language 4-hex-char mix threshold for this row's `lang` (null =
+    * not in the mixing manifest → dropped). */
+  private[ops] def mixThr: Column =
+    MixThresholds.foldRight(lit(null).cast("string"): Column) {
+      case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
+    }
+
   /** Deterministic corpus mixing: stratified downsampling to per-language
     * target rates by an md5(doc_id) threshold — the hash-based sampling a
     * 100 TB mixing job needs (reproducible across runs, engines, and
@@ -128,17 +142,9 @@ object Curation {
     * map + filter: the kept fraction of each language approximates its
     * rate with binomial error, with membership decidable per row. Unknown
     * languages are dropped (explicit allowlist = the mixing manifest). */
-  /** Per-language 4-hex-char mix threshold for this row's `lang` (null =
-    * not in the mixing manifest → dropped). */
-  private[ops] def mixThr: Column =
-    MixThresholds.foldRight(lit(null).cast("string"): Column) {
-      case ((lang, t), elsE) => when(col("lang") === lang, lit(t)).otherwise(elsE)
-    }
-
   def qCorpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), h4.as("h4"), mixThr.as("thr"))
+      .select(col("doc_id"), col("lang"), idHex(4).as("h4"), mixThr.as("thr"))
       .filter(col("thr").isNotNull && (col("h4") <= col("thr")))
       .select("doc_id", "lang", "h4")
       .orderBy("doc_id")
@@ -276,12 +282,11 @@ object Curation {
     * and removing dups first also makes the mix rates dup-robust. */
   def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val clean = Similarity.qDedupPipeline(spark, dir).select("doc_id")
-    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
     Tables(spark, dir, "documents")
       .join(clean, "doc_id") // stages 1+2: the deduped corpus
       .select(col("doc_id"), col("lang"),
-        TextOps.tokens(col("text")).as("t"), h4.as("h4"), mixThr.as("thr"),
-        contentH2.as("h2"))
+        TextOps.tokens(col("text")).as("t"), idHex(4).as("h4"),
+        mixThr.as("thr"), contentH2.as("h2"))
       .filter(size(col("t")) >= 10 &&
         size(filter(col("t"), x => length(x) > 20)) === 0) // stage 3
       .filter(col("thr").isNotNull && (col("h4") <= col("thr"))) // stage 4
