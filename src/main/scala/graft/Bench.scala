@@ -26,6 +26,20 @@ import org.apache.spark.sql.SparkSession
   *    whichever query runs first, which a stderr-only warning hid. */
 object Bench {
 
+  /** Full JSON string escaping: Spark exception messages routinely span
+    * multiple lines (embedded plan fragments) — a raw newline would break
+    * the one-line bench record exactly when prewarm fails. */
+  private[graft] def jsonStr(m: String): String =
+    "\"" + m.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -126,19 +140,6 @@ object Bench {
       .mkString("{", ",", "}")
     val passJson = passTotals.map(_.toString).mkString("[", ",", "]")
     val prewarmOk = prewarmErr.isEmpty
-    // full JSON string escaping: Spark exception messages routinely span
-    // multiple lines (embedded plan fragments) — a raw newline would break
-    // the one-line bench record exactly when prewarm fails
-    def jsonStr(m: String): String =
-      "\"" + m.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val prewarmErrJson = prewarmErr.map(jsonStr).getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
     spark.stop()

@@ -1,0 +1,42 @@
+package graft
+
+/** Regression tests for the shared-materialization machinery and Bench's
+  * JSON record hygiene. */
+class TablesSpec extends SparkSpec {
+
+  test("materializeShared rebuilds when its backing dir was externally removed") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val first = Tables.materializeShared(df, "tablesspec", "recovery-test")
+    assert(first.count() === 2)
+    // find and delete the backing dir (the long-session /tmp-cleaner
+    // scenario the recovery exists for)
+    val loc = first.inputFiles.head.stripPrefix("file:")
+    val dir = new java.io.File(loc).getParentFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+    assert(!dir.exists())
+    // reuse must detect the loss and rebuild, not serve the dead path
+    val again = Tables.materializeShared(df, "tablesspec", "recovery-test")
+    assert(again.count() === 2)
+    // and while the dir is alive, the cache really does reuse it
+    val third = Tables.materializeShared(
+      Seq((9L, "z")).toDF("id", "v"), "tablesspec", "recovery-test")
+    assert(third.count() === 2) // caller-promised same content: reused
+  }
+
+  test("bench JSON escaping survives multi-line exception messages") {
+    import spark.implicits._
+    val nasty = "line1\nline2\t\"quoted\\path\"\rend"
+    val escaped = Bench.jsonStr(nasty)
+    // must be one physical line (the bench record is line-oriented)...
+    assert(!escaped.contains("\n") && !escaped.contains("\r"))
+    // ...and valid JSON: round-trip through a real parser recovers the
+    // original message byte-for-byte
+    val parsed = spark.read.json(Seq(s"""{"m":$escaped}""").toDS)
+      .collect().head.getString(0)
+    assert(parsed === nasty)
+  }
+}
