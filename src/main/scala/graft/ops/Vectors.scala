@@ -351,6 +351,37 @@ object Vectors {
         .orderBy("qid", "rank")
   }
 
+  /** Per-vector int8 scalar quantization audit — the storage/ANN
+    * compression pass (4× smaller vectors): min-max scale each vector to
+    * 0..255 codes, reconstruct, and report the quantization error. A pure
+    * narrow map (code/reconstruct/error all row-local); the error SUM
+    * goes through exact decimals (each |err| cast to DECIMAL(18,12),
+    * summed exactly, surfaced as DOUBLE) so the result is deterministic
+    * under any partitioning AND matches DuckDB bit-for-bit — a raw double
+    * list-sum would depend on each engine's fold order. Codes use
+    * floor(x + 0.5) explicitly: Spark's round is HALF_UP while DuckDB's
+    * is half-away-from-zero, so the shared rounding is spelled out. */
+  def qEmbQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val acc = DecimalType(38, 18)
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("sc", (col("mx") - col("mn")) / 255.0)
+      .withColumn("sum_abs_err",
+        when(col("mx") === col("mn"), lit(0.0)).otherwise(expr(
+          """cast(aggregate(
+            |  transform(embedding, x ->
+            |    cast(abs(cast(x as double) - (mn +
+            |      least(255.0d, floor((cast(x as double) - mn) / sc + 0.5d)) * sc))
+            |      as decimal(18,12))),
+            |  cast(0 as decimal(38,18)),
+            |  (a, e) -> cast(a + e as decimal(38,18))) as double)""".stripMargin)))
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        col("mn"), col("mx"), col("sum_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid statistics: exact-decimal mean of the first
     * embedding component + count (grouped embedding analytics). */
   def qEmbLabelStats(spark: SparkSession, dir: String): DataFrame =
@@ -390,6 +421,7 @@ object Vectors {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
     "q_cosine_neardup" -> qCosineNeardup _,
     "q_emb_norms" -> qEmbNorms _,
@@ -409,6 +441,29 @@ object Vectors {
       "CAST(CAST(s[2] AS DOUBLE) AS DECIMAL(18,9)))), 8) AS DECIMAL(28,8)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |    CAST(len(embedding) AS INT) AS dim
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, dim, mn, mx, (mx - mn) / 255.0 AS sc, embedding FROM e),
+        |u AS (
+        |  SELECT vec_id, dim, mn, mx, sc, CAST(unnest(embedding) AS DOUBLE) AS xd
+        |  FROM s),
+        |err AS (
+        |  SELECT vec_id, dim, mn, mx,
+        |    CAST(ABS(xd - (mn +
+        |      LEAST(255.0, FLOOR((xd - mn) / sc + 0.5)) * sc))
+        |      AS DECIMAL(18,12)) AS e
+        |  FROM u WHERE mx <> mn)
+        |SELECT vec_id, dim, mn, mx,
+        |  CAST(SUM(e) AS DOUBLE) AS sum_abs_err
+        |FROM err GROUP BY vec_id, dim, mn, mx
+        |UNION ALL
+        |SELECT vec_id, dim, mn, mx, 0.0 AS sum_abs_err FROM e WHERE mx = mn
+        |ORDER BY vec_id""".stripMargin,
     "q_emb_norms" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
          |  ${dotSql("embedding", "embedding")} AS norm2
