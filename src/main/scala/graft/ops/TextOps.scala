@@ -250,6 +250,25 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
+  /** Per-SOURCE curation report — the provenance-level dashboard (dup
+    * rate and size per crawl/source decide which sources to keep): docs,
+    * exact-dup count (docs minus distinct content hashes), token volume,
+    * mean doc length, languages. One narrow map + one hash agg on
+    * source. */
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
   private val VocabV = 16 // vocabulary size (fixture vocabulary is 31 words)
 
   /** Vocabulary coverage — the tokenizer-prep audit: build a top-V
@@ -338,6 +357,7 @@ object TextOps {
     "q_tfidf_keywords" -> qTfidfKeywords _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_corpus_stats" -> qCorpusStats _,
+    "q_source_report" -> qSourceReport _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -435,6 +455,17 @@ object TextOps {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_report" ->
+      """WITH d AS (
+        |  SELECT source, lang, md5(text) AS h,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_corpus_stats" ->
       """WITH d AS (
         |  SELECT lang, source,
