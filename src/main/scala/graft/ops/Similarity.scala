@@ -359,6 +359,38 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-cluster assignment: the transitive closure of "is a
+    * duplicate of", where the edge set is (a) exact-duplicate membership
+    * (identical md5(text)) and (b) near-duplicate survivor pairs at
+    * Jaccard >= [[NearDupT]]. Every doc gets cluster_id = the MIN doc_id
+    * of its component, plus the component size. This is the step between
+    * q_jaccard_pairs (edges) and survivor selection that a web-scale
+    * curation pipeline cannot skip: near-dup is not transitive, so
+    * keeping "min of each pair" (q_dedup_pipeline's greedy pass) and
+    * keeping "one per connected component" are different policies — the
+    * component view is what MinHash-dedup papers (and the 100 TB corpus
+    * jobs built on them) actually ship.
+    *
+    * Scale shape: components are computed on the REPRESENTATIVE graph
+    * only (near-dup pairs among exact-dedup survivors — the shared
+    * [[survivorPairs]] table), then exact-dup members inherit their rep's
+    * label through the shared [[docClusters]] join. A member can never
+    * bridge two components its rep doesn't (identical docs have identical
+    * shingle sets), so the contraction is exact; the iterative star
+    * rounds run on pair-count rows, not corpus rows. */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = docClusters(spark, dir).select("doc_id", "rep")
+    val pairs = survivorPairs(spark, dir).select("doc_a", "doc_b")
+    val cc = Graph.connectedComponents(pairs, "dup")
+      .select(col("node").as("rep"), col("label"))
+    clusters.join(cc, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end dedup pipeline, the composition a corpus-curation job
     * runs: (1) exact dedup — keep the min doc_id of each content-hash
     * group; (2) near-dup removal — among exact survivors, drop any doc
@@ -379,6 +411,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> qDupClusters _,
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_lsh" -> qMinhashLsh _,
@@ -388,6 +421,44 @@ object Similarity {
     * their semantics depend on engine-specific hash functions (recall of
     * LSH banding, xxhash64 bit patterns) — rows-only checks. */
   val oracles: Map[String, String] = Map(
+    // connected components as a recursive min-label closure: reach(n, l)
+    // holds every (node, label-reachable-from-node) pair over the
+    // symmetric near-dup edge set among representatives; MIN per node is
+    // the component minimum — exactly the engine's star-contraction
+    // fixpoint. Exact-dup members then inherit their rep's label.
+    "q_dup_clusters" ->
+      """WITH RECURSIVE
+        |reps AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+        |    text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM reps WHERE doc_id = rep),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT rep AS node, rep AS label FROM reps
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+        |SELECT r.doc_id, cc.label AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cc.label) AS csize
+        |FROM reps r JOIN cc ON cc.node = r.rep
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_pipeline" ->
       """WITH survivors AS (
         |  SELECT doc_id, lang, n_chars, text FROM (

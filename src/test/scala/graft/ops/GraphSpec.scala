@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Connected components (alternating large-star/small-star): equality
+  * with a brute-force union-find reference on random graphs, plus the
+  * structured shapes that stress convergence (long paths need the most
+  * star rounds; star/cliques contract immediately). */
+class GraphSpec extends SparkSpec {
+
+  /** Reference labeling: classic union-find, label = min of component. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // second pass: path-compress to the final minima
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)], tag: String): Map[Long, Long] = {
+    import spark.implicits._
+    val df =
+      if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    Graph.connectedComponents(df, tag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches union-find on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b)
+    val prop = Prop.forAll(Gen.listOfN(25, edgeGen)) { es =>
+      val clean = es.filter(e => e._1 != e._2)
+      ccOf(clean, "prop") == unionFind(clean)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("long path converges to a single min-labeled component") {
+    // a 40-node path is the adversarial case for star rounds (diameter 39)
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val got = ccOf(path, "path")
+    assert(got == (0L to 39L).map(_ -> 0L).toMap)
+  }
+
+  test("disjoint cliques, reversed/duplicated edges, self-loops") {
+    val c1 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (b, a)
+    val c2 = Seq((20L, 21L), (21L, 20L), (20L, 21L), (22L, 21L))
+    val loops = Seq((30L, 30L))
+    val got = ccOf(c1 ++ c2 ++ loops, "cliq")
+    val want = (10L to 13L).map(_ -> 10L).toMap ++
+      (20L to 22L).map(_ -> 20L).toMap
+    // the self-loop node is isolated after cleaning: absent by contract
+    assert(got == want)
+  }
+
+  test("empty edge set yields empty labeling") {
+    assert(ccOf(Seq.empty, "empty").isEmpty)
+  }
+
+  test("star steps preserve canonical orientation") {
+    import spark.implicits._
+    val e = Seq((5L, 1L), (7L, 5L), (9L, 2L)).toDF("hi", "lo")
+    for (step <- Seq(Graph.largeStar(e), Graph.smallStar(e))) {
+      val bad = step.filter(col("lo") >= col("hi")).count()
+      assert(bad == 0L)
+    }
+  }
+}
