@@ -253,6 +253,47 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("bucket", "event_type")
 
+  /** SLIDING-window (1 h window, 30 min slide) event aggregation — the
+    * overlapping-window sibling of [[qEventsWindow]]'s tumbling buckets:
+    * every event lands in exactly two windows. Spark's `window()`
+    * generates the per-event window list row-locally (epoch-aligned
+    * starts at multiples of the slide), so the only shuffle is the final
+    * hash aggregation on (bucket, event_type) — the same cost shape as
+    * the tumbling query at 2× the rows, never a self-join. */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        date_format(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("bucket", "event_type")
+
+  /** Per-event 3-sigma outlier labeling against the event_type population
+    * — anomaly detection as a pipeline operator. The moments (n, Σx, Σx²)
+    * are decimal-exact (value is a 2-decimal measure; its square is exact
+    * at scale 4), and the threshold test is algebraically cleared of both
+    * division and sqrt: |x − S/n| > 3σ ⟺ (nx − S)² > 9(nQ − S²), so the
+    * whole comparison happens in deterministic IEEE arithmetic on
+    * bit-identical decimal-cast doubles — no transcendental functions to
+    * diverge across engines. Scale shape: one hash agg to a handful of
+    * per-type rows, broadcast back over the event scan; no window over
+    * the full table, no second shuffle. */
+  def qOutlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val stats = ev.groupBy("event_type").agg(
+      count(col("value")).as("n"),
+      sum(dec(col("value"))).cast("double").as("s"),
+      sum(dec(col("value")) * dec(col("value"))).cast("double").as("q"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n") * col("value") - col("s"))
+      .withColumn("is_outlier",
+        (col("dev") * col("dev") >
+          lit(9.0) * (col("n") * col("q") - col("s") * col("s"))).cast("int"))
+      .select("event_id", "event_type", "value", "is_outlier")
+      .orderBy("event_id")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): per-region totals and
     * per-segment totals in one pass, tagged via GROUPING(). SQL-expressed
     * (same Spark 4.1 DataFrame limitation as qAggRollup). */
@@ -504,7 +545,9 @@ object Relational {
     "q_scalar_json" -> qScalarJson _,
     "q_distinct_agg" -> qDistinctAgg _,
     "q_approx_percentile" -> qApproxPercentile _,
-    "q_events_window" -> qEventsWindow _)
+    "q_events_window" -> qEventsWindow _,
+    "q_sliding_window" -> qSlidingWindow _,
+    "q_outlier_events" -> qOutlierEvents _)
 
   val oracles: Map[String, String] = Map(
     "q_subqueries" ->
@@ -748,5 +791,29 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY bucket, event_type""".stripMargin)
+        |ORDER BY bucket, event_type""".stripMargin,
+    // every event belongs to exactly two 1h/30min sliding windows:
+    // the 30-min bucket containing it and the one before
+    "q_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |  FROM events) t
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_outlier_events" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS qv
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST((s.n * e.value - s.sv) * (s.n * e.value - s.sv)
+        |    > 9.0 * (s.n * s.qv - s.sv * s.sv) AS INT) AS is_outlier
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin)
 }

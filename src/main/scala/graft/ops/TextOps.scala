@@ -31,6 +31,44 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("content_hash")
 
+  /** Gopher-style quality GATE: the rule-based keep/drop decision a
+    * curation pipeline runs after scoring (Rae et al. 2021 §A1.1 shapes,
+    * thresholds adapted to this corpus). Four rules — token-count range,
+    * mean-token-length range, symbol-character ratio, minimum stopword
+    * hits — each surfaced as its own 0/1 flag plus the conjunctive
+    * `pass`, so downstream mixes can re-weight individual rules without
+    * recomputing. Narrow map over one row, whole-stage codegen; at
+    * 100 TB this runs in the same scan as any other per-doc scoring. */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        length(regexp_replace(col("text"), "[a-z0-9\\s.!?,;:]", ""))
+          .as("n_sym"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .withColumn("mean_token_len",
+        (col("n_chars_actual") - (col("n_tokens") - lit(1))).cast("double")
+          / col("n_tokens"))
+      .withColumn("sym_ratio",
+        col("n_sym").cast("double") / col("n_chars_actual"))
+      .withColumn("r_len",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 100000).cast("int"))
+      .withColumn("r_mean",
+        (col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0)
+          .cast("int"))
+      .withColumn("r_sym", (col("sym_ratio") <= 0.1).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("pass",
+        col("r_len") * col("r_mean") * col("r_sym") * col("r_stop"))
+      .select("doc_id", "n_tokens", "mean_token_len", "sym_ratio", "n_stop",
+        "r_len", "r_mean", "r_sym", "r_stop", "pass")
+      .orderBy("doc_id")
+  }
+
   /** The deduplicated corpus: doc_ids surviving exact dedup (first row of
     * each content-hash group, deterministic by doc_id order). */
   def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
@@ -348,6 +386,7 @@ object TextOps {
     "q_dedup_survivors" -> qDedupSurvivors _,
     "q_token_count" -> qTokenCount _,
     "q_text_quality" -> qTextQuality _,
+    "q_quality_gate" -> qQualityGate _,
     "q_lang_id" -> qLangId _,
     "q_fingerprint" -> qFingerprint _,
     "q_doc_chunks" -> qDocChunks _,
@@ -395,6 +434,31 @@ object TextOps {
         |  CAST(LENGTH(text) - (len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) - 1) AS DOUBLE)
         |    / len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+        |    LENGTH(text) AS n_chars_actual,
+        |    LENGTH(regexp_replace(text, '[a-z0-9\s.!?,;:]', '', 'g')) AS n_sym,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS n_stop
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_tokens, n_chars_actual, n_sym, n_stop,
+        |    CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+        |    CAST(n_sym AS DOUBLE) / n_chars_actual AS sym_ratio
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_token_len,
+        |  sym_ratio, CAST(n_stop AS INT) AS n_stop,
+        |  CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS r_len,
+        |  CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INT) AS r_mean,
+        |  CAST(sym_ratio <= 0.1 AS INT) AS r_sym,
+        |  CAST(n_stop >= 2 AS INT) AS r_stop,
+        |  CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT)
+        |    * CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INT)
+        |    * CAST(sym_ratio <= 0.1 AS INT)
+        |    * CAST(n_stop >= 2 AS INT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
