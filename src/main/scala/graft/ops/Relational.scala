@@ -361,6 +361,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group least-squares regression (discount ~ quantity) from the
+    * same exact-decimal moment accumulation as [[qStatsCorr]] — the
+    * distributed shape of REGR_SLOPE/REGR_INTERCEPT/REGR_R2 without their
+    * shuffle-order double nondeterminism. One scan, one hash agg; the
+    * closed-form slope/intercept/r² are applied to the five final doubles
+    * in an expression tree mirrored verbatim in the oracle, so the bits
+    * match in both engines. Same small-measure constraint as qStatsCorr
+    * (sums stay below 2^53 → decimal→double conversion exact). */
+  def qStatsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val d = dec(col("l_discount"))
+    val moments = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(d).cast("double").as("sd"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(d * d).cast("double").as("sdd"),
+        sum(q * d).cast("double").as("sqd"))
+    val slope = (col("n") * col("sqd") - col("sq") * col("sd")) /
+      (col("n") * col("sqq") - col("sq") * col("sq"))
+    moments
+      .select(col("l_returnflag"), col("n"), col("sq"), col("sd"),
+        col("sqq"), col("sdd"), col("sqd"), slope.as("slope"))
+      .select(col("l_returnflag"), col("n"), col("slope"),
+        ((col("sd") - col("slope") * col("sq")) / col("n")).as("intercept"),
+        (((col("n") * col("sqd") - col("sq") * col("sd")) *
+          (col("n") * col("sqd") - col("sq") * col("sd"))) /
+          ((col("n") * col("sqq") - col("sq") * col("sq")) *
+            (col("n") * col("sdd") - col("sd") * col("sd")))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** Extended window-function coverage: ntile, percent_rank, cume_dist,
     * first/last over a range frame — all rank-based outputs are integer
     * ratios (deterministic doubles) and the unique (orderkey) ordering
@@ -526,6 +560,7 @@ object Relational {
     "q_topk_native" -> qTopkNative _,
     "q_window_misc" -> qWindowMisc _,
     "q_stats_corr" -> qStatsCorr _,
+    "q_stats_regression" -> qStatsRegression _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_scalar_array" -> qScalarArray _,
     "q1_pricing" -> q1Pricing _,
@@ -637,6 +672,24 @@ object Relational {
         |  (sqd - sq * sd / n)
         |    / (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n)) AS corr_qty_disc
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_stats_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag),
+        |s AS (
+        |  SELECT l_returnflag, n, sq, sd, sqq, sdd, sqd,
+        |    (n * sqd - sq * sd) / (n * sqq - sq * sq) AS slope
+        |  FROM m)
+        |SELECT l_returnflag, n, slope,
+        |  (sd - slope * sq) / n AS intercept,
+        |  ((n * sqd - sq * sd) * (n * sqd - sq * sd))
+        |    / ((n * sqq - sq * sq) * (n * sdd - sd * sd)) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_grouping_sets" ->
       """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
         |  CAST(GROUPING(r_name) AS INT) AS g_region,

@@ -31,6 +31,41 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("content_hash")
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: the newest 20% of
+    * doc_ids are a "batch" arriving against the older 80% "corpus", and
+    * each batch doc is classified `dup_of_corpus` (content hash already
+    * ingested), `dup_in_batch` (an earlier batch doc has the same hash),
+    * or `new`. This is the standing-corpus complement of [[qDedupExact]]:
+    * at 100 TB you never re-dedup the whole corpus per ingest — you join
+    * the (small) batch against the corpus hash index on the content-hash
+    * key. Both joins here are hash-equi on md5(text); on a cluster the
+    * corpus side is a bucketed-by-hash index table, so the batch probe
+    * shuffles only the batch, and a bloom filter on corpus hashes prunes
+    * the probe before it ever shuffles (AQE injects exactly that runtime
+    * filter for selective joins). */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    // integer cut so both engines agree exactly (no double rounding)
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val corpus = withCut.filter(col("doc_id") <= col("cut"))
+      .select("content_hash").distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = withCut.filter(col("doc_id") > col("cut"))
+      .select("doc_id", "content_hash")
+    val firstInBatch = batch.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("first_id"))
+    batch
+      .join(corpus, Seq("content_hash"), "left")
+      .join(firstInBatch, "content_hash")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("in_corpus") === 1, lit("dup_of_corpus"))
+          .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style quality GATE: the rule-based keep/drop decision a
     * curation pipeline runs after scoring (Rae et al. 2021 §A1.1 shapes,
     * thresholds adapted to this corpus). Four rules — token-count range,
@@ -171,6 +206,41 @@ object TextOps {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(100)
+
+  /** Per-doc bigram NOVELTY scoring: how much of a document's distinct
+    * bigram vocabulary appears nowhere else in the corpus. High support /
+    * low novelty flags boilerplate (near-identical phrasing shared across
+    * many docs); high novelty flags unique content — the aggregate-level
+    * complement of paragraph/minhash dedup, and a standard corpus-quality
+    * signal. All outputs are integer counts plus one final int/int double
+    * division, so results are bit-deterministic under any partitioning.
+    *
+    * Scale shape: explode → distinct(doc, bigram) (partial-agg combines
+    * the explosion map-side), df = groupBy(bigram) count, then one
+    * equi-join back on the bigram key and a doc-keyed agg — every stage
+    * shuffles on a derived hash key (bigram or doc_id), never all-pairs;
+    * hot bigrams are absorbed by map-side partial aggregation. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val db = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("bigram"))
+      .distinct()
+    val df = db.groupBy("bigram").agg(count(lit(1)).as("df"))
+    db.join(df, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_distinct_bigrams"),
+        sum(col("df")).as("support"),
+        sum((col("df") === 1).cast("long")).cast("int").as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_bigrams"), col("support"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_distinct_bigrams"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
 
   private val ChunkW = 64 // tokens per chunk
   private val ChunkS = 48 // stride (16-token overlap)
@@ -384,6 +454,7 @@ object TextOps {
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_survivors" -> qDedupSurvivors _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_token_count" -> qTokenCount _,
     "q_text_quality" -> qTextQuality _,
     "q_quality_gate" -> qQualityGate _,
@@ -397,6 +468,7 @@ object TextOps {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_corpus_stats" -> qCorpusStats _,
     "q_source_report" -> qSourceReport _,
+    "q_ngram_novelty" -> qNgramNovelty _,
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
@@ -415,6 +487,24 @@ object TextOps {
         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH cut AS (SELECT MAX(doc_id) * 4 // 5 AS cut FROM documents),
+        |corpus AS (
+        |  SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents, cut WHERE doc_id <= cut),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents, cut WHERE doc_id > cut),
+        |fb AS (SELECT content_hash, MIN(doc_id) AS first_id
+        |       FROM batch GROUP BY 1)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN c.content_hash IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id > fb.first_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status
+        |FROM batch b
+        |LEFT JOIN corpus c USING (content_hash)
+        |JOIN fb USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS ws_tokens,
@@ -601,5 +691,18 @@ object TextOps {
         |  SELECT l[i] || ' ' || l[i+1] AS bigram FROM (
         |    SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
         |    FROM documents) t, UNNEST(range(1, len(l))) u(i)) b
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH b AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS bigram FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |    FROM documents) t, UNNEST(range(1, len(l))) u(i)),
+        |f AS (SELECT bigram, COUNT(*) AS df FROM b GROUP BY bigram)
+        |SELECT b.doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_distinct_bigrams,
+        |  CAST(SUM(f.df) AS BIGINT) AS support,
+        |  CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS INT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM b JOIN f USING (bigram)
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)
 }

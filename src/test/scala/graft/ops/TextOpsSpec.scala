@@ -72,4 +72,58 @@ class TextOpsSpec extends SparkSpec {
       assert(score === tf.toDouble * n / df)
     }
   }
+
+  test("ngram novelty matches brute-force bigram document frequencies") {
+    val out = TextOps.qNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(text: String): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, t) => (id, bigrams(t)) }
+      .filter(_._2.nonEmpty).toMap
+    val dfc = perDoc.values.flatten.groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    assert(out.keySet === perDoc.keySet)
+    perDoc.foreach { case (id, bs) =>
+      val (nDistinct, support, nNovel, novelty) = out(id)
+      assert(nDistinct == bs.size)
+      assert(support == bs.toSeq.map(dfc).sum)
+      assert(nNovel == bs.count(dfc(_) == 1L))
+      assert(novelty == nNovel.toDouble / nDistinct)
+    }
+    // corpus must exercise both regimes or the signal is vacuous here
+    assert(out.values.exists(_._4 > 0.0))
+    assert(out.values.exists(_._4 < 1.0))
+  }
+
+  test("incremental dedup classifies batch docs exactly as brute force") {
+    val out = TextOps.qDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cut = docs.map(_._1).max * 4 / 5
+    val corpus = docs.filter(_._1 <= cut).map(_._2).toSet
+    val batch = docs.filter(_._1 > cut)
+    assert(out.map(_._1).toSeq.sorted === batch.map(_._1).toSeq.sorted)
+    val firstInBatch = batch.groupBy(_._2).map { case (h, ds) =>
+      (h, ds.map(_._1).min)
+    }
+    out.foreach { case (id, h, status) =>
+      val expect =
+        if (corpus.contains(h)) "dup_of_corpus"
+        else if (id > firstInBatch(h)) "dup_in_batch"
+        else "new"
+      assert(status == expect, s"doc $id")
+    }
+    // every batch doc classified exactly once, and 'new' docs are unique
+    val newHashes = out.filter(_._3 == "new").map(_._2)
+    assert(newHashes.distinct.length == newHashes.length)
+    assert(out.exists(_._3 == "new"))
+  }
 }
