@@ -420,7 +420,48 @@ object Vectors {
       .orderBy("keep_id", "dup_id")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * embedding-space duplicate groups found by (1) partitioning the corpus
+    * into the shared IVF cells ([[ivfAssigned]] — the coarse k-means
+    * quantizer doubles as the SemDeDup clusterer), (2) exact cosine over
+    * WITHIN-CELL pairs only, (3) thresholding at τ
+    * (`spark.graft.semdedup.tau`), and (4) contracting the τ-graph with
+    * [[Graph.connectedComponents]] so transitive near-dup chains collapse
+    * to one group; the min vec_id per group survives. One row per vector:
+    * (vec_id, cid, group_id, keep).
+    *
+    * 100 TB shape: pair generation is bounded per cell — nlist grows with
+    * the corpus so |cell| stays ~constant (SemDeDup's own regime: k=11k
+    * clusters for LAION-440M ≈ 40k/cell), making within-cell pairs
+    * O(n·cell) with shuffle key cid, never corpus-wide all-pairs; the CC
+    * rounds then run on the (sparse) above-threshold pair set, not the
+    * corpus. Rows-only check: the quantizer (k-means) is not
+    * SQL-expressible, like the rest of the IVF family. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = spark.conf.get("spark.graft.semdedup.tau", "0.25").toDouble
+    val assigned = ivfAssigned(spark, dir)
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val a = assigned.select(col("cid"), col("vec_id").as("a"),
+      col("embedding").as("ae"), col("norm2").as("an"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b"),
+      col("embedding").as("be"), col("norm2").as("bn"))
+    val pairs = a.join(b, "cid").filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot2(col("ae"), col("be")) / (sqrt(col("an")) * sqrt(col("bn"))))
+          .as("sim"))
+      .filter(col("sim") >= tau)
+    val cc = Graph.connectedComponents(pairs.select("a", "b"), "semdedup")
+      .select(col("node").as("vec_id"), col("label"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("label"), col("vec_id")).as("group_id"))
+      .withColumn("keep", (col("group_id") === col("vec_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> qSemanticDedup _,
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
     "q_cosine_neardup" -> qCosineNeardup _,

@@ -98,6 +98,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7)
   }
 
+  test("semantic dedup equals union-find over within-cell tau pairs") {
+    val out = Vectors.qSemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // ground truth: same cells (the shared quantizer is the operator's
+    // own contract), brute-force cosine, union-find contraction
+    val assigned = Vectors.ivfAssigned(spark, dir)
+      .select("vec_id", "cid", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    assert(out.map(_._1).toSeq === assigned.map(_._1).toSeq.sorted)
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(y.map(a => a * a).sum))
+    }
+    val parent = scala.collection.mutable.Map(
+      assigned.map(v => (v._1, v._1)): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    assigned.groupBy(_._2).values.foreach { cell =>
+      for (i <- cell.indices; j <- i + 1 until cell.length)
+        if (cos(cell(i)._3, cell(j)._3) >= 0.25 - 1e-12)
+          union(cell(i)._1, cell(j)._1)
+    }
+    // label = min id of the union-find class, exactly
+    out.foreach { case (id, _, group, keep) =>
+      assert(group == find(id), s"vec $id")
+      assert(keep == (if (group == id) 1 else 0))
+    }
+    // non-vacuous both ways on this fixture
+    assert(out.exists(_._4 == 0), "no semantic duplicate found")
+    assert(out.count(_._4 == 1) < out.length)
+    assert(out.exists(v => v._4 == 1 && out.exists(w => w._3 == v._1 && w._1 != v._1)),
+      "no multi-member group")
+  }
+
   test("minhash-lsh pairs are a subset of exact jaccard>=0.7 and nonempty") {
     val exact = Similarity.shingles(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
