@@ -213,6 +213,71 @@ object Curation {
         .filter(size(col("t")) >= 1),
       expr(s"transform(sequence(0, (size(t) - 1) div $ParaW), i -> concat_ws(' ', slice(t, i * $ParaW + 1, $ParaW)))"))
 
+  private val BoilerK = 3 // blocks in >= K distinct docs are boilerplate
+
+  /** Frequency-based BOILERPLATE removal (the CCNet/RefinedWeb frequent-
+    * line filter): a paragraph block appearing in >= [[BoilerK]] DISTINCT
+    * docs is boilerplate (headers, navigation, license blurbs) and is
+    * struck from EVERY doc — the complement of [[qParaDedup]], which
+    * keeps first occurrences. Block unit is the same [[ParaW]]-token
+    * block (this fixture has no newlines; see qParaDedup's scaladoc).
+    *
+    * Scale shape: one shuffle on md5(block) for the distinct-doc
+    * frequency (partial agg absorbs hot blocks map-side), one equi-join
+    * back on the block hash, one doc_id shuffle to reassemble — never on
+    * raw text, no all-pairs. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $ParaW), i -> concat_ws(' ', slice(t, i * $ParaW + 1, $ParaW)))"))
+        .as(Seq("para_idx", "para")))
+      .withColumn("ph", md5(col("para")))
+    val freq = p.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    p.join(freq, "ph")
+      .withColumn("kept", col("ndocs") < BoilerK)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum((!col("kept")).cast("int")).cast("int").as("n_boiler"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(para_idx, para) END)), s -> s.para)"))
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-balanced language sampling at α = 0.5: downsample each
+    * language with keep rate √(n_min/n_l), so kept counts are ∝ √n_l —
+    * the standard flattening between proportional (α=1) and uniform
+    * (α=0) multilingual mixes (Conneau & Lample 2019 §3.1), with the
+    * rates DERIVED from the corpus itself rather than a fixed manifest
+    * ([[qCorpusMix]] is the manifest variant). α is fixed at 0.5 because
+    * √ is the one power IEEE guarantees correctly rounded — rate, its
+    * 2^32-scaled hex threshold, and therefore membership are bit-identical
+    * in both engines (a pow() rate would differ in the last ulp across
+    * libms). Membership is the family's md5(doc_id)-threshold test:
+    * reproducible across runs/engines/partitionings, one doc's presence
+    * never affects another's. Scale shape: tiny per-lang count agg,
+    * broadcast back, narrow filter — one scan, no data-sized shuffle. */
+  def qTemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min(col("n")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("lang"),
+        sqrt(col("nmin").cast("double") / col("n")).as("rate"))
+      .withColumn("thr",
+        lpad(lower(hex(floor(col("rate") * lit(4294967296.0)))), 8, "0"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), idHex(8).as("h8"))
+      .join(broadcast(rates), "lang")
+      .filter(col("rate") >= 1.0 || col("h8") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   private val PackB = 256 // sequence token budget (same as qSeqPack)
 
   /** Doc-boundary-preserving sequence packing: greedy first-fit in doc_id
@@ -303,6 +368,8 @@ object Curation {
     "q_contamination" -> qContamination _,
     "q_pii_scrub" -> qPiiScrub _,
     "q_para_dedup" -> qParaDedup _,
+    "q_boilerplate" -> qBoilerplate _,
+    "q_temperature_sample" -> qTemperatureSample _,
     "q_seq_pack_greedy" -> qSeqPackGreedy _)
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +476,34 @@ object Curation {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
         |  COALESCE(array_to_string(list(para ORDER BY para_idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS INT) para_idx,
+        |    array_to_string(l[i*16+1 : i*16+16], ' ') para
+        |  FROM (SELECT doc_id, l, len(l) n FROM toks WHERE len(l) >= 1),
+        |    UNNEST(range(0, (n - 1) // 16 + 1)) u(i)),
+        |f AS (SELECT md5(para) AS ph, COUNT(DISTINCT doc_id) AS ndocs
+        |      FROM p GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+        |  CAST(SUM(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+        |  COALESCE(array_to_string(list(para ORDER BY para_idx) FILTER (WHERE ndocs < 3), ' '), '') AS text_clean
+        |FROM p JOIN f ON md5(para) = ph
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |    sqrt(CAST(nmin AS DOUBLE) / n) AS rate,
+        |    lpad(lower(hex(CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 4294967296) AS BIGINT))), 8, '0') AS thr
+        |  FROM c, mn)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0
+        |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+        |ORDER BY doc_id""".stripMargin,
     "q_seq_pack_greedy" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang,

@@ -215,4 +215,65 @@ class CurationSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("boilerplate removal matches brute-force block frequencies") {
+    val out = Curation.qBoilerplate(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def blocks(text: String): Seq[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.isEmpty) Seq.empty
+      else t.grouped(16).map(_.mkString(" ")).toSeq
+    }
+    val perDoc = docs.map { case (id, t) => (id, blocks(t)) }
+      .filter(_._2.nonEmpty)
+    val df = perDoc.flatMap { case (id, bs) => bs.distinct.map((_, id)) }
+      .groupBy(_._1).map { case (b, o) => (b, o.map(_._2).distinct.size) }
+    assert(out.keySet === perDoc.map(_._1).toSet)
+    perDoc.foreach { case (id, bs) =>
+      val kept = bs.filter(df(_) < 3)
+      val (nParas, nBoiler, clean) = out(id)
+      assert(nParas == bs.size, s"doc $id n_paras")
+      assert(nBoiler == bs.count(df(_) >= 3), s"doc $id n_boiler")
+      assert(clean == kept.mkString(" "), s"doc $id text")
+    }
+    // a boilerplate block must be struck from EVERY doc containing it
+    assert(out.values.exists(_._2 > 0), "no boilerplate found — vacuous")
+    val boilerBlocks = df.filter(_._2 >= 3).keySet
+    perDoc.foreach { case (id, bs) =>
+      val keptBlocks = bs.filter(df(_) < 3).toSet
+      assert(bs.toSet.intersect(boilerBlocks).intersect(keptBlocks).isEmpty,
+        s"doc $id keeps a boilerplate block")
+    }
+  }
+
+  test("temperature sampling keeps sqrt-balanced languages via the id hash") {
+    val out = Curation.qTemperatureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, d) => (l, d.size.toLong) }
+    val nmin = counts.values.min
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.filter { case (id, lang) =>
+      val rate = math.sqrt(nmin.toDouble / counts(lang))
+      val thr = f"${math.floor(rate * 4294967296.0).toLong}%08x"
+      rate >= 1.0 || md5hex(id.toString).take(8) < thr
+    }
+    assert(out.map(_._1).toSeq.sorted === expected.map(_._1).toSeq.sorted)
+    out.foreach { case (_, lang, rate) =>
+      assert(rate == math.sqrt(nmin.toDouble / counts(lang)))
+    }
+    // min language survives whole; the largest is genuinely thinned
+    val keptByLang = out.groupBy(_._2).map { case (l, d) => (l, d.size.toLong) }
+    val minLang = counts.minBy(_._2)._1
+    assert(keptByLang(minLang) == counts(minLang))
+    val maxLang = counts.maxBy(_._2)._1
+    assert(keptByLang(maxLang) < counts(maxLang))
+  }
 }
