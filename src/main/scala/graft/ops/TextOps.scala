@@ -296,6 +296,14 @@ object TextOps {
     * key is the doc ID, not the text, so exact-duplicate docs can land in
     * different splits — hash `text` instead to make splits leak-proof
     * under duplication (after dedup the two coincide). */
+  /** The id-keyed train/val/test assignment as one expression — shared by
+    * [[qHashSplit]] and the export sink so the split landed on disk is
+    * the split the gate checks. */
+  private[graft] def splitExpr: Column = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(h2 < "f0", "train").when(h2 < "f8", "val").otherwise("test")
+  }
+
   def qHashSplit(spark: SparkSession, dir: String): DataFrame = {
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
     Tables(spark, dir, "documents")
