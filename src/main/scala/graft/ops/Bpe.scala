@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer training over the document corpus — the
+  * step a training-data pipeline runs between curation and packing.
+  * The reference framework's only text computation is word count
+  * (reference map_reduce485 wordcount map/reduce executables); BPE
+  * pair-counting is its natural heavyweight sibling: the same
+  * tokenize→emit→sum shape, iterated.
+  *
+  * Classic formulation (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"): train on the WORD
+  * FREQUENCY table, not the raw corpus — pair statistics are identical,
+  * but the working set collapses from |corpus| to |vocabulary|. That is
+  * the whole 100 TB story: the one full-corpus pass is the word count
+  * (a narrow map + one hash agg, exactly q_wordcount_df's shape); every
+  * merge iteration after it runs over the vocabulary-sized frequency
+  * table, which stays distributed (a 100 TB crawl's whitespace-token
+  * vocabulary — misspellings, URLs and all — can be billions of rows,
+  * so collecting it to the driver is NOT an option; per-iteration work
+  * is one explode+agg over it). The per-iteration argmax brings ONE
+  * (pair, count) row to the driver — bounded exchange state, the same
+  * legitimate pattern as the k-means centroid collect in
+  * [[Vectors]] IVF training.
+  */
+object Bpe {
+
+  /** Lowercased alphabetic word frequencies — BPE's training input.
+    * Session-shared: the full-corpus scan+explode+agg builds once per
+    * corpus dir; q_bpe_pairs and every q_bpe_merges iteration reread the
+    * vocabulary-sized parquet instead of re-scanning the corpus. */
+  private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      Tables(spark, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("wc")),
+      "bpewords", dir)
+
+  /** Adjacent character-pair frequencies over the initial (character)
+    * symbol vocabulary — BPE iteration 0's candidate table, top 100.
+    * Pair generation is a row-local transform of the word string
+    * weighted by word count; the only exchange is the final hash agg on
+    * the pair key (at most 26² groups here; bounded by |symbols|² in
+    * general). */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    wordFreq(spark, dir)
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("wc"))
+      .groupBy("pair").agg(sum(col("wc")).cast("bigint").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(100)
+
+  /** The learned merge table after `n` BPE iterations: one row per
+    * merge — (step, left symbol, right symbol, merged token, pair
+    * count at selection time). Deterministic: ties in the argmax break
+    * by (count desc, left asc, right asc).
+    *
+    * Each iteration = one distributed pair-count job over the symbol
+    * arrays + a 1-row argmax collect + a row-local merge fold applied
+    * lazily to the arrays. The fold is greedy left-to-right
+    * non-overlapping ("aaa" + merge(a,a) → [aa, a]) — the standard BPE
+    * apply order. Not SQL-expressible as one query (iterative argmax)
+    * → rows-only driver check; BpeSpec pins the merge sequence against
+    * an independent single-machine reference implementation. */
+  def merges(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    var words = wordFreq(spark, dir).select(
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"),
+      col("wc"))
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to n) {
+      // argmax over the pair-count agg: one bounded row to the driver
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a,
+            |              element_at(syms, CAST(i AS INT) + 1) AS b))"""
+            .stripMargin)).as("p"), col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) return learned.result().toDF(
+        "step", "left", "right", "merged", "cnt")
+      val (a, b, cnt) = top.head
+      learned += ((step, a, b, a + b, cnt))
+      // apply the merge: greedy left-to-right fold, row-local. The
+      // symbols match ^[a-z]+$ fragments, so splicing them into the SQL
+      // text as literals is injection-safe by construction.
+      words = words.select(expr(
+        s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+           |  (acc, x) -> IF(size(acc) > 0
+           |                 AND element_at(acc, -1) = '$a' AND x = '$b',
+           |    concat(slice(acc, 1, size(acc) - 1), array('$a$b')),
+           |    concat(acc, array(x))))""".stripMargin).as("syms"),
+        col("wc"))
+    }
+    learned.result().toDF("step", "left", "right", "merged", "cnt")
+  }
+
+  /** 12 merges — enough to exercise multi-char merge chains (a learned
+    * token merging with a neighbor) while keeping the per-round bench
+    * cost at 12 vocabulary-table jobs. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    merges(spark, dir, 12).orderBy("step")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> qBpePairs _,
+    "q_bpe_merges" -> qBpeMerges _)
+
+  val oracles: Map[String, String] = Map(
+    // q_bpe_merges: rows-only by design (iterative argmax is not
+    // single-query SQL); BpeSpec pins the sequence instead.
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT lower(t) AS w
+        |  FROM documents, UNNEST(string_split_regex(text, '\s+')) u(t)
+        |  WHERE t <> ''),
+        |words AS (
+        |  SELECT w, COUNT(*) AS wc FROM toks
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, wc
+        |  FROM words, UNNEST(range(1, length(w))) g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin)
+}

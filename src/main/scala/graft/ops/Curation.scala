@@ -361,7 +361,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap (crawl-curation "domain cap"): keep at most
+    * 50 docs per source, selected by the content-hash order — a
+    * deterministic uniform sample, reproducible across runs/engines, and
+    * content-stable under corpus re-partitioning. Runs through the native
+    * [[graft.plans.TopKPerKey]] operator: bounded per-key heaps on the
+    * map side, then a shuffle of only <=50·|sources| rows — the window
+    * oracle's plan would hash ALL docs of a source into one reducer
+    * partition (source cardinality is tiny → catastrophic skew at
+    * 100 TB), this one never materializes more than 50 rows per key per
+    * input partition. */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), md5(col("text")).as("h")),
+        keys = Seq(col("source")),
+        order = Seq(asc("h"), asc("doc_id")),
+        k = 50)
+      .select("source", "doc_id", "h")
+      .orderBy("source", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap" -> qSourceCap _,
     "q_curation_pipeline" -> qCurationPipeline _,
     "q_hash_split_content" -> qHashSplitContent _,
     "q_corpus_mix" -> qCorpusMix _,
@@ -373,6 +394,14 @@ object Curation {
     "q_seq_pack_greedy" -> qSeqPackGreedy _)
 
   val oracles: Map[String, String] = Map(
+    "q_source_cap" ->
+      """SELECT source, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(text) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50
+        |ORDER BY source, doc_id""".stripMargin,
     "q_curation_pipeline" -> {
       val mixCase = "CASE lang " + MixThresholds.map { case (l, t) =>
         s"WHEN '$l' THEN '$t'" }.mkString(" ") + " END"

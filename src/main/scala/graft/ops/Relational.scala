@@ -531,6 +531,99 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Bag-semantics set ops (UNION ALL / EXCEPT ALL), summarized as
+    * per-key multiplicities: unlike the distinct-set variants in
+    * qSetOps, EXCEPT ALL subtracts multiplicities, so the result
+    * depends on duplicate counts. Spark's exceptAll compiles to the
+    * same generate-over-counts rewrite every engine uses — one agg on
+    * the key, no row-level anti join. */
+  def qSetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def ck(f: DataFrame => DataFrame) =
+      f(o).select(col("o_custkey").as("ck"))
+    ck(_.filter(col("o_totalprice") > 150000))
+      .union(ck(_.filter(col("o_orderstatus") === "O")))
+      .exceptAll(ck(_.filter(col("o_orderpriority") === "1-URGENT")))
+      .groupBy("ck").agg(count(lit(1)).as("n"))
+      .orderBy("ck")
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other, which a plain `=` join silently drops. Keys are made
+    * nullable with NULLIF so both behaviors are observable; the output
+    * aggregates match counts per left row. Null-safe equality still
+    * hash-partitions both sides (NULL is one key group) — same shuffle
+    * shape as `=`, but the NULL group is a self-cross-product, so the
+    * sampled left side keeps it bounded (the 100 TB stance: a hot NULL
+    * group is a salting problem, see [[Skew]]). */
+  def qJoinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    def side(m: Int) = Tables(spark, dir, "events")
+      .filter(col("event_id") % 1000 === m)
+      .select(col("event_id"), nullif(col("event_type"), lit("view")).as("k"))
+    val a = side(0).withColumnRenamed("event_id", "aid")
+      .withColumnRenamed("k", "ak")
+    val b = side(500).withColumnRenamed("event_id", "bid")
+      .withColumnRenamed("k", "bk")
+    a.join(b, col("ak") <=> col("bk"))
+      .groupBy(col("aid"))
+      .agg(count(lit(1)).as("n_matches"), min(col("bid")).as("first_match"))
+      .orderBy("aid")
+  }
+
+  /** Full-outer join of two independently aggregated years of high-value
+    * orders per customer: customers active in only one year surface with
+    * NULLs on the other side (the semantics semi/anti/inner can't give).
+    * Each side pre-aggregates BEFORE the join — at 100 TB the join input
+    * is |customers with big orders that year|, not |orders|, and both
+    * sides shuffle once on the same key (AQE merges the exchanges).
+    * Distinct per-side key names avoid Spark 4.1's ambiguous-self-join
+    * trap on same-lineage joins (see qAggRollup). */
+  def qJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def yearly(y: Int) = Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === y && col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey").as(s"ck$y"))
+      .agg(count(lit(1)).as(s"n_$y"), dsum(col("o_totalprice")).as(s"total_$y"))
+    yearly(1996)
+      .join(yearly(1997), col("ck1996") === col("ck1997"), "full_outer")
+      .select(coalesce(col("ck1996"), col("ck1997")).as("custkey"),
+        col("n_1996"), col("total_1996"), col("n_1997"), col("total_1997"))
+      .orderBy("custkey")
+  }
+
+  /** One-pass per-column table profile (ANALYZE-style data-quality op):
+    * row count, non-null count, exact distinct count, and numeric
+    * min/max for a fixed column set of `orders`, one output row per
+    * column. The multi-distinct agg compiles to one Expand(×4)+agg pass
+    * — a single scan, not one scan per column. At 100 TB the exact
+    * distincts would swap to approx_count_distinct (q_approx_distinct
+    * shows that path); the oracle needs exactness here. */
+  def qTableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val prof = Tables(spark, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("nn1"),
+      countDistinct(col("o_custkey")).as("d1"),
+      min(col("o_custkey")).cast("double").as("mn1"),
+      max(col("o_custkey")).cast("double").as("mx1"),
+      count(col("o_totalprice")).as("nn2"),
+      countDistinct(col("o_totalprice")).as("d2"),
+      min(col("o_totalprice")).cast("double").as("mn2"),
+      max(col("o_totalprice")).cast("double").as("mx2"),
+      count(col("o_orderstatus")).as("nn3"),
+      countDistinct(col("o_orderstatus")).as("d3"),
+      count(col("o_orderpriority")).as("nn4"),
+      countDistinct(col("o_orderpriority")).as("d4"))
+    prof.select(col("n_rows"), expr(
+      """stack(4,
+        |  'o_custkey',       nn1, d1, mn1,  mx1,
+        |  'o_totalprice',    nn2, d2, mn2,  mx2,
+        |  'o_orderstatus',   nn3, d3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderpriority', nn4, d4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |  AS (col, n_nonnull, n_distinct, min_num, max_num)""".stripMargin))
+      .select(col("col"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy("col")
+  }
+
   /** Correlated subqueries: a scalar subquery (max order per customer)
     * and an IN-subquery predicate — Catalyst decorrelates both into
     * joins (no per-row re-execution, unlike the naive semantics). */
@@ -551,6 +644,10 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_subqueries" -> qSubqueries _,
+    "q_join_full_outer" -> qJoinFullOuter _,
+    "q_setops_all" -> qSetopsAll _,
+    "q_join_null_safe" -> qJoinNullSafe _,
+    "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_scalar_regex" -> qScalarRegex _,
@@ -595,6 +692,60 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_setops_all" ->
+      """SELECT ck, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY ck ORDER BY ck""".stripMargin,
+    "q_join_null_safe" ->
+      """WITH a AS (
+        |  SELECT event_id AS aid, NULLIF(event_type, 'view') AS ak
+        |  FROM events WHERE event_id % 1000 = 0),
+        |b AS (
+        |  SELECT event_id AS bid, NULLIF(event_type, 'view') AS bk
+        |  FROM events WHERE event_id % 1000 = 500)
+        |SELECT aid, COUNT(*) AS n_matches, MIN(bid) AS first_match
+        |FROM a JOIN b ON ak IS NOT DISTINCT FROM bk
+        |GROUP BY aid ORDER BY aid""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ck1996, COUNT(*) AS n_1996,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_1996
+        |  FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_totalprice > 150000
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS ck1997, COUNT(*) AS n_1997,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_1997
+        |  FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_totalprice > 150000
+        |  GROUP BY 1)
+        |SELECT COALESCE(ck1996, ck1997) AS custkey,
+        |  n_1996, total_1996, n_1997, total_1997
+        |FROM a FULL OUTER JOIN b ON ck1996 = ck1997
+        |ORDER BY custkey""".stripMargin,
+    "q_table_profile" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(o_custkey) AS nn1, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d1,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn1, CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
+        |    COUNT(o_totalprice) AS nn2, CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d2,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS mn2, CAST(MAX(o_totalprice) AS DOUBLE) AS mx2,
+        |    COUNT(o_orderstatus) AS nn3, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+        |    COUNT(o_orderpriority) AS nn4, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d4
+        |  FROM orders)
+        |SELECT col, n_rows, n_nonnull, n_distinct, min_num, max_num FROM (
+        |  SELECT 'o_custkey' AS col, n_rows, nn1 AS n_nonnull, d1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM s
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n_rows, nn2, d2, mn2, mx2 FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', n_rows, nn3, d3, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_rows, nn4, d4, NULL, NULL FROM s) t
+        |ORDER BY col""".stripMargin,
     "q_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_band,

@@ -458,7 +458,24 @@ object TextOps {
       .select(col("e.item").as("word"), col("e.est").as("n"))
       .orderBy(desc("n"), asc("word"))
 
+  /** Per-language log2-bucketed document-length histogram — the standard
+    * corpus shape report (truncation/filter-threshold tuning reads it).
+    * The bucket is `LENGTH(bin(n_chars))` = floor(log2)+1 computed in
+    * INTEGER space: a float log2 would disagree between engines at exact
+    * powers of two, the bin-string length cannot. One narrow map + one
+    * hash agg over (lang, bucket) — ~60 tiny groups at any corpus size. */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"),
+        length(bin(col("n_chars"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        graft.Tables.davg(col("n_chars")).as("avg_chars"))
+      .orderBy("lang", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_histogram" -> qLengthHistogram _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_survivors" -> qDedupSurvivors _,
@@ -480,6 +497,12 @@ object TextOps {
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
+    "q_length_histogram" ->
+      """SELECT lang, CAST(LENGTH(bin(n_chars)) AS INT) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the distributed BPE trainer against an independent
+  * single-machine reference implementation of the Sennrich-style
+  * algorithm (word-frequency dict, greedy left-to-right merge apply,
+  * argmax ties broken by (count desc, left asc, right asc)) on the
+  * sf0.001 corpus, plus unit properties of the merge fold. */
+class BpeSpec extends SparkSpec {
+
+  /** Reference: word-freq map → n merge steps, all in plain Scala. */
+  private def referenceBpe(
+      wordFreq: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.groupMapReduce { case (w, _) => w.map(_.toString).toVector } {
+        case (_, c) => c }(_ + _)
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.size - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, cnt))
+        words = words.groupMapReduce { case (syms, _) =>
+          // greedy left-to-right non-overlapping merge of (a, b)
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          } } { case (_, c) => c }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("merge sequence equals the reference implementation on sf0.001") {
+    import spark.implicits._
+    val wf = Bpe.wordFreq(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toMap
+    assert(wf.nonEmpty)
+    val expected = referenceBpe(wf, 12).zipWithIndex.map {
+      case ((a, b, c), i) => (i + 1, a, b, a + b, c) }
+    val got = Bpe.merges(spark, sf("sf0.001"), 12)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q_bpe_pairs top pair equals the reference step-1 argmax") {
+    import spark.implicits._
+    val wf = Bpe.wordFreq(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toMap
+    val (a, b, cnt) = referenceBpe(wf, 1).head
+    val top = Bpe.qBpePairs(spark, sf("sf0.001"))
+      .as[(String, Long)].head()
+    assert(top == (a + b, cnt))
+  }
+
+  test("merge apply is greedy left-to-right non-overlapping (aaa case)") {
+    // the fold inside merges() must produce [aa, a] for "aaa" + (a, a);
+    // checked through the public API on a crafted one-word corpus is
+    // overkill — exercise the same SQL fold expression directly instead
+    val df = spark.sql(
+      """SELECT aggregate(array('a', 'a', 'a'), CAST(array() AS ARRAY<STRING>),
+        |  (acc, x) -> IF(size(acc) > 0
+        |                 AND element_at(acc, -1) = 'a' AND x = 'a',
+        |    concat(slice(acc, 1, size(acc) - 1), array('aa')),
+        |    concat(acc, array(x)))) AS r""".stripMargin)
+    assert(df.collect().head.getSeq[String](0) == Seq("aa", "a"))
+  }
+}
