@@ -47,12 +47,15 @@ object SparkEntry {
         ops.Vectors.annCandidates(spark, dir)
         ()
       },
-      () => { // IVF: quantizer + inverted lists (reuses emb when built)
-        ops.Vectors.ivfAssigned(spark, dir); ()
+      () => { // IVF: quantizer + inverted lists -> SemDeDup components
+        ops.Vectors.ivfAssigned(spark, dir)
+        ops.Vectors.semanticComponents(spark, dir)
+        ()
       },
       () => { // dedup family: clusters -> survivor shingles -> pairs/sizes
         ops.Similarity.survivorPairs(spark, dir)
         ops.Similarity.survivorSizes(spark, dir)
+        ops.Similarity.dupComponents(spark, dir)
         ()
       },
       () => { // minhash: corpus shingles -> k=32 signatures

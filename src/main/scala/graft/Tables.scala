@@ -121,7 +121,17 @@ object Tables {
     * recomputing and rewriting it. The production-pipeline shape: derived
     * tables (normalized embeddings, shingle tables) are built once per
     * corpus version and shared by every downstream job. */
-  def materializeShared(df: DataFrame, tag: String, key: String): DataFrame = {
+  def materializeShared(df: DataFrame, tag: String, key: String): DataFrame =
+    materializeSharedBy(df.sparkSession, tag, key)(df)
+
+  /** [[materializeShared]] with a BY-NAME builder: `build` is not touched
+    * when the share is already materialized. Required when constructing
+    * the DataFrame itself runs Spark jobs (the iterative
+    * [[graft.ops.Graph.connectedComponents]] loop executes actions per
+    * round during construction) — the strict variant would re-run those
+    * jobs on every reuse just to throw the result away. */
+  def materializeSharedBy(spark: SparkSession, tag: String, key: String)(
+      build: => DataFrame): DataFrame = {
     val mapKey = s"$tag:$key"
     // A cached entry only serves reuse while its backing dir still exists:
     // a long session can lose a /tmp intermediate to an external cleaner
@@ -133,11 +143,11 @@ object Tables {
     if (prev != null && !prev.contains("://") && !new java.io.File(prev).exists())
       matShared.remove(mapKey, prev)
     val dir = matShared.computeIfAbsent(mapKey, _ => {
-      val d = writeMat(df, tag)
+      val d = writeMat(build, tag)
       matDirs.put(s"shared:$tag:$key", d) // shutdown cleanup, no tag GC
       d
     })
-    df.sparkSession.read.parquet(dir)
+    spark.read.parquet(dir)
   }
 
   /** Exact decimal view of a double measure column (2 fractional digits in

@@ -106,6 +106,16 @@ object Similarity {
     * candidate-join + exact-verify pipeline runs once per session
     * ([[graft.Tables.materializeShared]]); the result is tiny (pair rows),
     * so the share costs one small parquet write. */
+  /** Connected components of the verified near-dup pair graph — the
+    * cluster labeling is a corpus-keyed derived table like the pairs it
+    * is built from, so the O(log n)-round star-contraction loop runs
+    * once per corpus version (built BY-NAME: the loop executes jobs at
+    * construction, so the strict share would re-run it on every reuse). */
+  private[graft] def dupComponents(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "dupcc", dir)(
+      Graph.connectedComponents(
+        survivorPairs(spark, dir).select("doc_a", "doc_b"), "dup"))
+
   private[graft] val NearDupT = 0.8
   private[graft] def survivorPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = survivorShingles(spark, dir)
@@ -380,8 +390,7 @@ object Similarity {
     * rounds run on pair-count rows, not corpus rows. */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val clusters = docClusters(spark, dir).select("doc_id", "rep")
-    val pairs = survivorPairs(spark, dir).select("doc_a", "doc_b")
-    val cc = Graph.connectedComponents(pairs, "dup")
+    val cc = dupComponents(spark, dir)
       .select(col("node").as("rep"), col("label"))
     clusters.join(cc, Seq("rep"), "left")
       .select(col("doc_id"),

@@ -438,19 +438,8 @@ object Vectors {
     * corpus. Rows-only check: the quantizer (k-means) is not
     * SQL-expressible, like the rest of the IVF family. */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tau = spark.conf.get("spark.graft.semdedup.tau", "0.25").toDouble
     val assigned = ivfAssigned(spark, dir)
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val a = assigned.select(col("cid"), col("vec_id").as("a"),
-      col("embedding").as("ae"), col("norm2").as("an"))
-    val b = assigned.select(col("cid"), col("vec_id").as("b"),
-      col("embedding").as("be"), col("norm2").as("bn"))
-    val pairs = a.join(b, "cid").filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot2(col("ae"), col("be")) / (sqrt(col("an")) * sqrt(col("bn"))))
-          .as("sim"))
-      .filter(col("sim") >= tau)
-    val cc = Graph.connectedComponents(pairs.select("a", "b"), "semdedup")
+    val cc = semanticComponents(spark, dir)
       .select(col("node").as("vec_id"), col("label"))
     assigned.select(col("vec_id"), col("cid"))
       .join(cc, Seq("vec_id"), "left")
@@ -458,6 +447,32 @@ object Vectors {
         coalesce(col("label"), col("vec_id")).as("group_id"))
       .withColumn("keep", (col("group_id") === col("vec_id")).cast("int"))
       .orderBy("vec_id")
+  }
+
+  /** Connected components of the within-cell cosine >= tau pair graph —
+    * the SemDeDup group labeling, shared per (corpus, quantizer knobs,
+    * tau): both the O(n·cell) pairwise pass and the iterative CC loop
+    * run once per corpus version (by-name: CC executes jobs during
+    * construction). */
+  private[graft] def semanticComponents(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tau = spark.conf.get("spark.graft.semdedup.tau", "0.25").toDouble
+    val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
+    Tables.materializeSharedBy(
+        spark, "semcc", s"$dir#t$tau.k$nList.i$nIter") {
+      val assigned = ivfAssigned(spark, dir)
+      val dot2 = graft.functions.FloatDotProduct.floatDot _
+      val a = assigned.select(col("cid"), col("vec_id").as("a"),
+        col("embedding").as("ae"), col("norm2").as("an"))
+      val b = assigned.select(col("cid"), col("vec_id").as("b"),
+        col("embedding").as("be"), col("norm2").as("bn"))
+      val pairs = a.join(b, "cid").filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (dot2(col("ae"), col("be")) / (sqrt(col("an")) * sqrt(col("bn"))))
+            .as("sim"))
+        .filter(col("sim") >= tau)
+      Graph.connectedComponents(pairs.select("a", "b"), "semdedup")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
