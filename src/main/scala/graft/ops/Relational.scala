@@ -531,6 +531,51 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Data-quality constraint report (the Deequ-style validation gate a
+    * pipeline runs before training): key uniqueness, referential
+    * integrity, range / non-empty / non-negative checks — one row per
+    * constraint with checked/violation counts. Each check is a
+    * single-scan aggregate; the FK check rides the PREWARMED bucketed
+    * layout, so the lineitem⋈orders anti-join needs zero shuffle
+    * exchanges (the same layout amortization as qJoinBucketed) — at
+    * 100 TB referential-integrity validation is a fact⋈fact join and
+    * the layout is what makes running it per-ingest affordable. */
+  def qConstraints(spark: SparkSession, dir: String): DataFrame = {
+    def row(rule: String, agg: DataFrame): DataFrame =
+      agg.select(lit(rule).as("rule"),
+        col("n_checked").cast("bigint"),
+        col("n_violations").cast("bigint"),
+        (col("n_violations") === 0).cast("int").as("pass"))
+    def scan(rule: String, df: DataFrame, violated: org.apache.spark.sql.Column) =
+      row(rule, df.agg(count(lit(1)).as("n_checked"),
+        coalesce(sum(violated.cast("long")), lit(0L)).as("n_violations")))
+    val unique = row("orders.o_orderkey unique",
+      Tables(spark, dir, "orders")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_checked"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("n_violations")))
+    val li = Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+    val ob = Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
+    val fk = row("lineitem.l_orderkey references orders",
+      li.select(col("l_orderkey"))
+        .join(ob.select(col("o_orderkey")).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(li.agg(count(lit(1)).as("n_checked"))))
+    unique
+      .unionByName(fk)
+      .unionByName(scan("customer.c_acctbal in [0, 10000]",
+        Tables(spark, dir, "customer"),
+        col("c_acctbal") < 0 || col("c_acctbal") > 10000))
+      .unionByName(scan("documents.n_chars >= 200",
+        Tables(spark, dir, "documents"),
+        col("n_chars").isNull || col("n_chars") < 200))
+      .unionByName(scan("events.value non-negative",
+        Tables(spark, dir, "events"), col("value") < 0))
+      .orderBy("rule")
+  }
+
   /** Bag-semantics set ops (UNION ALL / EXCEPT ALL), summarized as
     * per-key multiplicities: unlike the distinct-set variants in
     * qSetOps, EXCEPT ALL subtracts multiplicities, so the result
@@ -647,6 +692,7 @@ object Relational {
     "q_join_full_outer" -> qJoinFullOuter _,
     "q_setops_all" -> qSetopsAll _,
     "q_join_null_safe" -> qJoinNullSafe _,
+    "q_constraints" -> qConstraints _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -692,6 +738,32 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_constraints" ->
+      """SELECT rule, n_checked, n_violations, pass FROM (
+        |  SELECT 'orders.o_orderkey unique' AS rule,
+        |    CAST(SUM(c) AS BIGINT) AS n_checked,
+        |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_violations
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey references orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'customer.c_acctbal in [0, 10000]', COUNT(*),
+        |    CAST(COALESCE(SUM(CAST(c_acctbal < 0 OR c_acctbal > 10000 AS BIGINT)), 0) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'documents.n_chars >= 200', COUNT(*),
+        |    CAST(COALESCE(SUM(CAST(n_chars IS NULL OR n_chars < 200 AS BIGINT)), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.value non-negative', COUNT(*),
+        |    CAST(COALESCE(SUM(CAST(value < 0 AS BIGINT)), 0) AS BIGINT)
+        |  FROM events) r(rule, n_checked, n_violations)
+        |CROSS JOIN LATERAL (SELECT CAST(n_violations = 0 AS INT) AS pass) p
+        |ORDER BY rule""".stripMargin,
     "q_setops_all" ->
       """SELECT ck, COUNT(*) AS n FROM (
         |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000

@@ -96,4 +96,39 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_source_cap: runs through TopKPerKeyExec, no window sort") {
+    val p = plan("q_source_cap")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_constraints: FK anti-join rides the bucketed layout unshuffled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.qConstraints(spark, sf("sf0.001"))
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      // the referential-integrity check is the only sort-merge join in the
+      // report; its inputs must come straight off the bucketed scans
+      val joins = nodes.collect {
+        case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" => j }
+      assert(joins.nonEmpty, s"expected a sort-merge anti join:\n${nodes.head}")
+      joins.foreach { j =>
+        val shuffles = j.children.flatMap(allNodes)
+          .collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"FK join input was shuffled:\n$j")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
