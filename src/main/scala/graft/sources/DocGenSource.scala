@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * generator — the "source" extension point the reference lacks entirely
   * (its only source is a text directory, SURVEY.md §2.1 O1). Demonstrates
   * the full connector surface: TableProvider → Table → ScanBuilder (with
-  * column pruning) → Batch → InputPartition → PartitionReader.
+  * column pruning AND doc_id filter pushdown that prunes whole input
+  * partitions, the source-side analogue of parquet row-group skipping)
+  * → Batch → InputPartition → PartitionReader.
   *
   * Options: `numDocs` (default 1000), `numPartitions` (default 4),
   * `seed` (default 42). Content is a pure function of (seed, doc_id) —
@@ -102,23 +104,71 @@ private class DocGenTable(props: Map[String, String])
   }
 }
 
-private class DocGenScanBuilder(numDocs: Long, numPartitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private[sources] class DocGenScanBuilder(
+    numDocs: Long, numPartitions: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = DocGenSource.schema
+  // doc_id half-open range implied by the pushed filters; ids are the
+  // partition key, so range predicates become PARTITION PRUNING (the
+  // source-side analogue of parquet row-group skipping)
+  private var lo: Long = 0L
+  private var hi: Long = numDocs
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def num(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** doc_id range predicates (and the trivially-true IsNotNull) are
+    * evaluated EXACTLY by the id bounds, so they are fully absorbed —
+    * returned residuals are only the filters the source can't interpret. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("doc_id", v) if num(v).isDefined =>
+        val x = num(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1); true
+      case GreaterThan("doc_id", v) if num(v).isDefined =>
+        lo = math.max(lo, num(v).get + 1); true
+      case GreaterThanOrEqual("doc_id", v) if num(v).isDefined =>
+        lo = math.max(lo, num(v).get); true
+      case LessThan("doc_id", v) if num(v).isDefined =>
+        hi = math.min(hi, num(v).get); true
+      case LessThanOrEqual("doc_id", v) if num(v).isDefined =>
+        hi = math.min(hi, num(v).get + 1); true
+      case IsNotNull(_) => true // every column is non-null by construction
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new DocGenScan(numDocs, numPartitions, seed, required)
+    new DocGenScan(numDocs, numPartitions, seed, required, lo, hi)
 }
 
-private class DocGenScan(numDocs: Long, numPartitions: Int, seed: Long,
-    required: StructType) extends Scan with Batch {
+private[sources] class DocGenScan(numDocs: Long, numPartitions: Int,
+    seed: Long, required: StructType, lo: Long, hi: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Partition boundaries are FIXED by (numDocs, numPartitions) — the
+    * pushed id range skips whole partitions and clamps the boundary
+    * ones, it never re-shapes the split layout (same contract as file
+    * sources: pruning removes splits, it doesn't move them). */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (numDocs + numPartitions - 1) / numPartitions)
-    (0L until numDocs by per).map { start =>
-      DocGenPartition(start, math.min(start + per, numDocs)): InputPartition
+    (0L until numDocs by per).flatMap { start =>
+      val end = math.min(start + per, numDocs)
+      val s = math.max(start, lo)
+      val e = math.min(end, hi)
+      if (s < e) Some(DocGenPartition(s, e): InputPartition) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -31,6 +31,37 @@ class DocGenSourceSpec extends SparkSpec {
     assert(df.distinct().count() <= 5)
   }
 
+  test("doc_id range pushdown prunes whole input partitions") {
+    // unit level: 1000 docs / 4 partitions of 250; [750, 1000) keeps 1
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, StringStartsWith}
+    val sb = new DocGenScanBuilder(1000, 4, 42)
+    val residual = sb.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", 750L),
+      StringStartsWith("lang", "e"))) // not interpretable -> residual
+    assert(residual.toSeq === Seq(StringStartsWith("lang", "e")))
+    assert(sb.pushedFilters().toSeq === Seq(GreaterThanOrEqual("doc_id", 750L)))
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.length === 1, parts.mkString(","))
+
+    val sb2 = new DocGenScanBuilder(1000, 4, 42)
+    sb2.pushFilters(Array(GreaterThanOrEqual("doc_id", 200L),
+      LessThan("doc_id", 600L)))
+    // clamps the two boundary partitions, keeps the middle one whole
+    assert(sb2.build().toBatch.planInputPartitions().length === 3)
+  }
+
+  test("pushdown results equal the unpushed filter semantics") {
+    val filtered = read(1000).filter(col("doc_id") >= 750 && col("doc_id") < 900)
+    assert(filtered.count() === 150L)
+    val a = filtered.orderBy("doc_id").collect().map(_.toSeq)
+    val b = read(1000).orderBy("doc_id").collect().map(_.toSeq)
+      .slice(750, 900)
+    assert(a === b)
+    // and the plan confirms the filters actually reached the scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters"), plan) // v2 scan line present
+  }
+
   test("golden: the registered q_docgen_wordcount query is stable") {
     val rows = DocGenQueries.qDocgenWordcount(spark, "unused")
       .collect().map(r => (r.getString(0), r.getLong(1)))
