@@ -531,6 +531,33 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Incremental aggregate maintenance: per-type stats kept as MERGEABLE
+    * partials (decimal sum, count) over a base corpus, then a delta
+    * batch's partials merged in WITHOUT rescanning the base — the
+    * warehouse pattern for keeping a 100 TB corpus's stats current per
+    * ingest (cost |delta| + |agg table|, not |history|). The oracle is
+    * the FULL recompute over base+delta: hash-equality proves the merge
+    * is exact, which only holds because the partials are algebraic and
+    * decimal-exact (double partials would drift with partitioning —
+    * the same argument as [[graft.ops.Skew.saltedAgg]]). Derived means
+    * (avg) are computed from merged partials, never merged themselves. */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    // the "historical" agg table (in production: read from storage) and
+    // the newly-ingested batch, disjoint by construction
+    def partials(part: DataFrame) = part
+      .groupBy("event_type")
+      .agg(sum(dec(col("value"))).as("psum"), count(col("value")).as("pn"))
+    partials(ev.filter(col("event_id") % 5 =!= 4))
+      .unionByName(partials(ev.filter(col("event_id") % 5 === 4)))
+      .groupBy("event_type")
+      .agg(sum(col("psum")).as("s"), sum(col("pn")).as("n"))
+      .select(col("event_type"), col("n"),
+        col("s").cast("double").as("total"),
+        (col("s").cast("double") / col("n")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   /** Data-quality constraint report (the Deequ-style validation gate a
     * pipeline runs before training): key uniqueness, referential
     * integrity, range / non-empty / non-negative checks — one row per
@@ -693,6 +720,7 @@ object Relational {
     "q_setops_all" -> qSetopsAll _,
     "q_join_null_safe" -> qJoinNullSafe _,
     "q_constraints" -> qConstraints _,
+    "q_incremental_agg" -> qIncrementalAgg _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -738,6 +766,15 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    // full recompute — equality with the engine's partial-merge result is
+    // the exactness proof of the incremental path
+    "q_incremental_agg" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_constraints" ->
       """SELECT rule, n_checked, n_violations, pass FROM (
         |  SELECT 'orders.o_orderkey unique' AS rule,
