@@ -531,6 +531,22 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Forward-fill (gap filling): carry the last non-null observation
+    * forward per user in event order — `last(..., ignoreNulls)` over a
+    * running frame, the telemetry/sensor imputation primitive. Runs in
+    * the one shuffle the window needs; the frame is running, so the
+    * window operator keeps O(1) state per row (no re-scan per frame). */
+  def qWindowFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = when(col("value") >= 10, col("value"))
+    Tables(spark, dir, "events")
+      .filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), v.as("v"),
+        last(v, ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Incremental aggregate maintenance: per-type stats kept as MERGEABLE
     * partials (decimal sum, count) over a base corpus, then a delta
     * batch's partials merged in WITHOUT rescanning the base — the
@@ -721,6 +737,7 @@ object Relational {
     "q_join_null_safe" -> qJoinNullSafe _,
     "q_constraints" -> qConstraints _,
     "q_incremental_agg" -> qIncrementalAgg _,
+    "q_window_fill" -> qWindowFill _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -766,6 +783,15 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_window_fill" ->
+      """SELECT user_id, event_id, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT user_id, event_id,
+        |        CASE WHEN value >= 10 THEN value END AS v
+        |      FROM events WHERE event_id % 20 = 0) t
+        |ORDER BY user_id, event_id""".stripMargin,
     // full recompute — equality with the engine's partial-merge result is
     // the exactness proof of the incremental path
     "q_incremental_agg" ->

@@ -30,6 +30,19 @@ object EventsStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Sliding 1-hour windows every 30 minutes (each event lands in
+    * exactly 2 overlapping windows) with the same 10-minute watermark —
+    * the streaming twin of the batch q_sliding_window, whose row-local
+    * 2-bucket expansion mirrors exactly what the window() generator does
+    * here. State is one row per (open window, type): bounded by the
+    * watermark horizon over the slide, not the stream. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes")
+        .getField("start").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Session windows: activity sessions per user closed by a 30-minute
     * gap — the dynamic-window flavor (vs fixed tumbling windows above). */
   def sessionAgg(events: DataFrame): DataFrame =

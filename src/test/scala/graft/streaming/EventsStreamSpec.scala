@@ -33,6 +33,27 @@ class EventsStreamSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "click", 1L, 4.0)))
   }
 
+  test("sliding-window agg lands every event in exactly two buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 00:40:00"), 2, "click", 3.0))
+    EventsStream.runToMemory(
+      EventsStream.slidingAgg(input.toDF()), "slide_out", OutputMode.Update)
+    val got = spark.sql(
+      "SELECT cast(bucket AS STRING), event_type, n, total_value " +
+        "FROM slide_out ORDER BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // 00:05 -> [23:30, 00:00]-start windows; 00:40 -> [00:00, 00:30]
+    assert(got === Seq(
+      ("2023-12-31 23:30:00", "click", 1L, 2.0),
+      ("2024-01-01 00:00:00", "click", 2L, 5.0),
+      ("2024-01-01 00:30:00", "click", 1L, 3.0)))
+  }
+
   test("session windows split on the 30-minute gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
