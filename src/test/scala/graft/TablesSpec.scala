@@ -27,6 +27,20 @@ class TablesSpec extends SparkSpec {
     assert(third.count() === 2) // caller-promised same content: reused
   }
 
+  test("materializeSharedBy never touches the builder on reuse") {
+    import spark.implicits._
+    // the CC labelings are built through this path BECAUSE their
+    // construction executes Spark jobs: a reuse that re-evaluates the
+    // builder would re-run the whole iterative loop just to discard it
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, 2L)).toDF("a", "b") }
+    val first = Tables.materializeSharedBy(spark, "tablesspec", "lazy-test")(build())
+    assert(first.count() === 1 && builds === 1)
+    val again = Tables.materializeSharedBy(spark, "tablesspec", "lazy-test")(build())
+    assert(again.count() === 1)
+    assert(builds === 1, "reuse evaluated the by-name builder")
+  }
+
   test("bench JSON escaping survives multi-line exception messages") {
     import spark.implicits._
     val nasty = "line1\nline2\t\"quoted\\path\"\rend"
