@@ -474,7 +474,46 @@ object TextOps {
         graft.Tables.davg(col("n_chars")).as("avg_chars"))
       .orderBy("lang", "bucket")
 
+  /** Containment / partial-overlap candidates via winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]], MOSS-style): any shared
+    * character run of >= k + w - 1 guarantees a shared fingerprint, so
+    * asymmetric copies (a doc CONTAINING another) surface even when
+    * whole-doc Jaccard is low — the overlap class the shingle family
+    * misses. Candidate generation joins on the fingerprint (derived-key
+    * rule, never all-pairs); fingerprints in > 50 docs are dropped as
+    * boilerplate "stop fingerprints" (no containment signal, O(df²)
+    * pair blowup — the same hot-key hygiene as the PPJoin prefix
+    * filter). Fingerprint table materialized once per run (4 consumer
+    * branches). Rows-only by design: semantics are defined by the
+    * Karp-Rabin hash, like the minhash/simhash family; WinnowSpec pins
+    * the kernel against an independent reference implementation. */
+  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
+    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
+    val fps = Tables.materialize(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Winnow.winnow(col("text"), k, w))).as("fp")),
+      "winnowfps")
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50).select("fp")
+    val f2 = fps.join(rare, "fp")
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    f2.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "shared", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_overlap" -> qWinnowOverlap _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,

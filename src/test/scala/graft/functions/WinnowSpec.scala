@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+
+/** Pins the winnowing kernel against an independent reference
+  * implementation (direct per-position polynomial hashes + brute-force
+  * rightmost-min-per-window selection) and the SIGMOD'03 guarantee. */
+class WinnowSpec extends SparkSpec {
+
+  private val B = 1000003L
+
+  /** Reference: no rolling update, no amortized rescan — each k-gram
+    * hash evaluated directly, each window scanned in full. */
+  private def reference(s: String, k: Int, w: Int): Seq[Long] = {
+    val n = s.length
+    if (n < k) return Seq.empty
+    val hs = (0 to n - k).map { i =>
+      (0 until k).foldLeft(0L)((acc, j) => acc * B + s.charAt(i + j))
+    }
+    val m = hs.length
+    if (m <= w) {
+      val mi = (0 until m).foldLeft(0)((b, x) => if (hs(x) <= hs(b)) x else b)
+      return Seq(hs(mi))
+    }
+    val out = Seq.newBuilder[Long]
+    var prev = -1
+    for (start <- 0 to m - w) {
+      val mi = (start until start + w)
+        .foldLeft(start)((b, x) => if (hs(x) <= hs(b)) x else b)
+      if (mi != prev) { out += hs(mi); prev = mi }
+    }
+    out.result()
+  }
+
+  private def kernel(s: String, k: Int, w: Int): Seq[Long] =
+    Winnow.fingerprints(UTF8String.fromString(s), k, w).toLongArray().toSeq
+
+  test("kernel equals the reference on random strings (small alphabet forces ties)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(120)
+      val s = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val k = 2 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(6)
+      assert(kernel(s, k, w) == reference(s, k, w),
+        s"mismatch for k=$k w=$w s=$s")
+    }
+  }
+
+  test("edges: short text, exact-k text, single window") {
+    assert(kernel("ab", 3, 4).isEmpty)
+    assert(kernel("abc", 3, 4).length === 1)
+    // m <= w: exactly one fingerprint, the global min
+    val s = "abcabcabc"
+    val all = (0 to s.length - 4).map(i =>
+      (0 until 4).foldLeft(0L)((acc, j) => acc * B + s.charAt(i + j)))
+    assert(kernel(s, 4, 10) == Seq(all.min))
+  }
+
+  test("guarantee: a shared run of k + w - 1 chars yields a shared fingerprint") {
+    val rnd = new scala.util.Random(7)
+    val (k, w) = (5, 4)
+    for (_ <- 1 to 100) {
+      val common = (0 until k + w - 1)
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      def pad(len: Int) =
+        (0 until len).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val d1 = pad(rnd.nextInt(40)) + common + pad(rnd.nextInt(40))
+      val d2 = pad(rnd.nextInt(40)) + common + pad(rnd.nextInt(40))
+      val shared = kernel(d1, k, w).toSet intersect kernel(d2, k, w).toSet
+      assert(shared.nonEmpty, s"no shared fingerprint: $d1 / $d2")
+    }
+  }
+
+  test("expression integration: codegen path equals the kernel, null-safe") {
+    import spark.implicits._
+    val df = Seq(Some("the quick brown fox jumps over the lazy dog"),
+      Some("xy"), None).toDF("text")
+    val got = df.select(Winnow.winnow(col("text"), 4, 3).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(got(0) == kernel("the quick brown fox jumps over the lazy dog", 4, 3))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == null)
+  }
+}
