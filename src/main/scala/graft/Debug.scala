@@ -12,6 +12,14 @@ object Debug {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("prewarm")) {
+      // time the shared-table build alone: Debug prewarm [dir]
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val t0 = System.nanoTime()
+      SparkEntry.prewarm(spark, dir)
+      println(f"PREWARM: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.stop(); return
+    }
     if (args.headOption.contains("docgen")) {
       val df = spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", 2000).option("numPartitions", 8).load()
