@@ -243,6 +243,28 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
+  /** One micro-batch's idempotent write: each batch lands in its OWN
+    * deterministic directory (`batch=<id>`) with overwrite, so a
+    * REPLAYED batch (a post-crash restart re-emits the last
+    * uncommitted batch with the same id) overwrites itself instead of
+    * appending duplicates. Deterministic placement + overwrite is the
+    * exactly-once recipe for file sinks behind foreachBatch — the only
+    * sink shape that survives at-least-once delivery without a
+    * transactional store. */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  /** foreachBatch file sink wired to [[writeBatch]], checkpointed so
+    * batch ids are stable across restarts. */
+  def idempotentParquetSink(df: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(b.toDF(), id, outDir))
+      .option("checkpointLocation", s"$outDir/_chk")
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Run a streaming DataFrame to a named memory sink until drained. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode)

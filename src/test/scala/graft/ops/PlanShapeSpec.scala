@@ -97,6 +97,48 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE re-plans a static sort-merge join to broadcast from runtime stats") {
+    // static planner sees no broadcastable side (threshold -1); the
+    // adaptive threshold stays on, so the runtime size of the filtered
+    // orders side (a handful of rows) flips the join to broadcast after
+    // the first stage materializes — the 100 TB behavior SCALE.md
+    // relies on for selective dimension filters Catalyst can't size
+    // up front
+    import org.apache.spark.sql.functions.col
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val adaptiveKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAdaptive = spark.conf.getOption(adaptiveKey)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(adaptiveKey, "10MB")
+    try {
+      val li = graft.Tables(spark, sf("sf0.001"), "lineitem")
+      val o = graft.Tables(spark, sf("sf0.001"), "orders")
+        .filter(col("o_totalprice") > 400000)
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      joined.collect() // finalize the adaptive plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(joined.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"AQE did not broadcast:\n${nodes.head}")
+      assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"sort-merge join survived:\n${nodes.head}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set(adaptiveKey, v)
+        case None => spark.conf.unset(adaptiveKey)
+      }
+    }
+  }
+
   test("q_source_cap: runs through TopKPerKeyExec, no window sort") {
     val p = plan("q_source_cap")
     assert(p.contains("TopKPerKey"), p)

@@ -266,6 +266,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === Seq((1L, "2024-01-01 10:21:00", 3L, 7.0)))
   }
 
+  test("idempotent file sink: a replayed micro-batch does not duplicate rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sink-test").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+      Event(ts("2024-01-01 00:06:00"), 2, "view", 1.0))
+    val q = EventsStream.idempotentParquetSink(input.toDF(), outDir)
+    try {
+      q.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 00:07:00"), 3, "purchase", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val once = spark.read.parquet(s"$outDir/batch=*").count()
+    assert(once === 3L)
+    // simulate the crash-replay: the sink re-delivers batch 1's data
+    // under the same batch id — deterministic placement + overwrite
+    // must leave the total unchanged
+    EventsStream.writeBatch(
+      Seq(Event(ts("2024-01-01 00:07:00"), 3, "purchase", 5.0)).toDF(),
+      1L, outDir)
+    assert(spark.read.parquet(s"$outDir/batch=*").count() === once)
+  }
+
   test("streaming funnel matches the batch funnel across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
