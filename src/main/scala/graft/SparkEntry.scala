@@ -69,6 +69,11 @@ object SparkEntry {
       () => { // BPE word-frequency table (corpus scan → vocab-sized)
         ops.Bpe.wordFreq(spark, dir); ()
       },
+      () => { // winnow family: fingerprint table -> candidate pairs
+        ops.TextOps.winnowFps(spark, dir)
+        ops.TextOps.winnowPairs(spark, dir)
+        ()
+      },
       () => { // bucketed layouts: built once per corpus version, amortized
         // over every co-located join against them
         ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

@@ -487,22 +487,22 @@ object TextOps {
     * branches). Rows-only by design: semantics are defined by the
     * Karp-Rabin hash, like the minhash/simhash family; WinnowSpec pins
     * the kernel against an independent reference implementation. */
-  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
     val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
     val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
-    val fps = Tables.materialize(
+    // corpus-keyed derived table (one winnow pass per corpus version),
+    // shared like the shingle/signature tables; knobs key the share
+    Tables.materializeShared(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
           graft.functions.Winnow.winnow(col("text"), k, w))).as("fp")),
-      "winnowfps")
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 50).select("fp")
-    val f2 = fps.join(rare, "fp")
+      "winnowfps", s"$dir#k$k.w$w")
+  }
+
+  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    f2.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    winnowPairs(spark, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nfp").as("nb")), "doc_b")
       .withColumn("containment",
@@ -510,6 +510,25 @@ object TextOps {
       .filter(col("containment") >= 0.8)
       .select("doc_a", "doc_b", "shared", "containment")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared-fingerprint counts per candidate pair — the second shared
+    * derived table of the winnow family (same role as
+    * [[Similarity.survivorPairs]]): the fp-keyed self-join runs once per
+    * corpus version; consumers pay only the tiny pair-table read. The
+    * stop-fingerprint filter (2 <= df <= 50) halves the join input AND
+    * caps the per-fp pair fan-out. */
+  private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50).select("fp")
+    val f2 = Tables.materialize(fps.join(rare, "fp"), "winnowf2")
+    Tables.materializeShared(
+      f2.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared")),
+      "winnowpairs", dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
