@@ -66,8 +66,10 @@ object SparkEntry {
       () => { // 13-gram decontamination index
         ops.Curation.trainGramIndex(spark, dir); ()
       },
-      () => { // BPE word-frequency table (corpus scan → vocab-sized)
-        ops.Bpe.wordFreq(spark, dir); ()
+      () => { // BPE: word-frequency table -> learned merge table
+        ops.Bpe.wordFreq(spark, dir)
+        ops.Bpe.sharedMerges(spark, dir)
+        ()
       },
       () => { // winnow family: fingerprint table -> candidate pairs
         ops.TextOps.winnowFps(spark, dir)

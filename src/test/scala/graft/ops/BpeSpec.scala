@@ -57,6 +57,36 @@ class BpeSpec extends SparkSpec {
     assert(top == (a + b, cnt))
   }
 
+  test("encode equals applying the reference merge list to the raw corpus") {
+    import spark.implicits._
+    val wf = Bpe.wordFreq(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toMap
+    val merges = referenceBpe(wf, 12).map { case (a, b, _) => (a, b) }
+    def encode(word: String): Int =
+      merges.foldLeft(word.map(_.toString).toVector) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }.size
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+      .select("lang", "text").as[(String, String)].collect()
+    val expected = docs
+      .flatMap { case (lang, text) =>
+        text.toLowerCase.split("\\s+").filter(_.matches("^[a-z]+$"))
+          .map(w => (lang, w)) }
+      .groupBy(_._1)
+      .map { case (lang, ws) =>
+        val words = ws.map(_._2)
+        val toks = words.map(encode(_).toLong).sum
+        val chars = words.map(_.length.toLong).sum
+        (lang, words.length.toLong, toks, chars, chars.toDouble / toks) }
+      .toSeq.sortBy(_._1)
+    val got = Bpe.qBpeEncode(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("merge apply is greedy left-to-right non-overlapping (aaa case)") {
     // the fold inside merges() must produce [aa, a] for "aaa" + (a, a);
     // checked through the public API on a crafted one-word corpus is
