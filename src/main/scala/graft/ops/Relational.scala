@@ -531,6 +531,23 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Map-typed scalars (schema-on-read ingestion of semi-structured
+    * props): parse the JSON props column into a MAP, then key listing /
+    * cardinality / value extraction — the map-type face of the scalar
+    * family (q_scalar_json extracts paths without materializing the
+    * map). All narrow, codegen'd, pushdown-friendly. */
+  def qScalarMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(col("event_id"),
+        map_keys(col("m")).as("keys"),
+        size(col("m")).cast("int").as("n_keys"),
+        col("m")(lit("k")).as("kv"))
+      .orderBy("event_id")
+  }
+
   /** Forward-fill (gap filling): carry the last non-null observation
     * forward per user in event order — `last(..., ignoreNulls)` over a
     * running frame, the telemetry/sensor imputation primitive. Runs in
@@ -738,6 +755,7 @@ object Relational {
     "q_constraints" -> qConstraints _,
     "q_incremental_agg" -> qIncrementalAgg _,
     "q_window_fill" -> qWindowFill _,
+    "q_scalar_map" -> qScalarMap _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -783,6 +801,12 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_map" ->
+      """SELECT event_id,
+        |  json_keys(props) AS keys,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  CAST(props->>'k' AS BIGINT) AS kv
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_window_fill" ->
       """SELECT user_id, event_id, v,
         |  LAST_VALUE(v IGNORE NULLS) OVER (
