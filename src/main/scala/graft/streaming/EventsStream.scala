@@ -243,6 +243,25 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
+  /** Streaming heavy hitters: top-3 event types per tumbling hour via
+    * the SpaceSaving sketch ([[graft.functions.SpaceSavingTopK]]) inside
+    * a watermarked streaming aggregation — the state store carries one
+    * serialized CONSTANT-SIZE sketch buffer per open window instead of a
+    * per-key count table, so per-window state is O(capacity) no matter
+    * how many distinct keys the hour sees: the only heavy-hitters shape
+    * that survives an unbounded key domain at 100 TB/day. The sketch's
+    * TypedImperativeAggregate partial-merge is exactly what micro-batch
+    * incremental aggregation replays. */
+  def heavyHittersStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"))
+      .agg(graft.functions.SpaceSavingTopK
+        .spaceSavingTopK(col("event_type"), 3, 64).as("top"))
+      .select(col("bucket"), explode(col("top")).as("e"))
+      .select(col("bucket"), col("e.item").as("event_type"),
+        col("e.est").as("n"))
+
   /** One micro-batch's idempotent write: each batch lands in its OWN
     * deterministic directory (`batch=<id>`) with overwrite, so a
     * REPLAYED batch (a post-crash restart re-emits the last

@@ -266,6 +266,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === Seq((1L, "2024-01-01 10:21:00", 3L, 7.0)))
   }
 
+  test("streaming heavy hitters merge sketch state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 1: 3 clicks, 1 view in hour 0
+    input.addData(
+      Event(ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(ts("2024-01-01 00:10:00"), 2, "click", 1.0),
+      Event(ts("2024-01-01 00:15:00"), 3, "click", 1.0),
+      Event(ts("2024-01-01 00:20:00"), 4, "view", 1.0))
+    val q = EventsStream.heavyHittersStream(input.toDF())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 must MERGE into the same window's sketch: 2 more views
+      // and a purchase flip the order below click
+      input.addData(
+        Event(ts("2024-01-01 00:25:00"), 5, "view", 1.0),
+        Event(ts("2024-01-01 00:30:00"), 6, "view", 1.0),
+        Event(ts("2024-01-01 00:35:00"), 7, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: take the latest emission per (bucket, type)
+    val got = spark.sql(
+      """SELECT event_type, MAX(n) FROM hh_out
+        |WHERE CAST(bucket AS STRING) = '2024-01-01 00:00:00'
+        |GROUP BY event_type ORDER BY 2 DESC, 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // capacity 64 >> 3 keys: sketch is exact here
+    assert(got === Seq(("click", 3L), ("view", 3L), ("purchase", 1L)))
+  }
+
   test("idempotent file sink: a replayed micro-batch does not duplicate rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
