@@ -21,6 +21,45 @@ object Temporal {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Forward as-of join: for each `error`, the NEXT `purchase` of the
+    * same user at-or-after it — the mirror of [[qAsofJoin]] (same
+    * union + single-struct-carry plan, frame reversed to
+    * currentRow→unboundedFollowing), the "time-to-recovery /
+    * next-action" direction of event attribution. Identical scale
+    * shape: one window shuffle on user_id, no join of the raw streams. */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val dedupW = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(desc("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1).drop("rn")
+    val errors = ev.filter(col("event_type") === "error")
+    val unioned = errors.select(col("event_id"), col("user_id"), col("ts"),
+        lit(0).as("is_p"), lit(null).cast("double").as("value"))
+      .unionByName(purchases.select(col("event_id"), col("user_id"),
+        col("ts"), lit(1).as("is_p"), col("value")))
+    // errors FIRST at equal ts so the same-ts purchase is in the frame
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("is_p"), asc("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("p_match",
+        first(when(col("is_p") === 1,
+            struct(col("ts"), col("event_id"), col("value"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("ets"),
+        col("p_match.event_id").as("p_event_id"),
+        date_format(col("p_match.ts"), TsFmt).as("pts"),
+        col("p_match.value").as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** As-of join: for each `error` event, the most recent `purchase` of
     * the same user at-or-before it (ties on ts resolved purchase-first,
     * then by highest purchase event_id — purchases are deduped to one per
@@ -236,6 +275,7 @@ object Temporal {
     "q_interval_join" -> qIntervalJoin _,
     "q_sessionize" -> qSessionize _,
     "q_asof_join" -> qAsofJoin _,
+    "q_asof_forward" -> qAsofForward _,
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +402,24 @@ object Temporal {
         |  p.value AS p_value
         |FROM errors e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('error', 'purchase')),
+        |purchases AS (
+        |  SELECT * FROM (
+        |    SELECT event_id, user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        |  p.event_id AS p_event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  p.value AS p_value
+        |FROM errors e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q_range_band" ->
       """SELECT band, COUNT(*) AS n,
