@@ -76,6 +76,9 @@ object SparkEntry {
         ops.TextOps.winnowPairs(spark, dir)
         ()
       },
+      () => { // distinct (doc, bigram) table (novelty family)
+        ops.TextOps.docBigrams(spark, dir); ()
+      },
       () => { // bucketed layouts: built once per corpus version, amortized
         // over every co-located join against them
         ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

@@ -220,14 +220,24 @@ object TextOps {
     * equi-join back on the bigram key and a doc-keyed agg — every stage
     * shuffles on a derived hash key (bigram or doc_id), never all-pairs;
     * hot bigrams are absorbed by map-side partial aggregation. */
+  /** The distinct (doc, bigram) table — session-shared: it feeds BOTH
+    * the df aggregation and the join probe side of the novelty query
+    * (without the share the explode+distinct subtree runs twice per
+    * execution — no CSE across a join), and it is a corpus-keyed
+    * derived table like the shingle family. */
+  private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+          .as("bigram"))
+        .distinct(),
+      "docbigrams", dir)
+
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val db = Tables(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
-        .as("bigram"))
-      .distinct()
+    val db = docBigrams(spark, dir)
     val df = db.groupBy("bigram").agg(count(lit(1)).as("df"))
     db.join(df, "bigram")
       .groupBy("doc_id")
