@@ -531,6 +531,52 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H-Q3-style shipping priority: the classic 3-table join →
+    * grouped revenue → top-10, composed end-to-end (scan pruning +
+    * broadcast dim + one fact-fact shuffle join + partial agg +
+    * TakeOrdered — every layer the simpler queries exercise alone). */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast(TS)
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    * trap, pinned as an engine-parity check: a NULL in the NOT IN list
+    * makes the predicate UNKNOWN for every row (never true), while the
+    * NULL-aware anti join of NOT EXISTS keeps non-matching rows. Both
+    * legs are decorrelated by Catalyst into (null-aware) anti joins —
+    * no per-row subquery execution. */
+  def qNotInNull(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM graft_customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_totalprice > 400000 THEN NULL
+        |                  ELSE o_custkey END
+        |      FROM graft_orders)) AS n_not_in_with_null,
+        |  (SELECT COUNT(*) FROM graft_customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM graft_orders o
+        |      WHERE CASE WHEN o.o_totalprice > 400000 THEN NULL
+        |                 ELSE o.o_custkey END = c.c_custkey))
+        |    AS n_not_exists""".stripMargin)
+  }
+
   /** Map-typed scalars (schema-on-read ingestion of semi-structured
     * props): parse the JSON props column into a MAP, then key listing /
     * cardinality / value extraction — the map-type face of the scalar
@@ -756,6 +802,8 @@ object Relational {
     "q_incremental_agg" -> qIncrementalAgg _,
     "q_window_fill" -> qWindowFill _,
     "q_scalar_map" -> qScalarMap _,
+    "q3_shipping" -> q3Shipping _,
+    "q_not_in_null" -> qNotInNull _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -801,6 +849,32 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_not_in_null" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_totalprice > 400000 THEN NULL
+        |                  ELSE o_custkey END
+        |      FROM orders)) AS n_not_in_with_null,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE CASE WHEN o.o_totalprice > 400000 THEN NULL
+        |                 ELSE o.o_custkey END = c.c_custkey))
+        |    AS n_not_exists""".stripMargin,
     "q_scalar_map" ->
       """SELECT event_id,
         |  json_keys(props) AS keys,
