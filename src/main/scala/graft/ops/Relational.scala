@@ -361,6 +361,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Full pairwise correlation matrix of three measures in ONE scan and
+    * one hash agg (all 9 decimal moment sums accumulate together —
+    * never one pass per pair): one output row per unordered pair, the
+    * feature-correlation report a dataset audit runs. Same exact-decimal
+    * determinism argument as [[qStatsCorr]]. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    val p = dec(col("l_extendedprice"))
+    val d = dec(col("l_discount"))
+    val m = Tables(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(q).cast("double").as("sq"),
+      sum(p).cast("double").as("sp"),
+      sum(d).cast("double").as("sd"),
+      sum(q * q).cast("double").as("sqq"),
+      sum(p * p).cast("double").as("spp"),
+      sum(d * d).cast("double").as("sdd"),
+      sum(q * p).cast("double").as("sqp"),
+      sum(q * d).cast("double").as("sqd"),
+      sum(p * d).cast("double").as("spd"))
+    def corr(sxy: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+        syy: org.apache.spark.sql.Column) =
+      (sxy - sx * sy / col("n")) /
+        (sqrt(sxx - sx * sx / col("n")) * sqrt(syy - sy * sy / col("n")))
+    m.select(col("n"),
+        corr(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("c1"),
+        corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("c2"),
+        corr(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("c3"))
+      .select(col("n"), expr(
+        "stack(3, 'qty_price', c1, 'qty_disc', c2, 'price_disc', c3) AS (pair, r)"))
+      .select(col("pair"), col("n"), col("r"))
+      .orderBy("pair")
+  }
+
   /** Per-group least-squares regression (discount ~ quantity) from the
     * same exact-decimal moment accumulation as [[qStatsCorr]] — the
     * distributed shape of REGR_SLOPE/REGR_INTERCEPT/REGR_R2 without their
@@ -803,6 +838,7 @@ object Relational {
     "q_window_fill" -> qWindowFill _,
     "q_scalar_map" -> qScalarMap _,
     "q3_shipping" -> q3Shipping _,
+    "q_corr_matrix" -> qCorrMatrix _,
     "q_not_in_null" -> qNotInNull _,
     "q_table_profile" -> qTableProfile _,
     "q_window_range_frame" -> qWindowRangeFrame _,
@@ -849,6 +885,32 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT pair, n, r FROM (
+        |  SELECT 'qty_price' AS pair, n,
+        |    (sqp - sq * sp / n) / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS r
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'qty_disc', n,
+        |    (sqd - sq * sd / n) / (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n))
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'price_disc', n,
+        |    (spd - sp * sd / n) / (sqrt(spp - sp * sp / n) * sqrt(sdd - sd * sd / n))
+        |  FROM m) t
+        |ORDER BY pair""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
