@@ -48,9 +48,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Wall-clock budget (seconds, measured from main() entry) for the WHOLE
+    // bench run. BENCH_r07 was rc 124: 3 unconditional passes × 111 queries
+    // under contention exceeded the driver's kill timeout, leaving the round
+    // with no bench artifact at all. The driver's exact timeout is unknown;
+    // every recorded passing round finished under ~280 s of sbt wall, so the
+    // default keeps worst-case in-JVM time at 300 s (≈350 s sbt incl.
+    // startup). Pass 1 ALWAYS runs to completion — a partial artifact with
+    // medians over fewer passes beats a dead one — later passes start only
+    // if the budget provably fits another pass.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -96,27 +108,74 @@ object Bench {
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     var failed = Set.empty[String]
-    val ioSecs = Array.fill(passes)(0.0)
-    val passTotals = Array.fill(passes)(0.0)
+    val ioSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (p <- 0 until passes) {
-      ioSecs(p) = ioCanary()
-      for ((name, fn) <- names) {
-        val sec = timed {
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
+    // Deadline discipline: pass 1 runs UNCONDITIONALLY (a one-pass artifact
+    // beats rc 124); from pass 2 on, the budget is checked before EVERY
+    // query — a per-query check turns leftover budget into a partial extra
+    // pass instead of skipping the pass outright, which matters because the
+    // host's contention bursts are several-minute contiguous windows (an
+    // observed pass 1 ran 342 s at quiet canaries with a ~160 s burst
+    // inside): a query's pass-2 sample may be its only quiet one, and the
+    // per-query median/min absorbs the burst only if that sample exists.
+    var p = 0
+    var stop = false
+    var passesCompleted = 0
+    while (p < passes && !stop) {
+      ioSecs += ioCanary()
+      passTotals += 0.0
+      var partial = false
+      for ((name, fn) <- names if !stop) {
+        if (p > 0) {
+          // estimate this query's cost at 1.5× its sample median (absorbs
+          // a moderate burst); stop the whole run when it no longer fits
+          val est = 1.5 * median(samples(name))
+          if (elapsedSec + est >= budgetSec) {
+            stop = true; partial = true
+            System.err.println(
+              f"[bench] budget exhausted in pass ${p + 1} at $name: " +
+                f"elapsed $elapsedSec%.1f s, budget $budgetSec%.1f s")
           }
         }
-        samples(name) = sec :: samples.getOrElse(name, Nil)
-        passTotals(p) += sec
+        if (!stop) {
+          val sec = timed {
+            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
+            }
+          }
+          samples(name) = sec :: samples.getOrElse(name, Nil)
+          passTotals(p) += sec
+        }
+      }
+      if (!partial) passesCompleted = p + 1
+      p += 1
+      // Pass-level gate: start pass p+1 only if the budget provably fits a
+      // whole one — estimated at 1.2× the most expensive completed pass
+      // (passes only get cheaper as codegen warms; 1.2× absorbs a burst) —
+      // and elapsed is under 70% of budget. The per-query check above still
+      // guards the pass if this estimate proves optimistic.
+      if (!stop && p < passes) {
+        val worstPass = (passTotals.zip(ioSecs).map { case (a, b) => a + b }).max
+        stop = elapsedSec + 1.2 * worstPass >= budgetSec ||
+          elapsedSec >= 0.7 * budgetSec
+        if (stop)
+          System.err.println(
+            f"[bench] stopping after pass $p: elapsed $elapsedSec%.1f s, " +
+              f"worst pass $worstPass%.1f s, budget $budgetSec%.1f s")
       }
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Auxiliary burst-resistant figure: sum of per-query MINIMA. Noise on
+    // this host only ever ADDS time, so the min across samples is the best
+    // available estimate of quiet-window speed when a contention burst
+    // inflated one pass (equals `value` on a 1-pass run).
+    val minTotal = names.map { case (n, _) => samples(n).min }.sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Contention canaries: constant-work queries whose warm steady-state
     // is known (BASELINE.md adjudicates machine contention with them).
@@ -141,7 +200,7 @@ object Bench {
     val passJson = passTotals.map(_.toString).mkString("[", ",", "]")
     val prewarmOk = prewarmErr.isEmpty
     val prewarmErrJson = prewarmErr.map(jsonStr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$passes,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,8 +111,38 @@ object Tables {
     matDirs.put(tag, dir); ()
   }
 
-  // key → dir of a shared materialization; never GC'd before shutdown
-  private val matShared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One shared materialization: the holder is what lives in the map; the
+    * BUILD runs under the holder's own monitor, never under a
+    * ConcurrentHashMap bin lock. The previous design ran `writeMat(build)`
+    * inside `computeIfAbsent`, which breaks two ways once builders nest
+    * (sharedMerges→wordFreq, dupComponents→survivorPairs): a nested
+    * computeIfAbsent whose key lands in the same bin throws
+    * IllegalStateException "Recursive update", and a multi-minute CC/BPE
+    * build stalls every concurrent chain colliding on that bin. Holder
+    * allocation is the only thing the map compute does now. Double-checked
+    * @volatile so the post-build fast path is lock-free; concurrent
+    * requests for the SAME key still serialize on the holder (correct —
+    * the build must run once). */
+  private final class SharedMat(tag: String, key: String,
+      build: () => DataFrame) {
+    @volatile private var built: String = null
+    def dirIfBuilt: Option[String] = Option(built)
+    def dir: String = {
+      var d = built
+      if (d == null) synchronized {
+        d = built
+        if (d == null) {
+          d = writeMat(build(), tag)
+          matDirs.put(s"shared:$tag:$key", d) // shutdown cleanup, no tag GC
+          built = d
+        }
+      }
+      d
+    }
+  }
+
+  // key → holder of a shared materialization; never GC'd before shutdown
+  private val matShared = new java.util.concurrent.ConcurrentHashMap[String, SharedMat]()
 
   /** Like [[materialize]], but REUSED across queries in the session: when
     * the same `key` (caller's promise that the content is identical —
@@ -140,14 +170,13 @@ object Tables {
     // with no rebuild path. Only local paths are cheaply checkable; conf'd
     // shared-storage dirs (spark.graft.materializeDir) are trusted.
     val prev = matShared.get(mapKey)
-    if (prev != null && !prev.contains("://") && !new java.io.File(prev).exists())
-      matShared.remove(mapKey, prev)
-    val dir = matShared.computeIfAbsent(mapKey, _ => {
-      val d = writeMat(build, tag)
-      matDirs.put(s"shared:$tag:$key", d) // shutdown cleanup, no tag GC
-      d
-    })
-    spark.read.parquet(dir)
+    if (prev != null) prev.dirIfBuilt.foreach { d =>
+      if (!d.contains("://") && !new java.io.File(d).exists())
+        matShared.remove(mapKey, prev)
+    }
+    val holder =
+      matShared.computeIfAbsent(mapKey, _ => new SharedMat(tag, key, () => build))
+    spark.read.parquet(holder.dir)
   }
 
   /** Exact decimal view of a double measure column (2 fractional digits in

@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Atomic = directly comparable by the driver's pandas sort/hash.
+    * ArrayType/MapType/StructType are not (numpy arrays are unhashable). */
+  private[graft] def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -21,8 +31,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // HARD requirement: every output column must be atomic. The
+        // driver's pandas comparator cannot sort/hash array/map/struct
+        // cells (round 7's one red row, q_scalar_map) — the local gate
+        // emulator stringified them and passed vacuously. Failing HERE
+        // makes the local loop catch it before the driver does; nested
+        // results must be serialized (e.g. sorted array_join) instead.
+        val nested = df.schema.fields.collect {
+          case f if !isAtomic(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+        }
+        if (nested.nonEmpty)
+          throw new IllegalStateException(
+            s"non-atomic output column(s) ${nested.mkString(", ")} — " +
+              "the driver gate cannot compare nested types; serialize them")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

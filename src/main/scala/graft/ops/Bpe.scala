@@ -125,12 +125,18 @@ object Bpe {
     * counts and chars/token (the compression a tokenizer buys). The
     * merge folds run over the VOCABULARY (one row per distinct word —
     * the same collapse that makes training scale), and the corpus pays
-    * ONE broadcast join of word → token count: the 100 TB corpus is
-    * touched by exactly one narrow pass, never by the fold lambdas.
-    * The 12-row merge table is driver-collected (bounded, like the
-    * k-means centroids). Rows-only by design (merges are engine-derived
-    * hashless but iterative); BpeSpec pins encode against applying the
-    * reference merge list directly. */
+    * ONE equi-join of word → token count: the 100 TB corpus is touched
+    * by exactly one narrow pass, never by the fold lambdas. The join is
+    * deliberately NOT hinted broadcast: the distinct-word vocabulary of
+    * a 100 TB crawl can be billions of rows (see the training scaladoc
+    * above), which no driver can collect — AQE picks broadcast at
+    * runtime when the vocabulary is actually small (it is at every test
+    * SF) and falls back to a shuffle join when it isn't, which is the
+    * only plan that survives the scale-up. The 12-row merge table is
+    * driver-collected (bounded, like the k-means centroids). Rows-only
+    * by design (merges are engine-derived hashless but iterative);
+    * BpeSpec pins encode against applying the reference merge list
+    * directly. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val learned = sharedMerges(spark, dir).orderBy("step")
@@ -150,7 +156,7 @@ object Bpe {
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(lower(col("text")))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
-      .join(broadcast(vocabTokens), "w")
+      .join(vocabTokens, "w")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).cast("bigint").as("n_tokens"),

@@ -616,14 +616,21 @@ object Relational {
     * props): parse the JSON props column into a MAP, then key listing /
     * cardinality / value extraction — the map-type face of the scalar
     * family (q_scalar_json extracts paths without materializing the
-    * map). All narrow, codegen'd, pushdown-friendly. */
+    * map). All narrow, codegen'd, pushdown-friendly.
+    *
+    * The key list is serialized to a sorted comma-joined STRING: the
+    * driver's comparator sorts rows via pandas, which cannot hash an
+    * array cell (round-7's one red gate row), and map key ORDER is
+    * engine-defined anyway — sort-then-join is the deterministic
+    * cross-engine encoding. Verify also hard-rejects any nested-typed
+    * output column now, so this can't regress silently. */
   def qScalarMap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
     Tables(spark, dir, "events")
       .select(col("event_id"),
         from_json(col("props"), MapType(StringType, LongType)).as("m"))
       .select(col("event_id"),
-        map_keys(col("m")).as("keys"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
         size(col("m")).cast("int").as("n_keys"),
         col("m")(lit("k")).as("kv"))
       .orderBy("event_id")
@@ -939,7 +946,7 @@ object Relational {
         |    AS n_not_exists""".stripMargin,
     "q_scalar_map" ->
       """SELECT event_id,
-        |  json_keys(props) AS keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(len(json_keys(props)) AS INT) AS n_keys,
         |  CAST(props->>'k' AS BIGINT) AS kv
         |FROM events ORDER BY event_id""".stripMargin,

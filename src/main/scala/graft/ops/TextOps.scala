@@ -529,16 +529,21 @@ object TextOps {
     * stop-fingerprint filter (2 <= df <= 50) halves the join input AND
     * caps the per-fp pair fan-out. */
   private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
+    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
     val fps = winnowFps(spark, dir)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 50).select("fp")
     val f2 = Tables.materialize(fps.join(rare, "fp"), "winnowf2")
+    // share key carries the SAME knob suffix as winnowFps: a mid-session
+    // knob change rebuilds the fp table, and a pair table keyed by dir
+    // alone would keep serving pairs built under the OLD knobs
     Tables.materializeShared(
       f2.select(col("fp"), col("doc_id").as("doc_a"))
         .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared")),
-      "winnowpairs", dir)
+      "winnowpairs", s"$dir#k$k.w$w")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -24,6 +24,21 @@ def norm(rows):
     return sorted(out)
 
 
+def nested_cols(rel):
+    """Columns the driver's pandas comparator cannot sort/hash.
+
+    The driver gate dies on array/map/struct cells (numpy arrays are
+    unhashable); this emulator's str() normalization used to pass them
+    vacuously — the round-7 q_scalar_map gap. Mirror the driver: reject.
+    """
+    bad = []
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if "[]" in t or any(k in t for k in ("STRUCT", "MAP", "LIST", "JSON")):
+            bad.append(f"{name}:{typ}")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -48,6 +63,12 @@ def main(sf_dir, out_dir):
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         spark_cols = sorted(spark_rel.columns)
+        bad = nested_cols(spark_rel)
+        if bad:
+            print(f"{name}: NESTED OUTPUT COLUMN(S) {bad} "
+                  "(driver comparator cannot hash these)")
+            failures.append(name)
+            continue
         sql = oracles.get(name)
         if sql is None:
             n = len(spark_rel.fetchall())
@@ -59,6 +80,11 @@ def main(sf_dir, out_dir):
         try:
             duck_rel = con.sql(sql)
             duck_cols = sorted(duck_rel.columns)
+            bad = nested_cols(duck_rel)
+            if bad:
+                print(f"{name}: NESTED ORACLE COLUMN(S) {bad}")
+                failures.append(name)
+                continue
             if spark_cols != duck_cols:
                 print(f"{name}: SCHEMA MISMATCH spark={spark_cols} "
                       f"duck={duck_cols}")
