@@ -23,7 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (reserved for genuinely non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Curation.oracles ++ ops.Bpe.oracles ++ ops.Typed.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ sources.CorpusExport.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles
+    ops.Relational.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Curation.oracles ++ ops.Bpe.oracles ++ ops.Typed.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ sources.DocGenQueries.oracles ++ sources.CorpusExport.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles
 
   /** Build the session-shared derived tables (embedding projection, LSH
     * bucket table, survivor shingles, verified survivor pairs) up front.
@@ -41,51 +41,58 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val chains: Seq[() => Unit] = Seq(
-      () => { // ANN family: emb projection -> buckets -> candidate pairs
+    val chains: Seq[(String, () => Unit)] = Seq(
+      "ann" -> (() => { // ANN family: emb projection -> buckets -> pairs
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
         ()
-      },
-      () => { // IVF: quantizer + inverted lists -> SemDeDup components
+      }),
+      "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components
         ops.Vectors.ivfAssigned(spark, dir)
         ops.Vectors.semanticComponents(spark, dir)
         ()
-      },
-      () => { // dedup family: clusters -> survivor shingles -> pairs/sizes
+      }),
+      "dedup" -> (() => { // clusters -> survivor shingles -> pairs/sizes
         ops.Similarity.survivorPairs(spark, dir)
         ops.Similarity.survivorSizes(spark, dir)
         ops.Similarity.dupComponents(spark, dir)
         ()
-      },
-      () => { // minhash: corpus shingles -> k=32 signatures
+      }),
+      "minhash" -> (() => { // corpus shingles -> k=32 signatures
         ops.Similarity.corpusShingles(spark, dir)
         ops.Similarity.minhashSignatures(spark, dir)
         ()
-      },
-      () => { // 13-gram decontamination index
+      }),
+      "contamination" -> (() => { // 13-gram decontamination index
         ops.Curation.trainGramIndex(spark, dir); ()
-      },
-      () => { // BPE: word-frequency table -> learned merge table
+      }),
+      "bpe" -> (() => { // word-frequency table -> learned merge table
         ops.Bpe.wordFreq(spark, dir)
         ops.Bpe.sharedMerges(spark, dir)
         ()
-      },
-      () => { // winnow family: fingerprint table -> candidate pairs
+      }),
+      "winnow" -> (() => { // fingerprint table -> candidate pairs
         ops.TextOps.winnowFps(spark, dir)
         ops.TextOps.winnowPairs(spark, dir)
         ()
-      },
-      () => { // distinct (doc, bigram) table (novelty family)
+      }),
+      "bigrams" -> (() => { // distinct (doc, bigram) table (novelty family)
         ops.TextOps.docBigrams(spark, dir); ()
-      },
-      () => { // bucketed layouts: built once per corpus version, amortized
-        // over every co-located join against them
+      }),
+      "bucketed" -> (() => { // bucketed layouts: built once per corpus
+        // version, amortized over every co-located join against them
         ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
         ops.Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
         ()
-      })
-    val fs = chains.map(c => Future(c()))
+      }))
+    val fs = chains.map { case (name, c) =>
+      Future {
+        val t0 = System.nanoTime()
+        c()
+        System.err.println(
+          f"[prewarm] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+    }
     // propagate the FIRST failure (prewarm_err must name a real cause)
     fs.foreach(Await.result(_, Duration.Inf))
   }

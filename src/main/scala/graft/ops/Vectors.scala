@@ -240,13 +240,32 @@ object Vectors {
       lit(2.0) * graft.functions.FloatDotProduct.floatDot(col("embedding"), cFloat)
   }
 
-  /** Argmin via array_sort over (dist, cid) structs: each distance is
+  /** Argmin via array_min over (dist, cid) structs: each distance is
     * evaluated ONCE. (A when(a.d<=b.d, a) reduce would re-expand each
-    * operand subtree at every level — 3^nlist expression nodes.) */
-  private def ivfAssignExpr(cs: Array[Array[Double]]): Column =
-    element_at(array_sort(array(cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
-    }: _*)), 1).getField("cid")
+    * operand subtree at every level — 3^nlist expression nodes.)
+    *
+    * CHUNKED at 16 centroids per array literal: the centroids are inlined
+    * as `lit` floats (nlist × 64 of them), and one flat array of
+    * nlist=1024 structs is a single ~256 KB expression that blows past
+    * janino's 64 KB method limit and falls back to interpreted eval.
+    * Chunk minima are independent bounded subexpressions (codegen splits
+    * at expression boundaries), combined with `least` — structs compare
+    * by (d, cid) natural order, so ties still break to the lowest cid
+    * deterministically. Above ~1024 lists the literal strategy itself is
+    * wrong (a megabyte of plan per query) — that's the broadcast-join
+    * assignment path; [[ivfCentroids]] guards the bound. SCALE.md §IVF
+    * has the 100 TB knob table. */
+  private val AssignChunk = 16
+  private def ivfAssignExpr(cs: Array[Array[Double]]): Column = {
+    val chunkMins = cs.toIndexedSeq.zipWithIndex.grouped(AssignChunk).map { chunk =>
+      array_min(array(chunk.map { case (c, i) =>
+        struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
+      }: _*))
+    }.toSeq
+    val best =
+      if (chunkMins.sizeIs == 1) chunkMins.head else least(chunkMins: _*)
+    best.getField("cid")
+  }
 
   // The quantizer is DETERMINISTIC per (dir, nlist, iters) — init = first
   // nlist vectors by id, decimal-exact means — so the driver-side centroid
@@ -262,6 +281,13 @@ object Vectors {
     * distributed. Runs ONCE per (corpus, knobs) per session. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
+    // knob guard: the literal-inlined assignment expression is the right
+    // strategy only while the centroid table is plan-sized. Past ~1024
+    // lists, switch the assignment to a broadcast join against a centroid
+    // DataFrame (see SCALE.md) instead of raising this bound.
+    require(nList <= 1024,
+      s"spark.graft.ivf.nlist=$nList exceeds the literal-centroid bound " +
+        "(1024); use a broadcast-join assignment path at this scale (SCALE.md)")
     ivfCentroidCache.computeIfAbsent(s"$dir#k$nList.i$nIter", _ => {
       val emb = sharedEmb(spark, dir)
       // deterministic init: the first nlist vectors by id

@@ -55,6 +55,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft-mat-survpairs"), p)
   }
 
+  test("q_jaccard_pairs: no cartesian, zero corpus scans — pairs come off the shared tables") {
+    // round-2's first cut re-read documents.parquet 17×; the tuned plan
+    // reads ONLY the session-shared intermediates (cluster table, survivor
+    // pair table, survivor sizes) and candidate generation is equi-join
+    // bucketed by shingle hash — never an all-pairs product
+    val p = plan("q_jaccard_pairs")
+    val corpusScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(corpusScans == 0, s"expected 0 corpus scans, got $corpusScans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("graft-mat-survpairs"), p)
+    assert(p.contains("graft-mat-clusters"), p)
+  }
+
+  test("q_curation_pipeline: no cartesian, corpus scanned at most twice") {
+    // the composed pipeline pays ONE narrow corpus pass (filters + scrub)
+    // plus the shared dedup/contamination intermediates; a corpus re-scan
+    // per stage is the regression this pins against (SCALE.md: at 100 TB
+    // each extra scan is the dominant cost)
+    val p = plan("q_curation_pipeline")
+    val corpusScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(corpusScans <= 2, s"expected <=2 corpus scans, got $corpusScans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft-mat-survpairs"), p)
+  }
+
   test("q_cosine_ivf: final plan scans the materialized embedding table once-per-branch") {
     val p = plan("q_cosine_ivf")
     assert(!p.contains("embeddings.parquet"), p)

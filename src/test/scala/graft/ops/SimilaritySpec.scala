@@ -98,6 +98,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7)
   }
 
+  test("IVF assignment at nlist=64 is exact argmin (chunked literal expression)") {
+    // 64 centroids = 4 expression chunks + a least() combine: pins that
+    // the chunked codegen path (Vectors.ivfAssignExpr) still computes the
+    // exact argmin the flat nlist=16 expression did — every vector's cid
+    // must equal a driver-side recomputation of min (norm2+|c|^2-2<x,c>,
+    // cid) using the same float-to-double arithmetic order
+    spark.conf.set("spark.graft.ivf.nlist", "64")
+    try {
+      val rows = Vectors.ivfAssigned(spark, sf("sf0.01"))
+        .select("vec_id", "embedding", "norm2", "cid").collect()
+      val cs = Vectors.ivfCentroids(spark, sf("sf0.01"))
+      assert(cs.length == 64)
+      assert(rows.nonEmpty)
+      val used = rows.map(_.getInt(3)).distinct
+      assert(used.length > 4, s"degenerate quantizer: ${used.length} cells used")
+      rows.foreach { r =>
+        val e = r.getSeq[Float](1)
+        val n2 = r.getDouble(2)
+        val best = cs.zipWithIndex.map { case (c, i) =>
+          val cn = c.map(v => v * v).sum
+          var dot = 0.0
+          var k = 0
+          val n = math.min(e.length, c.length)
+          while (k < n) { dot += e(k).toDouble * c(k).toFloat.toDouble; k += 1 }
+          (n2 + cn - 2.0 * dot, i)
+        }.min
+        assert(r.getInt(3) == best._2, s"vec ${r.getLong(0)}")
+      }
+    } finally spark.conf.unset("spark.graft.ivf.nlist")
+  }
+
+  test("ivf nlist knob guard rejects past the literal-expression bound") {
+    spark.conf.set("spark.graft.ivf.nlist", "2048")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Vectors.ivfCentroids(spark, sf("sf0.01"))
+      }
+      assert(e.getMessage.contains("broadcast-join"))
+    } finally spark.conf.unset("spark.graft.ivf.nlist")
+  }
+
   test("semantic dedup equals union-find over within-cell tau pairs") {
     val out = Vectors.qSemanticDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
