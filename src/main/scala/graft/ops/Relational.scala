@@ -588,6 +588,42 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H-Q5-style local-supplier volume: the six-table join (region →
+    * nation → customer/supplier → orders → lineitem) with the Q5 twist —
+    * customer and supplier must share a nation — grouped into per-nation
+    * revenue. Only the bounded dims (nation⨝region, 25 rows) are hinted
+    * broadcast; customer/supplier/orders joins are left to AQE, because
+    * at 100 TB none of them is broadcastable (TPC-H dims grow with SF)
+    * and the static hint would pin a dead plan — at test SF the runtime
+    * stats flip them to broadcast anyway (the AQE re-plan PlanShapeSpec
+    * pins). The fact chain pays one orderkey shuffle; the selective
+    * one-year date filter is pushed to the orders scan. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TS)
+    val hi = lit("1997-01-01").cast(TS)
+    val natAsia = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
     * trap, pinned as an engine-parity check: a NULL in the NOT IN list
     * makes the predicate UNKNOWN for every row (never true), while the
@@ -845,6 +881,7 @@ object Relational {
     "q_window_fill" -> qWindowFill _,
     "q_scalar_map" -> qScalarMap _,
     "q3_shipping" -> q3Shipping _,
+    "q5_local_supplier" -> q5LocalSupplier _,
     "q_corr_matrix" -> qCorrMatrix _,
     "q_not_in_null" -> qNotInNull _,
     "q_table_profile" -> qTableProfile _,
@@ -931,6 +968,20 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_not_in_null" ->
       """SELECT
         |  (SELECT COUNT(*) FROM customer
