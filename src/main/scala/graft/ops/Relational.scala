@@ -624,6 +624,43 @@ object Relational {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** TPC-H-Q7-style cross-nation volume: revenue shipped between two
+    * named nations in BOTH directions (supplier nation ↔ customer
+    * nation), split by ship year. Exercises the self-joined dimension
+    * (nation aliased twice) and a disjunctive pair predicate evaluated
+    * AFTER the joins — but the two broadcast nation joins pre-filter to
+    * rows touching either nation, so the disjunction never sees the full
+    * fact stream. Same AQE stance as [[q5LocalSupplier]]: only the
+    * bounded nation dim is hinted broadcast. */
+  def q7CrossNation(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val lo = lit("1995-01-01").cast(TS)
+    val hi = lit("1997-01-01").cast(TS)
+    val nat = Tables(spark, dir, "nation")
+      .filter(col("n_name") === na || col("n_name") === nb)
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    li.join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
     * trap, pinned as an engine-parity check: a NULL in the NOT IN list
     * makes the predicate UNKNOWN for every row (never true), while the
@@ -882,6 +919,7 @@ object Relational {
     "q_scalar_map" -> qScalarMap _,
     "q3_shipping" -> q3Shipping _,
     "q5_local_supplier" -> q5LocalSupplier _,
+    "q7_cross_nation" -> q7CrossNation _,
     "q_corr_matrix" -> qCorrMatrix _,
     "q_not_in_null" -> qNotInNull _,
     "q_table_profile" -> qTableProfile _,
@@ -982,6 +1020,22 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_cross_nation" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_not_in_null" ->
       """SELECT
         |  (SELECT COUNT(*) FROM customer
