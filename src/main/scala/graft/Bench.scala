@@ -69,6 +69,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // timed passes never pay oracle-export I/O (see graft.OracleExport)
+      .config("spark.graft.oracleExport", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/shuffle/parquet paths on the tiny sf so the first

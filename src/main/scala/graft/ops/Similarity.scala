@@ -314,9 +314,13 @@ object Similarity {
   /** Banded MinHash-LSH near-dup candidates, verified with exact Jaccard.
     * Default k=32 salted xxhash64 min-hashes, 8 bands × 4 rows:
     * P(candidate) at J=0.8 is 1-(1-0.8^4)^8 ≈ 0.99 — candidates are then
-    * exactly verified, so output precision is 1.0 (recall is the LSH
-    * probability; hence no SQL oracle — the driver records a rows-only
-    * check). */
+    * exactly verified, so output precision is 1.0.
+    *
+    * Hash-gated via [[graft.OracleExport]]: the signature and shingle
+    * tables (engine-defined — xxhash64) are exported, and the DuckDB
+    * oracle recomputes the banding, bucket join, and exact-Jaccard
+    * verification from them; the hash kernel itself is pinned by the
+    * recall/subset property tests in SimilaritySpec. */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
     val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
@@ -324,6 +328,8 @@ object Similarity {
     val rowsPerBand = minhashK / bands
     val sh = corpusShingles(spark, dir)
     val minh = minhashSignatures(spark, dir)
+    graft.OracleExport.export(sh, "shingles", dir)
+    graft.OracleExport.export(minh, "minhsig", dir)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r =>
@@ -508,5 +514,35 @@ object Similarity {
         |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jac
         |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Recomputes banding + bucket join + exact-Jaccard verify from the
+    // exported signature/shingle tables (see qMinhashLsh scaladoc). The
+    // 8 band arms are generated to mirror the engine's concat_ws('_')
+    // band signatures over mh{4b}..mh{4b+3}.
+    "q_minhash_lsh" -> {
+      val bandArms = (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sig AS (SELECT * FROM '${graft.OracleExport.oraclePath("minhsig")}'),
+         |sh AS (SELECT doc_id, shingle FROM '${graft.OracleExport.oraclePath("shingles")}'),
+         |banded AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |cm AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jac
+         |FROM cm JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
 }

@@ -511,6 +511,11 @@ object TextOps {
 
   def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFps(spark, dir)
+    // hash-gated via the exported fingerprint table: the DuckDB oracle
+    // recomputes the stop-fingerprint filter, pair counting, and the
+    // containment threshold from it (the winnow kernel itself is pinned
+    // by WinnowSpec's golden + guarantee tests)
+    graft.OracleExport.export(fps, "winnowfps", dir)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     winnowPairs(spark, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
@@ -570,6 +575,23 @@ object TextOps {
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
+    // Recomputes the winnow family's downstream logic (df-bounded stop
+    // filter, pair counts, containment) from the exported fingerprint
+    // table — see qWinnowOverlap
+    "q_winnow_overlap" ->
+      s"""WITH fps AS (SELECT doc_id, fp FROM '${graft.OracleExport.oraclePath("winnowfps")}'),
+         |sz AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) AS containment
+         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_length_histogram" ->
       """SELECT lang, CAST(LENGTH(bin(n_chars)) AS INT) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

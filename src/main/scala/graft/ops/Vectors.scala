@@ -461,10 +461,19 @@ object Vectors {
     * clusters for LAION-440M ≈ 40k/cell), making within-cell pairs
     * O(n·cell) with shuffle key cid, never corpus-wide all-pairs; the CC
     * rounds then run on the (sparse) above-threshold pair set, not the
-    * corpus. Rows-only check: the quantizer (k-means) is not
-    * SQL-expressible, like the rest of the IVF family. */
+    * corpus.
+    *
+    * Hash-gated via [[graft.OracleExport]]: the k-means quantizer is not
+    * SQL-expressible, so the cell assignment and the τ-pair edge list are
+    * exported and the DuckDB oracle recomputes the TRANSITIVE CLOSURE
+    * (recursive-CTE min-label CC) and survivor selection from them —
+    * gating exactly the contraction logic; the quantizer/argmin side is
+    * pinned by SimilaritySpec's union-find and nlist=64 tests. */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssigned(spark, dir)
+    graft.OracleExport.export(
+      assigned.select("vec_id", "cid"), "ivfassign", dir)
+    graft.OracleExport.export(semanticPairs(spark, dir), "sempairs", dir)
     val cc = semanticComponents(spark, dir)
       .select(col("node").as("vec_id"), col("label"))
     assigned.select(col("vec_id"), col("cid"))
@@ -475,31 +484,43 @@ object Vectors {
       .orderBy("vec_id")
   }
 
-  /** Connected components of the within-cell cosine >= tau pair graph —
-    * the SemDeDup group labeling, shared per (corpus, quantizer knobs,
-    * tau): both the O(n·cell) pairwise pass and the iterative CC loop
-    * run once per corpus version (by-name: CC executes jobs during
-    * construction). */
-  private[graft] def semanticComponents(
-      spark: SparkSession, dir: String): DataFrame = {
+  private def semKey(spark: SparkSession, dir: String): String = {
     val tau = spark.conf.get("spark.graft.semdedup.tau", "0.25").toDouble
-    val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
-    Tables.materializeSharedBy(
-        spark, "semcc", s"$dir#t$tau.k$nList.i$nIter") {
-      val assigned = ivfAssigned(spark, dir)
-      val dot2 = graft.functions.FloatDotProduct.floatDot _
-      val a = assigned.select(col("cid"), col("vec_id").as("a"),
-        col("embedding").as("ae"), col("norm2").as("an"))
-      val b = assigned.select(col("cid"), col("vec_id").as("b"),
-        col("embedding").as("be"), col("norm2").as("bn"))
-      val pairs = a.join(b, "cid").filter(col("a") < col("b"))
+    s"$dir#t$tau.k${ivfListsN(spark)}.i${ivfItersN(spark)}"
+  }
+
+  /** Within-cell cosine >= tau pair set (a, b) — the SemDeDup edge list,
+    * shared per (corpus, quantizer knobs, tau). Kept as its OWN shared
+    * table (not inlined in the CC builder) so (a) the iterative CC loop
+    * reads a columnar intermediate instead of recomputing the pairwise
+    * pass, and (b) the edge list can be exported for the gate oracle. */
+  private[graft] def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tau = spark.conf.get("spark.graft.semdedup.tau", "0.25").toDouble
+    val assigned = ivfAssigned(spark, dir)
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val a = assigned.select(col("cid"), col("vec_id").as("a"),
+      col("embedding").as("ae"), col("norm2").as("an"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b"),
+      col("embedding").as("be"), col("norm2").as("bn"))
+    Tables.materializeShared(
+      a.join(b, "cid").filter(col("a") < col("b"))
         .select(col("a"), col("b"),
           (dot2(col("ae"), col("be")) / (sqrt(col("an")) * sqrt(col("bn"))))
             .as("sim"))
         .filter(col("sim") >= tau)
-      Graph.connectedComponents(pairs.select("a", "b"), "semdedup")
-    }
+        .select("a", "b"),
+      "sempairs", semKey(spark, dir))
   }
+
+  /** Connected components of the [[semanticPairs]] graph — the SemDeDup
+    * group labeling, shared per (corpus, quantizer knobs, tau): the CC
+    * loop runs once per corpus version (by-name: CC executes jobs during
+    * construction). */
+  private[graft] def semanticComponents(
+      spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "semcc", semKey(spark, dir)) {
+      Graph.connectedComponents(semanticPairs(spark, dir), "semdedup")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semantic_dedup" -> qSemanticDedup _,
@@ -523,6 +544,24 @@ object Vectors {
       "CAST(CAST(s[2] AS DOUBLE) AS DECIMAL(18,9)))), 8) AS DECIMAL(28,8)) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // Min-label transitive closure over the exported τ-pair edge list,
+    // joined back to the exported cell assignment — see qSemanticDedup.
+    // Same recursive-CTE shape as the q_dup_clusters oracle.
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |assigned AS (SELECT vec_id, cid FROM '${graft.OracleExport.oraclePath("ivfassign")}'),
+         |pairs AS (SELECT a, b FROM '${graft.OracleExport.oraclePath("sempairs")}'),
+         |edges AS (SELECT a AS s, b AS d FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS label FROM assigned
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+         |SELECT a.vec_id, a.cid, cc.label AS group_id,
+         |  CAST(cc.label = a.vec_id AS INT) AS keep
+         |FROM assigned a JOIN cc ON cc.node = a.vec_id
+         |ORDER BY vec_id""".stripMargin,
     "q_emb_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
