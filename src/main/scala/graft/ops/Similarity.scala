@@ -351,7 +351,13 @@ object Similarity {
     * custom [[graft.functions.SimHashAgg]] aggregate (one int[64] buffer
     * vs 64 conditional-SUM slots), then candidate generation by 4×16-bit
     * chunk equality — exact for the ≤3 threshold by pigeonhole.
-    * No oracle: xxhash64 is engine-specific. */
+    *
+    * Hash-gated via [[graft.OracleExport]]: the per-doc simhash values
+    * (xxhash64-derived, engine-specific) are exported, and the DuckDB
+    * oracle recomputes the 4×16-bit chunking, candidate join, and
+    * Hamming filter from them with plain integer bit ops — gating the
+    * whole pigeonhole candidate scheme; SimHashAgg's bit-vote kernel is
+    * pinned by SimilaritySpec's brute-force-recompute test. */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"),
@@ -359,6 +365,7 @@ object Similarity {
       .withColumn("h", xxhash64(col("token")))
     val hashed = toks.groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
+    graft.OracleExport.export(hashed, "simhash", dir)
     val chunks = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
@@ -515,6 +522,22 @@ object Similarity {
         |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Recomputes 4×16-bit chunk banding + Hamming filter from the
+    // exported per-doc simhashes with integer bit ops (see
+    // qSimhashNeardup). Spark's shiftright is arithmetic like DuckDB's
+    // >>, and the &0xFFFF mask makes the sign extension irrelevant.
+    "q_simhash_neardup" ->
+      s"""WITH h AS (SELECT doc_id, simhash FROM '${graft.OracleExport.oraclePath("simhash")}'),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS chunk
+         |  FROM h, UNNEST([0, 1, 2, 3]) u(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // Recomputes banding + bucket join + exact-Jaccard verify from the
     // exported signature/shingle tables (see qMinhashLsh scaladoc). The
     // 8 band arms are generated to mirror the engine's concat_ws('_')

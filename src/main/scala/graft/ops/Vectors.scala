@@ -198,13 +198,19 @@ object Vectors {
     * ~0 recall here — too many buckets for the corpus; L smaller tables is
     * the standard recall knob). Candidates are same-(table,bucket) pairs —
     * the 100 TB path: the shuffle key is (table, bucket), never all pairs —
-    * then exact cosine re-ranking, top-3 per query. Recall < 1 by
-    * construction → rows-only check (no SQL oracle). */
+    * then exact cosine re-ranking, top-3 per query.
+    *
+    * Hash-gated via [[graft.OracleExport]]: the LSH candidate pair set
+    * (hyperplane-hash-derived, engine-specific) is exported; the DuckDB
+    * oracle recomputes symmetrization, the float-dot cosine re-rank
+    * (bit-identical — verified pairwise on the fixture), and the top-3
+    * window from it. Recall itself is floor-asserted in SimilaritySpec. */
   def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
     // consumed by the bucket self-join side AND both re-rank joins —
     // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
     val cand = annCandidates(spark, dir)
+    graft.OracleExport.export(cand, "anncand", dir)
     // plain double dot for re-ranking: no oracle here, and the exact-decimal
     // path costs ~10x on the candidate set
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -326,7 +332,7 @@ object Vectors {
     * partitions the corpus into inverted lists ([[ivfAssigned]], shared);
     * each query probes its nprobe=6 nearest lists and exact-reranks only
     * those candidates (~nprobe/nlist of the corpus; recall floor asserted
-    * in SimilaritySpec). Rows-only check (recall < 1 like any ANN). */
+    * in SimilaritySpec). Hash-gated via the exported candidate set. */
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -352,6 +358,10 @@ object Vectors {
       .select(col("qid"), col("nid"),
         (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
           .as("sim"))
+    // hash-gated: the probe-derived candidate pair set (quantizer-
+    // defined, not SQL-expressible) is exported; the oracle recomputes
+    // the cosine re-rank and top-3 window from it (see qCosineAnn)
+    graft.OracleExport.export(cands.select("qid", "nid"), "ivfcand", dir)
     rankTop3(cands, native = true)
   }
 
@@ -426,12 +436,14 @@ object Vectors {
     * as a dedup decision view (keep the lower vec_id). Threshold 0.25 is
     * calibrated to the synthetic fixture's near-orthogonal vectors (max
     * observed sim ≈ 0.31); real embedding spaces would use ~0.9.
-    * Rows-only (LSH recall < 1). */
+    * Hash-gated from the same exported candidate set as [[qCosineAnn]]
+    * (the oracle recomputes the thresholded cosine decision view). */
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
     // four consumers (bucket self-join sides + both verify joins) —
     // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir)
     val cand = annCandidates(spark, dir)
       .select(col("qid").as("keep_id"), col("nid").as("dup_id"))
     cand
@@ -543,7 +555,57 @@ object Vectors {
       "s -> CAST(CAST(s[1] AS DOUBLE) AS DECIMAL(18,9)) * " +
       "CAST(CAST(s[2] AS DOUBLE) AS DECIMAL(18,9)))), 8) AS DECIMAL(28,8)) AS DOUBLE)"
 
+  /** Shared oracle fragment: per-vector norm2 (the decimal-exact dotSql
+    * twin of [[sharedEmb]]'s norm2) and the float-dot cosine between two
+    * embedding lists — list_sum over doubles is sequential left-to-right
+    * in DuckDB, bit-identical to FloatDotProduct's loop (verified
+    * pairwise on the fixture candidate set). */
+  private def simOracle(candCte: String, qidCol: String, nidCol: String,
+      body: String): String =
+    s"""WITH c AS ($candCte),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM e),
+       |sims AS (
+       |  SELECT c.$qidCol, c.$nidCol,
+       |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |      / (sqrt(na.norm2) * sqrt(nb.norm2)) AS sim
+       |  FROM c
+       |  JOIN e a ON a.vec_id = c.$qidCol JOIN e b ON b.vec_id = c.$nidCol
+       |  JOIN n na ON na.vec_id = c.$qidCol JOIN n nb ON nb.vec_id = c.$nidCol)
+       |$body""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Thresholded cosine decision view over the exported LSH candidate
+    // set — see qCosineNeardup
+    "q_cosine_neardup" -> simOracle(
+      s"SELECT qid AS keep_id, nid AS dup_id FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "keep_id", "dup_id",
+      """SELECT keep_id, dup_id, sim FROM sims
+        |WHERE sim >= 0.25 ORDER BY keep_id, dup_id""".stripMargin),
+    // Symmetrized re-rank + top-3 window over the exported LSH candidate
+    // set — see qCosineAnn
+    "q_cosine_ann" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """SELECT qid, nid, sim, rank FROM (
+        |  SELECT qid, nid, sim,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+        |  FROM (SELECT qid, nid, sim FROM sims
+        |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+    // Re-rank + top-3 window over the exported IVF probe candidate set
+    // (already directed: every qid probes distinct lists) — see qCosineIvf
+    "q_cosine_ivf" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("ivfcand")}'",
+      "qid", "nid",
+      """SELECT qid, nid, sim, rank FROM (
+        |  SELECT qid, nid, sim,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+        |  FROM sims) r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
     // Min-label transitive closure over the exported τ-pair edge list,
     // joined back to the exported cell assignment — see qSemanticDedup.
     // Same recursive-CTE shape as the q_dup_clusters oracle.
