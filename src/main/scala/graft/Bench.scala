@@ -154,19 +154,22 @@ object Bench {
       }
       if (!partial) passesCompleted = p + 1
       p += 1
-      // Pass-level gate: start pass p+1 only if the budget provably fits a
-      // whole one — estimated at 1.2× the most expensive completed pass
-      // (passes only get cheaper as codegen warms; 1.2× absorbs a burst) —
-      // and elapsed is under 70% of budget. The per-query check above still
-      // guards the pass if this estimate proves optimistic.
+      // Pass-level gate: start pass p+1 if ~0.6× the LAST pass still fits
+      // (pass 1 always runs 1.5-2× hot on per-query first-run codegen, so
+      // estimating the next pass off it overshoots; an observed 134 s hot
+      // pass 1 at 194 s elapsed wrongly skipped a pass 2 that would have
+      // fit under the old 1.2× rule). Optimism here is LOW RISK: the
+      // per-query deadline check above stops a mispredicted pass mid-way,
+      // bounding overshoot to one query's duration. The 0.85 guard only
+      // avoids starting a pass that would stop after a handful of queries.
       if (!stop && p < passes) {
-        val worstPass = (passTotals.zip(ioSecs).map { case (a, b) => a + b }).max
-        stop = elapsedSec + 1.2 * worstPass >= budgetSec ||
-          elapsedSec >= 0.7 * budgetSec
+        val lastPass = passTotals.last + ioSecs.last
+        stop = elapsedSec + 0.6 * lastPass >= budgetSec ||
+          elapsedSec >= 0.85 * budgetSec
         if (stop)
           System.err.println(
             f"[bench] stopping after pass $p: elapsed $elapsedSec%.1f s, " +
-              f"worst pass $worstPass%.1f s, budget $budgetSec%.1f s")
+              f"last pass $lastPass%.1f s, budget $budgetSec%.1f s")
       }
     }
     val results = names.map { case (name, _) => name -> median(samples(name)) }
