@@ -661,6 +661,35 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H-Q9-style product-line profit: every lineitem of parts whose
+    * name matches a pattern, profit = revenue − retail cost of the
+    * shipped quantity, grouped by supplier nation × ship year. The part
+    * name LIKE filter is evaluated on the part dim BEFORE its join
+    * (semi-join pushdown shape); both profit terms are ≤4-decimal
+    * products of 2-decimal measures, so the decimal subtraction and sum
+    * are exact under any partitioning ([[graft.Tables.dec4]]). Same AQE
+    * stance as [[q5LocalSupplier]] — only nation is hinted broadcast. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+          dec4(col("p_retailprice") * col("l_quantity")))
+        .cast("double").as("profit"))
+      .orderBy(asc("nation"), desc("l_year"))
+  }
+
   /** NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
     * trap, pinned as an engine-parity check: a NULL in the NOT IN list
     * makes the predicate UNKNOWN for every row (never true), while the
@@ -920,6 +949,7 @@ object Relational {
     "q3_shipping" -> q3Shipping _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q7_cross_nation" -> q7CrossNation _,
+    "q9_product_profit" -> q9ProductProfit _,
     "q_corr_matrix" -> qCorrMatrix _,
     "q_not_in_null" -> qNotInNull _,
     "q_table_profile" -> qTableProfile _,
@@ -1036,6 +1066,17 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |         - CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, l_year DESC""".stripMargin,
     "q_not_in_null" ->
       """SELECT
         |  (SELECT COUNT(*) FROM customer

@@ -89,9 +89,13 @@ object DocGenQueries {
     spark.read.format("graft.sources.DocGenSource")
       .option("numDocs", 5000).option("numPartitions", 32).load()
 
-  private def exportOnce(spark: SparkSession): Unit =
+  private def exportOnce(spark: SparkSession): Unit = {
+    // honors the same switch as graft.OracleExport: Bench disables
+    // exports so timed passes never pay the write
+    if (spark.conf.get("spark.graft.oracleExport", "true") != "true") return
     if (exported.compareAndSet(false, true))
       source(spark).write.mode("overwrite").parquet(ExportDir)
+  }
 
   /** Word count over the generated corpus — reads ONLY text, so the
     * connector's column pruning is on the hot path (asserted in
