@@ -41,6 +41,33 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       newChild: Expression): WinnowFingerprints = copy(child = newChild)
 }
 
+/** [[WinnowFingerprints]] with positions: array<struct<fp,pos>> — the
+  * input to span-level overlap reports (where in each document the
+  * matched fingerprints sit), which the fingerprint-only shape cannot
+  * express. Same kernel core, same codegen stance. */
+case class WinnowFingerprintPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"winnow_pos(k=$k, w=$w): need k >= 2, w >= 1")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprint_positions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Winnow.fingerprintPositions(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Winnow.fingerprintPositions($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprintPositions = copy(child = newChild)
+}
+
 object Winnow {
   /** Karp-Rabin base (prime); hashes wrap in 64-bit two's complement —
     * collisions only ADD near-dup candidates, exact verification or a
@@ -48,12 +75,9 @@ object Winnow {
     * prefix keys in [[graft.ops.Similarity]]). */
   private val B = 1000003L
 
-  /** The kernel — shared verbatim by interpreted eval and codegen. */
-  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val str = s.toString
-    val n = str.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
-    val m = n - k + 1
+  /** Rolling k-gram hashes of `str` (length must be >= k). */
+  private def kgramHashes(str: String, k: Int): Array[Long] = {
+    val m = str.length - k + 1
     val hashes = new Array[Long](m)
     var pow = 1L
     var j = 1
@@ -68,13 +92,22 @@ object Winnow {
       hashes(i) = h
       i += 1
     }
+    hashes
+  }
+
+  /** The selection core, shared by both output shapes: indexes of the
+    * rightmost-min-per-window selections, recorded once each (strictly
+    * increasing — a rescan after the min slides out can only land at or
+    * right of the window start, which is right of the old min). */
+  private def selectIdx(hashes: Array[Long], w: Int): Array[Int] = {
+    val m = hashes.length
     if (m <= w) { // degenerate single window: global rightmost min
       var minIdx = 0
       var x = 1
       while (x < m) { if (hashes(x) <= hashes(minIdx)) minIdx = x; x += 1 }
-      return new GenericArrayData(Array(hashes(minIdx)))
+      return Array(minIdx)
     }
-    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * m / (w + 1) + 4)
+    val out = new scala.collection.mutable.ArrayBuffer[Int](2 * m / (w + 1) + 4)
     var minIdx = -1
     var start = 0
     while (start + w <= m) {
@@ -84,16 +117,51 @@ object Winnow {
         minIdx = start
         var x = start + 1
         while (x <= end) { if (hashes(x) <= hashes(minIdx)) minIdx = x; x += 1 }
-        out += hashes(minIdx)
+        out += minIdx
       } else if (hashes(end) <= hashes(minIdx)) {
         minIdx = end
-        out += hashes(minIdx)
+        out += minIdx
       }
       start += 1
     }
-    new GenericArrayData(out.toArray)
+    out.toArray
+  }
+
+  /** The kernel — shared verbatim by interpreted eval and codegen. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < k) return new GenericArrayData(Array.empty[Long])
+    val hashes = kgramHashes(str, k)
+    val idx = selectIdx(hashes, w)
+    val out = new Array[Long](idx.length)
+    var i = 0
+    while (i < idx.length) { out(i) = hashes(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Positions variant: array<struct<fp,pos>> where pos is the selected
+    * k-gram's character offset — the span-report form (q_winnow_spans
+    * aggregates matched-position extents per candidate pair). Same
+    * selection as [[fingerprints]] by construction (shared core). */
+  def fingerprintPositions(s: UTF8String, k: Int, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val str = s.toString
+    if (str.length < k) return new GenericArrayData(Array.empty[Any])
+    val hashes = kgramHashes(str, k)
+    val idx = selectIdx(hashes, w)
+    val out = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) {
+      out(i) = new GenericInternalRow(Array[Any](hashes(idx(i)), idx(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def winnow(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+
+  def winnowPos(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprintPositions(ColumnBridge.expression(c), k, w))
 }

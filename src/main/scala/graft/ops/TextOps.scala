@@ -551,8 +551,54 @@ object TextOps {
       "winnowpairs", s"$dir#k$k.w$w")
   }
 
+  /** Fingerprint table WITH positions (doc_id, fp, pos), shared per
+    * (corpus, knobs) like [[winnowFps]] — the span-report input. Rows
+    * are distinct by construction: selection indexes are strictly
+    * increasing, so no (doc, fp, pos) repeats (the fp VALUE may). */
+  private[graft] def winnowFpsPos(spark: SparkSession, dir: String): DataFrame = {
+    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
+    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
+    Tables.materializeShared(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.winnowPos(col("text"), k, w)).as("s"))
+        .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos")),
+      "winnowfpspos", s"$dir#k$k.w$w")
+  }
+
+  /** Span-level overlap report: for every candidate pair sharing >= 8
+    * rare fingerprints (the fixture's match-count distribution is
+    * bimodal: incidental phrase matches die off by ~10 shared fps,
+    * true overlapping blocks sit at 24+; 8 keeps the report tight
+    * without cutting borderline spans), the extent (min..max matched k-gram offset) of
+    * the overlap in EACH document — the where-is-the-copy answer that
+    * q_winnow_overlap's whole-doc containment ratio cannot give (an
+    * exact-span variant would chain adjacent matches; extents are the
+    * scalable first cut — one hash agg over the pair join, no per-pair
+    * sequence work). Same df-bounded stop-fingerprint filter as
+    * [[winnowPairs]]. Hash-gated via the exported positions table. */
+  def qWinnowSpans(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFpsPos(spark, dir)
+    graft.OracleExport.export(fp, "winnowfpspos", dir)
+    val rare = fp.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
+    val f2 = Tables.materialize(fp.join(rare, "fp"), "winnowspan2")
+    f2.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(f2.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp")).as("shared"),
+        min(col("pa")).as("a_start"), max(col("pa")).as("a_end"),
+        min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
+      .filter(col("shared") >= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> qWinnowOverlap _,
+    "q_winnow_spans" -> qWinnowSpans _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
@@ -575,6 +621,22 @@ object TextOps {
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
+    // Span extents per pair from the exported positions table — see
+    // qWinnowSpans (pure integer ops; COUNT DISTINCT / MIN / MAX)
+    "q_winnow_spans" ->
+      s"""WITH fp AS (SELECT doc_id, fp, pos FROM '${graft.OracleExport.oraclePath("winnowfpspos")}'),
+         |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+         |rare AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |f2 AS (SELECT fp.doc_id, fp.fp, fp.pos FROM fp JOIN rare USING (fp)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(DISTINCT a.fp) AS shared,
+         |    MIN(a.pos) AS a_start, MAX(a.pos) AS a_end,
+         |    MIN(b.pos) AS b_start, MAX(b.pos) AS b_end
+         |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, a_start, a_end, b_start, b_end
+         |FROM p WHERE shared >= 8 ORDER BY doc_a, doc_b""".stripMargin,
     // Recomputes the winnow family's downstream logic (df-bounded stop
     // filter, pair counts, containment) from the exported fingerprint
     // table — see qWinnowOverlap

@@ -74,6 +74,47 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("positions variant: same selections as fingerprints, valid offsets, exact hashes") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(120)
+      val s = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val k = 2 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(6)
+      val pos = Winnow.fingerprintPositions(UTF8String.fromString(s), k, w)
+      val rows = (0 until pos.numElements()).map { i =>
+        val r = pos.getStruct(i, 2)
+        (r.getLong(0), r.getInt(1))
+      }
+      // projecting fp reproduces the fingerprint sequence exactly
+      assert(rows.map(_._1) == kernel(s, k, w), s"k=$k w=$w s=$s")
+      rows.foreach { case (fp, p) =>
+        assert(p >= 0 && p <= s.length - k)
+        // the recorded hash IS the k-gram hash at the recorded offset
+        val direct = (0 until k).foldLeft(0L)((acc, j) => acc * B + s.charAt(p + j))
+        assert(fp == direct, s"hash/pos mismatch at $p for k=$k w=$w s=$s")
+      }
+      // selection offsets are strictly increasing (distinct rows)
+      assert(rows.map(_._2) == rows.map(_._2).sorted.distinct)
+    }
+  }
+
+  test("positions expression: codegen path equals the interpreted kernel") {
+    import spark.implicits._
+    val s = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(s).toDF("text")
+    val got = df.select(explode(Winnow.winnowPos(col("text"), 4, 3)).as("s"))
+      .select(col("s.fp"), col("s.pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val want = {
+      val pos = Winnow.fingerprintPositions(UTF8String.fromString(s), 4, 3)
+      (0 until pos.numElements()).map { i =>
+        val r = pos.getStruct(i, 2); (r.getLong(0), r.getInt(1))
+      }
+    }
+    assert(got == want)
+  }
+
   test("expression integration: codegen path equals the kernel, null-safe") {
     import spark.implicits._
     val df = Seq(Some("the quick brown fox jumps over the lazy dog"),
