@@ -71,9 +71,10 @@ object SparkEntry {
         ops.Bpe.sharedMerges(spark, dir)
         ()
       }),
-      "winnow" -> (() => { // fingerprint table -> candidate pairs
+      "winnow" -> (() => { // fingerprint tables -> candidate pairs
         ops.TextOps.winnowFps(spark, dir)
         ops.TextOps.winnowPairs(spark, dir)
+        ops.TextOps.winnowFpsPos(spark, dir)
         ()
       }),
       "bigrams" -> (() => { // distinct (doc, bigram) table (novelty family)
