@@ -580,18 +580,27 @@ object TextOps {
   def qWinnowSpans(spark: SparkSession, dir: String): DataFrame = {
     val fp = winnowFpsPos(spark, dir)
     graft.OracleExport.export(fp, "winnowfpspos", dir)
-    val rare = fp.select("doc_id", "fp").distinct()
-      .groupBy("fp").agg(count(lit(1)).as("dfreq"))
+    // collapse to ONE row per (fp, doc) carrying that doc's position
+    // extent for the fp BEFORE the pair join: a fp recurring at p
+    // positions in each of two docs would otherwise contribute p×p join
+    // rows (position fan-out squared), and per-(fp,doc) extents compose
+    // exactly — min over matched fps of per-doc min IS the span start.
+    // The join input is then the same cardinality as winnowPairs' and
+    // shared = COUNT(*) (each matched fp exactly once per doc pair).
+    val g = fp.groupBy("fp", "doc_id")
+      .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
+    val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
-    val f2 = Tables.materialize(fp.join(rare, "fp"), "winnowspan2")
-    f2.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(f2.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pb")),
-        "fp")
+    val f2 = Tables.materialize(g.join(rare, "fp"), "winnowspan2")
+    f2.select(col("fp"), col("doc_id").as("doc_a"),
+        col("pmin").as("amin"), col("pmax").as("amax"))
+      .join(f2.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pmin").as("bmin"), col("pmax").as("bmax")), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("fp")).as("shared"),
-        min(col("pa")).as("a_start"), max(col("pa")).as("a_end"),
-        min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("amin")).as("a_start"), max(col("amax")).as("a_end"),
+        min(col("bmin")).as("b_start"), max(col("bmax")).as("b_end"))
       .filter(col("shared") >= 8)
       .orderBy("doc_a", "doc_b")
   }
@@ -625,14 +634,15 @@ object TextOps {
     // qWinnowSpans (pure integer ops; COUNT DISTINCT / MIN / MAX)
     "q_winnow_spans" ->
       s"""WITH fp AS (SELECT doc_id, fp, pos FROM '${graft.OracleExport.oraclePath("winnowfpspos")}'),
-         |d AS (SELECT DISTINCT doc_id, fp FROM fp),
-         |rare AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
-         |f2 AS (SELECT fp.doc_id, fp.fp, fp.pos FROM fp JOIN rare USING (fp)),
+         |g AS (SELECT fp, doc_id, MIN(pos) AS pmin, MAX(pos) AS pmax
+         |      FROM fp GROUP BY 1, 2),
+         |rare AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |f2 AS (SELECT g.fp, g.doc_id, g.pmin, g.pmax FROM g JOIN rare USING (fp)),
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    COUNT(DISTINCT a.fp) AS shared,
-         |    MIN(a.pos) AS a_start, MAX(a.pos) AS a_end,
-         |    MIN(b.pos) AS b_start, MAX(b.pos) AS b_end
+         |    COUNT(*) AS shared,
+         |    MIN(a.pmin) AS a_start, MAX(a.pmax) AS a_end,
+         |    MIN(b.pmin) AS b_start, MAX(b.pmax) AS b_end
          |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, shared, a_start, a_end, b_start, b_end
