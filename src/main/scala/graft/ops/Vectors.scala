@@ -333,6 +333,25 @@ object Vectors {
     * each query probes its nprobe=6 nearest lists and exact-reranks only
     * those candidates (~nprobe/nlist of the corpus; recall floor asserted
     * in SimilaritySpec). Hash-gated via the exported candidate set. */
+  /** nProbe nearest centroids as a sorted (d, cid) struct array —
+    * CHUNKED like [[ivfAssignExpr]] (top-k of the union of per-chunk
+    * top-ks IS the global top-k, since anything outside a chunk's top-k
+    * is dominated within its own chunk): each 16-centroid chunk sorts
+    * and keeps its own nProbe, the concatenated survivors re-sort once.
+    * One chunk (nlist <= 16) degenerates to the previous flat plan. */
+  private[graft] def ivfRankExpr(cs: Array[Array[Double]], nProbe: Int): Column = {
+    val chunkTops = cs.toIndexedSeq.zipWithIndex.grouped(AssignChunk).map { chunk =>
+      val arr = array_sort(array(chunk.map { case (c, i) =>
+        struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
+      }: _*))
+      if (chunk.sizeIs <= nProbe) arr else slice(arr, 1, nProbe)
+    }.toSeq
+    val all =
+      if (chunkTops.sizeIs == 1) chunkTops.head
+      else array_sort(concat(chunkTops: _*))
+    slice(all, 1, nProbe)
+  }
+
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -340,12 +359,9 @@ object Vectors {
     val centroids = ivfCentroids(spark, dir)
     val assigned = ivfAssigned(spark, dir)
     // each query probes its nprobe nearest centroid lists
-    val rankedCids = array_sort(array(centroids.toIndexedSeq.zipWithIndex.map {
-      case (c, i) => struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
-    }: _*))
     val probes = emb.select(col("vec_id").as("qid"),
         col("embedding").as("qe"), col("norm2").as("qn"),
-        explode(slice(rankedCids, 1, nProbe)).as("probe"))
+        explode(ivfRankExpr(centroids, nProbe)).as("probe"))
       .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
     // no distinct: (qid, nid) is unique BY CONSTRUCTION — every nid lives
     // in exactly one inverted list and a query probes nProbe DISTINCT

@@ -129,6 +129,39 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ivf.nlist")
   }
 
+  test("IVF probe ranking at nlist=64 is the exact top-nprobe (chunked top-k expression)") {
+    // 64 centroids = 4 chunks, each keeping its own top-nprobe before the
+    // union re-sort — pins that chunked top-k == flat top-k (dominance:
+    // any global top-k element is in its chunk's top-k)
+    spark.conf.set("spark.graft.ivf.nlist", "64")
+    try {
+      val cs = Vectors.ivfCentroids(spark, sf("sf0.01"))
+      val nProbe = 6
+      val got = Vectors.sharedEmb(spark, sf("sf0.01"))
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          Vectors.ivfRankExpr(cs, nProbe).as("probes"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1))))
+      val emb = Vectors.sharedEmb(spark, sf("sf0.01"))
+        .select("vec_id", "embedding", "norm2").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getDouble(2))))
+        .toMap
+      got.foreach { case (id, cids) =>
+        val (e, n2) = emb(id)
+        val want = cs.zipWithIndex.map { case (c, i) =>
+          val cn = c.map(v => v * v).sum
+          var dot = 0.0
+          var k = 0
+          val n = math.min(e.length, c.length)
+          while (k < n) { dot += e(k).toDouble * c(k).toFloat.toDouble; k += 1 }
+          (n2 + cn - 2.0 * dot, i)
+        }.sorted.take(nProbe).map(_._2).toSeq
+        assert(cids == want, s"vec $id")
+      }
+    } finally spark.conf.unset("spark.graft.ivf.nlist")
+  }
+
   test("ivf nlist knob guard rejects past the literal-expression bound") {
     spark.conf.set("spark.graft.ivf.nlist", "2048")
     try {
