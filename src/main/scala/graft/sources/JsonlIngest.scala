@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** JSON-lines ingestion — the interchange format training-data
+  * pipelines actually exchange corpora in. The reference ingests only
+  * text directories (SURVEY.md §2.1 O1); this is the schema-on-read
+  * side of the Spark-first source surface: an explicit schema on
+  * `spark.read.json` (never inference — a 100 TB inference pass reads
+  * the corpus TWICE and silently widens types on dirty rows), splittable
+  * line-delimited files, and column pruning/pushdown identical to any
+  * other scan once parsed.
+  *
+  * The gate round-trips the documents table through JSONL once per
+  * session and profiles the re-read copy per (lang, source) with
+  * full-fidelity witnesses (exact count, distinct-content count, id and
+  * length sums, lexicographic min/max content hash); the oracle computes
+  * the same profile straight from the parquet table — any encoding,
+  * escaping, or type loss in the round-trip breaks the hash compare.
+  * All columns are integral/string, so JSON double formatting is not in
+  * play by design. */
+object JsonlIngest {
+
+  // dir -> session-temp JSONL copy (written once per JVM; registered for
+  // shutdown cleanup like the materializations)
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonlCopy(spark: SparkSession, dir: String): String =
+    written.computeIfAbsent(dir, _ => {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      Tables.registerTempDir(s"jsonl:$out", out)
+      Tables(spark, dir, "documents").write.mode("overwrite").json(out)
+      out
+    })
+
+  def qIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlCopy(spark, dir)
+    val docs = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(path)
+    docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        min(md5(col("text"))).as("min_h"),
+        max(md5(col("text"))).as("max_h"))
+      .orderBy("lang", "source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_ingest_jsonl" -> qIngestJsonl _)
+
+  val oracles: Map[String, String] = Map(
+    // the oracle profiles the ORIGINAL parquet table: equality proves
+    // the JSONL round-trip preserved every row, id, length, and byte of
+    // text (md5 witnesses)
+    "q_ingest_jsonl" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  MIN(md5(text)) AS min_h, MAX(md5(text)) AS max_h
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, source""".stripMargin)
+}
