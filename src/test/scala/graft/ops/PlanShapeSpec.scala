@@ -55,6 +55,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft-mat-survpairs"), p)
   }
 
+  test("q5/q7/q9: selective predicates pushed to their scans, no cartesian") {
+    val p5 = plan("q5_local_supplier")
+    assert(p5.contains("GreaterThanOrEqual(o_orderdate"), p5)
+    assert(p5.contains("LessThan(o_orderdate"), p5)
+    assert(p5.contains("EqualTo(r_name,ASIA)"), p5)
+    val p7 = plan("q7_cross_nation")
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate"), p7)
+    val p9 = plan("q9_product_profit")
+    assert(p9.contains("StringContains(p_name,widget)"), p9)
+    Seq(p5, p7, p9).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      // column pruning: the wide lineitem comment/tax columns never read
+      assert(!p.contains("l_tax"), p)
+    }
+  }
+
   test("q_jaccard_pairs: no cartesian, zero corpus scans — pairs come off the shared tables") {
     // round-2's first cut re-read documents.parquet 17×; the tuned plan
     // reads ONLY the session-shared intermediates (cluster table, survivor
