@@ -605,9 +605,57 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Contiguous copied-block detection: [[qWinnowSpans]]'s extents span
+    * the WHOLE overlap (two separate copied blocks read as one long
+    * span); this chains the matched fingerprints of each pair into
+    * gap-bounded runs — a new chain starts when the next match jumps
+    * more than 64 chars in EITHER document — and reports each run
+    * separately. The same window trick as sessionization, in document-
+    * position space instead of time: per-pair sort by position, lag
+    * gap flags, running sum = chain id, one hash agg per chain. Matches
+    * are one row per (fp, doc pair), so the window partitions are
+    * candidate-pair sized — bounded by the same df <= 50 stop filter,
+    * never corpus-sized. Chains need >= 4 matches (at fingerprint
+    * density 2/(w+1) ≈ 0.22/char that's a block of roughly >= 18
+    * chars of genuinely shared text). Hash-gated from the same
+    * exported positions table as q_winnow_spans. */
+  def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFpsPos(spark, dir)
+    graft.OracleExport.export(fp, "winnowfpspos", dir)
+    val g = fp.groupBy("fp", "doc_id")
+      .agg(min(col("pos")).as("pmin"))
+    val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
+    val f2 = Tables.materialize(g.join(rare, "fp"), "winnowchain2")
+    // apos is unique within a pair (one k-gram starts at a position, and
+    // pmin collapses recurrences), so the window order is total
+    val matches = f2
+      .select(col("fp"), col("doc_id").as("doc_a"), col("pmin").as("apos"))
+      .join(f2.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pmin").as("bpos")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy("apos")
+    val gap = 64
+    matches
+      .withColumn("brk",
+        (lag(col("apos"), 1).over(w).isNull ||
+          col("apos") - lag(col("apos"), 1).over(w) > gap ||
+          abs(col("bpos") - lag(col("bpos"), 1).over(w)) > gap).cast("int"))
+      .withColumn("chain_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+      .groupBy("doc_a", "doc_b", "chain_id")
+      .agg(count(lit(1)).cast("int").as("n_matches"),
+        min(col("apos")).as("a_start"), max(col("apos")).as("a_end"),
+        min(col("bpos")).as("b_start"), max(col("bpos")).as("b_end"))
+      .filter(col("n_matches") >= 4)
+      .orderBy("doc_a", "doc_b", "chain_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_winnow_spans" -> qWinnowSpans _,
+    "q_winnow_chains" -> qWinnowChains _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
@@ -630,6 +678,34 @@ object TextOps {
     "q_text_bigrams" -> qTextBigrams _)
 
   val oracles: Map[String, String] = Map(
+    // Gap-bounded chain detection from the exported positions table —
+    // see qWinnowChains (lag-gap flags -> running-sum chain ids; pure
+    // integer ops; chain_id/n_matches cast INT because DuckDB's SUM and
+    // COUNT widen past Spark's)
+    "q_winnow_chains" ->
+      s"""WITH fp AS (SELECT doc_id, fp, pos FROM '${graft.OracleExport.oraclePath("winnowfpspos")}'),
+         |g AS (SELECT fp, doc_id, MIN(pos) AS pmin FROM fp GROUP BY 1, 2),
+         |rare AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |f2 AS (SELECT g.fp, g.doc_id, g.pmin FROM g JOIN rare USING (fp)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pmin AS apos, b.pmin AS bpos
+         |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |flagged AS (
+         |  SELECT *, CASE WHEN lag(apos) OVER pw IS NULL
+         |      OR apos - lag(apos) OVER pw > 64
+         |      OR abs(bpos - lag(bpos) OVER pw) > 64 THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW pw AS (PARTITION BY doc_a, doc_b ORDER BY apos)),
+         |chained AS (
+         |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b
+         |    ORDER BY apos ROWS UNBOUNDED PRECEDING) AS INT) AS chain_id
+         |  FROM flagged)
+         |SELECT doc_a, doc_b, chain_id, CAST(COUNT(*) AS INT) AS n_matches,
+         |  MIN(apos) AS a_start, MAX(apos) AS a_end,
+         |  MIN(bpos) AS b_start, MAX(bpos) AS b_end
+         |FROM chained GROUP BY 1, 2, 3
+         |HAVING COUNT(*) >= 4
+         |ORDER BY doc_a, doc_b, chain_id""".stripMargin,
     // Span extents per pair from the exported positions table — see
     // qWinnowSpans (pure integer ops; COUNT DISTINCT / MIN / MAX)
     "q_winnow_spans" ->
