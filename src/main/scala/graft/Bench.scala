@@ -124,6 +124,7 @@ object Bench {
     var p = 0
     var stop = false
     var passesCompleted = 0
+    var skipped = List.empty[String]
     while (p < passes && !stop) {
       ioSecs += ioCanary()
       passTotals += 0.0
@@ -139,6 +140,17 @@ object Bench {
               f"[bench] budget exhausted in pass ${p + 1} at $name: " +
                 f"elapsed $elapsedSec%.1f s, budget $budgetSec%.1f s")
           }
+        } else if (elapsedSec >= 0.95 * budgetSec) {
+          // EMERGENCY cutoff inside pass 1: in the worst observed weather a
+          // single pass ran 387 s — past ~the whole budget the choice is a
+          // partial artifact (skipped queries listed, their medians absent
+          // from `value`) or the driver killing the JVM before the JSON
+          // line prints at all (round 7's rc 124). Partial wins.
+          stop = true; partial = true
+          skipped = names.drop(names.indexWhere(_._1 == name)).map(_._1).toList
+          System.err.println(
+            f"[bench] EMERGENCY cutoff in pass 1 at $name: elapsed " +
+              f"$elapsedSec%.1f s of $budgetSec%.1f s; skipping ${skipped.size} queries")
         }
         if (!stop) {
           val sec = timed {
@@ -172,7 +184,9 @@ object Bench {
               f"last pass $lastPass%.1f s, budget $budgetSec%.1f s")
       }
     }
-    val results = names.map { case (name, _) => name -> median(samples(name)) }
+    // queries the emergency cutoff never timed are absent from the map
+    val results = names.filter(n => samples.contains(n._1))
+      .map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -180,7 +194,9 @@ object Bench {
     // this host only ever ADDS time, so the min across samples is the best
     // available estimate of quiet-window speed when a contention burst
     // inflated one pass (equals `value` on a 1-pass run).
-    val minTotal = names.map { case (n, _) => samples(n).min }.sum
+    val minTotal = names.filter(n => samples.contains(n._1))
+      .map { case (n, _) => samples(n).min }.sum
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Contention canaries: constant-work queries whose warm steady-state
     // is known (BASELINE.md adjudicates machine contention with them).
@@ -205,7 +221,10 @@ object Bench {
     val passJson = passTotals.map(_.toString).mkString("[", ",", "]")
     val prewarmOk = prewarmErr.isEmpty
     val prewarmErrJson = prewarmErr.map(jsonStr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    // the artifact IS the stdout line: make sure it reaches the driver
+    // even if spark.stop() below hangs into the driver's kill window
+    System.out.flush()
     spark.stop()
   }
 }
