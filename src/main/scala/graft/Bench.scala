@@ -40,6 +40,29 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Compact driver-facing summary: everything adjudication needs, NO
+    * per-query map. The full record (with the 117-entry query map) is ~6 KB
+    * on one line; the driver's stdout tail capture keeps only the last
+    * 2,000 chars, so round 8 recorded rc 0 but parsed:null — the line
+    * arrived mid-dict with the leading "value" field cut off. This line is
+    * printed LAST so it always fits any tail buffer whole and parses. */
+  private[graft] def summaryJson(
+      total: Double, nQueries: Int, minTotal: Double, failedN: Int,
+      skippedN: Int, passes: Int, passesCompleted: Int,
+      passTotals: Seq[Double], passPartial: Seq[Boolean], budgetSec: Double,
+      elapsedSec: Double, prewarmSec: Double, prewarmOk: Boolean,
+      canaryFactor: Double, ioCanaryFactor: Double, sf: String): String = {
+    val pt = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val pp = passPartial.map(_.toString).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQueries,""" +
+      s""""min_total":${f"$minTotal%.3f"},"failed_n":$failedN,"skipped_n":$skippedN,""" +
+      s""""passes":$passes,"passes_completed":$passesCompleted,"pass_totals":$pt,""" +
+      s""""pass_partial":$pp,"budget_sec":$budgetSec,"elapsed_sec":${f"$elapsedSec%.1f"},""" +
+      s""""prewarm_sec":${f"$prewarmSec%.2f"},"prewarm_ok":$prewarmOk,""" +
+      s""""canary_factor":${f"$canaryFactor%.3f"},"io_canary_factor":${f"$ioCanaryFactor%.3f"},""" +
+      s""""canary_norm_total":${f"${total / canaryFactor}%.3f"},"sf":${jsonStr(sf)}}"""
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -112,6 +135,9 @@ object Bench {
     var failed = Set.empty[String]
     val ioSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // parallel to passTotals: true when that pass stopped mid-way (budget),
+    // so its total covers only a prefix of the query list
+    val passPartial = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     // Deadline discipline: pass 1 runs UNCONDITIONALLY (a one-pass artifact
     // beats rc 124); from pass 2 on, the budget is checked before EVERY
@@ -133,7 +159,8 @@ object Bench {
         if (p > 0) {
           // estimate this query's cost at 1.5× its sample median (absorbs
           // a moderate burst); stop the whole run when it no longer fits
-          val est = 1.5 * median(samples(name))
+          // getOrElse: a query that failed every prior pass has no samples
+          val est = 1.5 * median(samples.getOrElse(name, Nil))
           if (elapsedSec + est >= budgetSec) {
             stop = true; partial = true
             System.err.println(
@@ -153,17 +180,24 @@ object Bench {
               f"$elapsedSec%.1f s of $budgetSec%.1f s; skipping ${skipped.size} queries")
         }
         if (!stop) {
+          var ok = true
           val sec = timed {
             try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             catch { case e: Throwable =>
               failed += name
+              ok = false
               System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
             }
           }
-          samples(name) = sec :: samples.getOrElse(name, Nil)
+          // A failed run's duration is the time-to-crash, not the query's
+          // cost — letting it into samples deflates the median AND the
+          // pass-2+ budget estimate (1.5× of ~0 never triggers the stop).
+          // The wall time still counts against the pass total and budget.
+          if (ok) samples(name) = sec :: samples.getOrElse(name, Nil)
           passTotals(p) += sec
         }
       }
+      passPartial += partial
       if (!partial) passesCompleted = p + 1
       p += 1
       // Pass-level gate: start pass p+1 if ~0.6× the LAST pass still fits
@@ -221,7 +255,14 @@ object Bench {
     val passJson = passTotals.map(_.toString).mkString("[", ",", "]")
     val prewarmOk = prewarmErr.isEmpty
     val prewarmErrJson = prewarmErr.map(jsonStr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    // Full record first (humans + archives), compact summary LAST: the
+    // driver keeps only a stdout tail, and the full line's per-query map
+    // makes it ~6 KB — r8 recorded parsed:null off a mid-dict tail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    println(summaryJson(
+      total, results.size, minTotal, failed.size, skipped.size, passes,
+      passesCompleted, passTotals.toSeq, passPartial.toSeq, budgetSec,
+      elapsedSec, prewarmSec, prewarmOk, factor, ioSec / ioWarm, sfDir))
     // the artifact IS the stdout line: make sure it reaches the driver
     // even if spark.stop() below hangs into the driver's kill window
     System.out.flush()

@@ -32,13 +32,36 @@ object OracleExport {
   /** Glob the gate oracle reads for `tag` — embed in oracle SQL. */
   def oraclePath(tag: String): String = dirFor(tag, GateSf) + "/*.parquet"
 
-  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** dir → knob key it was exported under (sentinel "" = knob-free). */
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write `df` once per (tag, sfDir) per JVM; no-op when disabled. */
-  def export(df: DataFrame, tag: String, sfDir: String): Unit = {
+  /** Write `df` once per (tag, sfDir) per JVM; no-op when disabled.
+    *
+    * `knobKey` names the session-knob configuration the exported CONTENT
+    * depends on (same convention as the shared-table share keys). The
+    * first export pins the key for the JVM; a later export of the same
+    * (tag, sfDir) under a DIFFERENT key throws immediately — the oracle
+    * SQL hardcodes one path, so a mid-session knob change would otherwise
+    * surface as an opaque downstream hash mismatch (the gate comparing
+    * default-knob Spark output against a stale non-default export).
+    *
+    * Failure handling: the in-flight mark is rolled back when the write
+    * throws (disk full, transient FS error), so a later caller in the
+    * same JVM retries instead of the gate silently reading a missing or
+    * stale export. */
+  def export(df: DataFrame, tag: String, sfDir: String,
+             knobKey: String = ""): Unit = {
     if (df.sparkSession.conf.get("spark.graft.oracleExport", "true") != "true")
       return
     val d = dirFor(tag, sfDir)
-    if (done.add(d)) df.write.mode("overwrite").parquet(d)
+    val prev = done.putIfAbsent(d, knobKey)
+    if (prev == null) {
+      try df.write.mode("overwrite").parquet(d)
+      catch { case e: Throwable => done.remove(d); throw e }
+    } else if (prev != knobKey)
+      throw new IllegalStateException(
+        s"oracle export '$tag' for $sfDir already written under knob key " +
+          s"'$prev'; exporting under '$knobKey' would desync the gate " +
+          "oracle — keep sketch knobs fixed for the JVM (or restart it)")
   }
 }

@@ -28,6 +28,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -49,6 +50,7 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -74,5 +76,13 @@ object Verify {
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/ran.json"), ran)
     spark.stop()
+    // Exit nonzero on ANY query failure — a throwing query used to leave
+    // only a stderr line, and any harness calling Verify without check.py
+    // (which catches the missing output dir) saw exit 0. The artifacts
+    // above are all written first, so the driver's compare still runs.
+    if (failures > 0) {
+      System.err.println(s"[verify] $failures quer${if (failures == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -325,11 +325,20 @@ object Similarity {
     val t = 0.7
     val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
     require(minhashK % bands == 0, s"minhash.k=$minhashK not divisible by bands=$bands")
+    // The gate's oracle SQL hardcodes the DEFAULT band arms (mh0..mh31,
+    // 8 bands × 4 rows): refusing a non-default-knob run while export is
+    // on turns a silent oracle desync into an immediate error. Bench and
+    // knob experiments set spark.graft.oracleExport=false and are free.
+    if (spark.conf.get("spark.graft.oracleExport", "true") == "true")
+      require(minhashK == 32 && bands == 8,
+        s"q_minhash_lsh's oracle SQL assumes k=32/bands=8 (got k=$minhashK" +
+          s", bands=$bands); set spark.graft.oracleExport=false for " +
+          "non-default minhash knobs")
     val rowsPerBand = minhashK / bands
     val sh = corpusShingles(spark, dir)
     val minh = minhashSignatures(spark, dir)
     graft.OracleExport.export(sh, "shingles", dir)
-    graft.OracleExport.export(minh, "minhsig", dir)
+    graft.OracleExport.export(minh, "minhsig", dir, s"k=$minhashK.b=$bands")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r =>

@@ -497,6 +497,15 @@ object TextOps {
     * branches). Rows-only by design: semantics are defined by the
     * Karp-Rabin hash, like the minhash/simhash family; WinnowSpec pins
     * the kernel against an independent reference implementation. */
+  /** Knob key of the winnow family's derived tables — the SAME suffix the
+    * share keys use; passed to OracleExport so a mid-session knob change
+    * throws instead of desyncing the gate oracle. */
+  private def winnowKey(spark: SparkSession): String = {
+    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
+    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
+    s"k$k.w$w"
+  }
+
   private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
     val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
     val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
@@ -515,7 +524,7 @@ object TextOps {
     // recomputes the stop-fingerprint filter, pair counting, and the
     // containment threshold from it (the winnow kernel itself is pinned
     // by WinnowSpec's golden + guarantee tests)
-    graft.OracleExport.export(fps, "winnowfps", dir)
+    graft.OracleExport.export(fps, "winnowfps", dir, winnowKey(spark))
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     winnowPairs(spark, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("na")), "doc_a")
@@ -579,7 +588,7 @@ object TextOps {
     * [[winnowPairs]]. Hash-gated via the exported positions table. */
   def qWinnowSpans(spark: SparkSession, dir: String): DataFrame = {
     val fp = winnowFpsPos(spark, dir)
-    graft.OracleExport.export(fp, "winnowfpspos", dir)
+    graft.OracleExport.export(fp, "winnowfpspos", dir, winnowKey(spark))
     // collapse to ONE row per (fp, doc) carrying that doc's position
     // extent for the fp BEFORE the pair join: a fp recurring at p
     // positions in each of two docs would otherwise contribute p×p join
@@ -621,7 +630,7 @@ object TextOps {
     * exported positions table as q_winnow_spans. */
   def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
     val fp = winnowFpsPos(spark, dir)
-    graft.OracleExport.export(fp, "winnowfpspos", dir)
+    graft.OracleExport.export(fp, "winnowfpspos", dir, winnowKey(spark))
     val g = fp.groupBy("fp", "doc_id")
       .agg(min(col("pos")).as("pmin"))
     val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))

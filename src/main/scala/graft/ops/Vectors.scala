@@ -96,6 +96,13 @@ object Vectors {
   private def annTablesN(spark: SparkSession) = intConf(spark, "spark.graft.ann.tables", 8)
   private def annPlanesN(spark: SparkSession) = intConf(spark, "spark.graft.ann.planes", 6)
   private def annFlipsN(spark: SparkSession) = intConf(spark, "spark.graft.ann.probeFlips", 3)
+  /** Knob keys passed to OracleExport (mirror the share-key suffixes) so
+    * a mid-session sketch-knob change throws instead of desyncing the
+    * gate oracle's fixed export path. */
+  private def annKey(spark: SparkSession): String =
+    s"L${annTablesN(spark)}b${annPlanesN(spark)}f${annFlipsN(spark)}"
+  private def ivfKey(spark: SparkSession): String =
+    s"k${ivfListsN(spark)}.i${ivfItersN(spark)}.p${ivfProbesN(spark)}"
 
   /** Deterministic Rademacher (±1) hyperplane signs for plane p, dim d —
     * splitmix64-style bit mix so both build runs and all executors agree. */
@@ -210,7 +217,7 @@ object Vectors {
     // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
     val cand = annCandidates(spark, dir)
-    graft.OracleExport.export(cand, "anncand", dir)
+    graft.OracleExport.export(cand, "anncand", dir, annKey(spark))
     // plain double dot for re-ranking: no oracle here, and the exact-decimal
     // path costs ~10x on the candidate set
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -377,7 +384,7 @@ object Vectors {
     // hash-gated: the probe-derived candidate pair set (quantizer-
     // defined, not SQL-expressible) is exported; the oracle recomputes
     // the cosine re-rank and top-3 window from it (see qCosineAnn)
-    graft.OracleExport.export(cands.select("qid", "nid"), "ivfcand", dir)
+    graft.OracleExport.export(cands.select("qid", "nid"), "ivfcand", dir, ivfKey(spark))
     rankTop3(cands, native = true)
   }
 
@@ -459,7 +466,7 @@ object Vectors {
     // shared materializations (see sharedEmb / annTable)
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
-    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir)
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir, annKey(spark))
     val cand = annCandidates(spark, dir)
       .select(col("qid").as("keep_id"), col("nid").as("dup_id"))
     cand
@@ -500,8 +507,10 @@ object Vectors {
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssigned(spark, dir)
     graft.OracleExport.export(
-      assigned.select("vec_id", "cid"), "ivfassign", dir)
-    graft.OracleExport.export(semanticPairs(spark, dir), "sempairs", dir)
+      assigned.select("vec_id", "cid"), "ivfassign", dir,
+      s"k${ivfListsN(spark)}.i${ivfItersN(spark)}")
+    graft.OracleExport.export(semanticPairs(spark, dir), "sempairs", dir,
+      semKey(spark, dir))
     val cc = semanticComponents(spark, dir)
       .select(col("node").as("vec_id"), col("label"))
     assigned.select(col("vec_id"), col("cid"))

@@ -93,8 +93,13 @@ object DocGenQueries {
     // honors the same switch as graft.OracleExport: Bench disables
     // exports so timed passes never pay the write
     if (spark.conf.get("spark.graft.oracleExport", "true") != "true") return
-    if (exported.compareAndSet(false, true))
-      source(spark).write.mode("overwrite").parquet(ExportDir)
+    if (exported.compareAndSet(false, true)) {
+      // roll the flag back if the write throws (disk full, transient FS
+      // error) so a later caller retries instead of the gate oracle
+      // reading a missing or stale export for the rest of the JVM
+      try source(spark).write.mode("overwrite").parquet(ExportDir)
+      catch { case e: Throwable => exported.set(false); throw e }
+    }
   }
 
   /** Word count over the generated corpus — reads ONLY text, so the

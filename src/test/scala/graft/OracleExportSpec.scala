@@ -36,6 +36,40 @@ class OracleExportSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.oracleExport")
   }
 
+  test("re-export under a different knob key throws; same key is a no-op") {
+    import spark.implicits._
+    val dir = "/spec/knobguard"
+    val base = "/tmp/graft-oracle-export/knobtag-_spec_knobguard"
+    graft.Tables.registerTempDir(s"spec:$base", base)
+    OracleExport.export(Seq(1L).toDF("v"), "knobtag", dir, "k12.w8")
+    // same knobs: silent reuse (the per-JVM once semantics)
+    OracleExport.export(Seq(9L).toDF("v"), "knobtag", dir, "k12.w8")
+    assert(spark.read.parquet(base).as[Long].collect().toSeq == Seq(1L))
+    // different knobs: the export path is fixed and the oracle SQL reads
+    // it — serving knob-A content to a knob-B gate must throw, not desync
+    val e = intercept[IllegalStateException] {
+      OracleExport.export(Seq(2L).toDF("v"), "knobtag", dir, "k9.w4")
+    }
+    assert(e.getMessage.contains("k12.w8") && e.getMessage.contains("k9.w4"))
+  }
+
+  test("a failed export write is retried by the next caller") {
+    import spark.implicits._
+    val dir = "/spec/retry"
+    val base = "/tmp/graft-oracle-export/retrytag-_spec_retry"
+    graft.Tables.registerTempDir(s"spec:$base", base)
+    // first attempt: evaluation throws mid-write → the in-flight mark
+    // must be rolled back (mark-before-write used to pin the failure
+    // for the whole JVM and the gate then read a missing export)
+    val bad = Seq(1L).toDF("v")
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(raise_error('injected export failure') as bigint)").as("v"))
+    intercept[Throwable] { OracleExport.export(bad, "retrytag", dir) }
+    // second attempt with good data must actually write
+    OracleExport.export(Seq(7L).toDF("v"), "retrytag", dir)
+    assert(spark.read.parquet(base).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("a gated consumer round-trips through its export identically") {
     // the minhash signature export is the widest one (33 columns): the
     // re-read export must equal the shared table it was written from

@@ -41,6 +41,31 @@ class TablesSpec extends SparkSpec {
     assert(builds === 1, "reuse evaluated the by-name builder")
   }
 
+  test("bench summary line fits a 2000-char tail buffer and parses") {
+    import spark.implicits._
+    // realistic worst case: 3 passes, budget stop, long sf path — the
+    // driver keeps only the LAST 2000 stdout chars, so this line (printed
+    // last) must fit whole no matter what the full per-query record does
+    val line = Bench.summaryJson(
+      total = 64.123456789, nQueries = 117, minTotal = 60.3456,
+      failedN = 2, skippedN = 14, passes = 3, passesCompleted = 2,
+      passTotals = Seq(103.636363, 60.818181, 58.444444),
+      passPartial = Seq(false, false, true), budgetSec = 300.0,
+      elapsedSec = 287.654, prewarmSec = 9.8765, prewarmOk = true,
+      canaryFactor = 0.523456, ioCanaryFactor = 0.512345,
+      sf = "/root/testdata/sf0.1")
+    assert(!line.contains("\n") && !line.contains("\r"))
+    assert(line.length < 1500, s"summary line too long: ${line.length}")
+    val row = spark.read.json(Seq(line).toDS).collect().head
+    val schema = spark.read.json(Seq(line).toDS).schema
+    def d(f: String) = row.getDouble(schema.fieldIndex(f))
+    assert(math.abs(d("value") - 64.123) < 1e-9)
+    assert(math.abs(d("min_total") - 60.346) < 1e-9)
+    assert(row.getLong(schema.fieldIndex("n_queries")) === 117L)
+    assert(row.getLong(schema.fieldIndex("skipped_n")) === 14L)
+    assert(row.getString(schema.fieldIndex("sf")) === "/root/testdata/sf0.1")
+  }
+
   test("bench JSON escaping survives multi-line exception messages") {
     import spark.implicits._
     val nasty = "line1\nline2\t\"quoted\\path\"\rend"
