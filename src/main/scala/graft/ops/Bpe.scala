@@ -117,9 +117,21 @@ object Bpe {
 
   /** 12 merges — enough to exercise multi-char merge chains (a learned
     * token merging with a neighbor) while keeping the per-round bench
-    * cost at 12 vocabulary-table jobs (once, in prewarm). */
-  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    sharedMerges(spark, dir).orderBy("step")
+    * cost at 12 vocabulary-table jobs (once, in prewarm).
+    *
+    * Hash-gated via [[graft.OracleExport]]: the learned table itself is
+    * engine-derived (iterative argmax — not single-query SQL), so like
+    * the minhash/winnow exports the oracle reads the exported table;
+    * what the gate adds over the rows-only check is schema/type/order
+    * parity and the export mechanics, while BpeSpec pins the merge
+    * SEQUENCE against an independent reference implementation. The real
+    * downstream gate is [[qBpeEncode]], whose oracle REPLAYS the greedy
+    * merge fold from this export in DuckDB. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val m = sharedMerges(spark, dir)
+    graft.OracleExport.export(m, "bpemerges", dir, "n12")
+    m.orderBy("step")
+  }
 
   /** Encode the corpus with the learned merge table: per-language token
     * counts and chars/token (the compression a tokenizer buys). The
@@ -133,12 +145,21 @@ object Bpe {
     * runtime when the vocabulary is actually small (it is at every test
     * SF) and falls back to a shuffle join when it isn't, which is the
     * only plan that survives the scale-up. The 12-row merge table is
-    * driver-collected (bounded, like the k-means centroids). Rows-only
-    * by design (merges are engine-derived hashless but iterative);
-    * BpeSpec pins encode against applying the reference merge list
-    * directly. */
+    * driver-collected (bounded, like the k-means centroids).
+    *
+    * Hash-gated via [[graft.OracleExport]] (promoted from rows-only):
+    * the oracle recomputes EVERYTHING downstream of the learned merges —
+    * the vocabulary, the greedy left-to-right non-overlapping merge fold
+    * itself (replayed in DuckDB on a double-space-delimited symbol
+    * string, where global string replace IS the greedy fold: each match
+    * consumes its delimiters, so overlapping candidates can't re-match,
+    * then delimiters are re-normalized per step), the corpus join, and
+    * the per-language aggregates. Only the merge TABLE is taken from the
+    * engine (iterative argmax — not single-query SQL), and BpeSpec pins
+    * that sequence against an independent reference implementation. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.OracleExport.export(sharedMerges(spark, dir), "bpemerges", dir, "n12")
     val learned = sharedMerges(spark, dir).orderBy("step")
       .select("left", "right").as[(String, String)].collect()
     val folded = learned.foldLeft(
@@ -172,8 +193,54 @@ object Bpe {
     "q_bpe_encode" -> qBpeEncode _)
 
   val oracles: Map[String, String] = Map(
-    // q_bpe_merges: rows-only by design (iterative argmax is not
-    // single-query SQL); BpeSpec pins the sequence instead.
+    // The learned table is engine-derived (iterative argmax): the oracle
+    // reads the export — gating schema/types/order + export mechanics;
+    // the sequence itself is pinned by BpeSpec, and q_bpe_encode's
+    // oracle replays the fold from this same export.
+    "q_bpe_merges" ->
+      s"""SELECT step, "left", "right", merged, cnt
+         |FROM '${graft.OracleExport.oraclePath("bpemerges")}'
+         |ORDER BY step""".stripMargin,
+    // Replays BPE encoding end-to-end from the exported merge table:
+    // vocabulary from documents, then 12 recursive steps where each word
+    // is a double-space-delimited symbol string (' s  e  g '). Global
+    // replace of ' a  b ' with ' ab ' is EXACTLY the greedy left-to-right
+    // non-overlapping merge (a match consumes its boundary spaces, so an
+    // overlapping candidate can't re-match); delimiters are re-normalized
+    // to the double-space invariant after each step. Finally the corpus
+    // joins word -> token count and aggregates per language, mirroring
+    // the Spark plan's one-narrow-pass corpus join.
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE
+         |tok AS (
+         |  SELECT lang, lower(t) AS w
+         |  FROM documents, UNNEST(string_split_regex(text, '\\s+')) u(t)
+         |  WHERE t <> '' AND regexp_matches(lower(t), '^[a-z]+$$')),
+         |vocab AS (SELECT DISTINCT w FROM tok),
+         |m AS (SELECT step, "left" AS a, "right" AS b
+         |      FROM '${graft.OracleExport.oraclePath("bpemerges")}'),
+         |enc AS (
+         |  SELECT w, 0 AS step,
+         |    ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.w, m.step,
+         |    ' ' || regexp_replace(trim(replace(e.s,
+         |        ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ')),
+         |      ' +', '  ', 'g') || ' '
+         |  FROM enc e JOIN m ON m.step = e.step + 1),
+         |ntok AS (
+         |  SELECT w, len(regexp_split_to_array(trim(s), ' +')) AS n_tok
+         |  FROM enc WHERE step = (SELECT COALESCE(MAX(step), 0) FROM m)),
+         |agg AS (
+         |  SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(n.n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(length(tok.w)) AS BIGINT) AS n_chars
+         |  FROM tok JOIN ntok n ON tok.w = n.w
+         |  GROUP BY lang)
+         |SELECT lang, n_words, n_tokens, n_chars,
+         |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+         |FROM agg ORDER BY lang""".stripMargin,
     "q_bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(t) AS w
