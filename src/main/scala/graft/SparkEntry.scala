@@ -75,6 +75,7 @@ object SparkEntry {
         ops.TextOps.winnowFps(spark, dir)
         ops.TextOps.winnowPairs(spark, dir)
         ops.TextOps.winnowFpsPos(spark, dir)
+        ops.TextOps.winnowMatches(spark, dir) // spans + chains both ride it
         ()
       }),
       "bigrams" -> (() => { // distinct (doc, bigram) table (novelty family)

@@ -586,26 +586,47 @@ object TextOps {
     * scalable first cut — one hash agg over the pair join, no per-pair
     * sequence work). Same df-bounded stop-fingerprint filter as
     * [[winnowPairs]]. Hash-gated via the exported positions table. */
+  /** Matched-fingerprint position frame per candidate pair — the THIRD
+    * shared derived table of the winnow family (after fps and pairs):
+    * one row per (fp, doc_a, doc_b) carrying each side's position
+    * extent for that fp. Both the span report (aggregates it) and the
+    * chain report (windows it) consume exactly this frame, so the
+    * fp-keyed pair join runs ONCE per (corpus, knobs) instead of once
+    * per query — the same share-the-derived-table discipline as the
+    * shingle/signature/pair tables.
+    *
+    * The builder collapses to ONE row per (fp, doc) with that doc's
+    * position extent BEFORE the pair join: a fp recurring at p positions
+    * in each of two docs would otherwise contribute p×p join rows
+    * (position fan-out squared — an observed 18.6 s pathology), and
+    * per-(fp,doc) extents compose exactly — min over matched fps of the
+    * per-doc min IS the span start. The join input is then the same
+    * cardinality as [[winnowPairs]]'. Same df-bounded stop-fingerprint
+    * filter (2 <= df <= 50) as the pair table. By-name share: the
+    * builder materializes an intermediate (executes jobs) during
+    * construction. */
+  private[graft] def winnowMatches(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "winnowmatches",
+      s"$dir#${winnowKey(spark)}") {
+      val fp = winnowFpsPos(spark, dir)
+      val g = fp.groupBy("fp", "doc_id")
+        .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
+      val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
+      val f2 = Tables.materialize(g.join(rare, "fp"), "winnowf2pos")
+      f2.select(col("fp"), col("doc_id").as("doc_a"),
+          col("pmin").as("amin"), col("pmax").as("amax"))
+        .join(f2.select(col("fp"), col("doc_id").as("doc_b"),
+          col("pmin").as("bmin"), col("pmax").as("bmax")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+    }
+
   def qWinnowSpans(spark: SparkSession, dir: String): DataFrame = {
-    val fp = winnowFpsPos(spark, dir)
-    graft.OracleExport.export(fp, "winnowfpspos", dir, winnowKey(spark))
-    // collapse to ONE row per (fp, doc) carrying that doc's position
-    // extent for the fp BEFORE the pair join: a fp recurring at p
-    // positions in each of two docs would otherwise contribute p×p join
-    // rows (position fan-out squared), and per-(fp,doc) extents compose
-    // exactly — min over matched fps of per-doc min IS the span start.
-    // The join input is then the same cardinality as winnowPairs' and
-    // shared = COUNT(*) (each matched fp exactly once per doc pair).
-    val g = fp.groupBy("fp", "doc_id")
-      .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
-    val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
-    val f2 = Tables.materialize(g.join(rare, "fp"), "winnowspan2")
-    f2.select(col("fp"), col("doc_id").as("doc_a"),
-        col("pmin").as("amin"), col("pmax").as("amax"))
-      .join(f2.select(col("fp"), col("doc_id").as("doc_b"),
-        col("pmin").as("bmin"), col("pmax").as("bmax")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
+    graft.OracleExport.export(
+      winnowFpsPos(spark, dir), "winnowfpspos", dir, winnowKey(spark))
+    // shared = COUNT(*): each matched fp appears exactly once per doc
+    // pair in the shared matches frame (extents collapsed per (fp,doc))
+    winnowMatches(spark, dir)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"),
         min(col("amin")).as("a_start"), max(col("amax")).as("a_end"),
@@ -629,20 +650,15 @@ object TextOps {
     * chars of genuinely shared text). Hash-gated from the same
     * exported positions table as q_winnow_spans. */
   def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
-    val fp = winnowFpsPos(spark, dir)
-    graft.OracleExport.export(fp, "winnowfpspos", dir, winnowKey(spark))
-    val g = fp.groupBy("fp", "doc_id")
-      .agg(min(col("pos")).as("pmin"))
-    val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
-    val f2 = Tables.materialize(g.join(rare, "fp"), "winnowchain2")
+    graft.OracleExport.export(
+      winnowFpsPos(spark, dir), "winnowfpspos", dir, winnowKey(spark))
     // apos is unique within a pair (one k-gram starts at a position, and
-    // pmin collapses recurrences), so the window order is total
-    val matches = f2
-      .select(col("fp"), col("doc_id").as("doc_a"), col("pmin").as("apos"))
-      .join(f2.select(col("fp"), col("doc_id").as("doc_b"),
-        col("pmin").as("bpos")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
+    // the shared frame's amin collapses recurrences), so the window
+    // order is total. Rides the SAME shared matches frame as the span
+    // report — the fp-keyed pair join never re-runs per query.
+    val matches = winnowMatches(spark, dir)
+      .select(col("fp"), col("doc_a"), col("doc_b"),
+        col("amin").as("apos"), col("bmin").as("bpos"))
     val w = Window.partitionBy("doc_a", "doc_b").orderBy("apos")
     val gap = 64
     matches

@@ -180,6 +180,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("winnow spans/chains ride the shared matches frame, never raw positions") {
+    // The 18.6 s fan-out² pathology: joining per-POSITION rows on fp
+    // makes a fp at p positions in each doc contribute p×p pair rows.
+    // The shipped shape pre-aggregates per-(fp,doc) extents, then both
+    // queries read the one shared materialized matches frame — their
+    // plans must scan it and must NOT touch the positions table or the
+    // corpus (a scan of either = the share or the pre-agg regressed).
+    for (q <- Seq("q_winnow_spans", "q_winnow_chains")) {
+      val p = plan(q)
+      assert(p.contains("graft-mat-winnowmatches"), s"$q:\n$p")
+      assert(!p.contains("winnowfpspos"), s"$q scans raw positions:\n$p")
+      assert(!p.contains("documents.parquet"), s"$q re-scans the corpus:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("winnowMatches is extent-aggregated: one row per (fp, doc pair)") {
+    // the query-plan pin above can't see inside the materialized builder;
+    // this is the direct witness that extents were collapsed per (fp,doc)
+    // BEFORE the pair join — the fan-out² shape emits duplicate
+    // (fp, doc_a, doc_b) rows and fails here
+    val m = TextOps.winnowMatches(spark, sf("sf0.001"))
+    val n = m.count()
+    assert(n > 0)
+    assert(n == m.select("fp", "doc_a", "doc_b").distinct().count(),
+      "duplicate (fp, doc_a, doc_b) rows: positions reached the pair join")
+    // extent columns present (not raw positions)
+    assert(m.columns.toSet ==
+      Set("fp", "doc_a", "doc_b", "amin", "amax", "bmin", "bmax"))
+  }
+
   test("q_source_cap: runs through TopKPerKeyExec, no window sort") {
     val p = plan("q_source_cap")
     assert(p.contains("TopKPerKey"), p)
