@@ -75,7 +75,10 @@ class OracleExportSpec extends SparkSpec {
     // re-read export must equal the shared table it was written from
     val dir = sf("sf0.001")
     val sig = ops.Similarity.minhashSignatures(spark, dir)
-    OracleExport.export(sig, "minhsig", dir)
+    // SAME knob key as qMinhashLsh's production export: the suites share
+    // one JVM, and the knob guard (rightly) throws if the same tag+dir
+    // is exported under two different keys in one session
+    OracleExport.export(sig, "minhsig", dir, "k=32.b=8")
     val back = spark.read.parquet(
       "/tmp/graft-oracle-export/minhsig-_root_testdata_sf0.001")
     assert(back.schema == sig.schema)

@@ -12,7 +12,12 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder().master("local[8]")
+    // "local[8, 2]": 8 threads, maxFailures=2 — plain local[8] fails the
+    // job on the FIRST task failure, which would make task-retry
+    // fault tolerance (FaultToleranceSpec) unwitnessable. One retry also
+    // matches a real cluster's posture more closely; tests that assert
+    // on thrown queries still throw (the retry re-fails instantly).
+    val s = SparkSession.builder().master("local[8, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
