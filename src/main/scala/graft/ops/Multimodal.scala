@@ -57,10 +57,15 @@ object Multimodal {
       .orderBy("doc_id")
 
   /** Batched decode + feature extraction through the typed Dataset API.
-    * Deterministic integers → reproducible, but the decode itself is fake
-    * → rows-only check (no SQL oracle). Feature vectors are emitted as
-    * comma-joined strings (not raw arrays) so downstream row-comparators
-    * can sort/hash the frame. */
+    * Feature vectors are emitted as comma-joined strings (not raw arrays)
+    * so downstream row-comparators can sort/hash the frame.
+    *
+    * Fully hash-gated (r10): [[FakeDecode]] is pure byte arithmetic, so
+    * the oracle recomputes every column INDEPENDENTLY in DuckDB from
+    * `hex(encode(text))` — high nibble = odd hex digit, byte value = the
+    * digit pair (signed like Scala's Byte.toInt via the >127 branch).
+    * No export replay, no circularity: a decode bug on either side fails
+    * the hash. */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds = payloads(spark, dir).as[MediaRow]
@@ -86,5 +91,32 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
         |  sha256(text) AS digest,
         |  n_chars AS declared_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Independent FakeDecode replay over the hex encoding of the payload
+    // bytes: odd hex digits are high nibbles (histogram bins), digit
+    // pairs are byte values (frame samples, signed like Scala Byte).
+    "q_multimodal_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(n), i ->
+        |      strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) AS hi,
+        |    list_transform(range(n), i ->
+        |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  CAST(n % 640 AS INT) AS width,
+        |  CAST(n % 480 AS INT) AS height,
+        |  array_to_string(list_transform(range(16), g ->
+        |    CAST(len(list_filter(hi, x -> x = g)) AS VARCHAR)), ',') AS nibble_hist,
+        |  array_to_string(list_transform(range(CAST(ceil(least(n,128)/16.0) AS BIGINT)), k ->
+        |    CAST(CASE WHEN bv[CAST(16*k+1 AS INT)] > 127
+        |              THEN bv[CAST(16*k+1 AS INT)] - 256
+        |              ELSE bv[CAST(16*k+1 AS INT)] END AS VARCHAR)), ',') AS frame_sample
+        |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -499,18 +499,31 @@ object Relational {
     * SpaceSaving heavy hitters). percentile_approx keeps a bounded
     * mergeable summary per group (accuracy parameter bounds retained
     * values) — the 100 TB path where the exact percentile must gather
-    * every value of a group onto one task. Rows-only check (sketch
-    * internals are engine-specific); ApproxSketchSpec pins the error
-    * envelope against the exact columns. */
-  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    * every value of a group onto one task.
+    *
+    * Gate shape: the sketch VALUE is engine-specific (DuckDB has no
+    * KLL/GK twin) so it never leaves the query; what leaves is the exact
+    * percentile (oracle-computable, bit-exact vs percentile_cont — see
+    * [[qPercentile]]) plus a within-tolerance BOOLEAN
+    * (|approx−exact| ≤ 1%·|exact|, the envelope ApproxSketchSpec proved).
+    * The oracle asserts literal TRUE: a sketch drifting past the envelope
+    * flips the boolean and fails the hash — a real content gate, not
+    * rows-only. */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    def withinTol(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= lit(0.01) * abs(exact)
     Tables(spark, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
-        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("a50"),
         expr("percentile(o_totalprice, 0.9)").as("exact_p90"),
-        expr("percentile_approx(o_totalprice, 0.9, 10000)").as("approx_p90"))
+        expr("percentile_approx(o_totalprice, 0.9, 10000)").as("a90"))
+      .select(col("o_orderstatus"), col("exact_p50"), col("exact_p90"),
+        withinTol(col("a50"), col("exact_p50")).as("p50_within_tol"),
+        withinTol(col("a90"), col("exact_p90")).as("p90_within_tol"))
       .orderBy("o_orderstatus")
+  }
 
   /** Regex scalar family (RE2-safe patterns so the DuckDB oracle mirrors
     * them: no lookahead/backrefs). */
@@ -526,7 +539,7 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** Sketch aggregates: HLL++ approximate distinct next to the exact
-    * count (rows-only: sketch estimates are engine-specific).
+    * count.
     *
     * Split-aggregation shape: two pre-distinct exact counts (each a
     * partial-aggregating distinct on (flag, key) — map-side combined)
@@ -534,7 +547,13 @@ object Relational {
     * multi-distinct agg plans an Expand that replicates every input row
     * 3× through one shuffle; the split runs 3 cheap pruned scans instead
     * — interleaved A/B at sf0.1: ~1.0s vs ~3.5s, and at 100 TB the
-    * Expand's 3× shuffle volume is the difference that matters. */
+    * Expand's 3× shuffle volume is the difference that matters.
+    *
+    * Gate shape (same pattern as [[qApproxPercentile]]): the HLL estimate
+    * is engine-specific, so the output carries the exact counts plus a
+    * within-tolerance boolean per sketch (|approx−exact| ≤ 5%·exact, the
+    * ApproxSketchSpec envelope; HLL at rsd=0.02 sits well inside). The
+    * oracle asserts TRUE — estimate drift fails the hash. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     def exact(c: String, as: String) =
@@ -542,14 +561,19 @@ object Relational {
         .filter(col(c).isNotNull) // countDistinct semantics: NULLs don't count
         .distinct()
         .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+    def withinTol(approx: Column, exact: Column): Column =
+      abs(approx - exact) <= lit(0.05) * exact
     val approx = li.groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
     exact("l_partkey", "exact_parts")
       .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
       .join(approx, "l_returnflag")
-      .select("l_returnflag", "exact_parts", "approx_parts",
-        "exact_supps", "approx_supps")
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        withinTol(col("approx_parts"), col("exact_parts"))
+          .as("parts_within_tol"),
+        withinTol(col("approx_supps"), col("exact_supps"))
+          .as("supps_within_tol"))
       .orderBy("l_returnflag")
   }
 
@@ -1209,6 +1233,23 @@ object Relational {
         |  regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS letters,
         |  CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INT) AS n_words
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Sketch-family gates: exact values recomputed by DuckDB; the
+    // within-tolerance booleans asserted literal TRUE (the Spark side
+    // computes them for real — estimate drift fails the hash).
+    "q_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS exact_p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS exact_p90,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p90_within_tol
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_within_tol,
+        |  TRUE AS supps_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
