@@ -236,6 +236,15 @@ object Vectors {
   }
 
   private def ivfListsN(spark: SparkSession) = intConf(spark, "spark.graft.ivf.nlist", 16)
+  /** Assignment/probe strategy: `auto` (default) inlines the centroids as
+    * literal chunked expressions while they're plan-sized and switches to
+    * the broadcast-join path past [[LiteralCentroidMax]]; `literal` /
+    * `join` force a path (the equivalence spec + A/B runs). NOT part of
+    * the oracle-export knob key: the two paths are bit-identical by
+    * construction (same float kernel, same (d, cid) tie-break — asserted
+    * in SimilaritySpec). */
+  private def ivfAssignPath(spark: SparkSession): String =
+    spark.conf.get("spark.graft.ivf.assignPath", "auto")
   // nprobe=6 default: measured top-3 recall on the near-orthogonal sf0.01
   // fixture (the WORST case for a coarse quantizer — no cluster structure)
   // is 0.605 / 0.756 / 0.847 at nprobe 4 / 6 / 8; 6 clears the family's
@@ -264,12 +273,64 @@ object Vectors {
     * Chunk minima are independent bounded subexpressions (codegen splits
     * at expression boundaries), combined with `least` — structs compare
     * by (d, cid) natural order, so ties still break to the lowest cid
-    * deterministically. Above ~1024 lists the literal strategy itself is
-    * wrong (a megabyte of plan per query) — that's the broadcast-join
-    * assignment path; [[ivfCentroids]] guards the bound. SCALE.md §IVF
-    * has the 100 TB knob table. */
+    * deterministically. Above [[LiteralCentroidMax]] lists the literal
+    * strategy itself is wrong (a megabyte of plan per query) — `auto`
+    * selects the broadcast-join path ([[withCid]] / [[probesViaJoin]])
+    * instead. SCALE.md §IVF has the 100 TB knob table. */
   private val AssignChunk = 16
-  private def ivfAssignExpr(cs: Array[Array[Double]]): Column = {
+  /** Above this many centroids the literal-inlined expressions are the
+    * wrong strategy (a megabyte of plan per query) and `auto` switches to
+    * the broadcast-join path ([[withCid]] / [[probesViaJoin]]). */
+  private val LiteralCentroidMax = 1024
+  private def useJoinPath(spark: SparkSession, nCentroids: Int): Boolean =
+    ivfAssignPath(spark) match {
+      case "join" => true
+      case "literal" =>
+        // forcing literal past the plan-size bound is a user error
+        require(nCentroids <= LiteralCentroidMax,
+          s"$nCentroids centroids exceed the literal-expression bound " +
+            s"($LiteralCentroidMax); unset spark.graft.ivf.assignPath so " +
+            "the broadcast-join path is selected (SCALE.md)")
+        false
+      case _ => nCentroids > LiteralCentroidMax
+    }
+
+  /** The centroid table as a (tiny) DataFrame — the broadcast build side
+    * of the join assignment path. cemb/cnorm2 are prepared EXACTLY like
+    * the literal path's `lit` arrays ([[l2ToCentroid]]): float elements,
+    * driver-summed double norm — so both paths run the identical float
+    * kernel on identical inputs and assign bit-identically. */
+  private def centroidDf(spark: SparkSession, cs: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cs.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      (i, c.toIndexedSeq.map(_.toFloat), c.map(v => v * v).sum)
+    }.toDF("cid", "cemb", "cnorm2")
+  }
+
+  private def l2ToCentroidCol: Column =
+    col("norm2") + col("cnorm2") -
+      lit(2.0) * graft.functions.FloatDotProduct.floatDot(col("embedding"), col("cemb"))
+
+  /** emb + nearest-centroid `cid`, path-selected. The join path is the
+    * 100 TB shape for nlist≈√n (SemDeDup's regime — SCALE.md §IVF):
+    * corpus ⨯ broadcast(centroids) (a BroadcastNestedLoopJoin that never
+    * shuffles the corpus), argmin folded by the PARTIAL aggregate — each
+    * vector's nlist candidate rows are contiguous in its input partition,
+    * so the map-side combine collapses them to one row per vector before
+    * the (narrow) final shuffle. Requires emb's columns to include
+    * vec_id/embedding/norm2 (the [[sharedEmb]] shape). */
+  private[graft] def withCid(emb: DataFrame, cs: Array[Array[Double]]): DataFrame =
+    if (!useJoinPath(emb.sparkSession, cs.length))
+      emb.withColumn("cid", ivfAssignExpr(cs))
+    else {
+      val embCols = emb.columns.toIndexedSeq.map(col)
+      emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cs)))
+        .groupBy(embCols: _*)
+        .agg(min(struct(l2ToCentroidCol.as("d"), col("cid").as("cid"))).as("best"))
+        .select(embCols :+ col("best.cid").as("cid"): _*)
+    }
+
+  private[graft] def ivfAssignExpr(cs: Array[Array[Double]]): Column = {
     val chunkMins = cs.toIndexedSeq.zipWithIndex.grouped(AssignChunk).map { chunk =>
       array_min(array(chunk.map { case (c, i) =>
         struct(l2ToCentroid(c).as("d"), lit(i).as("cid"))
@@ -294,13 +355,6 @@ object Vectors {
     * distributed. Runs ONCE per (corpus, knobs) per session. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
-    // knob guard: the literal-inlined assignment expression is the right
-    // strategy only while the centroid table is plan-sized. Past ~1024
-    // lists, switch the assignment to a broadcast join against a centroid
-    // DataFrame (see SCALE.md) instead of raising this bound.
-    require(nList <= 1024,
-      s"spark.graft.ivf.nlist=$nList exceeds the literal-centroid bound " +
-        "(1024); use a broadcast-join assignment path at this scale (SCALE.md)")
     ivfCentroidCache.computeIfAbsent(s"$dir#k$nList.i$nIter", _ => {
       val emb = sharedEmb(spark, dir)
       // deterministic init: the first nlist vectors by id
@@ -309,7 +363,7 @@ object Vectors {
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       (1 to nIter).foreach { _ =>
         // decimal-exact per-dimension means -> deterministic centroids
-        val sums = emb.withColumn("cid", ivfAssignExpr(centroids))
+        val sums = withCid(emb, centroids)
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg((sum(col("x").cast(El)).cast("double") / count(lit(1))).as("m"))
@@ -329,8 +383,7 @@ object Vectors {
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
     Tables.materializeShared(
-      sharedEmb(spark, dir)
-        .withColumn("cid", ivfAssignExpr(ivfCentroids(spark, dir))),
+      withCid(sharedEmb(spark, dir), ivfCentroids(spark, dir)),
       "ivfassign", s"$dir#k$nList.i$nIter")
   }
 
@@ -359,6 +412,21 @@ object Vectors {
     slice(all, 1, nProbe)
   }
 
+  /** Join-path twin of `explode(ivfRankExpr(...))`: corpus ⨯ broadcast
+    * centroids → bounded-heap top-nprobe per query (TopKPerKeyExec — no
+    * window sort over the n×nlist distance rows). Same (d, cid)
+    * ascending tie-break as the literal expression, so the probed list
+    * set is identical (asserted in SimilaritySpec). */
+  private[graft] def probesViaJoin(emb: DataFrame, cs: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val dists = emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cs)))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn"), l2ToCentroidCol.as("d"), col("cid"))
+    graft.plans.TopKPerKey.topKPerKey(dists, Seq(col("qid")),
+        Seq(col("d").asc, col("cid").asc), nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+  }
+
   def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val dot2 = graft.functions.FloatDotProduct.floatDot _
@@ -366,10 +434,13 @@ object Vectors {
     val centroids = ivfCentroids(spark, dir)
     val assigned = ivfAssigned(spark, dir)
     // each query probes its nprobe nearest centroid lists
-    val probes = emb.select(col("vec_id").as("qid"),
-        col("embedding").as("qe"), col("norm2").as("qn"),
-        explode(ivfRankExpr(centroids, nProbe)).as("probe"))
-      .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
+    val probes =
+      if (useJoinPath(spark, centroids.length))
+        probesViaJoin(emb, centroids, nProbe)
+      else emb.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("norm2").as("qn"),
+          explode(ivfRankExpr(centroids, nProbe)).as("probe"))
+        .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
     // no distinct: (qid, nid) is unique BY CONSTRUCTION — every nid lives
     // in exactly one inverted list and a query probes nProbe DISTINCT
     // lists, so the join can't emit a pair twice (verified identical to
