@@ -490,7 +490,7 @@ object TextOps {
     * asymmetric copies (a doc CONTAINING another) surface even when
     * whole-doc Jaccard is low — the overlap class the shingle family
     * misses. Candidate generation joins on the fingerprint (derived-key
-    * rule, never all-pairs); fingerprints in > 50 docs are dropped as
+    * rule, never all-pairs); fingerprints in > [[winnowMaxDf]] docs are dropped as
     * boilerplate "stop fingerprints" (no containment signal, O(df²)
     * pair blowup — the same hot-key hygiene as the PPJoin prefix
     * filter). Fingerprint table materialized once per run (4 consumer
@@ -499,18 +499,31 @@ object TextOps {
     * the kernel against an independent reference implementation. */
   /** Knob key of the winnow family's derived tables — the SAME suffix the
     * share keys use; passed to OracleExport so a mid-session knob change
-    * throws instead of desyncing the gate oracle. */
-  private def winnowKey(spark: SparkSession): String = {
-    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
-    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
-    s"k$k.w$w"
-  }
+    * throws instead of desyncing the gate oracle. Includes the stop-
+    * fingerprint cap even though the fp tables themselves don't depend on
+    * it: the oracle SQL recomputes the df filter with the DEFAULT cap
+    * hardcoded, so a mid-session cap change must throw at export time
+    * like any other knob desync. */
+  private def winnowKey(spark: SparkSession): String =
+    s"k${winnowK(spark)}.w${winnowW(spark)}.df${winnowMaxDf(spark)}"
+
+  private def winnowK(spark: SparkSession): Int =
+    Vectors.intConf(spark, "spark.graft.winnow.k", 12)
+  private def winnowW(spark: SparkSession): Int =
+    Vectors.intConf(spark, "spark.graft.winnow.w", 8)
+  /** Stop-fingerprint cap: fps in more than this many docs are dropped as
+    * boilerplate before pair generation (no containment signal, O(df²)
+    * pair blowup). A scale-critical knob like the minhash/ann/ivf family
+    * — SCALE.md has the 100 TB row. Both cap sites ([[winnowPairs]] and
+    * [[winnowMatches]]) read THIS conf; WinnowSpec pins they share it. */
+  private[graft] def winnowMaxDf(spark: SparkSession): Int =
+    Vectors.intConf(spark, "spark.graft.winnow.maxdf", 50)
 
   private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
-    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
-    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
+    val (k, w) = (winnowK(spark), winnowW(spark))
     // corpus-keyed derived table (one winnow pass per corpus version),
     // shared like the shingle/signature tables; knobs key the share
+    // (k/w only — the fp table's CONTENT doesn't depend on the df cap)
     Tables.materializeShared(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
@@ -540,16 +553,14 @@ object TextOps {
     * derived table of the winnow family (same role as
     * [[Similarity.survivorPairs]]): the fp-keyed self-join runs once per
     * corpus version; consumers pay only the tiny pair-table read. The
-    * stop-fingerprint filter (2 <= df <= 50) halves the join input AND
-    * caps the per-fp pair fan-out. */
+    * stop-fingerprint filter (2 <= df <= [[winnowMaxDf]]) halves the
+    * join input AND caps the per-fp pair fan-out. */
   private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
-    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
     val fps = winnowFps(spark, dir)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 50).select("fp")
+      .filter(col("df") >= 2 && col("df") <= winnowMaxDf(spark)).select("fp")
     val f2 = Tables.materialize(fps.join(rare, "fp"), "winnowf2")
-    // share key carries the SAME knob suffix as winnowFps: a mid-session
+    // share key carries the FULL knob suffix (k/w/maxdf): a mid-session
     // knob change rebuilds the fp table, and a pair table keyed by dir
     // alone would keep serving pairs built under the OLD knobs
     Tables.materializeShared(
@@ -557,7 +568,7 @@ object TextOps {
         .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared")),
-      "winnowpairs", s"$dir#k$k.w$w")
+      "winnowpairs", s"$dir#${winnowKey(spark)}")
   }
 
   /** Fingerprint table WITH positions (doc_id, fp, pos), shared per
@@ -565,8 +576,7 @@ object TextOps {
     * are distinct by construction: selection indexes are strictly
     * increasing, so no (doc, fp, pos) repeats (the fp VALUE may). */
   private[graft] def winnowFpsPos(spark: SparkSession, dir: String): DataFrame = {
-    val k = spark.conf.get("spark.graft.winnow.k", "12").toInt
-    val w = spark.conf.get("spark.graft.winnow.w", "8").toInt
+    val (k, w) = (winnowK(spark), winnowW(spark))
     Tables.materializeShared(
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
@@ -602,7 +612,7 @@ object TextOps {
     * per-(fp,doc) extents compose exactly — min over matched fps of the
     * per-doc min IS the span start. The join input is then the same
     * cardinality as [[winnowPairs]]'. Same df-bounded stop-fingerprint
-    * filter (2 <= df <= 50) as the pair table. By-name share: the
+    * filter (2 <= df <= [[winnowMaxDf]]) as the pair table. By-name share: the
     * builder materializes an intermediate (executes jobs) during
     * construction. */
   private[graft] def winnowMatches(spark: SparkSession, dir: String): DataFrame =
@@ -612,7 +622,8 @@ object TextOps {
       val g = fp.groupBy("fp", "doc_id")
         .agg(min(col("pos")).as("pmin"), max(col("pos")).as("pmax"))
       val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
-        .filter(col("dfreq") >= 2 && col("dfreq") <= 50).select("fp")
+        .filter(col("dfreq") >= 2 && col("dfreq") <= winnowMaxDf(spark))
+        .select("fp")
       val f2 = Tables.materialize(g.join(rare, "fp"), "winnowf2pos")
       f2.select(col("fp"), col("doc_id").as("doc_a"),
           col("pmin").as("amin"), col("pmax").as("amax"))
