@@ -51,15 +51,21 @@ object Submit {
     * `bin/mapreduce start|stop|status|restart` launcher (reference
     * map_reduce/bin/mapreduce:14-103, which pgrep/pkills a manager on
     * port 6000 plus two workers). Under Spark the manager/worker fleet IS
-    * the scheduler inside the job JVM — there are no daemons to launch or
-    * kill — so `start`/`restart` report the scheduler ready, `status`
-    * mirrors the reference's "manager running / workers running" lines
-    * (exit-0 semantics: a live SparkContext), and `stop` explains the
-    * no-daemon model. On a real cluster these map to the cluster
-    * manager's own lifecycle (spark-submit / YARN / K8s), not this CLI. */
+    * the scheduler inside the job JVM, so each subcommand maps onto the
+    * scheduler's real lifecycle: `start`/`status` report the live
+    * SparkContext with the reference's "manager running / workers
+    * running" lines (exit 0 iff up, like pgrep), `stop` cancels every
+    * in-flight job (the shutdown JSON the launcher netcats, which the
+    * manager forwards to its workers — reference bin/mapreduce:28-44)
+    * and then stops the SparkContext (the pkill), and `restart` is
+    * stop-then-relaunch on a fresh context. Like the launcher's
+    * `|| true`d kills, `stop` exits 0 whether or not anything was
+    * running, and a second stop finds nothing to kill and prints
+    * nothing. On a real cluster these map to the cluster manager's own
+    * lifecycle (spark-submit / YARN / K8s), not this CLI. */
   def lifecycle(spark: SparkSession, cmd: String): Int = cmd match {
-    case "start" | "restart" | "status" =>
-      if (spark.sparkContext.isStopped) { println("scheduler not running"); 1 }
+    case "start" | "status" =>
+      if (spark.sparkContext.isStopped) { println("manager not running"); 1 }
       else {
         // the two reference lines, reinterpreted: manager := DAGScheduler
         // in this JVM; workers := the executor slots it schedules into
@@ -70,9 +76,22 @@ object Submit {
         0
       }
     case "stop" =>
-      println("nothing to stop: the Spark local scheduler lives in the job " +
-        "JVM and exits with it (cluster masters have their own lifecycle)")
+      // kill lines mirror the launcher verbatim; printed only when there
+      // is something to kill (pgrep-gated in the reference)
+      if (!spark.sparkContext.isStopped) {
+        spark.sparkContext.cancelAllJobs() // the forwarded shutdown message
+        println("killing mapreduce manager ...")
+        println("killing mapreduce worker ...")
+        spark.stop() // the pkill
+      }
       0
+    case "restart" =>
+      // reference bin/mapreduce:67-103: the stop block followed by the
+      // start block. Conf captured BEFORE the kill so the relaunched
+      // context keeps the master/parallelism of the one it replaces.
+      val conf = spark.sparkContext.getConf
+      lifecycle(spark, "stop")
+      lifecycle(SparkSession.builder().config(conf).getOrCreate(), "start")
     case other =>
       println(s"Usage: Submit (start|stop|status|restart) | -i ... -o ...")
       println(s"unknown lifecycle command: $other"); 1
@@ -148,7 +167,13 @@ object Submit {
           lifecycle(spark, args.head)
         else if (args.contains("--then")) runQueueCli(spark, args.toSeq)
         else { run(spark, args.toSeq); 0 }
-      } finally spark.stop()
+      } finally {
+        spark.stop()
+        // restart swaps in a fresh context (and sets it as the default
+        // session); stop it too or its non-daemon threads outlive main
+        SparkSession.getDefaultSession.foreach(_.stop())
+        SparkSession.getActiveSession.foreach(_.stop())
+      }
     if (code != 0) sys.exit(code)
   }
 }

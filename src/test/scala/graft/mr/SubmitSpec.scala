@@ -102,12 +102,58 @@ class SubmitSpec extends SparkSpec {
 
   test("lifecycle subcommands mirror the reference launcher's exit semantics") {
     // reference bin/mapreduce:53-65: status exits 0 iff the fleet is up;
-    // here the fleet is the live SparkContext
+    // here the fleet is the live SparkContext. stop/restart actually
+    // kill the context, so they get the forked-JVM test below — calling
+    // them here would take the shared session down with them.
     assert(Submit.lifecycle(spark, "status") === 0)
     assert(Submit.lifecycle(spark, "start") === 0)
-    assert(Submit.lifecycle(spark, "restart") === 0)
-    assert(Submit.lifecycle(spark, "stop") === 0)
     assert(Submit.lifecycle(spark, "bogus") === 1)
+  }
+
+  /** Runs `graft.mr.Submit <args>` in its own JVM (the test JVM is forked,
+    * so java.class.path is the full test classpath) — the only way to
+    * witness the stop/restart kill semantics without destroying the
+    * suite's shared SparkContext. */
+  private def submitInFreshJvm(args: String*): (Int, String) = {
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx1g",
+      "-Dspark.ui.enabled=false", "-cp", sys.props("java.class.path"),
+      "graft.mr.Submit") ++ args
+    val out = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') },
+      l => out.synchronized { out.append(l).append('\n') })
+    val rc = scala.sys.process.Process(cmd, None, "SPARK_GRAFT_CPUS" -> "2")
+      .run(logger).exitValue()
+    (rc, out.toString)
+  }
+
+  test("stop kills the in-JVM fleet with the launcher's lines and exit 0 (forked JVM)") {
+    // reference bin/mapreduce:28-52: shutdown message + pkill, exit 0
+    val (rc, out) = submitInFreshJvm("stop")
+    assert(rc === 0, out.takeRight(2000))
+    assert(out.contains("killing mapreduce manager ..."))
+    assert(out.contains("killing mapreduce worker ..."))
+  }
+
+  test("restart is stop-then-relaunch: kill lines then a running manager (forked JVM)") {
+    // reference bin/mapreduce:67-103: the stop block then the start block
+    val (rc, out) = submitInFreshJvm("restart")
+    assert(rc === 0, out.takeRight(2000))
+    assert(out.contains("killing mapreduce manager ..."))
+    val killAt = out.indexOf("killing mapreduce manager ...")
+    val upAt = out.indexOf("manager running")
+    assert(upAt > killAt, out.takeRight(2000)) // relaunch AFTER the kill
+    assert(out.contains("workers running"))
   }
 
   test("exactPartNames pins part-{i:05d} for R=3 on the native job") {
