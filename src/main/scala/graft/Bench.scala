@@ -46,21 +46,28 @@ object Bench {
     * 2,000 chars, so round 8 recorded rc 0 but parsed:null — the line
     * arrived mid-dict with the leading "value" field cut off. This line is
     * printed LAST so it always fits any tail buffer whole and parses. */
+  /** Locale-pinned numeric formatting: the f"" interpolator formats
+    * through the JVM default locale, and a decimal-comma locale (de_DE)
+    * would render 64,123 — invalid JSON in the one line that exists
+    * specifically to be machine-parsed. */
+  private def num(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   private[graft] def summaryJson(
       total: Double, nQueries: Int, minTotal: Double, failedN: Int,
       skippedN: Int, passes: Int, passesCompleted: Int,
       passTotals: Seq[Double], passPartial: Seq[Boolean], budgetSec: Double,
       elapsedSec: Double, prewarmSec: Double, prewarmOk: Boolean,
       canaryFactor: Double, ioCanaryFactor: Double, sf: String): String = {
-    val pt = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val pt = passTotals.map(t => num("%.2f", t)).mkString("[", ",", "]")
     val pp = passPartial.map(_.toString).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQueries,""" +
-      s""""min_total":${f"$minTotal%.3f"},"failed_n":$failedN,"skipped_n":$skippedN,""" +
+    s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":$nQueries,""" +
+      s""""min_total":${num("%.3f", minTotal)},"failed_n":$failedN,"skipped_n":$skippedN,""" +
       s""""passes":$passes,"passes_completed":$passesCompleted,"pass_totals":$pt,""" +
-      s""""pass_partial":$pp,"budget_sec":$budgetSec,"elapsed_sec":${f"$elapsedSec%.1f"},""" +
-      s""""prewarm_sec":${f"$prewarmSec%.2f"},"prewarm_ok":$prewarmOk,""" +
-      s""""canary_factor":${f"$canaryFactor%.3f"},"io_canary_factor":${f"$ioCanaryFactor%.3f"},""" +
-      s""""canary_norm_total":${f"${total / canaryFactor}%.3f"},"sf":${jsonStr(sf)}}"""
+      s""""pass_partial":$pp,"budget_sec":$budgetSec,"elapsed_sec":${num("%.1f", elapsedSec)},""" +
+      s""""prewarm_sec":${num("%.2f", prewarmSec)},"prewarm_ok":$prewarmOk,""" +
+      s""""canary_factor":${num("%.3f", canaryFactor)},"io_canary_factor":${num("%.3f", ioCanaryFactor)},""" +
+      s""""canary_norm_total":${num("%.3f", total / canaryFactor)},"sf":${jsonStr(sf)}}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -258,7 +265,17 @@ object Bench {
     // Full record first (humans + archives), compact summary LAST: the
     // driver keeps only a stdout tail, and the full line's per-query map
     // makes it ~6 KB — r8 recorded parsed:null off a mid-dict tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}""")
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
+    println(fullRecord)
+    // Persist the full record to a file too: the driver's artifact keeps
+    // only a 2 KB stdout tail, which loses the per-query medians for names
+    // early in the alphabet (the r9 judge couldn't audit them). Best-effort
+    // — a read-only cwd must not kill the bench whose artifact is stdout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      fullRecord + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     println(summaryJson(
       total, results.size, minTotal, failed.size, skipped.size, passes,
       passesCompleted, passTotals.toSeq, passPartial.toSeq, budgetSec,
