@@ -291,4 +291,90 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Driver-gated replay-safety proof for the foreachBatch parquet sink:
+    * streams the bounded events file through [[idempotentParquetSink]],
+    * then forces the crash-replay Structured Streaming actually performs
+    * on restart — the last batch's commit marker is deleted from the
+    * checkpoint, so the restarted query finds offsets without a commit
+    * and RE-EXECUTES that batch under the same id — and finally reads
+    * every batch directory back and aggregates per event type. The
+    * DuckDB oracle computes the same aggregation straight from the
+    * events table: an append-instead-of-overwrite sink would double the
+    * replayed batch's rows and fail the hash, so the green row IS the
+    * exactly-once-placement proof (EventsStreamSpec witnesses the same
+    * property in-JVM; this puts it behind the driver gate).
+    *
+    * Fresh temp output/checkpoint per invocation — the query re-runs the
+    * whole stream+replay dance every time, so repeated bench passes time
+    * the same work. */
+  def qStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft-streamsink").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource requires a DIRECTORY (its basePath); the fixture's
+    // events table is a single file — stage a symlink, not a copy
+    val srcDir = Files.createTempDirectory("graft-streamsrc")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    def src = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // stop() returns when the execution thread dies, but the checkpoint's
+    // ownership entry is released asynchronously (termination-event
+    // listener), so an immediate restart can fail with "multiple
+    // streaming queries are concurrently using <checkpoint>" — retry the
+    // start until the previous owner's release lands
+    def runAndStop(mk: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var done = false
+      while (!done) {
+        val q = mk
+        try { q.processAllAvailable(); done = true }
+        catch { case e: Throwable
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrently using") &&
+              System.nanoTime() < deadline =>
+          Thread.sleep(100)
+        } finally {
+          // stop/awaitTermination rethrow a failed run's exception; the
+          // catch above already classified it — don't let the finally mask
+          try { q.stop(); q.awaitTermination() }
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+    runAndStop(idempotentParquetSink(src, out))
+    // force the replay: drop the newest commit marker (fail LOUDLY if the
+    // checkpoint layout ever stops matching — a silently-skipped replay
+    // would leave this query proving nothing)
+    val commits = Paths.get(out, "_chk", "commits")
+    val ids = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit)).map(_.toLong)
+      .toSeq
+    require(ids.nonEmpty, s"no commit markers under $commits — " +
+      "checkpoint layout changed; the replay below would be a no-op")
+    Files.delete(commits.resolve(ids.max.toString))
+    runAndStop(idempotentParquetSink(src, out))
+    spark.read.parquet(s"$out/batch=*")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("event_id")).as("n_ids"),
+        graft.Tables.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sink" -> qStreamSink _)
+
+  val oracles: Map[String, String] = Map(
+    // the whole events table, exactly once — a duplicated replayed batch
+    // inflates n/n_ids/total_value and fails the hash
+    "q_stream_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_ids,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

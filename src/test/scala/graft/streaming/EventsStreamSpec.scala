@@ -358,4 +358,22 @@ class EventsStreamSpec extends SparkSpec {
         u -> xs.maxBy(_._2)._1._2 }
     assert(got === Map(1L -> 3, 2L -> 1))
   }
+
+  test("q_stream_sink: stream+forced-replay output equals the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventsStream.qStreamSink(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("event_id")).as("n_ids"),
+        graft.Tables.dsum(org.apache.spark.sql.functions.col("value"))
+          .as("total_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got === want) // a duplicated replayed batch would inflate counts
+  }
 }
