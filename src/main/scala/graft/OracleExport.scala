@@ -48,7 +48,16 @@ object OracleExport {
     * Failure handling: the in-flight mark is rolled back when the write
     * throws (disk full, transient FS error), so a later caller in the
     * same JVM retries instead of the gate silently reading a missing or
-    * stale export. */
+    * stale export.
+    *
+    * SINGLE-THREADED-EXPORT ASSUMPTION: mark-before-write means a
+    * CONCURRENT export of the same (tag, sfDir) no-ops while the first
+    * write is still in flight (or about to fail and roll back) and
+    * proceeds believing the export exists. Safe today — Verify runs
+    * queries serially, and no two prewarm chains export the same tag —
+    * but if exports ever move into concurrent chains, store a per-dir
+    * holder/future here and block followers on write completion (the
+    * Tables.materializeSharedBy holder pattern). */
   def export(df: DataFrame, tag: String, sfDir: String,
              knobKey: String = ""): Unit = {
     if (df.sparkSession.conf.get("spark.graft.oracleExport", "true") != "true")

@@ -91,7 +91,13 @@ object DocGenQueries {
 
   private def exportOnce(spark: SparkSession): Unit = {
     // honors the same switch as graft.OracleExport: Bench disables
-    // exports so timed passes never pay the write
+    // exports so timed passes never pay the write.
+    // SINGLE-THREADED-EXPORT ASSUMPTION (same as OracleExport.export): a
+    // concurrent second caller sees the flag set and proceeds while the
+    // first write is still in flight. Safe today — Verify runs queries
+    // serially and no prewarm chain exports this tag — but if exports
+    // ever move into concurrent chains, use the materializeSharedBy
+    // holder pattern (block followers on write completion) instead.
     if (spark.conf.get("spark.graft.oracleExport", "true") != "true") return
     if (exported.compareAndSet(false, true)) {
       // roll the flag back if the write throws (disk full, transient FS
