@@ -245,4 +245,32 @@ class PlanShapeSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_bloom_join: might_contain prunes the fact scan BEFORE the join") {
+    val p = plan("q_bloom_join")
+    // the bloom predicate must sit in a Filter on the lineitem scan side,
+    // not above the join
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("might_contain")
+    assert(bloomAt >= 0, p)
+    assert(joinAt >= 0 && bloomAt > joinAt, // printed below (= before) it
+      s"might_contain at $bloomAt vs join at $joinAt:\n$p")
+    // and it actually prunes: the bloom passes far fewer fact rows than
+    // the full table while never dropping a true match (exact-join row
+    // count equals the un-bloomed join's)
+    val dir = sf("sf0.001")
+    val li = graft.Tables(spark, dir, "lineitem")
+    val sel = graft.Tables(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT" &&
+        org.apache.spark.sql.functions.col("o_totalprice") > 150000)
+      .select("o_orderkey")
+    val bloom = BloomJoin.bloomOf(sel, "o_orderkey", 1000000L)
+    val full = li.count()
+    val pruned = li.filter(BloomJoin.mightContain(bloom, "l_orderkey")).count()
+    val trueMatches = li.join(sel,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey")).count()
+    assert(pruned >= trueMatches) // no false negatives, ever
+    assert(pruned < full / 2, s"bloom pruned $full -> $pruned")
+  }
 }
