@@ -207,6 +207,31 @@ object TextOps {
       .orderBy(desc("n"), asc("bigram"))
       .limit(100)
 
+  /** Inverted-index phrase search: find every document containing the
+    * two-word phrase "table hash" by joining the two terms' POSTING LISTS
+    * (doc_id, position) on adjacency — the search-engine primitive, and
+    * the shape that answers phrase queries over 100 TB without re-reading
+    * text: the corpus pays one tokenize pass into postings (in production
+    * a materialized derived table bucketed by term, like the winnow fp
+    * table), and each query then touches ONLY the queried terms' lists —
+    * the term filter lands before the join, so just two posting lists
+    * shuffle, never the token stream. Positions are raw split indices
+    * (empties included identically on both engines), so adjacency is
+    * p2 = p1 + 1 with no re-numbering. */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("p", "word")))
+    val t1 = postings.filter(col("word") === "table")
+      .select(col("doc_id"), col("p").as("p1"))
+    val t2 = postings.filter(col("word") === "hash")
+      .select(col("doc_id").as("d2"), col("p").as("p2"))
+    t1.join(t2, col("doc_id") === col("d2") && col("p2") === col("p1") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("p1")).cast("int").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc bigram NOVELTY scoring: how much of a document's distinct
     * bigram vocabulary appears nowhere else in the corpus. High support /
     * low novelty flags boilerplate (near-identical phrasing shared across
@@ -711,7 +736,8 @@ object TextOps {
     "q_corpus_stats" -> qCorpusStats _,
     "q_source_report" -> qSourceReport _,
     "q_ngram_novelty" -> qNgramNovelty _,
-    "q_text_bigrams" -> qTextBigrams _)
+    "q_text_bigrams" -> qTextBigrams _,
+    "q_phrase_search" -> qPhraseSearch _)
 
   val oracles: Map[String, String] = Map(
     // Gap-bounded chain detection from the exported positions table —
@@ -1002,6 +1028,17 @@ object TextOps {
         |    SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
         |    FROM documents) t, UNNEST(range(1, len(l))) u(i)) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    // postings via DuckDB's zipped parallel unnests (word ∥ 0-based
+    // position) — raw split indices, matching Spark's posexplode
+    "q_phrase_search" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS p FROM s)
+        |SELECT a.doc_id, COUNT(*) AS n_hits, CAST(MIN(a.p) AS INT) AS first_pos
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |WHERE a.word = 'table' AND b.word = 'hash'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q_ngram_novelty" ->
       """WITH b AS (
         |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS bigram FROM (
