@@ -130,14 +130,7 @@ object Debug {
       rows.foreach(println)
       // session-window flavor over the same file source (complete mode so
       // open sessions surface without a watermark-advancing second file)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(dir.toString)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = Tables.eventsStream(spark, dir.toString)
       streaming.EventsStream.runToMemory(
         streaming.EventsStream.sessionAgg(raw), "sess_drive",
         org.apache.spark.sql.streaming.OutputMode.Complete)

@@ -34,16 +34,45 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default. Read it as a nanosecond long (legacy conf), then truncate
-    * to microseconds — the same truncation DuckDB applies when it loads a
-    * nanos column into its native µs timestamp, so oracle compares agree. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // `ts div 1000`, NOT ts/1000: Spark's / is double division, which
-      // loses precision on ~1.7e18 nanosecond values (off-by-1 µs)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (old fixture,
+    * readable only as a nanosecond long via the legacy conf — a conf
+    * Spark 4.1 silently ignores) and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false) (current fixture, surfaced as TIMESTAMP_NTZ). Branch on the
+    * RESOLVED type instead of assuming a unit: guessing wrong is a silent
+    * 1000× timestamp shift, not an error. The session is pinned to UTC,
+    * so NTZ→TIMESTAMP preserves wall-clock and the output schema stays
+    * the instant-typed TIMESTAMP the DuckDB oracle compares against
+    * (DuckDB reads the same µs values into its native TIMESTAMP). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** ts → instant-typed TIMESTAMP (µs) whatever the source surfaced. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.LongType =>
+        // nanos long: `ts div 1000`, NOT ts/1000 — Spark's / is double
+        // division, which loses precision on ~1.7e18 nano values
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts surfaced as unexpected type $other")
+    }
+
+  /** Streaming twin of [[events]]: file-stream sources need an explicit
+    * schema (inference costs extra corpus scans at 100 TB), so probe the
+    * ts type with a driver-side batch footer read, declare it verbatim,
+    * then run the same normalization. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsDdl = spark.read.parquet(dir).schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP_NTZ"
+      case org.apache.spark.sql.types.TimestampType    => "TIMESTAMP"
+      case _                                           => "BIGINT"
+    }
+    val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   private def deleteRec(f: java.io.File): Unit = {

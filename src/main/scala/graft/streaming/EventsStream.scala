@@ -230,18 +230,12 @@ object EventsStream {
   }
 
   /** Demo wiring for a file source: the same windowed agg reading a
-    * parquet directory as a stream. The fixture's ts is TIMESTAMP(NANOS),
-    * which Spark's parquet reader only surfaces as a nanosecond long
-    * (legacy conf) — read it as BIGINT and truncate to µs, exactly like
-    * the batch path in [[graft.Tables.events]]. */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    windowedAgg(spark.readStream.schema(schema).parquet(dir)
-      // integer div: double division loses precision on nano longs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-  }
+    * parquet directory as a stream, with the ts unit resolved by
+    * [[graft.Tables.eventsStream]] (the fixture has shipped as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — guessing the unit in an
+    * explicit BIGINT schema is a silent 1000× shift). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(graft.Tables.eventsStream(spark, dir))
 
   /** Streaming heavy hitters: top-3 event types per tumbling hour via
     * the SpaceSaving sketch ([[graft.functions.SpaceSavingTopK]]) inside
@@ -312,10 +306,11 @@ object EventsStream {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("graft-streamsink").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.registerTempDir(s"streamsink-out:$out", out)
     // FileStreamSource requires a DIRECTORY (its basePath); the fixture's
     // events table is a single file — stage a symlink, not a copy
     val srcDir = Files.createTempDirectory("graft-streamsrc")
+    graft.Tables.registerTempDir(s"streamsink-src:$srcDir", srcDir.toString)
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
@@ -357,6 +352,11 @@ object EventsStream {
     require(ids.nonEmpty, s"no commit markers under $commits — " +
       "checkpoint layout changed; the replay below would be a no-op")
     Files.delete(commits.resolve(ids.max.toString))
+    // also drop ChecksumFs's crc sidecar: Hadoop's rename-into-place on
+    // the replayed commit fails with FileAlreadyExistsException when the
+    // stale .N.crc survives (surfaced on the Spark 4.1.2 image; the retry
+    // loop recovers but burns a whole query restart)
+    Files.deleteIfExists(commits.resolve(s".${ids.max}.crc"))
     runAndStop(idempotentParquetSink(src, out))
     spark.read.parquet(s"$out/batch=*")
       .groupBy("event_type")
