@@ -271,7 +271,17 @@ object Bench {
     // only a 2 KB stdout tail, which loses the per-query medians for names
     // early in the alphabet (the r9 judge couldn't audit them). Best-effort
     // — a read-only cwd must not kill the bench whose artifact is stdout.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A failed_n>0 record must never replace the committed anchor the 2x
+    // perf gate compares against (round 10's broken-env run overwrote the
+    // good 61.3s/122 record): route it to a side file instead.
+    val outPath0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val outPath =
+      if (failed.isEmpty) outPath0
+      else {
+        System.err.println(s"[bench] ${failed.size} queries failed - " +
+          s"writing record to $outPath0.failed, NOT the anchor file")
+        s"$outPath0.failed"
+      }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       fullRecord + "\n")
     catch { case e: Throwable =>
