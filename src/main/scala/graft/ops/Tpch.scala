@@ -1,0 +1,351 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.Tables.{dec, dec4, dsum}
+
+/** TPC-H-shaped analytics batch two (Q4/Q6/Q10/Q14/Q16/Q18/Q19/Q21/Q22),
+  * adapted to the fixture's columns (no partsupp table, no
+  * commit/receipt dates, no ship mode/phone — see TESTDATA.md), extending
+  * the Layer-B relational surface (SURVEY.md §2.4 C1–C2; the reference
+  * framework has no joins or aggregations at all, reference
+  * worker/__main__.py:182-208 sorted-stream reduce is its only grouping).
+  *
+  * What each adds over the existing q1/q3/q5/q7/q9 family:
+  *  - Q4: correlated EXISTS with a non-equi correlated predicate
+  *    (decorrelated by Catalyst into a left-semi join with a post-probe
+  *    condition — no per-row subquery at any scale).
+  *  - Q6: the pure pushdown showcase — every predicate and both columns
+  *    reach the parquet scan; at 100 TB this is a scan-bound query whose
+  *    cost is decided entirely by PushedFilters + ReadSchema.
+  *  - Q10: fact-fact shuffle join + broadcast dim + top-k on an aggregate.
+  *  - Q14: conditional aggregation (two decimal sums over one scan).
+  *  - Q16: count-distinct over a fact-derived bridge (lineitem stands in
+  *    for the missing partsupp) with a dim-side exclusion filter.
+  *  - Q18: HAVING-style semi join of a fact aggregate back to the facts.
+  *  - Q19: disjunction of conjuncts referencing BOTH join sides — the
+  *    predicate cannot be pushed below the join, only the per-side
+  *    prunable parts can; exercises CNF extraction.
+  *  - Q21: EXISTS + NOT EXISTS against the same fact table (double
+  *    correlated decorrelation → one semi + one anti join).
+  *  - Q22: scalar aggregate subquery + anti join (dormant customers).
+  *
+  * Scale stance matches [[Relational.q5LocalSupplier]]: only the bounded
+  * dims (nation, 25 rows) get a broadcast hint; part/customer/supplier/
+  * orders joins are left to AQE because at 100 TB none is broadcastable
+  * (TPC-H dims grow with SF) and a static hint would pin a dead plan.
+  * Conventions (decimal-exact aggregates, total-order ORDER BY, oracle
+  * column-name parity) per [[graft.Tables]].
+  */
+object Tpch {
+
+  private val TS = "timestamp"
+
+  /** Q4: orders of one quarter with at least one line shipped >60 days
+    * after the order date, counted per priority. The correlated EXISTS
+    * becomes a left-semi join on orderkey with the lateness predicate as
+    * an extra join condition — the semi join dedups multi-late-line
+    * orders without a distinct. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast(TS) &&
+        col("o_orderdate") < lit("1996-10-01").cast(TS))
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6: one-scan forecast-revenue aggregate. All three predicates and
+    * both needed columns push to the parquet scan (PlanShape-asserted);
+    * the aggregate is a two-phase partial sum — the canonical shape that
+    * stays scan-bound at any SF. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TS) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TS) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec4(col("l_extendedprice") * col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** Q10: returned-item losses per customer for one quarter, top 20 by
+    * revenue. lineitem⋈orders shuffles on orderkey (both filtered before
+    * the exchange); customer join is AQE's call; nation broadcasts. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast(TS) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TS))
+      .select("o_orderkey", "o_custkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14: promo revenue share for one month — two exact decimal sums
+    * over a single lineitem⋈part pass, divided as doubles at the end
+    * (the division order is fixed: decimal-exact numerator and
+    * denominator first, ONE double division last, so both engines hit
+    * the same IEEE operation). */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast(TS) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TS))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables(spark, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(dec4(when(col("p_type") === "PROMO", disc).otherwise(lit(0))))
+          .cast("double") * lit(100.0) /
+          sum(dec4(disc)).cast("double")).as("promo_revenue"))
+  }
+
+  /** Q16-adapted: supplier variety per part attribute. The fixture has
+    * no partsupp table, so the part↔supplier bridge is DERIVED from the
+    * facts: distinct (l_partkey, l_suppkey) observed in lineitem. The
+    * count-distinct is a two-phase partial aggregate (no global distinct
+    * materialization); the dim-side exclusion filters prune part before
+    * its join. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"),
+        asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** Q18: large-volume orders — aggregate the facts, keep orders whose
+    * total quantity clears the threshold (~top 0.5%), join back to the
+    * order/customer detail. The HAVING side is tiny after the filter, so
+    * AQE broadcasts it into the detail join at test SF; at 100 TB it
+    * stays a key-partitioned join that reuses the aggregate's shuffle. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big.join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19: disjunctive brand/size/quantity predicate spanning both join
+    * sides. Catalyst extracts the side-local prunable parts (p_size
+    * lower bound, l_quantity envelope) below the join and evaluates the
+    * full disjunction after it — the join itself stays a plain equi-join
+    * on partkey, broadcastable when part fits, shuffled otherwise. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q21-adapted: suppliers who were the SOLE late supplier of a
+    * multi-supplier order ("late" = shipped >90 days after the order
+    * date; the fixture has no receipt/commit dates). The EXISTS
+    * decorrelates to a semi join and the NOT EXISTS to an anti join —
+    * both on orderkey, so at scale this is three key-partitioned passes
+    * over lineitem, no per-row subqueries. SQL-expressed: the doubly
+    * correlated pair is Catalyst's decorrelator's job, not a manual
+    * rewrite. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    Tables(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM graft_lineitem JOIN graft_orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM graft_supplier s
+        |JOIN late l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin)
+  }
+
+  /** Q22-adapted: dormant high-balance customers per nation — balance
+    * above the global positive-balance mean (scalar subquery, computed
+    * as exact decimal sum / count with ONE double division, mirroring
+    * [[graft.Tables.davg]]) and no order since 2000-01-01 (anti join;
+    * the date filter prunes the orders scan before the exchange). */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast(TS))
+      .select("o_custkey")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    c.join(broadcast(avgBal)) // 1-row scalar: broadcast nested loop
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("int").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntry")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> q4OrderPriority _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q14_promo_effect" -> q14PromoEffect _,
+    "q16_supplier_variety" -> q16SupplierVariety _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "q19_disjunctive" -> q19Disjunctive _,
+    "q21_waiting_supplier" -> q21WaitingSupplier _,
+    "q22_dormant_customers" -> q22DormantCustomers _)
+
+  val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |       * CAST(100.0 AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |       AS promo_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 300
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN late l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 50""".stripMargin,
+    "q22_dormant_customers" ->
+      """SELECT CAST(c_nationkey AS INT) AS cntry,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntry""".stripMargin)
+}
