@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compensating checks for the oracle-less q_sketch_rollup (DuckDB has no
+  * DataSketches-HLL twin): merge-consistency, error envelope, and
+  * re-grouping equivalence — the properties that make stored sketches
+  * trustworthy as a distinct-count substitute at scale. */
+class SketchesSpec extends SparkSpec {
+
+  private def dir = sf("sf0.001")
+
+  test("merged weekly sketches == one direct sketch over all events (bit-exact estimates)") {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        date_trunc("week", col("ts")).as("week"))
+    val viaMerge = ev.groupBy("event_type", "week")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = viaMerge.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val d = direct.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m === d)
+  }
+
+  test("estimates stable under repartitioning (register max is order-free)") {
+    val ev = graft.Tables(spark, dir, "events")
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est(ev) === est(ev.repartition(17, col("user_id"))))
+    assert(est(ev) === est(ev.repartition(3)))
+  }
+
+  test("q_sketch_rollup: rel_err within the lgK=12 envelope, exact column exact") {
+    val rows = graft.SparkEntry.queries("q_sketch_rollup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // lgK=12 HLL: ~1.6/sqrt(2^12) ≈ 2.5% std error; 5% is a >2σ envelope
+    rows.foreach { r =>
+      assert(r.getDouble(4) < 0.05, s"${r.getString(0)}: rel_err ${r.getDouble(4)}")
+    }
+    // the exact twin must equal a straight countDistinct
+    val exact = graft.Tables(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach(r => assert(r.getLong(3) === exact(r.getString(0))))
+  }
+}
