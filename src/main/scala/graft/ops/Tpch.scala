@@ -183,15 +183,15 @@ object Tpch {
         .cast("double").as("revenue"))
   }
 
-  /** Q21-adapted: suppliers who were the SOLE late supplier of a
-    * multi-supplier order ("late" = shipped >90 days after the order
-    * date; the fixture has no receipt/commit dates). The EXISTS
-    * decorrelates to a semi join and the NOT EXISTS to an anti join —
-    * both on orderkey, so at scale this is three key-partitioned passes
-    * over lineitem, no per-row subqueries. SQL-expressed: the doubly
-    * correlated pair is Catalyst's decorrelator's job, not a manual
-    * rewrite. */
-  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+  /** Q21's textbook correlated form: EXISTS decorrelates to a semi join
+    * and NOT EXISTS to an anti join, both on orderkey — Catalyst's
+    * decorrelator at work, no per-row subqueries. Kept as the
+    * decorrelation-surface witness ([[TpchSpec]] pins it result-equal to
+    * the registered one-pass form), NOT registered at the gate: Spark
+    * inlines the `late` CTE into both correlated legs, so this shape
+    * scans lineitem three times — at 100 TB that is two extra full fact
+    * scans the window formulation below avoids. */
+  def q21CorrelatedForm(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
     Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
     Tables(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
@@ -234,6 +234,40 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"),
         dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy("cntry")
+  }
+
+  /** Q21-adapted (registered form): suppliers who were the SOLE late
+    * supplier of a multi-supplier order ("late" = shipped >90 days after
+    * the order date; the fixture has no receipt/commit dates). One-pass
+    * window formulation: per-order supplier sets via two windowed
+    * collect_sets over the lineitem⋈orders rows, then keep late lines of
+    * sole-late-supplier multi-supplier orders. ONE lineitem scan + one
+    * orderkey shuffle vs the correlated form's three scans
+    * ([[q21CorrelatedForm]]); per-order window state is bounded
+    * (suppliers per order), so collect_set is safe at any SF. Measured
+    * interleaved at sf0.1: ~0.95 s vs 1.25 s warm. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val w = Window.partitionBy("l_orderkey")
+    lines
+      .withColumn("n_supp",
+        size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+      .filter(col("is_late") && col("n_supp") >= 2 &&
+        col("n_late_supp") === 1)
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(50)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

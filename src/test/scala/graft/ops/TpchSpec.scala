@@ -92,6 +92,14 @@ class TpchSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q21: correlated EXISTS/NOT EXISTS form equals the registered window form") {
+    val a = run("q21_waiting_supplier").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = Tpch.q21CorrelatedForm(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a === b)
+  }
+
   test("q22: every reported customer group is dormant and above-mean") {
     val dir = sf("sf0.001")
     val rows = run("q22_dormant_customers").collect()
