@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Whole-registry plan audit: every registered query's physical plan is
+  * screened for the two unconditional scale-killers — a cartesian
+  * product, and a broadcast nested-loop join whose build side isn't a
+  * deliberate scalar (1-row aggregate) broadcast. A future query or a
+  * Spark-version plan drift that introduces either fails here by NAME,
+  * instead of surfacing as an unexplainable bench blowup at 100 TB.
+  *
+  * Queries that legitimately cross-join a SCALAR aggregate (global mean,
+  * corpus-level constant) are allowlisted explicitly — the allowlist is
+  * the documentation of every intentional nested-loop in the library. */
+class GlobalPlanAuditSpec extends SparkSpec {
+
+  // the EXACT set of queries whose plan intentionally contains a
+  // BroadcastNestedLoopJoin, each with its bounded build side named —
+  // asserted by equality below, so a new nested loop AND a stale entry
+  // both fail the audit
+  private val deliberateNestedLoops: Set[String] = Set(
+    "q22_dormant_customers", // 1-row global positive-balance mean
+    "q_dedup_incremental", // 1-row corpus/batch cut threshold
+    "q_cosine_topk", // bounded query-vector side of the brute-force baseline
+    "q_range_band", // the band table IS the bounded broadcast side of a
+                    // non-equi range join — the operator's semantics
+    "q_zorder_layout", // 1-row corpus min/max quantization bounds
+    "q_constraints", // 1-row n_checked scalar beside the FK violation count
+    "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
+    "q_temperature_sample") // 1-row min-language count the rates derive from
+
+  test("cartesian products never; nested-loop joins exactly the deliberate bounded set") {
+    val dir = sf("sf0.001")
+    val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, q) =>
+        val plan =
+          try q(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage}")
+          }
+        (name, plan)
+    }
+    val cartesians = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
+    val nested = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    assert(nested === deliberateNestedLoops,
+      s"unexpected: ${nested -- deliberateNestedLoops}; " +
+        s"stale allowlist: ${deliberateNestedLoops -- nested}")
+  }
+}
