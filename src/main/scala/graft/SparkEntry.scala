@@ -86,6 +86,12 @@ object SparkEntry {
         ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
         ops.Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
         ()
+      }),
+      "partitioned" -> (() => { // hive-partitioned documents layout
+        // (q_partition_prune) — a corpus-version artifact like the
+        // bucketed copies, not per-query work
+        ops.Partitioned.partitionedDocs(spark, dir)
+        ()
       }))
     val fs = chains.map { case (name, c) =>
       Future {
