@@ -101,7 +101,7 @@ object EventsStream {
     * preserves arbitrary arrival order, diverging from the µs-ordered
     * batch twins. All intra-batch ordering and window arithmetic here
     * runs in microseconds. */
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000
 
   final case class UserStats(n_events: Long, total_value: Double)
