@@ -101,6 +101,30 @@ object Tpch {
       .limit(20)
   }
 
+  /** Q12-adapted: shipping-delay buckets × order priority — the
+    * conditional-aggregation shape (no ship mode in the fixture; the
+    * classification column is the shipdate−orderdate delay). One
+    * fact⋈fact pass; both CASE sums fold into the same partial
+    * aggregate, so the priority split costs nothing extra over the
+    * bucket count. */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val delayDays =
+      datediff(col("l_shipdate"), col("o_orderdate"))
+    val bucket = when(delayDays <= 30, "0-30")
+      .when(delayDays <= 90, "31-90")
+      .otherwise("90+")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(bucket.as("delay_bucket"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
   /** Q14: promo revenue share for one month — two exact decimal sums
     * over a single lineitem⋈part pass, divided as doubles at the end
     * (the division order is fixed: decimal-exact numerator and
@@ -286,6 +310,7 @@ object Tpch {
     "q4_order_priority" -> q4OrderPriority _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q12_ship_delay" -> q12ShipDelay _,
     "q14_promo_effect" -> q14PromoEffect _,
     "q16_supplier_variety" -> q16SupplierVariety _,
     "q18_large_orders" -> q18LargeOrders _,
@@ -324,6 +349,17 @@ object Tpch {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+        |            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '31-90'
+        |            ELSE '90+' END AS delay_bucket,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY delay_bucket""".stripMargin,
     "q14_promo_effect" ->
       """SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
         |                 THEN l_extendedprice * (1 - l_discount)
