@@ -101,4 +101,84 @@ object Graph {
       .unionByName(mins.select(col("hi"), col("mn").as("lo")))
       .distinct()
   }
+
+  /** Link-authority scoring (PageRank, Page et al. 1999) over the ANN
+    * similarity graph — the second distributed-ITERATIVE operator next
+    * to [[connectedComponents]], and a curation signal (centrality of a
+    * document inside its similarity neighborhood: high-authority nodes
+    * are canonical copies, low ones are periphery/noise).
+    *
+    * Hash-gated exactly because the arithmetic is FIXED-POINT INTEGER:
+    * ranks live in 1e-9 units as BIGINTs, every update is integer
+    * div/mul/sum (deterministic under any partitioning and any engine —
+    * float PageRank would diverge across summation orders), and the
+    * oracle replays the same six iterations as unrolled CTEs over the
+    * gate's anncand export with DuckDB's floor division (equal to
+    * truncation here — every quantity is non-negative).
+    *
+    * Scale shape: per iteration one join edges⋈ranks on src + one
+    * groupBy dst — two key-partitioned shuffles over the EDGE set, like
+    * a CC round; the fixture's graph is small so the six-round lineage
+    * stays unmaterialized, at 100 TB each round would ride
+    * [[graft.Tables.materialize]] like the CC loop. N (node count) is a
+    * bounded driver scalar (the k-means-state pattern). Undirected
+    * symmetrization means every node has in- and out-degree ≥ 1 — no
+    * dangling-mass redistribution term needed. */
+  /** Fixed-point PageRank core over a DIRECTED edge list (col 1 → col 2;
+    * callers symmetrize for undirected graphs). Returns (node, rank)
+    * with rank in 1/SCALE units, for every node with in-degree ≥ 1. */
+  private[ops] def pagerank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(edges.columns(0), edges.columns(1))
+      .toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val n = deg.count() // bounded driver scalar: distinct node count
+    var r = deg.selectExpr("src AS node", s"${scale}L div ${n}L AS rank")
+    for (_ <- 1 to iters) {
+      r = e.join(deg, "src")
+        .join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div d")).as("contrib"))
+        .selectExpr("dst AS node",
+          s"(15L * ${scale}L) div (100L * ${n}L) + (85L * contrib) div 100L AS rank")
+    }
+    r
+  }
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Vectors.annCandidatesExported(spark, dir)
+    val e = cand.select(col("qid").as("src"), col("nid").as("dst"))
+      .unionByName(cand.select(col("nid").as("src"), col("qid").as("dst")))
+    pagerank(e, iters = 6)
+      .orderBy(desc("rank"), asc("node")).limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_pagerank" -> qPagerank _)
+
+  val oracles: Map[String, String] = {
+    val cand = graft.OracleExport.oraclePath("anncand")
+    // 15 * 1e9 overflows DuckDB's INT32 literal arithmetic — force BIGINT
+    val base = "(CAST(15 AS BIGINT) * 1000000000) // (100 * (SELECT n FROM n))"
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST($base + (85 * SUM($prev.rank // deg.d)) // 100 AS BIGINT) AS rank
+         |  FROM e JOIN $prev ON e.src = $prev.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    Map("q_pagerank" ->
+      (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
+          |e AS (SELECT qid AS src, nid AS dst FROM pairs
+          |      UNION ALL SELECT nid AS src, qid AS dst FROM pairs),
+          |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+          |n AS (SELECT COUNT(*) AS n FROM deg),
+          |r0 AS (SELECT src AS node,
+          |       CAST(1000000000 // (SELECT n FROM n) AS BIGINT) AS rank
+          |       FROM deg),
+          |""".stripMargin +
+        (1 to 6).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+        """SELECT node, rank FROM r6
+          |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
+  }
 }

@@ -101,6 +101,16 @@ object Vectors {
     * gate oracle's fixed export path. */
   private def annKey(spark: SparkSession): String =
     s"L${annTablesN(spark)}b${annPlanesN(spark)}f${annFlipsN(spark)}"
+
+  /** The ANN candidate pair set WITH its gate export — for consumers
+    * outside this file (e.g. [[Graph.qPagerank]]) whose oracles read the
+    * fixed-path anncand export. */
+  private[graft] def annCandidatesExported(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cand = annCandidates(spark, dir)
+    graft.OracleExport.export(cand, "anncand", dir, annKey(spark))
+    cand
+  }
   private def ivfKey(spark: SparkSession): String =
     s"k${ivfListsN(spark)}.i${ivfItersN(spark)}.p${ivfProbesN(spark)}"
 

@@ -80,4 +80,35 @@ class GraphSpec extends SparkSpec {
       assert(bad == 0L)
     }
   }
+  /** PageRank: the DataFrame fixed-point fold must match a local replay
+    * bit-for-bit on a known graph, rank the star center above its
+    * leaves, and conserve total mass up to truncation loss. */
+  test("pagerank: DataFrame fold == local fixed-point replay; star center dominates") {
+    import spark.implicits._
+    // tiny star + chain: center 1 linked to 2,3,4; chain 10-11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val e = pairs ++ pairs.map(p => (p._2, p._1))
+    // local replay of the same integer fold
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val SCALE = 1000000000L
+    var rank = deg.map { case (k, _) => k -> SCALE / n }
+    for (_ <- 1 to 6) {
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = contrib.map { case (node, c) =>
+        node -> ((15L * SCALE) / (100L * n) + (85L * c) / 100L)
+      }
+    }
+    val got = Graph.pagerank(e.toDF("src", "dst"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rank)
+    assert(got(1L) > got(2L) && got(2L) === got(3L) && got(3L) === got(4L))
+    assert(got(10L) === got(11L))
+    // conservation up to truncation: each of the 6 iterations loses < 1
+    // unit per node at each of the two integer divisions
+    val total = got.values.sum
+    assert(total <= SCALE && total >= SCALE - 6 * n * 2 - n)
+  }
 }
