@@ -267,7 +267,36 @@ object Temporal {
       .orderBy("week")
   }
 
+  /** Time-series densification: per-type hourly grid with zero-filled
+    * gaps — the resample step every downstream window/anomaly model
+    * assumes (a missing hour must be an explicit zero row, not an absent
+    * one). The grid is GENERATED row-locally (`sequence` + `explode`
+    * from each type's min/max hour — one tiny row per type expands to
+    * its own grid, no driver loop, no cross join), then the observed
+    * per-hour aggregate left-joins onto it. At 100 TB the aggregate side
+    * is the only fact-sized input; the grid is |types| × |hours| and
+    * partitions with the join key. */
+  def qResampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+    val counts = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(col("value")).as("total_value"))
+    val grid = ev.groupBy("event_type")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("event_type", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_hourly" -> qResampleHourly _,
     "q_retention" -> qRetention _,
     "q_event_funnel" -> qEventFunnel _,
     "q_stream_join" -> qStreamJoin _,
@@ -279,6 +308,23 @@ object Temporal {
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    "q_resample_hourly" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+        |counts AS (
+        |  SELECT event_type, h, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+        |  FROM ev GROUP BY event_type)
+        |SELECT g.event_type, g.h,
+        |  CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+        |  COALESCE(c.total_value, 0.0) AS total_value
+        |FROM grid g LEFT JOIN counts c
+        |  ON g.event_type = c.event_type AND g.h = c.h
+        |ORDER BY g.event_type, g.h""".stripMargin,
     "q_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events),
