@@ -67,8 +67,10 @@ object TwsSession {
       cur.foreach { s =>
         state.update(s)
         // replace any previous horizon with the new one (explicit timer
-        // management — the API allows several, this machine wants one)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // management — the API allows several, this machine wants one).
+        // Materialize the listing first: deleting while the state-store
+        // iterator is open is mutation-under-iteration.
+        getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(s.lastTs.getTime + gapMs)
       }
       closed.result().iterator
