@@ -144,6 +144,52 @@ object Tpch {
           sum(dec4(disc)).cast("double")).as("promo_revenue"))
   }
 
+  /** Q15: top supplier(s) by quarterly revenue — the aggregate-of-
+    * aggregate shape: the per-supplier revenue table is computed once,
+    * its max is a 1-row scalar broadcast back onto it, and the equality
+    * filter keeps the argmax row(s). Ties all surface (no LIMIT 1
+    * nondeterminism); decimal-exact revenue makes the equality itself
+    * deterministic cross-engine — a float revenue would make `= MAX`
+    * flap on summation order. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TS) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TS))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev)) // 1-row scalar: broadcast nested loop
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17: small-quantity-order revenue — the correlated SCALAR aggregate
+    * shape (each lineitem compares against ITS part's average quantity).
+    * Expressed as the decorrelated plan directly: the per-part average
+    * is one grouped aggregate over the (brand-filtered) facts, joined
+    * back on partkey — never a per-row subquery. The average is
+    * davg-style (exact decimal sum, ONE double division) so the 0.2×
+    * threshold is bit-identical cross-engine. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(avgQ, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   /** Q16-adapted: supplier variety per part attribute. The fixture has
     * no partsupp table, so the part↔supplier bridge is DERIVED from the
     * facts: distinct (l_partkey, l_suppkey) observed in lineitem. The
@@ -312,7 +358,9 @@ object Tpch {
     "q10_returned_items" -> q10ReturnedItems _,
     "q12_ship_delay" -> q12ShipDelay _,
     "q14_promo_effect" -> q14PromoEffect _,
+    "q15_top_supplier" -> q15TopSupplier _,
     "q16_supplier_variety" -> q16SupplierVariety _,
+    "q17_small_quantity" -> q17SmallQuantity _,
     "q18_large_orders" -> q18LargeOrders _,
     "q19_disjunctive" -> q19Disjunctive _,
     "q21_waiting_supplier" -> q21WaitingSupplier _,
@@ -371,6 +419,30 @@ object Tpch {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |aq AS (
+        |  SELECT l_partkey AS ap_key,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN aq ON l_partkey = ap_key
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt

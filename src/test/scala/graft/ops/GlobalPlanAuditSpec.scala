@@ -25,6 +25,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_range_band", // the band table IS the bounded broadcast side of a
                     // non-equi range join — the operator's semantics
     "q_zorder_layout", // 1-row corpus min/max quantization bounds
+    // (q15_top_supplier needs no entry: its argmax equality filter is
+    // pushed into the scalar join as an equi-condition → BroadcastHashJoin)
     "q_constraints", // 1-row n_checked scalar beside the FK violation count
     "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
     "q_temperature_sample") // 1-row min-language count the rates derive from
