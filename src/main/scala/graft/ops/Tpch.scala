@@ -74,6 +74,64 @@ object Tpch {
       .agg(sum(dec4(col("l_extendedprice") * col("l_discount")))
         .cast("double").as("revenue"))
 
+  /** Q8: national market share — of the revenue flowing to ASIA
+    * customers for PROMO parts, the fraction supplied by NATION_3, per
+    * order year. The numerator is a conditional decimal sum over the
+    * same rows as the denominator (one pass, no second join tree), and
+    * the share is ONE double division at the end. Both nation joins
+    * broadcast (bounded dim); the fact chain is the q5 shape. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val vol = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val natAsia = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(Tables(spark, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast(TS) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TS))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natAsia), col("c_nationkey") === col("cn_key"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))))
+          .cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q13: customer order-count distribution — the LEFT OUTER JOIN with
+    * an ON-clause filter (orders dropped by the predicate must NOT drop
+    * the customer; a WHERE would) followed by a two-level aggregate.
+    * Zero-order customers surface in the c_count=0 bucket — the row
+    * COUNT(o_orderkey)'s null-skipping provides for free. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables(spark, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** Q10: returned-item losses per customer for one quarter, top 20 by
     * revenue. lineitem⋈orders shuffles on orderkey (both filtered before
     * the exchange); customer join is AQE's call; nation broadcasts. */
@@ -355,7 +413,9 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4OrderPriority _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q8_market_share" -> q8MarketShare _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q13_order_distribution" -> q13OrderDistribution _,
     "q12_ship_delay" -> q12ShipDelay _,
     "q14_promo_effect" -> q14PromoEffect _,
     "q15_top_supplier" -> q15TopSupplier _,
@@ -384,6 +444,34 @@ object Tpch {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
