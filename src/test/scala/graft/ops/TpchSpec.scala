@@ -109,6 +109,26 @@ class TpchSpec extends SparkSpec {
     assert(ks.sameElements(ks.sorted.distinct))
   }
 
+  test("q8: market share is a fraction; q13: distribution sums to all customers") {
+    val shares = run("q8_market_share").collect()
+    assert(shares.nonEmpty)
+    shares.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s >= 0.0 && s <= 1.0, s"share $s out of [0,1]")
+    }
+    val dist = run("q13_order_distribution").collect()
+    val nCust = graft.Tables(spark, sf("sf0.001"), "customer").count()
+    assert(dist.map(_.getLong(1)).sum === nCust) // every customer in exactly one bucket
+  }
+
+  test("q15: all rows tie at the max; q17: one non-null scalar") {
+    val top = run("q15_top_supplier").collect()
+    assert(top.nonEmpty)
+    assert(top.map(_.getDouble(2)).distinct.length === 1) // all equal the max
+    val q17 = run("q17_small_quantity").collect()
+    assert(q17.length === 1 && !q17(0).isNullAt(0) && q17(0).getDouble(0) > 0)
+  }
+
   test("q10/q14/q16 return sane shapes") {
     assert(run("q10_returned_items").collect().length <= 20)
     val promo = run("q14_promo_effect").collect()(0).getDouble(0)
