@@ -81,6 +81,9 @@ object SparkEntry {
       "bigrams" -> (() => { // distinct (doc, bigram) table (novelty family)
         ops.TextOps.docBigrams(spark, dir); ()
       }),
+      "partsupp" -> (() => { // synthetic partsupp bridge (Q2/Q11/Q20)
+        ops.Tpch.partsupp(spark, dir); ()
+      }),
       "bucketed" -> (() => { // bucketed layouts: built once per corpus
         // version, amortized over every co-located join against them
         ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")

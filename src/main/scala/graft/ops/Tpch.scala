@@ -43,6 +43,144 @@ object Tpch {
 
   private val TS = "timestamp"
 
+  /** Synthetic partsupp: the fixture ships no partsupp table, which
+    * blocked TPC-H Q2/Q11/Q20 (the three correlated-subquery plan shapes)
+    * through round 11. The bridge (which supplier stocks which part) IS
+    * observable — distinct (l_partkey, l_suppkey) in lineitem — and the
+    * two unobservable measures are derived deterministically from the key
+    * pair via xxhash64, so every engine run at a given SF sees the same
+    * table: ps_availqty uniform 1..9999 (classic range), ps_supplycost a
+    * 2-decimal double 0.01..999.99 (double like every fixture measure;
+    * downstream aggregates go decimal-exact per [[graft.Tables]] rule 1).
+    * The DuckDB oracle reads this table via [[graft.OracleExport]] — the
+    * accepted anncand/bpemerges pattern — so the gate covers everything
+    * downstream of the derivation, and [[TpchSpec]] pins the derivation
+    * itself against a driver-side recompute.
+    *
+    * Session-shared: the distinct is one shuffle over the facts, paid
+    * once per corpus version (prewarm chain) and reused by all three
+    * queries — at 100 TB the output is bounded by |part|×|supplier|,
+    * orders of magnitude below the fact table. */
+  private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          (pmod(xxhash64(col("ps_partkey"), col("ps_suppkey"),
+            lit("availqty")), lit(9999L)) + 1).cast("int").as("ps_availqty"),
+          ((pmod(xxhash64(col("ps_partkey"), col("ps_suppkey"),
+            lit("supplycost")), lit(99999L)) + 1).cast("double") / 100)
+            .as("ps_supplycost")),
+      "partsupp", dir)
+
+  /** [[partsupp]] + oracle export (no-op after the first call / in Bench). */
+  private def exportedPartsupp(spark: SparkSession, dir: String): DataFrame = {
+    val ps = partsupp(spark, dir)
+    graft.OracleExport.export(ps, "partsupp", dir)
+    ps
+  }
+
+  /** Q2: min-cost supplier per part within a region (adapted: fixture part
+    * has no p_mfgr → p_brand; supplier no address/phone). The classic
+    * correlated min-cost subquery is expressed as a window min over the
+    * region-restricted partsupp rows of the FILTERED parts: the per-part
+    * min doesn't depend on the part-level filter, so restricting first is
+    * equivalent and prunes the aggregate's input by ~50× — the decisive
+    * reordering at 100 TB. One partkey shuffle (the window); nation/region
+    * broadcast (bounded dims); supplycost equality is exact (both sides
+    * read the same derived value). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eurNations = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val regional = exportedPartsupp(spark, dir)
+      .join(Tables(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+    regional
+      .join(Tables(spark, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_brand"),
+        col("ps_partkey") === col("p_partkey"))
+      .withColumn("min_cost",
+        min(col("ps_supplycost")).over(Window.partitionBy("ps_partkey")))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11: important stock — per-part stock value for one nation's
+    * suppliers, kept when above a fraction of the nation's total (the
+    * group-vs-global HAVING shape). Value sums are decimal-exact
+    * (supplycost×availqty ≤ 2 decimals → dec4); the global total is a
+    * 1-row scalar broadcast (BNLJ — allowlisted in GlobalPlanAuditSpec)
+    * and the threshold comparison is two double casts + ONE multiply, the
+    * same IEEE ops in both engines. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natPs = exportedPartsupp(spark, dir)
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_19").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("ps_partkey"),
+        dec4(col("ps_supplycost") * col("ps_availqty")).as("v"))
+    val byPart = natPs.groupBy("ps_partkey")
+      .agg(sum(col("v")).as("value_dec"))
+    val total = byPart.agg(sum(col("value_dec")).cast("double")
+      .as("total_value"))
+    byPart.join(broadcast(total)) // 1-row scalar: broadcast nested loop
+      .filter(col("value_dec").cast("double") >
+        col("total_value") * lit(0.001))
+      .select(col("ps_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(desc("value"), asc("ps_partkey"))
+  }
+
+  /** Q20: promotion candidates — suppliers of one nation stocking a
+    * name-matched part with availability above half the part-pair's
+    * shipped quantity in one year (the nested semi-join chain). All three
+    * reducers run BEFORE the expensive work: partsupp is semi-joined to
+    * the matched parts, the supplier side is nation-filtered at the pair
+    * level, and the lineitem aggregate is windowed by date and semi-joined
+    * to the same parts — at 100 TB each prunes its fact input by 10-100×.
+    * n_parts (qualifying pairs per supplier) witnesses the inner
+    * aggregate in the output, so the gate pins the whole chain, not just
+    * the surviving supplier names. */
+  def q20PromotionCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables(spark, dir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val natSupp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val shipped = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TS) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TS))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("shipped_qty"))
+    exportedPartsupp(spark, dir)
+      .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("shipped_qty"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(col("s_name"), col("s_acctbal"), col("n_parts"))
+      .orderBy("s_name")
+  }
+
   /** Q4: orders of one quarter with at least one line shipped >60 days
     * after the order date, counted per priority. The correlated EXISTS
     * becomes a left-semi join on orderkey with the lateness predicate as
@@ -411,6 +549,9 @@ object Tpch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q11_important_stock" -> q11ImportantStock _,
+    "q20_promotion_candidates" -> q20PromotionCandidates _,
     "q4_order_priority" -> q4OrderPriority _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q8_market_share" -> q8MarketShare _,
@@ -427,6 +568,64 @@ object Tpch {
     "q22_dormant_customers" -> q22DormantCustomers _)
 
   val oracles: Map[String, String] = Map(
+    // Q2/Q11/Q20 read the exported synthetic partsupp (the engine-derived
+    // table the fixture lacks — see the partsupp scaladoc); everything
+    // downstream of the export (joins, correlated min, group-vs-global
+    // HAVING, the semi-join chain) is recomputed by DuckDB from scratch,
+    // in the textbook correlated-subquery form where the Spark side runs
+    // the decorrelated plan.
+    "q2_min_cost_supplier" ->
+      s"""WITH ps AS (SELECT * FROM '${graft.OracleExport.oraclePath("partsupp")}'),
+         |eur AS (SELECT n_nationkey, n_name
+         |        FROM nation JOIN region ON n_regionkey = r_regionkey
+         |        WHERE r_name = 'EUROPE'),
+         |reg AS (SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+         |        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |        JOIN eur ON s_nationkey = n_nationkey)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+         |FROM reg JOIN part ON ps_partkey = p_partkey
+         |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+         |  AND ps_supplycost = (SELECT MIN(r2.ps_supplycost) FROM reg r2
+         |                       WHERE r2.ps_partkey = reg.ps_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH ps AS (SELECT * FROM '${graft.OracleExport.oraclePath("partsupp")}'),
+         |nat AS (SELECT ps_partkey,
+         |          CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)) AS v
+         |        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |        JOIN nation ON s_nationkey = n_nationkey
+         |        WHERE n_name = 'NATION_19'),
+         |bp AS (SELECT ps_partkey, SUM(v) AS value_dec
+         |       FROM nat GROUP BY ps_partkey)
+         |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+         |FROM bp
+         |WHERE CAST(value_dec AS DOUBLE) >
+         |      (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM bp)
+         |        * CAST(0.001 AS DOUBLE)
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q20_promotion_candidates" ->
+      s"""WITH ps AS (SELECT * FROM '${graft.OracleExport.oraclePath("partsupp")}'),
+         |shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS shipped_qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_partkey, l_suppkey),
+         |q AS (
+         |  SELECT ps_suppkey, COUNT(*) AS n_parts
+         |  FROM ps JOIN shipped
+         |    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+         |                       WHERE p_name LIKE 'red%')
+         |    AND ps_availqty > 0.5 * shipped_qty
+         |  GROUP BY ps_suppkey)
+         |SELECT s_name, s_acctbal, n_parts
+         |FROM q JOIN supplier ON ps_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |ORDER BY s_name""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

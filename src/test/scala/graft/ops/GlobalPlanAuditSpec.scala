@@ -20,6 +20,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
   // both fail the audit
   private val deliberateNestedLoops: Set[String] = Set(
     "q22_dormant_customers", // 1-row global positive-balance mean
+    "q11_important_stock", // 1-row national stock total (group-vs-global
+                           // HAVING threshold is an inequality, so the
+                           // scalar join can't become an equi hash join)
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
     "q_range_band", // the band table IS the bounded broadcast side of a

@@ -74,6 +74,14 @@ class TpchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     // per-LINE late rows, multiplicity kept: Q21's l1 ranges over late
     // lineitem rows, so a supplier twice-late in one order counts twice
+    // referential integrity asserted by NAME: a lineitem orderkey absent
+    // from orders would otherwise surface as an opaque
+    // NoSuchElementException here — and the registered window form would
+    // silently DROP such rows while the EXISTS oracle counts them, so a
+    // fixture drift must fail loudly, not mask a semantic divergence
+    li.foreach { case (ok, _, _) =>
+      assert(od.contains(ok), s"lineitem orderkey $ok missing from orders")
+    }
     val lateLines = li.filter { case (ok, _, ship) =>
       ship.getTime > od(ok).getTime + 90L * 86400 * 1000
     }.map { case (ok, sk, _) => (ok, sk) }
@@ -127,6 +135,72 @@ class TpchSpec extends SparkSpec {
     assert(top.map(_.getDouble(2)).distinct.length === 1) // all equal the max
     val q17 = run("q17_small_quantity").collect()
     assert(q17.length === 1 && !q17(0).isNullAt(0) && q17(0).getDouble(0) > 0)
+  }
+
+  test("partsupp derivation matches a driver-side recompute") {
+    // the synthetic bridge is the oracle-export input for Q2/Q11/Q20, so
+    // its derivation (distinct pairs + xxhash64-derived measures) is
+    // pinned here against an independent recompute from raw collects
+    import org.apache.spark.sql.functions.{col, xxhash64, lit, pmod}
+    val dir = sf("sf0.001")
+    val ps = Tpch.partsupp(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    val pairs = graft.Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    assert(ps.keySet === pairs.toSet)
+    // recompute the hash-derived measures through Spark's own xxhash64
+    // (the derivation contract is "same key pair -> same values")
+    import spark.implicits._
+    val re = pairs.toSeq.toDF("pk", "sk")
+      .select(col("pk"), col("sk"),
+        (pmod(xxhash64(col("pk"), col("sk"), lit("availqty")),
+          lit(9999L)) + 1).cast("int").as("aq"),
+        ((pmod(xxhash64(col("pk"), col("sk"), lit("supplycost")),
+          lit(99999L)) + 1).cast("double") / 100).as("sc"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    assert(re === ps)
+    ps.values.foreach { case (aq, sc) =>
+      assert(aq >= 1 && aq <= 9999, aq)
+      assert(sc >= 0.01 && sc <= 999.99, sc)
+    }
+  }
+
+  test("q2: every row carries its part's regional min cost; order total") {
+    val dir = sf("sf0.001")
+    val rows = run("q2_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    // recompute the regional min per part from the derived partsupp
+    import org.apache.spark.sql.functions.col
+    val eurSupp = graft.Tables(spark, dir, "supplier")
+      .join(graft.Tables(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val minCost = Tpch.partsupp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .filter(t => eurSupp.contains(t._2))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(5) === minCost(r.getLong(3)),
+        s"part ${r.getLong(3)} not at regional min")
+    }
+  }
+
+  test("q11: value threshold is the global fraction; q20: counts positive") {
+    val q11 = run("q11_important_stock").collect()
+    assert(q11.nonEmpty)
+    val vals = q11.map(_.getDouble(1))
+    assert(vals.sameElements(vals.sortBy(-_))) // value DESC total order head
+    val q20 = run("q20_promotion_candidates").collect()
+    assert(q20.nonEmpty)
+    assert(q20.forall(_.getLong(2) > 0))
+    val names = q20.map(_.getString(0))
+    assert(names.sameElements(names.sorted))
   }
 
   test("q10/q14/q16 return sane shapes") {
