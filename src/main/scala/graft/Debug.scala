@@ -40,6 +40,24 @@ object Debug {
           println(s"PCT: ${r.getString(0)} ${r.getDouble(1)} ${r.getDouble(2)}"))
       spark.stop(); return
     }
+    if (args.headOption.contains("q12ab")) {
+      // interleaved A/B of q12's bucketed vs plain join (the layout is
+      // prewarmed untimed, like Bench): Debug q12ab [n] [dir]
+      val n = args.lift(1).map(_.toInt).getOrElse(5)
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      ops.Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+      ops.Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
+      (1 to n).foreach { i =>
+        for ((tag, b) <- Seq("bucketed" -> true, "plain" -> false)) {
+          val t0 = System.nanoTime()
+          ops.Tpch.q12Impl(spark, dir, bucketed = b)
+            .write.mode("overwrite").format("noop").save()
+          println(f"q12 $tag run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("timeq")) {
       // time queries N times in a warm JVM: Debug timeq <n1,n2,..> [n] [dir]
       // multiple names run INTERLEAVED round-robin so machine-contention

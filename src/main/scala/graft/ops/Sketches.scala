@@ -27,11 +27,14 @@ import graft.Tables
   * through BINARY columns — the weekly table here stands in for a
   * persisted parquet artifact.
   *
-  * Driver gate: rows-only BY DESIGN (DuckDB has no DataSketches-HLL
-  * twin, so no SQL oracle can reproduce the estimates). Compensating
-  * checks in SketchesSpec: merge-consistency (bit-exact), error envelope
-  * vs the exact distinct (the query itself carries the exact twin and
-  * its relative error), and re-grouping equivalence.
+  * Driver gate: hash-gated via [[graft.OracleExport]] (promoted from
+  * rows-only in r12). DuckDB has no DataSketches-HLL twin, so the
+  * per-type ESTIMATES are exported (deterministic — see above) and the
+  * oracle recomputes everything else from the raw events: the per-type
+  * event counts, the exact distincts, and the realized relative error.
+  * Only the sketch kernel itself is taken from the engine, and
+  * SketchesSpec pins that (merge==direct bit-exact, error envelope,
+  * re-grouping equivalence) — the same split as minhash/winnow/bpe.
   */
 object Sketches {
 
@@ -51,6 +54,11 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("approx_users"),
         sum(col("n_events")).as("n_events"))
+    // the estimates are the one engine-defined piece — export them for
+    // the DuckDB oracle (estimates are repartition-deterministic, so the
+    // export equals the query's own recompute bit-for-bit)
+    graft.OracleExport.export(
+      merged.select("event_type", "approx_users"), "sketchest", dir)
     // exact twin (the audit a pipeline runs once, not per rollup)
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
@@ -65,6 +73,19 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_rollup" -> qSketchRollup _)
 
-  /** No oracle: see scaladoc — rows-only by design. */
-  val oracles: Map[String, String] = Map.empty
+  /** The estimates come from the export (engine-defined sketch kernel,
+    * spec-pinned); counts, exact distincts and the realized error are
+    * recomputed by DuckDB from the raw events. */
+  val oracles: Map[String, String] = Map(
+    "q_sketch_rollup" ->
+      s"""WITH est AS (SELECT event_type, approx_users
+         |            FROM '${graft.OracleExport.oraclePath("sketchest")}'),
+         |ex AS (SELECT event_type, COUNT(*) AS n_events,
+         |         COUNT(DISTINCT user_id) AS exact_users
+         |       FROM events GROUP BY event_type)
+         |SELECT e.event_type, ex.n_events, e.approx_users, ex.exact_users,
+         |  ROUND(ABS(e.approx_users - ex.exact_users) / ex.exact_users, 4)
+         |    AS rel_err
+         |FROM est e JOIN ex ON e.event_type = ex.event_type
+         |ORDER BY e.event_type""".stripMargin)
 }

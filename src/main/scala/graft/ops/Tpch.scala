@@ -302,18 +302,29 @@ object Tpch {
     * classification column is the shipdate−orderdate delay). One
     * fact⋈fact pass; both CASE sums fold into the same partial
     * aggregate, so the priority split costs nothing extra over the
-    * bucket count. */
-  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    * bucket count. Rides the prewarmed orderkey-bucketed layout like
+    * q18 (r11 verdict item): the dominant cost was the full
+    * lineitem⋈orders shuffle, which the co-located scan removes
+    * entirely — only the 3-row bucket aggregate exchanges
+    * (PlanShapeSpec-asserted; `Debug q12ab` interleaved at sf0.1:
+    * ~0.51 s bucketed vs ~0.70 s plain, warm medians of 4). */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame =
+    q12Impl(spark, dir, bucketed = true)
+
+  private[graft] def q12Impl(spark: SparkSession, dir: String,
+      bucketed: Boolean): DataFrame = {
+    def li = if (bucketed) Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+      else Tables(spark, dir, "lineitem")
+    def o = if (bucketed) Bucketed.bucketedTable(spark, dir, "orders", "o_orderkey")
+      else Tables(spark, dir, "orders")
     val delayDays =
       datediff(col("l_shipdate"), col("o_orderdate"))
     val bucket = when(delayDays <= 30, "0-30")
       .when(delayDays <= 90, "31-90")
       .otherwise("90+")
     val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    Tables(spark, dir, "lineitem")
-      .select("l_orderkey", "l_shipdate")
-      .join(Tables(spark, dir, "orders")
-        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+    li.select("l_orderkey", "l_shipdate")
+      .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(bucket.as("delay_bucket"))
       .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),

@@ -138,6 +138,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q12: the fact join rides the bucketed layout with no exchange below it") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Tpch.q12Impl(spark, sf("sf0.001"), bucketed = true)
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case q: QueryStageExec => p +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val joins = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a sort-merge join:\n${nodes.head}")
+      joins.foreach { j =>
+        val shuffles = j.children.flatMap(allNodes)
+          .collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty, s"join input was shuffled:\n$j")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("AQE re-plans a static sort-merge join to broadcast from runtime stats") {
     // static planner sees no broadcastable side (threshold -1); the
     // adaptive threshold stays on, so the runtime size of the filtered
