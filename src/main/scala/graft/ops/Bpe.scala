@@ -157,22 +157,46 @@ object Bpe {
     * the per-language aggregates. Only the merge TABLE is taken from the
     * engine (iterative argmax — not single-query SQL), and BpeSpec pins
     * that sequence against an independent reference implementation. */
+  /** The full greedy encode as ONE constant-depth expression over a word
+    * column `w`: an outer `aggregate` over the MERGE TABLE (spliced as a
+    * constant-folded array-of-structs literal) whose lambda applies one
+    * greedy left-to-right merge via an inner `aggregate` over the symbol
+    * array. Depth no longer grows with the merge count — the round-11
+    * shape nested one `aggregate` PER merge, which at a real tokenizer's
+    * 30k merges would blow the expression tree / codegen limits long
+    * before the data got big; here the merges are DATA (one array
+    * literal), so a 256-entry table plans exactly like a 12-entry one
+    * ([[BpeSpec]] pins 256 merges against the reference fold).
+    * Injection-safe: symbols are ^[a-z]+$ fragments (trainer filter). */
+  private[graft] def encodeExpr(merges: Seq[(String, String)]): String = {
+    // the empty-word guard matters because sequence(1, 0) DESCENDS
+    // ([1, 0] → two empty substrings); the trainer's ^[a-z]+$ filter
+    // never feeds an empty word, but a reusable expression must not
+    // silently tokenize "" into two empty symbols
+    val init = "IF(length(w) = 0, CAST(array() AS ARRAY<STRING>), " +
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+    if (merges.isEmpty) init
+    else {
+      val arr = merges.map { case (a, b) =>
+        s"named_struct('a', '$a', 'b', '$b')"
+      }.mkString("array(", ", ", ")")
+      s"""aggregate($arr, $init,
+         |  (cur, m) -> aggregate(cur, CAST(array() AS ARRAY<STRING>),
+         |    (acc, x) -> IF(size(acc) > 0
+         |                   AND element_at(acc, -1) = m.a AND x = m.b,
+         |      concat(slice(acc, 1, size(acc) - 1),
+         |             array(concat(m.a, m.b))),
+         |      concat(acc, array(x)))))""".stripMargin
+    }
+  }
+
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.OracleExport.export(sharedMerges(spark, dir), "bpemerges", dir, "n12")
     val learned = sharedMerges(spark, dir).orderBy("step")
       .select("left", "right").as[(String, String)].collect()
-    val folded = learned.foldLeft(
-      "transform(sequence(1, length(w)), i -> substring(w, i, 1))") {
-      case (acc, (a, b)) =>
-        s"""aggregate($acc, CAST(array() AS ARRAY<STRING>),
-           |  (acc, x) -> IF(size(acc) > 0
-           |                 AND element_at(acc, -1) = '$a' AND x = '$b',
-           |    concat(slice(acc, 1, size(acc) - 1), array('$a$b')),
-           |    concat(acc, array(x))))""".stripMargin
-    }
     val vocabTokens = wordFreq(spark, dir)
-      .select(col("w"), size(expr(folded)).as("n_tok"))
+      .select(col("w"), size(expr(encodeExpr(learned.toSeq))).as("n_tok"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(lower(col("text")))).as("w"))

@@ -87,6 +87,40 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("encodeExpr handles a 256-entry merge table (constant plan depth)") {
+    // the r11 shape nested one aggregate() per merge and would blow the
+    // expression tree at real-tokenizer merge counts; the rewritten
+    // expression folds the merges as DATA. 256 merges (16x16 letter
+    // pairs + chained multi-char merges) applied to adversarial words,
+    // pinned against the plain-Scala greedy fold.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = for (a <- 'a' to 'p'; b <- 'a' to 'p')
+      yield (a.toString, b.toString)
+    // chain merges so learned tokens merge with neighbors ("ab"+"cd"...)
+    val merges = (base.take(250) ++ Seq(
+      ("ab", "cd"), ("abcd", "e"), ("abcde", "fg"), ("zz", "z"),
+      ("hi", "jk"), ("lm", "no"))).toSeq
+    assert(merges.size == 256)
+    def ref(word: String): Seq[String] =
+      merges.foldLeft(word.map(_.toString).toVector) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }.toSeq
+    val words = Seq("abcdefghijklmnop", "aaaa", "zzzz", "abcdecdab",
+      "hijklmno", "ppppa", "qrstuv", "a", "")
+    val got = words.toDF("w")
+      .select(col("w"), expr(Bpe.encodeExpr(merges)).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+    words.foreach { w =>
+      assert(got(w) == ref(w), s"word '$w': ${got(w)} != ${ref(w)}")
+    }
+    // and the 12-merge production path is THE SAME expression shape
+    assert(Bpe.encodeExpr(merges.take(12)).contains("named_struct"))
+  }
+
   test("merge apply is greedy left-to-right non-overlapping (aaa case)") {
     // the fold inside merges() must produce [aa, a] for "aaa" + (a, a);
     // checked through the public API on a crafted one-word corpus is
