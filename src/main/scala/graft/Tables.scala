@@ -173,6 +173,35 @@ object Tables {
   // key → holder of a shared materialization; never GC'd before shutdown
   private val matShared = new java.util.concurrent.ConcurrentHashMap[String, SharedMat]()
 
+  /** Generic once-per-key builder with the SAME holder-outside-the-bin-
+    * lock discipline as [[SharedMat]], for session-once artifacts that
+    * aren't DataFrames (layout dirs, collected centroid arrays). The
+    * session-once layout builders (CSV/JSONL copies, fragmented/compacted
+    * dirs, hive layout, k-means centroids) used to run multi-second Spark
+    * writes inside `ConcurrentHashMap.computeIfAbsent` — safe only while
+    * no builder ever nests into another key in the same bin; this class
+    * makes the invariant structural instead of accidental: the map
+    * compute only allocates a holder, the build runs under the holder's
+    * own monitor, and concurrent requests for the same key serialize on
+    * that holder alone. */
+  private[graft] final class KeyedOnce[T] {
+    private final class Holder {
+      @volatile private var built: Option[T] = None
+      def get(build: () => T): T = {
+        var v = built
+        if (v.isEmpty) synchronized {
+          v = built
+          if (v.isEmpty) { v = Some(build()); built = v }
+        }
+        v.get
+      }
+    }
+    private val holders =
+      new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+    def apply(key: String)(build: => T): T =
+      holders.computeIfAbsent(key, _ => new Holder).get(() => build)
+  }
+
   /** Like [[materialize]], but REUSED across queries in the session: when
     * the same `key` (caller's promise that the content is identical —
     * e.g. "same projection of the same table dir") was already

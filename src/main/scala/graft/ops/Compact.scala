@@ -27,11 +27,10 @@ object Compact {
 
   /** (fragmentedDir, compactedDir) for the documents table, built once
     * per session. */
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val written = new Tables.KeyedOnce[(String, String)]
 
   private[ops] def layouts(spark: SparkSession, dir: String): (String, String) =
-    written.computeIfAbsent(dir, _ => {
+    written(dir) {
       val frag =
         java.nio.file.Files.createTempDirectory("graft-frag-").toString
       Tables.registerTempDir(s"frag:$frag", frag)
@@ -50,7 +49,7 @@ object Compact {
         .option("maxRecordsPerFile", target)
         .parquet(compact)
       (frag, compact)
-    })
+    }
 
   /** Full-fidelity profile of the COMPACTED copy, oracle-compared to the
     * original table: any dropped/duplicated/mangled row breaks the hash. */

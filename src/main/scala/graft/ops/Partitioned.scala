@@ -29,19 +29,18 @@ import graft.Tables
   * bottleneck. */
 object Partitioned {
 
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val written = new Tables.KeyedOnce[String]
 
   /** documents re-laid-out as lang=<x>/ hive partitions, once per session. */
   def partitionedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val path = written.computeIfAbsent(dir, _ => {
+    val path = written(dir) {
       val out =
         java.nio.file.Files.createTempDirectory("graft-partdocs-").toString
       Tables.registerTempDir(s"partdocs:$out", out)
       Tables(spark, dir, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(out)
       out
-    })
+    }
     spark.read.parquet(path)
   }
 

@@ -356,7 +356,7 @@ object Vectors {
   // array is cached JVM-wide (bounded: nlist × 64 doubles per corpus),
   // like the materializeShared map it parallels.
   private val ivfCentroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new graft.Tables.KeyedOnce[Array[Array[Double]]]
 
   /** Coarse k-means quantizer: nlist centroids, nIter Lloyd iterations.
     * Per-iteration centroids (nlist×64 doubles) are collected to the
@@ -365,7 +365,7 @@ object Vectors {
     * distributed. Runs ONCE per (corpus, knobs) per session. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
-    ivfCentroidCache.computeIfAbsent(s"$dir#k$nList.i$nIter", _ => {
+    ivfCentroidCache(s"$dir#k$nList.i$nIter") {
       val emb = sharedEmb(spark, dir)
       // deterministic init: the first nlist vectors by id
       var centroids: Array[Array[Double]] = emb.orderBy("vec_id")
@@ -383,7 +383,7 @@ object Vectors {
         centroids = next
       }
       centroids
-    })
+    }
   }
 
   /** Inverted-list assignment (vec_id, embedding, norm2, cid), shared per

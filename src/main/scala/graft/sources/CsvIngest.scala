@@ -23,26 +23,44 @@ import graft.Tables
   * always: an inference pass would scan the corpus twice. */
 object CsvIngest {
 
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val written = new Tables.KeyedOnce[String]
+
+  /** Shared write/read option sets: explicit `nullValue` distinguishes a
+    * NULL field (written `\N`) from an empty string (written as a quoted
+    * empty field) — with the defaults both serialize to an empty field
+    * and the multiLine read resurrects BOTH as NULL, a silent fidelity
+    * loss the moment the corpus gains an empty or null text row
+    * ([[CsvIngestSpec]] round-trips exactly those rows through these
+    * same helpers). Residual, also pinned there: literal text EQUAL to
+    * the `\N` marker still reads back as NULL — Spark compares the
+    * marker after unquoting, so no marker choice is collision-free;
+    * that last gap is why JSONL stays the lossless interchange path. */
+  private[sources] def csvWrite(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N").option("emptyValue", "\"\"")
+      .csv(out)
+
+  private[sources] def csvRead(spark: SparkSession, schema: String,
+      path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").option("nullValue", "\\N")
+      .csv(path)
 
   private def csvCopy(spark: SparkSession, dir: String): String =
-    written.computeIfAbsent(dir, _ => {
+    written(dir) {
       val out =
         java.nio.file.Files.createTempDirectory("graft-csv-").toString
       Tables.registerTempDir(s"csv:$out", out)
-      Tables(spark, dir, "documents").write.mode("overwrite")
-        .option("header", "true").option("escape", "\"")
-        .csv(out)
+      csvWrite(Tables(spark, dir, "documents"), out)
       out
-    })
+    }
 
   def qIngestCsv(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read
-      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .option("header", "true").option("multiLine", "true")
-      .option("escape", "\"")
-      .csv(csvCopy(spark, dir))
+    val docs = csvRead(spark,
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+      csvCopy(spark, dir))
     docs.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"),

@@ -25,17 +25,16 @@ object JsonlIngest {
 
   // dir -> session-temp JSONL copy (written once per JVM; registered for
   // shutdown cleanup like the materializations)
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val written = new Tables.KeyedOnce[String]
 
   private def jsonlCopy(spark: SparkSession, dir: String): String =
-    written.computeIfAbsent(dir, _ => {
+    written(dir) {
       val out =
         java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
       Tables.registerTempDir(s"jsonl:$out", out)
       Tables(spark, dir, "documents").write.mode("overwrite").json(out)
       out
-    })
+    }
 
   def qIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val path = jsonlCopy(spark, dir)

@@ -25,11 +25,10 @@ import graft.Tables
   * the hash. */
 object SchemaEvolution {
 
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val written = new Tables.KeyedOnce[String]
 
   private def evolvedDir(spark: SparkSession, dir: String): String =
-    written.computeIfAbsent(dir, _ => {
+    written(dir) {
       val out =
         java.nio.file.Files.createTempDirectory("graft-schemaevo-").toString
       Tables.registerTempDir(s"schemaevo:$out", out)
@@ -41,7 +40,7 @@ object SchemaEvolution {
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$out/era=2")
       out
-    })
+    }
 
   def qSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true")

@@ -11,7 +11,17 @@ import graft.SparkSpec
   *
   * Queries that legitimately cross-join a SCALAR aggregate (global mean,
   * corpus-level constant) are allowlisted explicitly — the allowlist is
-  * the documentation of every intentional nested-loop in the library. */
+  * the documentation of every intentional nested-loop in the library.
+  *
+  * KNOWN LIMIT: the screen reads the executedPlan STRING before any
+  * action runs, i.e. AQE's initial plan at sf0.001 statistics — a join
+  * AQE re-plans into a nested loop at RUNTIME (or only at gate/bench
+  * scale) is invisible here. Runtime re-plans to BNLJ require an
+  * empty/degenerate build side (AQE only converts to broadcast when a
+  * side is SMALL), so the exposure is join-type edge cases, not the
+  * all-pairs blowups this audit exists to catch; the per-query
+  * PlanShapeSpec assertions that collect() first cover the adaptive
+  * final plans for the layout-critical queries. */
 class GlobalPlanAuditSpec extends SparkSpec {
 
   // the EXACT set of queries whose plan intentionally contains a

@@ -15,13 +15,18 @@ import duckdb
 
 
 def profile(con, path):
-    # stable row-multiset digest: sort all columns, hash row text
+    # stable row-multiset digest: serialize each row as JSON (a REAL
+    # serialization: NULL -> null vs 'null' -> "null", every value
+    # escaped), sort, hash. The previous concat_ws('|') digest SKIPPED
+    # null cells and didn't escape '|' in values, so ('a',NULL,'b') and
+    # ('a','b',NULL) hashed identically -- a partition-variance diff in
+    # null placement could masquerade as OK.
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM '{path}/*.parquet'").fetchall()]
-    collist = ", ".join(f'"{c}"' for c in cols)
+    packed = ", ".join(f'"{c}" := "{c}"' for c in cols)
     return con.execute(
         f"SELECT COUNT(*), md5(string_agg(rowtxt, '\n' ORDER BY rowtxt)) "
-        f"FROM (SELECT concat_ws('|', {collist}) AS rowtxt "
+        f"FROM (SELECT CAST(to_json(struct_pack({packed})) AS VARCHAR) AS rowtxt "
         f"FROM '{path}/*.parquet')").fetchone()
 
 
