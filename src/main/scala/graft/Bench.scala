@@ -55,7 +55,7 @@ object Bench {
 
   private[graft] def summaryJson(
       total: Double, nQueries: Int, minTotal: Double, failedN: Int,
-      skippedN: Int, passes: Int, passesCompleted: Int,
+      skippedN: Int, multiSampledN: Int, passes: Int, passesCompleted: Int,
       passTotals: Seq[Double], passPartial: Seq[Boolean], budgetSec: Double,
       elapsedSec: Double, prewarmSec: Double, prewarmOk: Boolean,
       canaryFactor: Double, ioCanaryFactor: Double, sf: String): String = {
@@ -63,6 +63,7 @@ object Bench {
     val pp = passPartial.map(_.toString).mkString("[", ",", "]")
     s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n_queries":$nQueries,""" +
       s""""min_total":${num("%.3f", minTotal)},"failed_n":$failedN,"skipped_n":$skippedN,""" +
+      s""""multi_sampled_n":$multiSampledN,""" +
       s""""passes":$passes,"passes_completed":$passesCompleted,"pass_totals":$pt,""" +
       s""""pass_partial":$pp,"budget_sec":$budgetSec,"elapsed_sec":${num("%.1f", elapsedSec)},""" +
       s""""prewarm_sec":${num("%.2f", prewarmSec)},"prewarm_ok":$prewarmOk,""" +
@@ -162,7 +163,16 @@ object Bench {
       ioSecs += ioCanary()
       passTotals += 0.0
       var partial = false
-      for ((name, fn) <- names if !stop) {
+      // TIERED passes: pass 1 runs in name order (every query gets one
+      // sample); later passes run CHEAPEST-FIRST by sample median, so when
+      // the budget cuts a pass short it has already given the sub-second
+      // bulk their 2nd/3rd samples and only the heavy tail stays at one —
+      // medians stay the headline for the most of the registry the budget
+      // can afford (the r11 suite outgrew 3 unconditional full passes).
+      val passOrder =
+        if (p == 0) names
+        else names.sortBy(n => median(samples.getOrElse(n._1, Nil)))
+      for ((name, fn) <- passOrder if !stop) {
         if (p > 0) {
           // estimate this query's cost at 1.5× its sample median (absorbs
           // a moderate burst); stop the whole run when it no longer fits
@@ -207,22 +217,19 @@ object Bench {
       passPartial += partial
       if (!partial) passesCompleted = p + 1
       p += 1
-      // Pass-level gate: start pass p+1 if ~0.6× the LAST pass still fits
-      // (pass 1 always runs 1.5-2× hot on per-query first-run codegen, so
-      // estimating the next pass off it overshoots; an observed 134 s hot
-      // pass 1 at 194 s elapsed wrongly skipped a pass 2 that would have
-      // fit under the old 1.2× rule). Optimism here is LOW RISK: the
-      // per-query deadline check above stops a mispredicted pass mid-way,
-      // bounding overshoot to one query's duration. The 0.85 guard only
-      // avoids starting a pass that would stop after a handful of queries.
+      // Pass-level gate: later passes run cheapest-first with a per-query
+      // deadline check, so STARTING one is nearly free — any budget left
+      // converts into extra samples for the cheapest still-unsampled
+      // queries, and a mispredicted start overshoots by at most one cheap
+      // query. Only skip when the budget is essentially gone (the old
+      // 0.6×-last-pass rule predicted whole-pass cost, which is the wrong
+      // question for a tiered pass that is EXPECTED to stop mid-way).
       if (!stop && p < passes) {
-        val lastPass = passTotals.last + ioSecs.last
-        stop = elapsedSec + 0.6 * lastPass >= budgetSec ||
-          elapsedSec >= 0.85 * budgetSec
+        stop = elapsedSec >= 0.9 * budgetSec
         if (stop)
           System.err.println(
-            f"[bench] stopping after pass $p: elapsed $elapsedSec%.1f s, " +
-              f"last pass $lastPass%.1f s, budget $budgetSec%.1f s")
+            f"[bench] stopping after pass $p: elapsed $elapsedSec%.1f s " +
+              f"of budget $budgetSec%.1f s")
       }
     }
     // queries the emergency cutoff never timed are absent from the map
@@ -237,6 +244,10 @@ object Bench {
     // inflated one pass (equals `value` on a 1-pass run).
     val minTotal = names.filter(n => samples.contains(n._1))
       .map { case (n, _) => samples(n).min }.sum
+    // How many queries actually have a MEDIAN (≥2 samples): with tiered
+    // passes this is the honest "medians are the headline" coverage figure
+    // — passes_completed alone undercounts it when a pass stops mid-tail.
+    val multiSampledN = samples.valuesIterator.count(_.size >= 2)
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Contention canaries: constant-work queries whose warm steady-state
@@ -265,7 +276,7 @@ object Bench {
     // Full record first (humans + archives), compact summary LAST: the
     // driver keeps only a stdout tail, and the full line's per-query map
     // makes it ~6 KB — r8 recorded parsed:null off a mid-dict tail.
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
     println(fullRecord)
     // Persist the full record to a file too: the driver's artifact keeps
     // only a 2 KB stdout tail, which loses the per-query medians for names
@@ -287,9 +298,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     println(summaryJson(
-      total, results.size, minTotal, failed.size, skipped.size, passes,
-      passesCompleted, passTotals.toSeq, passPartial.toSeq, budgetSec,
-      elapsedSec, prewarmSec, prewarmOk, factor, ioSec / ioWarm, sfDir))
+      total, results.size, minTotal, failed.size, skipped.size,
+      multiSampledN, passes, passesCompleted, passTotals.toSeq,
+      passPartial.toSeq, budgetSec, elapsedSec, prewarmSec, prewarmOk,
+      factor, ioSec / ioWarm, sfDir))
     // the artifact IS the stdout line: make sure it reaches the driver
     // even if spark.stop() below hangs into the driver's kill window
     System.out.flush()

@@ -48,7 +48,8 @@ class TablesSpec extends SparkSpec {
     // last) must fit whole no matter what the full per-query record does
     val line = Bench.summaryJson(
       total = 64.123456789, nQueries = 117, minTotal = 60.3456,
-      failedN = 2, skippedN = 14, passes = 3, passesCompleted = 2,
+      failedN = 2, skippedN = 14, multiSampledN = 103, passes = 3,
+      passesCompleted = 2,
       passTotals = Seq(103.636363, 60.818181, 58.444444),
       passPartial = Seq(false, false, true), budgetSec = 300.0,
       elapsedSec = 287.654, prewarmSec = 9.8765, prewarmOk = true,
@@ -63,6 +64,7 @@ class TablesSpec extends SparkSpec {
     assert(math.abs(d("min_total") - 60.346) < 1e-9)
     assert(row.getLong(schema.fieldIndex("n_queries")) === 117L)
     assert(row.getLong(schema.fieldIndex("skipped_n")) === 14L)
+    assert(row.getLong(schema.fieldIndex("multi_sampled_n")) === 103L)
     assert(row.getString(schema.fieldIndex("sf")) === "/root/testdata/sf0.1")
   }
 
