@@ -151,6 +151,62 @@ object Graph {
     r
   }
 
+  /** Triangle census + global clustering coefficient of the ANN
+    * similarity graph (third graph operator; the structural-density
+    * signal: near-dup clusters triangulate heavily, topical neighbor
+    * graphs don't — a cheap corpus-health metric next to the CC sizes).
+    *
+    * Algorithm: degree-ordered wedge counting (Suri & Vassilvitskii,
+    * "Counting triangles and the curse of the last reducer", WWW'11).
+    * Each undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to its larger one; wedges are enumerated only at the apex
+    * u of two OUT-edges, so a degree-D hub emits O(D_out²) wedges where
+    * D_out is bounded by ~sqrt(|E|) under this orientation instead of
+    * the naive D² — that bound is the whole 100 TB story (the "last
+    * reducer" with a celebrity node never materializes). Counting is
+    * two self-joins of the oriented edge set — key-partitioned shuffles,
+    * no driver state. All outputs are integers (coefficient reported in
+    * basis points via floor division) → hash-gatable. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Vectors.annCandidatesExported(spark, dir)
+    triangleCensus(cand.select(col("qid"), col("nid")))
+  }
+
+  /** Census core over an arbitrary undirected edge list (first two
+    * columns = endpoints, any orientation, duplicates/self-loops
+    * tolerated) — see [[qTriangles]] for the algorithm and scale notes. */
+  private[ops] def triangleCensus(edges: DataFrame): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(least(col(cols(0)), col(cols(1))).as("a"),
+        greatest(col(cols(0)), col(cols(1))).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    // orient u→v iff (d_u, u) < (d_v, v); carry the head's (d, id) so the
+    // wedge join can order its two heads without re-joining degrees
+    val o = sym.join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(col("d") < col("dv") ||
+        (col("d") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    val tri = o.as("e1").join(o.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .join(o.as("e3"), col("e3.u") === col("e1.v") &&
+        col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1L) div 2L")).cast("bigint").as("n_wedges"))
+    stats.crossJoin(e.agg(count(lit(1)).as("n_edges"))).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        // nullif: a triangle-free matching has zero wedges, and ANSI div
+        // by zero throws — a degenerate graph reports NULL, not an error
+        expr("(3L * n_triangles * 10000L) div nullif(n_wedges, 0L)")
+          .cast("bigint").as("clustering_bp"))
+  }
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val cand = Vectors.annCandidatesExported(spark, dir)
     val e = cand.select(col("qid").as("src"), col("nid").as("dst"))
@@ -160,7 +216,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_pagerank" -> qPagerank _)
+    Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _)
 
   val oracles: Map[String, String] = {
     val cand = graft.OracleExport.oraclePath("anncand")
@@ -173,7 +229,27 @@ object Graph {
          |  FROM e JOIN $prev ON e.src = $prev.node
          |  JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst)""".stripMargin
-    Map("q_pagerank" ->
+    Map("q_triangles" ->
+      s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
+         |e AS (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+         |      FROM pairs WHERE qid <> nid),
+         |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+         |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+         |o AS (SELECT s.u, s.v, dv.d AS dv
+         |      FROM sym s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
+         |      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |        FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+         |        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         |  (SELECT COUNT(*) FROM e) AS n_edges,
+         |  (SELECT n_wedges FROM w) AS n_wedges,
+         |  (SELECT n_triangles FROM tri) AS n_triangles,
+         |  CAST((3 * (SELECT n_triangles FROM tri) * 10000)
+         |    // (SELECT n_wedges FROM w) AS BIGINT) AS clustering_bp""".stripMargin,
+      "q_pagerank" ->
       (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
           |e AS (SELECT qid AS src, nid AS dst FROM pairs
           |      UNION ALL SELECT nid AS src, qid AS dst FROM pairs),

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling over the documents corpus — the operation every
+  * training-data pipeline runs constantly (ablation subsets, eval
+  * holdouts, per-source quotas) and the one where nondeterminism hurts
+  * most: Spark's own `df.sample` draws from a per-partition RNG stream,
+  * so its row set CHANGES under repartitioning, task retry, or an engine
+  * upgrade — unacceptable when the sample defines a training set that
+  * must be reproducible months later. (The reference has no sampling
+  * surface at all — SURVEY.md §2.4 absent-category rebuild.)
+  *
+  * Everything here is HASH sampling: membership is a pure function of the
+  * row's stable key (`md5(doc_id || salt)`), so the same corpus yields
+  * the same sample on any cluster size, any partitioning, any engine —
+  * which is also exactly what makes these queries oracle-gatable against
+  * DuckDB. Thresholds compare fixed-width lowercase-hex PREFIXES
+  * lexicographically (equivalent to comparing the number, no hex→int
+  * conversion portability risk).
+  *
+  * Scale shapes (100 TB):
+  *  - Bernoulli / stratified: stateless per-row predicate — no shuffle,
+  *    no driver state, composes with pushdown (the scan still prunes
+  *    columns; the hash needs only the key column).
+  *  - uniform-k per stratum rides [[graft.plans.TopKPerKey]]: map-side
+  *    partial top-k per stratum, THEN one shuffle of k rows per
+  *    (partition × stratum) — a window row_number would shuffle the
+  *    whole corpus to rank it (and one giant stratum = one straggler
+  *    task; the partial pass caps what reaches it at k per map task).
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Sampling key: stable per (row, salt), uniform in [0,1) by md5. The
+    * salt decorrelates independent samples — two different salts give two
+    * independent subsets, the SAME salt gives the same subset forever. */
+  private def sampleKey(salt: String) =
+    md5(concat(col("doc_id").cast("string"), lit(":" + salt)))
+
+  /** ~25% Bernoulli sample (first 4 hex chars <= '3fff' = 16384/65536),
+    * profiled per language with full-fidelity witnesses. */
+  def qSampleBernoulli(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(substring(sampleKey("bern"), 1, 4) <= "3fff")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        min(md5(col("text"))).as("min_h"),
+        max(md5(col("text"))).as("max_h"))
+      .orderBy("lang")
+
+  /** Per-stratum rates — the quota shape (oversample a scarce language,
+    * downsample a glut): en at ~50%, everything else at ~12.5%. Realized
+    * rate reported in basis points as exact integer floor-division. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(substring(sampleKey("strat"), 1, 4) <=
+          when(col("lang") === "en", "7fff").otherwise("1fff"), 1))
+          .as("n_sampled"),
+        sum(when(substring(sampleKey("strat"), 1, 4) <=
+          when(col("lang") === "en", "7fff").otherwise("1fff"),
+          col("doc_id"))).cast("bigint").as("sum_sampled_ids"))
+      .withColumn("rate_bp",
+        expr("n_sampled * 10000L div n_total").cast("bigint"))
+      .orderBy("lang")
+
+  /** Exactly-k-per-stratum uniform draw (k smallest hash keys per lang =
+    * a uniform without-replacement sample of size k), via the native
+    * partial-top-k operator. Strata smaller than k are taken whole. */
+  def qSampleUniformK(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).withColumn("skey", sampleKey("res"))
+    graft.plans.TopKPerKey.topKPerKey(
+        keyed, Seq(col("lang")), Seq(col("skey").asc, col("doc_id").asc),
+        k = 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        max(col("skey")).as("max_key"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_bernoulli" -> qSampleBernoulli _,
+    "q_sample_stratified" -> qSampleStratified _,
+    "q_sample_uniform_k" -> qSampleUniformK _)
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_bernoulli" ->
+      """SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  MIN(md5(text)) AS min_h, MAX(md5(text)) AS max_h
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || ':bern'), 1, 4) <= '3fff'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(COUNT(*) FILTER (WHERE substr(md5(doc_id::VARCHAR || ':strat'), 1, 4)
+        |    <= CASE WHEN lang = 'en' THEN '7fff' ELSE '1fff' END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(doc_id) FILTER (WHERE substr(md5(doc_id::VARCHAR || ':strat'), 1, 4)
+        |    <= CASE WHEN lang = 'en' THEN '7fff' ELSE '1fff' END) AS BIGINT) AS sum_sampled_ids,
+        |  CAST((COUNT(*) FILTER (WHERE substr(md5(doc_id::VARCHAR || ':strat'), 1, 4)
+        |    <= CASE WHEN lang = 'en' THEN '7fff' ELSE '1fff' END) * 10000)
+        |    // COUNT(*) AS BIGINT) AS rate_bp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_uniform_k" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, md5(doc_id::VARCHAR || ':res') AS skey
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY skey ASC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT lang, COUNT(*) AS n_drawn,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids, MAX(skey) AS max_key
+        |FROM ranked WHERE rn <= 20
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+}

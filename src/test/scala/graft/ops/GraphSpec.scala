@@ -111,4 +111,48 @@ class GraphSpec extends SparkSpec {
     val total = got.values.sum
     assert(total <= SCALE && total >= SCALE - 6 * n * 2 - n)
   }
+
+  /** Brute-force census: canonical edge set → adjacency sets → count
+    * triangles by scanning each edge's endpoint-neighborhood overlap. */
+  private def bruteCensus(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    // neighborhood-overlap sum counts each triangle once per its 3 edges
+    (adj.size.toLong, canon.size.toLong, wedges,
+      canon.map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum / 3)
+  }
+
+  private def censusOf(edges: Seq[(Long, Long)]):
+      (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCensus(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangle census: hand graphs and random graphs match brute force") {
+    // K4: 4 nodes, 6 edges, every node degree 3 → wedges 12, triangles 4,
+    // clustering 3*4/12 = 1.0 = 10000 bp
+    assert(censusOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) === ((4L, 6L, 12L, 4L, 10000L)))
+    // C4 (square): wedges 4, no triangles
+    assert(censusOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ===
+      ((4L, 4L, 4L, 0L, 0L)))
+    // duplicate edges / reversed orientation / self-loops are tolerated
+    assert(censusOf(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)))
+      === ((3L, 3L, 3L, 1L, 10000L)))
+    // random graphs vs brute force
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (bn, be, bw, bt) = bruteCensus(edges)
+      val (gn, ge, gw, gt, gbp) = censusOf(edges)
+      assert((gn, ge, gw, gt) === ((bn, be, bw, bt)), s"trial $trial")
+      assert(gbp === 3L * bt * 10000L / bw)
+    }
+  }
 }

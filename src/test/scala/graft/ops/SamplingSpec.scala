@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hash-sampling invariants: determinism under re-evaluation and
+  * repartitioning (the property Spark's RNG `df.sample` lacks), realized
+  * rates inside binomial bounds, salt independence, and uniform-k
+  * equality with a window-rank reference. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = sf("sf0.01")
+
+  test("bernoulli: deterministic, repartition-invariant, rate in bounds") {
+    val a = Sampling.qSampleBernoulli(spark, dir).collect()
+    val b = Sampling.qSampleBernoulli(spark, dir).collect()
+    assert(a.toSeq === b.toSeq, "re-evaluation changed the sample")
+    val total = graft.Tables(spark, dir, "documents").count()
+    val sampled = a.map(_.getLong(1)).sum
+    // p = 0.25, n = 500: ±5 sigma ≈ ±48
+    assert(math.abs(sampled - total * 0.25) < 5 * math.sqrt(total * 0.25 * 0.75) + 1,
+      s"sampled $sampled of $total looks non-uniform")
+  }
+
+  test("different salts draw (near-)independent subsets") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    def ids(salt: String) = docs
+      .filter(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":" + salt))), 1, 4) <= "3fff")
+      .select("doc_id").as[Long].collect().toSet
+    val x = ids("bern"); val y = ids("other")
+    // independent 25% samples overlap ~6.25% of the corpus, not ~25%
+    val overlap = (x & y).size.toDouble / docs.count()
+    assert(overlap < 0.125, s"salts correlated: overlap $overlap")
+    assert(x != y)
+  }
+
+  test("stratified: en ~50%, others ~12.5%; rate_bp is exact floor") {
+    val rows = Sampling.qSampleStratified(spark, dir).collect()
+    for (r <- rows) {
+      val (lang, nTotal, nSampled, rateBp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(rateBp === nSampled * 10000L / nTotal)
+      val p = if (lang == "en") 0.5 else 0.125
+      assert(math.abs(nSampled - nTotal * p) <
+        5 * math.sqrt(nTotal * p * (1 - p)) + 1,
+        s"$lang: $nSampled of $nTotal at target $p")
+    }
+  }
+
+  test("uniform-k via TopKPerKey equals the window-rank reference") {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.Tables(spark, dir, "documents")
+      .withColumn("skey", md5(concat(col("doc_id").cast("string"),
+        lit(":res"))))
+    val ref = keyed.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("skey").asc, col("doc_id").asc)))
+      .filter(col("rn") <= 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        max(col("skey")).as("max_key"))
+      .orderBy("lang").collect()
+    val got = Sampling.qSampleUniformK(spark, dir).collect()
+    assert(got.toSeq === ref.toSeq)
+    assert(got.forall(_.getLong(1) <= 20))
+  }
+}
