@@ -366,10 +366,66 @@ object EventsStream {
       .orderBy("event_type")
   }
 
+  /** Driver-gated run of [[dedupStream]]: stream the bounded events file
+    * through dropDuplicatesWithinWatermark into a memory sink, then
+    * profile the surviving rows. Only the KEY columns are kept after the
+    * dedup: which physical row survives per key depends on partition
+    * processing order, so any non-key column (ts) in the output would be
+    * nondeterministic — the key triple itself is what the operator
+    * guarantees, and the profile is a pure function of it. The DuckDB
+    * oracle is the batch DISTINCT of the same triple (the single-batch
+    * bounded replay dedups every duplicate, so stream == batch here);
+    * the watermark state-eviction behavior itself is pinned in
+    * EventsStreamSpec where batches and watermarks are scripted. */
+  // FileStreamSource needs a DIRECTORY whose files are all one table;
+  // the fixture dir mixes every table, so stage a symlink dir holding
+  // just events.parquet — shareable across queries and passes (read-only)
+  private val stagedSrc = new graft.Tables.KeyedOnce[String]
+  private def eventsSrcDir(dir: String): String = stagedSrc(dir) {
+    val d = java.nio.file.Files.createTempDirectory("graft-streamsrc-ded")
+    graft.Tables.registerTempDir(s"streamsrc:$d", d.toString)
+    java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+    d.toString
+  }
+
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val name = "streamdedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(dedupStream(src).select("user_id", "event_type", "value"),
+      name, OutputMode.Append)
+    // previous invocation's sink is dead weight once a new one exists
+    // (bench passes re-run the stream; without this the driver holds
+    // every pass's rows)
+    lastDedupSink.getAndSet(name) match {
+      case null => ()
+      case prev => spark.catalog.dropTempView(prev)
+    }
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"),
+        count_distinct(col("user_id")).as("n_users"),
+        graft.Tables.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+  private val lastDedupSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup" -> qStreamDedup _,
     "q_stream_sink" -> qStreamSink _)
 
   val oracles: Map[String, String] = Map(
+    // batch DISTINCT of the dedup key triple: the bounded single-batch
+    // replay must drop exactly the duplicate triples, nothing else
+    "q_stream_dedup" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type, value FROM events)
+        |SELECT event_type, COUNT(*) AS n_unique,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the whole events table, exactly once — a duplicated replayed batch
     // inflates n/n_ids/total_value and fails the hash
     "q_stream_sink" ->
