@@ -86,10 +86,38 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Size-weighted (PPS) Poisson sampling — include each doc with
+    * probability proportional to its n_chars (token-budget sampling: a
+    * char-weighted draw approximates "sample N tokens", the unit that
+    * actually matters for training mixes). Inclusion: 32-bit hash value
+    * < n_chars · K, i.e. pᵢ = min(1, n_chars·K / 2³²) — still a pure
+    * per-row predicate, zero shuffle, reproducible everywhere. The
+    * Horvitz-Thompson estimate of TOTAL corpus chars from the sample
+    * alone is reported as an exact-integer witness: each uncapped
+    * sampled row contributes n_chars/pᵢ = 2³²/K (floor), a capped row
+    * (pᵢ=1) contributes its own n_chars — the oracle replays the same
+    * integer arithmetic, and SamplingSpec checks the estimate against
+    * the true total within sampling error. */
+  def qSamplePps(spark: SparkSession, dir: String): DataFrame = {
+    val K = 6000000L
+    val hash32 = expr(
+      "cast(conv(substring(md5(concat(cast(doc_id as string), ':pps')), 1, 8), 16, 10) as bigint)")
+    docs(spark, dir)
+      .filter(hash32 < least(col("n_chars") * K, lit(4294967296L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("bigint").as("sum_sampled_chars"),
+        count(when(col("n_chars") * K >= 4294967296L, 1)).as("n_capped"),
+        sum(when(col("n_chars") * K >= 4294967296L, col("n_chars"))
+          .otherwise(lit(4294967296L / K))).cast("bigint").as("ht_total_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_bernoulli" -> qSampleBernoulli _,
     "q_sample_stratified" -> qSampleStratified _,
-    "q_sample_uniform_k" -> qSampleUniformK _)
+    "q_sample_uniform_k" -> qSampleUniformK _,
+    "q_sample_pps" -> qSamplePps _)
 
   val oracles: Map[String, String] = Map(
     "q_sample_bernoulli" ->
@@ -109,6 +137,19 @@ object Sampling {
         |    <= CASE WHEN lang = 'en' THEN '7fff' ELSE '1fff' END) * 10000)
         |    // COUNT(*) AS BIGINT) AS rate_bp
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_pps" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR || ':pps'), 1, 8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_sampled_chars,
+        |  CAST(COUNT(*) FILTER (WHERE n_chars * 6000000 >= 4294967296) AS BIGINT) AS n_capped,
+        |  CAST(SUM(CASE WHEN n_chars * 6000000 >= 4294967296 THEN n_chars
+        |    ELSE 4294967296 // 6000000 END) AS BIGINT) AS ht_total_chars
+        |FROM s
+        |WHERE h < LEAST(n_chars * 6000000, 4294967296)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_uniform_k" ->
       """WITH keyed AS (
         |  SELECT lang, doc_id, md5(doc_id::VARCHAR || ':res') AS skey

@@ -49,6 +49,18 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("pps: Horvitz-Thompson estimate lands near the true char total") {
+    val rows = Sampling.qSamplePps(spark, dir).collect()
+    val est = rows.map(_.getLong(4)).sum
+    val truth = graft.Tables(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    // ~210 Poisson draws at p≈0.4, rel σ ≈ 5% → ±35% is >5σ slack
+    assert(math.abs(est - truth).toDouble / truth < 0.35,
+      s"HT estimate $est vs true $truth")
+    // deterministic
+    assert(rows.toSeq === Sampling.qSamplePps(spark, dir).collect().toSeq)
+  }
+
   test("uniform-k via TopKPerKey equals the window-rank reference") {
     import org.apache.spark.sql.expressions.Window
     val keyed = graft.Tables(spark, dir, "documents")
