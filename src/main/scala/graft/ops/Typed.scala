@@ -57,13 +57,73 @@ object Typed {
       .orderBy("lang")
   }
 
+  final case class CustRow(c_custkey: Long, c_mktsegment: String)
+  final case class OrderRow(o_custkey: Long, o_totalprice: Double)
+
+  /** Typed cogroup: both relations grouped by the same key, the lambda
+    * sees each key's TWO iterators at once — the typed face of a
+    * full-outer join+aggregate, for per-key logic too entangled for
+    * Column expressions (here: presence flags + an exact cents fold).
+    * Scale shape is exactly a shuffle co-partition on the key (both
+    * sides hash-partitioned, no materialized join product — the lambda
+    * streams the per-key groups). Money is folded in integer CENTS via
+    * BigDecimal.valueOf(...).setScale(2, HALF_UP), which is precisely
+    * Spark's own double→DECIMAL(18,2) cast semantics (shortest-repr
+    * string then half-up) — the same parity the dec() helpers rely on —
+    * so the typed fold hash-matches the oracle's decimal SQL. */
+  private[ops] def cogroupSpend(
+      custs: org.apache.spark.sql.Dataset[CustRow],
+      orders: org.apache.spark.sql.Dataset[OrderRow]): DataFrame = {
+    import custs.sparkSession.implicits._
+    custs.groupByKey(_.c_custkey)
+      .cogroup(orders.groupByKey(_.o_custkey)) { (key, cs, os) =>
+        val seg = cs.toSeq.headOption.map(_.c_mktsegment).getOrElse("?")
+        var n = 0L
+        var cents = 0L
+        os.foreach { o =>
+          n += 1
+          cents += java.math.BigDecimal.valueOf(o.o_totalprice)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+        }
+        Iterator((key, seg, n, cents))
+      }
+      .toDF("c_custkey", "segment", "n_orders", "spend_cents")
+      .orderBy("c_custkey")
+  }
+
+  def qTypedCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cogroupSpend(
+      Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")).as[CustRow],
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[OrderRow])
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_typed_stats" -> qTypedStats _)
+    Map("q_typed_stats" -> qTypedStats _,
+      "q_typed_cogroup" -> qTypedCogroup _)
 
   val oracles: Map[String, String] = Map(
     "q_typed_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MAX(n_chars) AS max_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // full-outer cogroup semantics: a key missing on the customer side
+    // would surface segment '?', missing orders surface n=0/cents=0 —
+    // the COALESCEs mirror that exactly
+    "q_typed_cogroup" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+        |  COALESCE(c.c_mktsegment, '?') AS segment,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(o.cents, 0) AS BIGINT) AS spend_cents
+        |FROM customer c FULL OUTER JOIN (
+        |  SELECT o_custkey,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin)
 }

@@ -413,8 +413,59 @@ object EventsStream {
   private val lastDedupSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  // dir -> 6-file staged copy of events (written once per JVM from the
+  // NORMALIZED batch table, so ts is unconditionally instant-typed
+  // TIMESTAMP — no parquet-unit ambiguity in the declared stream schema)
+  private val splitStaged = new graft.Tables.KeyedOnce[String]
+  private def splitEventsDir(spark: SparkSession, dir: String): String =
+    splitStaged(dir) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-streamsplit").toString
+      graft.Tables.registerTempDir(s"streamsplit:$d", d)
+      graft.Tables(spark, dir, "events")
+        .repartition(6).write.mode("overwrite").parquet(d)
+      d
+    }
+
+  /** Multi-batch INCREMENTAL aggregation behind the gate: the events
+    * table staged as six files, streamed one file per trigger — six real
+    * micro-batches whose per-batch partial aggregates merge in the state
+    * store — with the final Complete-mode snapshot hash-compared against
+    * the one-shot batch aggregation. This is the property the one-batch
+    * q_stream_sink replay can't witness: cross-batch state merge over
+    * arbitrary file/event-time interleaving (repartition scatters hours
+    * across files, so every batch updates windows other batches also
+    * touch). No watermark: this query gates the MERGE; eviction is
+    * gated by q_stream_dedup/windowedAgg and the scripted specs. */
+  def qStreamIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(splitEventsDir(spark, dir))
+    val agg = src.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("b"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value"))
+        .as("total_value"))
+    val name = "streaminc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(agg, name, OutputMode.Complete)
+    lastIncSink.getAndSet(name) match {
+      case null => ()
+      case prev => spark.catalog.dropTempView(prev)
+    }
+    spark.table(name)
+      .select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("bucket", "event_type")
+  }
+  private val lastIncSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> qStreamDedup _,
+    "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_sink" -> qStreamSink _)
 
   val oracles: Map[String, String] = Map(
@@ -426,6 +477,16 @@ object EventsStream {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the final Complete snapshot after six merged micro-batches must
+    // equal the one-shot batch aggregation (same oracle as
+    // q_events_window — that IS the incremental-merge proof)
+    "q_stream_incremental" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
     // the whole events table, exactly once — a duplicated replayed batch
     // inflates n/n_ids/total_value and fails the hash
     "q_stream_sink" ->

@@ -376,4 +376,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === want) // a duplicated replayed batch would inflate counts
   }
+
+  test("maxFilesPerTrigger=1 really yields one micro-batch per staged file") {
+    // the q_stream_incremental gate row proves the MERGED result; this
+    // pins that the merge actually spans multiple batches — if Spark ever
+    // ignored the option and ran one batch, the gate would pass vacuously
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("inc-spec-").toString
+    graft.Tables.registerTempDir(s"incspec:$dir", dir)
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nFiles === 3)
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = src.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("inc_spec_out").start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(dataBatches === 3,
+      s"expected 3 data micro-batches, saw $dataBatches")
+    val got = spark.table("inc_spec_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
 }
