@@ -151,25 +151,34 @@ object Graph {
     r
   }
 
-  /** Triangle census + global clustering coefficient of the ANN
+  /** Triangle census + global clustering coefficient of the k-NN
     * similarity graph (third graph operator; the structural-density
     * signal: near-dup clusters triangulate heavily, topical neighbor
     * graphs don't — a cheap corpus-health metric next to the CC sizes).
+    *
+    * Input choice IS the scale lesson: the census runs on the RERANKED
+    * top-3 ANN graph (degree ≤ 2k after symmetrization), not the raw
+    * LSH candidate set. Wedge enumeration is Ω(#wedges) no matter how
+    * it is ordered, and raw LSH buckets are near-CLIQUES — a hot
+    * bucket of c docs contributes ~c³/6 wedges, which measured 39 s at
+    * sf0.1 (vs ~2 s on the k-NN graph) and grows cubically with bucket
+    * occupancy at 100 TB. Density metrics belong on the bounded-degree
+    * k-NN view; the candidate set exists only to be reranked away.
     *
     * Algorithm: degree-ordered wedge counting (Suri & Vassilvitskii,
     * "Counting triangles and the curse of the last reducer", WWW'11).
     * Each undirected edge is oriented from its (degree, id)-smaller
     * endpoint to its larger one; wedges are enumerated only at the apex
-    * u of two OUT-edges, so a degree-D hub emits O(D_out²) wedges where
-    * D_out is bounded by ~sqrt(|E|) under this orientation instead of
-    * the naive D² — that bound is the whole 100 TB story (the "last
-    * reducer" with a celebrity node never materializes). Counting is
-    * two self-joins of the oriented edge set — key-partitioned shuffles,
-    * no driver state. All outputs are integers (coefficient reported in
-    * basis points via floor division) → hash-gatable. */
+    * of two OUT-edges, bounding out-degree at ~√|E| on arbitrary simple
+    * graphs (the census core is generic — GraphSpec runs it on random
+    * graphs). Counting is two self-joins of the oriented edge set —
+    * key-partitioned shuffles, no driver state. All outputs are
+    * integers (coefficient in basis points via floor division) →
+    * hash-gatable; the oracle recomputes the same top-3 rerank from the
+    * anncand export (the q_cosine_ann parity) and the same census. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val cand = Vectors.annCandidatesExported(spark, dir)
-    triangleCensus(cand.select(col("qid"), col("nid")))
+    val knn = Vectors.qCosineAnn(spark, dir).select(col("qid"), col("nid"))
+    triangleCensus(knn)
   }
 
   /** Census core over an arbitrary undirected edge list (first two
@@ -230,25 +239,35 @@ object Graph {
          |  JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst)""".stripMargin
     Map("q_triangles" ->
-      s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
-         |e AS (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
-         |      FROM pairs WHERE qid <> nid),
-         |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
-         |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
-         |o AS (SELECT s.u, s.v, dv.d AS dv
-         |      FROM sym s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
-         |      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
-         |tri AS (SELECT COUNT(*) AS n_triangles
-         |        FROM o e1 JOIN o e2 ON e1.u = e2.u
-         |          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-         |        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
-         |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
-         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-         |  (SELECT COUNT(*) FROM e) AS n_edges,
-         |  (SELECT n_wedges FROM w) AS n_wedges,
-         |  (SELECT n_triangles FROM tri) AS n_triangles,
-         |  CAST((3 * (SELECT n_triangles FROM tri) * 10000)
-         |    // (SELECT n_wedges FROM w) AS BIGINT) AS clustering_bp""".stripMargin,
+      // same rerank CTE as q_cosine_ann's oracle (float-dot parity is
+      // the proven q_cosine_ann gate), then the census over the top-3
+      // k-NN edges
+      Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        """, top3 AS (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |ce AS (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |      FROM top3 WHERE qid <> nid),
+          |sym2 AS (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
+          |deg AS (SELECT u, COUNT(*) AS d FROM sym2 GROUP BY u),
+          |o AS (SELECT s.u, s.v, dv.d AS dv
+          |      FROM sym2 s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
+          |      WHERE du.d < dv.d OR (du.d = dv.d AND s.u < s.v)),
+          |tri AS (SELECT COUNT(*) AS n_triangles
+          |        FROM o e1 JOIN o e2 ON e1.u = e2.u
+          |          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+          |        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+          |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+          |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+          |  (SELECT COUNT(*) FROM ce) AS n_edges,
+          |  (SELECT n_wedges FROM w) AS n_wedges,
+          |  (SELECT n_triangles FROM tri) AS n_triangles,
+          |  CAST((3 * (SELECT n_triangles FROM tri) * 10000)
+          |    // (SELECT n_wedges FROM w) AS BIGINT) AS clustering_bp""".stripMargin),
       "q_pagerank" ->
       (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
           |e AS (SELECT qid AS src, nid AS dst FROM pairs

@@ -666,7 +666,7 @@ object Vectors {
     * embedding lists — list_sum over doubles is sequential left-to-right
     * in DuckDB, bit-identical to FloatDotProduct's loop (verified
     * pairwise on the fixture candidate set). */
-  private def simOracle(candCte: String, qidCol: String, nidCol: String,
+  private[ops] def simOracle(candCte: String, qidCol: String, nidCol: String,
       body: String): String =
     s"""WITH c AS ($candCte),
        |e AS (SELECT vec_id, embedding FROM embeddings),
