@@ -58,6 +58,30 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("confab")) {
+      // interleaved A/B of ONE query under a session-conf toggle:
+      // Debug confab <query> <confKey> <valA> <valB> [n] [dir]
+      val (q, key, va, vb) = (args(1), args(2), args(3), args(4))
+      val n = args.lift(5).map(_.toInt).getOrElse(3)
+      val dir = args.lift(6).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      val orig = spark.conf.getOption(key)
+      try {
+        (1 to n).foreach { i =>
+          for (v <- Seq(va, vb)) {
+            spark.conf.set(key, v)
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, dir)
+              .write.mode("overwrite").format("noop").save()
+            println(f"$q $key=$v run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          }
+        }
+      } finally orig match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("timeq")) {
       // time queries N times in a warm JVM: Debug timeq <n1,n2,..> [n] [dir]
       // multiple names run INTERLEAVED round-robin so machine-contention

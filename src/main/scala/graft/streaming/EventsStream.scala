@@ -389,13 +389,33 @@ object EventsStream {
     d.toString
   }
 
+  /** Scope the stateful-shuffle partition count to a stream run: a
+    * stateful operator creates one state store per shuffle partition
+    * and COMMITS each store every micro-batch, so the right number
+    * tracks the operator's KEY cardinality, not the session's CPU
+    * count — at 32 partitions the fixture's ~10³-key streams spent
+    * ~45% of their wall time on store commits (measured 5.1 s → 2.9 s
+    * at 8, `Debug confab`). A billion-key production stream tunes the
+    * same knob UP; the session-global 32 stays untouched for batch.
+    * Safe to scope here because the whole stream runs inside the
+    * query function (conf is read at stream start, restored after). */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, orig)
+  }
+
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
     val name = "streamdedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    runToMemory(dedupStream(src).select("user_id", "event_type", "value"),
-      name, OutputMode.Append)
+    withStatePartitions(spark, 8) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      runToMemory(dedupStream(src).select("user_id", "event_type", "value"),
+        name, OutputMode.Append)
+    }
     // previous invocation's sink is dead weight once a new one exists
     // (bench passes re-run the stream; without this the driver holds
     // every pass's rows)
@@ -438,19 +458,21 @@ object EventsStream {
     * touch). No watermark: this query gates the MERGE; eviction is
     * gated by q_stream_dedup/windowedAgg and the scripted specs. */
   def qStreamIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val src = spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(splitEventsDir(spark, dir))
-    val agg = src.groupBy(
-        window(col("ts"), "1 hour").getField("start").as("b"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value"))
-        .as("total_value"))
     val name = "streaminc_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    runToMemory(agg, name, OutputMode.Complete)
+    withStatePartitions(spark, 8) {
+      val src = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitEventsDir(spark, dir))
+      val agg = src.groupBy(
+          window(col("ts"), "1 hour").getField("start").as("b"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value"))
+          .as("total_value"))
+      runToMemory(agg, name, OutputMode.Complete)
+    }
     lastIncSink.getAndSet(name) match {
       case null => ()
       case prev => spark.catalog.dropTempView(prev)
