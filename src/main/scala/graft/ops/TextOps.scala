@@ -21,6 +21,46 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
+  /** Bigram-LM surprisal scoring (the CCNet-style quality signal: score
+    * every doc by how (un)expected its word sequences are under a
+    * language model trained on the corpus itself — boilerplate scores
+    * low, garbled or off-distribution text scores high), with the float
+    * log replaced by INTEGER surprisal bits so the whole query is
+    * hash-gatable: bits(w1→w2) = ⌊log₂(c1(w1) div c2(w1,w2))⌋ computed
+    * as `length(bin(ratio)) - 1` — the bin-string idiom q_length_
+    * histogram established; ln() would hang cross-engine parity on two
+    * libm implementations agreeing to the last ulp. Per-doc score =
+    * mean bits per bigram, reported ×100 as an exact integer.
+    *
+    * Scale shape: one tokenize pass explodes bigram OCCURRENCES (with
+    * multiplicity — the distinct docBigrams table can't serve an LM);
+    * the count tables aggregate on the bigram/prefix keys (map-side
+    * combine absorbs hot bigrams), then one equi-join back on bigram
+    * and one on prefix — every stage shuffles on a derived key, never
+    * all-pairs. In production the count tables are a corpus-version
+    * artifact (built once, joined by every scoring batch). */
+  def qLmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).cast("bigint").as("c1"))
+    occ.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(expr("c1 div c2"))) - 1).cast("bigint").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).cast("bigint").as("total_bits"))
+      .withColumn("avg_centibits",
+        expr("total_bits * 100L div n_bigrams").cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** Exact near... exact duplicate groups by content hash: one row per
     * distinct md5, with the surviving (minimum) doc_id and group size.
     * Keyed on the hash → bucketable/shuffle-friendly at 100 TB (never a
@@ -718,6 +758,7 @@ object TextOps {
     "q_winnow_spans" -> qWinnowSpans _,
     "q_winnow_chains" -> qWinnowChains _,
     "q_length_histogram" -> qLengthHistogram _,
+    "q_lm_surprisal" -> qLmSurprisal _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_survivors" -> qDedupSurvivors _,
@@ -802,6 +843,23 @@ object TextOps {
          |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE CAST(shared AS DOUBLE) / least(x.nfp, y.nfp) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |occ2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |j AS (SELECT o.doc_id, CAST(LENGTH(bin(c1.c1 // c2.c2)) - 1 AS BIGINT) AS bits
+        |      FROM occ2 o JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(bits) AS BIGINT) AS total_bits,
+        |  CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS avg_centibits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_length_histogram" ->
       """SELECT lang, CAST(LENGTH(bin(n_chars)) AS INT) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
