@@ -39,8 +39,13 @@ object TextOps {
     * and one on prefix — every stage shuffles on a derived key, never
     * all-pairs. In production the count tables are a corpus-version
     * artifact (built once, joined by every scoring batch). */
-  def qLmSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val occ = Tables(spark, dir, "documents")
+  def qLmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisal(Tables(spark, dir, "documents"))
+
+  /** [[qLmSurprisal]] core over any (doc_id, text) frame — split out so
+    * the spec can pin the bits arithmetic on a hand-computable corpus. */
+  private[ops] def surprisal(docs: DataFrame): DataFrame = {
+    val occ = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(

@@ -143,4 +143,17 @@ class TextOpsSpec extends SparkSpec {
       assert(TextOps.winnowMatches(spark, dir).count() == 0)
     } finally spark.conf.unset("spark.graft.winnow.maxdf")
   }
+
+  test("lm surprisal bits match the hand computation") {
+    import spark.implicits._
+    // occurrences: d1 = (a,b),(b,a),(a,b); d2 = (a,x); d3 single token
+    // counts: c2(a,b)=2, c2(b,a)=1, c2(a,x)=1; c1(a)=3, c1(b)=1
+    // bits: (a,b) -> 3 div 2 = 1 -> 0; (b,a) -> 1 -> 0; (a,x) -> 3 -> 1
+    val docs = Seq((1L, "a b a b"), (2L, "a x"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.surprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 3L, 0L, 0L), (2L, 1L, 1L, 100L)))
+    // doc 3 has no bigrams and is absent, like the oracle's len>=2 filter
+  }
 }
