@@ -355,6 +355,55 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental NEAR-dup detection: a new ingest batch checked against
+    * the historical corpus's MinHash signature index — the sibling of
+    * [[graft.ops.TextOps.qDedupIncremental]] (exact content-hash) one
+    * level up the dedup ladder, and the shape a production pipeline
+    * actually runs per ingest: the history side is a PRE-BUILT
+    * corpus-version artifact (signature + shingle tables, here the
+    * session-shared ones; on a cluster, yesterday's tables read from
+    * storage), so per-batch cost is |batch| signatures + a band-bucket
+    * probe of the index + exact verification of the collisions — never
+    * a rebuild over |history|, and never batch×history pairs. Same
+    * banding and Jaccard-verify machinery as [[qMinhashLsh]]; the
+    * batch/history cut is the integer 4/5 threshold qDedupIncremental
+    * established (exact on both engines). */
+  def qNeardupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.7
+    val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
+    require(minhashK % bands == 0,
+      s"minhash.k=$minhashK not divisible by bands=$bands")
+    if (spark.conf.get("spark.graft.oracleExport", "true") == "true")
+      require(minhashK == 32 && bands == 8,
+        "q_neardup_incremental's oracle SQL assumes k=32/bands=8; set " +
+          "spark.graft.oracleExport=false for non-default minhash knobs")
+    val rowsPerBand = minhashK / bands
+    val sh = corpusShingles(spark, dir)
+    val minh = minhashSignatures(spark, dir)
+    graft.OracleExport.export(sh, "shingles", dir)
+    graft.OracleExport.export(minh, "minhsig", dir, s"k=$minhashK.b=$bands")
+    val cut = minh.agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*).as("sig"))
+    }
+    val banded = minh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .crossJoin(broadcast(cut))
+    val batch = banded.filter(col("doc_id") > col("cut"))
+    val hist = banded.filter(col("doc_id") <= col("cut"))
+    val cand = batch.as("a").join(hist.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, t)
+      .select(col("doc_a").as("batch_doc"), col("doc_b").as("hist_doc"),
+        col("common"), col("jac"))
+      .orderBy("batch_doc", "hist_doc")
+  }
+
   /** 64-bit SimHash near-dup pairs within Hamming distance 3.
     * Per-token xxhash64 bit votes (+1/-1 per bit, token multiset) via the
     * custom [[graft.functions.SimHashAgg]] aggregate (one int[64] buffer
@@ -446,6 +495,7 @@ object Similarity {
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_lsh" -> qMinhashLsh _,
+    "q_neardup_incremental" -> qNeardupIncremental _,
     "q_simhash_neardup" -> qSimhashNeardup _)
 
   /** q_minhash_lsh / q_simhash_neardup are deliberately oracle-less:
@@ -551,6 +601,36 @@ object Similarity {
     // exported signature/shingle tables (see qMinhashLsh scaladoc). The
     // 8 band arms are generated to mirror the engine's concat_ws('_')
     // band signatures over mh{4b}..mh{4b+3}.
+    "q_neardup_incremental" -> {
+      val bandArms = (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sig AS (SELECT * FROM '${graft.OracleExport.oraclePath("minhsig")}'),
+         |sh AS (SELECT doc_id, shingle FROM '${graft.OracleExport.oraclePath("shingles")}'),
+         |cut AS (SELECT CAST(MAX(doc_id) * 4 // 5 AS BIGINT) AS cut FROM sig),
+         |banded AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS hist_doc
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id > (SELECT cut FROM cut)
+         |    AND b.doc_id <= (SELECT cut FROM cut)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |cm AS (
+         |  SELECT c.batch_doc, c.hist_doc, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.batch_doc
+         |  JOIN sh y ON y.doc_id = c.hist_doc AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT batch_doc, hist_doc, CAST(common AS BIGINT) AS common,
+         |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jac
+         |FROM cm JOIN sz x ON batch_doc = x.doc_id
+         |JOIN sz y ON hist_doc = y.doc_id
+         |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.7
+         |ORDER BY batch_doc, hist_doc""".stripMargin
+    },
     "q_minhash_lsh" -> {
       val bandArms = (0 until 8).map { b =>
         val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")

@@ -34,6 +34,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
                            // HAVING threshold is an inequality, so the
                            // scalar join can't become an equi hash join)
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
+    "q_neardup_incremental", // same 1-row cut, minhash-index sibling
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
     "q_range_band", // the band table IS the bounded broadcast side of a
                     // non-equi range join — the operator's semantics
