@@ -113,13 +113,63 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Deterministic EPOCH RESHUFFLING — the training-loader operation:
+    * each epoch needs a different global permutation of the corpus into
+    * ordered shards, reproducible months later without any RNG state.
+    * Epoch e's permutation is simply ordering by md5(doc_id ":e" e):
+    * shard = first hash byte mod 8, within-shard order = the hash
+    * string — a different-but-fixed permutation per epoch, identical on
+    * any cluster shape or engine. At 100 TB the writer path is
+    * repartition(shard) + sortWithinPartitions(key) (one shuffle, no
+    * global sort); the window here exists to derive an ORDER-SENSITIVE
+    * checksum (Σ position·doc_id per shard) so the gate proves both
+    * engines agree on the exact permutation, not just the membership. */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs(spark, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("skey", md5(concat(col("doc_id").cast("string"),
+        lit(":e"), col("epoch").cast("string"))))
+      .withColumn("shard", expr(
+        "cast(conv(substring(skey, 1, 2), 16, 10) as bigint) % 8"))
+    keyed
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("epoch", "shard")
+        .orderBy(col("skey").asc, col("doc_id").asc)))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        sum(col("rn") * col("doc_id")).cast("bigint").as("ord_checksum"),
+        min(col("skey")).as("first_key"))
+      .orderBy("epoch", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sample_bernoulli" -> qSampleBernoulli _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_sample_uniform_k" -> qSampleUniformK _,
     "q_sample_pps" -> qSamplePps _)
 
   val oracles: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, epoch,
+        |    md5(doc_id::VARCHAR || ':e' || epoch::VARCHAR) AS skey
+        |  FROM documents, (SELECT UNNEST([0, 1]) AS epoch)),
+        |sharded AS (
+        |  SELECT *, CAST('0x' || substr(skey, 1, 2) AS BIGINT) % 8 AS shard
+        |  FROM keyed),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY skey ASC, doc_id ASC) AS rn
+        |  FROM sharded)
+        |SELECT epoch, shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(rn * doc_id) AS BIGINT) AS ord_checksum,
+        |  MIN(skey) AS first_key
+        |FROM ranked GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin,
     "q_sample_bernoulli" ->
       """SELECT lang, COUNT(*) AS n_sampled,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,

@@ -49,6 +49,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: full coverage per epoch, distinct permutations") {
+    val rows = Sampling.qEpochShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = graft.Tables(spark, dir, "documents").count()
+    val idSum = graft.Tables(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.sum("doc_id")).head().getLong(0)
+    for (e <- Seq(0, 1)) {
+      val er = rows.filter(_._1 == e)
+      // every doc lands in exactly one shard of its epoch
+      assert(er.map(_._3).sum === total && er.map(_._4).sum === idSum)
+    }
+    // the two epochs are DIFFERENT permutations: order checksums differ
+    assert(rows.filter(_._1 == 0).map(_._5).sorted.toSeq !==
+      rows.filter(_._1 == 1).map(_._5).sorted.toSeq)
+    // deterministic
+    assert(rows.toSeq === Sampling.qEpochShuffle(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq)
+  }
+
   test("pps: Horvitz-Thompson estimate lands near the true char total") {
     val rows = Sampling.qSamplePps(spark, dir).collect()
     val est = rows.map(_.getLong(4)).sum
