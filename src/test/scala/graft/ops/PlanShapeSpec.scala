@@ -36,6 +36,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_tax"), p)
   }
 
+  test("sampling family: scans read only the columns each query needs") {
+    // hash sampling composes with column pruning - the predicate is a
+    // derived expression (not pushable), but the SCAN must still shrink
+    // to the referenced columns: PPS never reads text, Bernoulli never
+    // reads n_chars/source, the epoch shuffle reads doc_id alone
+    val pps = plan("q_sample_pps")
+    assert(pps.contains("ReadSchema") && !pps.contains("text"), pps)
+    val bern = plan("q_sample_bernoulli")
+    assert(!bern.contains("n_chars") && !bern.contains("source"), bern)
+    val ep = plan("q_epoch_shuffle")
+    assert(ep.contains("struct<doc_id:bigint>"), ep)
+  }
+
   test("q_topk: TakeOrdered, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
