@@ -471,7 +471,15 @@ object EventsStream {
           col("event_type"))
         .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value"))
           .as("total_value"))
-      runToMemory(agg, name, OutputMode.Complete)
+      // Trigger.AvailableNow — the production "drain whatever exists,
+      // then stop" trigger (vs the test helper's processAllAvailable):
+      // it honors source limits (maxFilesPerTrigger still yields six
+      // batches) and terminates by itself, which is what a scheduled
+      // incremental job wants
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
     }
     lastIncSink.getAndSet(name) match {
       case null => ()
