@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fuzzy (edit-distance) matching via deletion-neighborhood blocking —
+  * the entity-resolution join a catalog/crawl pipeline runs to find
+  * near-identical names, typo'd identifiers, and OCR slips.
+  *
+  * The naive definition is an all-pairs Levenshtein filter: O(n²)
+  * comparisons, which at 100 TB entity scale (billions of distinct
+  * strings) is not a plan at all. The scalable algorithm (FastSS /
+  * SymSpell family) turns it into an EQUI-join: every string emits its
+  * single-deletion neighborhood (the string itself plus each
+  * one-character-deleted variant — |s|+1 keys), candidates are pairs
+  * sharing a variant key, and a cheap Levenshtein verification removes
+  * the false positives (e.g. "ab"/"ba" share variants but are distance
+  * 2). For distance ≤ 1 the blocking is COMPLETE: a substitution at
+  * position i means both strings share the delete-position-i variant;
+  * an insertion/deletion means one string IS a variant of the other —
+  * so the verified candidate set equals the brute-force answer exactly.
+  * That makes the gate semantics ideal: the DuckDB oracle runs the
+  * O(n²) DEFINITION, Spark runs the O(n·len) ALGORITHM, and the hash
+  * compare proves them identical.
+  *
+  * Scale shape: |names|·(len+1) variant rows, one equi-join shuffle on
+  * the variant key. Bucket occupancy is bounded by how many strings can
+  * share a variant (≤ alphabet·len ≈ constant), so no bucket ever goes
+  * quadratic — unlike length- or prefix-blocking, whose blocks grow
+  * with the corpus. Verification is a codegen'd `levenshtein` on
+  * candidates only.
+  */
+object Fuzzy {
+
+  /** All one-deletion variants of `c` plus `c` itself, de-duplicated
+    * (deleting either of two equal adjacent chars yields one variant). */
+  private def deletionNeighborhood(c: Column): Column =
+    array_distinct(concat(
+      array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - lit(1)),
+          c.substr(i + lit(1), length(c) - i)))))
+
+  /** Verified edit-distance-≤1 pairs (name_a < name_b, lev) from a frame
+    * with a `name` column. Complete for distance 1 (see scaladoc). */
+  def editPairs(names: DataFrame): DataFrame = {
+    val v = names.select(col("name"),
+      explode(deletionNeighborhood(col("name"))).as("variant"))
+    v.as("a").join(v.as("b"),
+        col("a.variant") === col("b.variant") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 1)
+  }
+
+  /** Near-identical part names with the catalog weight behind each —
+    * the dedupe-candidates report an entity-resolution pass emits. */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    editPairs(names.select("name"))
+      .join(a, "name_a").join(b, "name_b")
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_fuzzy_match" -> qFuzzyMatch _)
+
+  /** The oracle is the brute-force DEFINITION (all-pairs Levenshtein);
+    * the Spark side is the deletion-neighborhood algorithm — hash
+    * equality proves the blocking complete and the verification sound.
+    * DuckDB levenshtein returns BIGINT (Spark: INT) — cast. */
+  val oracles: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT p_name AS name, COUNT(*) AS n_parts
+        |           FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM n a JOIN n b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin)
+}
