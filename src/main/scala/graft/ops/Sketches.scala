@@ -70,8 +70,40 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Cohort-overlap report via THETA sketch set algebra (see
+    * [[graft.functions.ThetaSketchAgg]]): per event type, the cohort of
+    * users with a high-value event (value > 180), then for every type
+    * pair the overlap / union / exclusive counts — answered entirely
+    * from the 5-row sketch table. At 100 TB the sketches are the stored
+    * artifact and this query never touches raw events; here the cohort
+    * sketches build in one scan (map-side partial sketches, one tiny
+    * shuffle of sketch bytes). The pair expansion is a deliberate
+    * non-equi self-join of a 5-ROW table (BNLJ-allowlisted like the
+    * other bounded scalar broadcasts). Gate: below 4096 distinct keys
+    * theta sketches are EXACT, so the DuckDB oracle is plain exact set
+    * algebra over the raw table — a full hash gate, no export needed;
+    * ThetaSpec pins the >4096 sampling-mode envelope separately. */
+  def qSketchSetops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketchAgg.{thetaSketch, thetaEstimate, thetaSetOp}
+    val cohorts = Tables(spark, dir, "events")
+      .filter(col("value") > 180)
+      .groupBy("event_type")
+      .agg(thetaSketch(col("user_id")).as("sk"))
+    val a = cohorts.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = cohorts.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        thetaEstimate(col("sk_a")).as("users_a"),
+        thetaEstimate(col("sk_b")).as("users_b"),
+        thetaSetOp(col("sk_a"), col("sk_b"), "intersect").as("n_both"),
+        thetaSetOp(col("sk_a"), col("sk_b"), "union").as("n_either"),
+        thetaSetOp(col("sk_a"), col("sk_b"), "anotb").as("n_only_a"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sketch_rollup" -> qSketchRollup _)
+    "q_sketch_rollup" -> qSketchRollup _,
+    "q_sketch_setops" -> qSketchSetops _)
 
   /** The estimates come from the export (engine-defined sketch kernel,
     * spec-pinned); counts, exact distincts and the realized error are
@@ -87,5 +119,23 @@ object Sketches {
          |  ROUND(ABS(e.approx_users - ex.exact_users) / ex.exact_users, 4)
          |    AS rel_err
          |FROM est e JOIN ex ON e.event_type = ex.event_type
-         |ORDER BY e.event_type""".stripMargin)
+         |ORDER BY e.event_type""".stripMargin,
+    "q_sketch_setops" ->
+      """WITH co AS (SELECT DISTINCT event_type, user_id FROM events
+        |            WHERE value > 180),
+        |c AS (SELECT event_type, COUNT(*) AS u FROM co GROUP BY 1),
+        |isect AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |            COUNT(*) AS n
+        |          FROM co a JOIN co b ON a.user_id = b.user_id
+        |            AND a.event_type < b.event_type
+        |          GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.u AS users_a, cb.u AS users_b,
+        |  COALESCE(i.n, 0) AS n_both,
+        |  ca.u + cb.u - COALESCE(i.n, 0) AS n_either,
+        |  ca.u - COALESCE(i.n, 0) AS n_only_a
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN isect i
+        |  ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin)
 }

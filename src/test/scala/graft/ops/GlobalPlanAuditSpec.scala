@@ -44,8 +44,10 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_constraints", // 1-row n_checked scalar beside the FK violation count
     "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
     "q_temperature_sample", // 1-row min-language count the rates derive from
-    "q_triangles") // three 1-row census scalars (node/edge/wedge/triangle
+    "q_triangles", // three 1-row census scalars (node/edge/wedge/triangle
                    // counts) cross-joined into the single stats row
+    "q_sketch_setops") // non-equi pair expansion of the 5-ROW cohort
+                       // sketch table (one sketch per event type)
 
   test("cartesian products never; nested-loop joins exactly the deliberate bounded set") {
     val dir = sf("sf0.001")
