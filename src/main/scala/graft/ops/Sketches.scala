@@ -101,9 +101,50 @@ object Sketches {
       .orderBy("type_a", "type_b")
   }
 
+  /** Count-Min frequency audit: per-type CMS sketches of user activity
+    * (eps=0.001, conf=0.99, fixed seed — counters are additive, so the
+    * sketch is partition-order deterministic), probed for the 5 globally
+    * hottest users via [[graft.functions.CmsEstimate]], with the exact
+    * count and the one-sided error bound (exact ≤ est ≤ exact+⌈eps·N⌉,
+    * the bound holding with prob ≥ conf per probe) alongside. The
+    * production shape: the sketch table is the stored per-ingest
+    * artifact and any later "how often did key X occur in partition Y"
+    * probe is O(1) per cell — no raw re-scan, unlike the exact twin
+    * computed here as the audit. Gate: like q_sketch_rollup, the
+    * engine-defined ESTIMATES are exported (deterministic) and DuckDB
+    * recomputes exacts, counts, and the bound check from raw events;
+    * the kernel itself is pinned in SketchesSpec (merge == direct,
+    * estimate never below exact). */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsEstimate.cmsEstimate
+    val ev = Tables(spark, dir, "events").select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_events"))
+    // deterministic probe set: globally hottest users, ties by id
+    val hot = ev.groupBy("user_id").agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("user_id")).limit(5)
+      .select("user_id")
+    // 5 types × 5 probes: bounded BNLJ expansion of two tiny tables
+    val est = sk.join(broadcast(hot), col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        cmsEstimate(col("sk"), col("user_id")).as("est"))
+    graft.OracleExport.export(
+      est.select("event_type", "user_id", "est"), "cmsest", dir)
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("event_type", "user_id"), "left")
+      .select(col("event_type"), col("user_id"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") <= coalesce(col("exact"), lit(0L)) +
+          ceil(lit(0.001) * col("n_events"))).cast("int").as("within_eps"))
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_rollup" -> qSketchRollup _,
-    "q_sketch_setops" -> qSketchSetops _)
+    "q_sketch_setops" -> qSketchSetops _,
+    "q_cms_freq" -> qCmsFreq _)
 
   /** The estimates come from the export (engine-defined sketch kernel,
     * spec-pinned); counts, exact distincts and the realized error are
@@ -137,5 +178,22 @@ object Sketches {
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN isect i
         |  ON i.ta = ca.event_type AND i.tb = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_cms_freq" ->
+      s"""WITH est AS (SELECT event_type, user_id, est
+         |            FROM '${graft.OracleExport.oraclePath("cmsest")}'),
+         |n AS (SELECT event_type, COUNT(*) AS n_events FROM events
+         |      GROUP BY 1),
+         |ex AS (SELECT event_type, user_id, COUNT(*) AS exact FROM events
+         |       GROUP BY 1, 2)
+         |SELECT e.event_type, e.user_id, e.est,
+         |  COALESCE(ex.exact, 0) AS exact,
+         |  CAST(e.est <= COALESCE(ex.exact, 0)
+         |    + CAST(CEILING(0.001 * n.n_events) AS BIGINT) AS INT)
+         |    AS within_eps
+         |FROM est e
+         |JOIN n ON n.event_type = e.event_type
+         |LEFT JOIN ex ON ex.event_type = e.event_type
+         |  AND ex.user_id = e.user_id
+         |ORDER BY e.event_type, e.user_id""".stripMargin)
 }

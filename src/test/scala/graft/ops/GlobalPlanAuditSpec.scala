@@ -46,8 +46,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_temperature_sample", // 1-row min-language count the rates derive from
     "q_triangles", // three 1-row census scalars (node/edge/wedge/triangle
                    // counts) cross-joined into the single stats row
-    "q_sketch_setops") // non-equi pair expansion of the 5-ROW cohort
+    "q_sketch_setops", // non-equi pair expansion of the 5-ROW cohort
                        // sketch table (one sketch per event type)
+    "q_cms_freq") // 5-row sketch table × 5-row broadcast probe list
 
   test("cartesian products never; nested-loop joins exactly the deliberate bounded set") {
     val dir = sf("sf0.001")

@@ -49,4 +49,34 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     rows.foreach(r => assert(r.getLong(3) === exact(r.getString(0))))
   }
+
+  test("CMS: distributed agg == driver-built sketch; estimate never below exact") {
+    import graft.functions.CmsEstimate.cmsEstimate
+    val ev = graft.Tables(spark, dir, "events")
+      .filter(col("event_type") === "click").select("user_id")
+    val skBytes = ev.repartition(7)
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val distributed = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+    val driver = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    val vals = ev.collect().map(_.getLong(0))
+    vals.foreach(v => driver.add(java.lang.Long.valueOf(v)))
+    val exact = vals.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    exact.keys.take(20).foreach { k =>
+      val key = java.lang.Long.valueOf(k)
+      assert(distributed.estimateCount(key) === driver.estimateCount(key),
+        s"agg and driver sketch disagree on $k")
+      assert(distributed.estimateCount(key) >= exact(k),
+        s"CMS under-counted $k")
+    }
+  }
+
+  test("q_cms_freq: within_eps reported, est >= exact on every probe") {
+    val rows = graft.SparkEntry.queries("q_cms_freq")(spark, dir).collect()
+    assert(rows.length === 25) // 5 types x 5 probe users
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3),
+        s"${r.getString(0)}/${r.getLong(1)}: est below exact")
+    }
+  }
 }
