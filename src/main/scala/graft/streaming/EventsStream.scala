@@ -493,9 +493,60 @@ object EventsStream {
   private val lastIncSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** transformWithState behind the DRIVER gate (TwsSessionSpec pins it
+    * against the fMGWS twin; this runs the real operator — typed
+    * ValueState, explicit timers, the REQUIRED RocksDB provider — on
+    * the real events fixture and hash-compares against a DuckDB replay
+    * of the session algebra). Single-batch source, so the in-batch fold
+    * sees global event-time order per user and the emitted set is the
+    * batch sessionization restricted to what Append mode releases:
+    * gap-closed sessions (a later same-user event proves the gap)
+    * always; each user's LAST session only via its event-time timer,
+    * which needs the post-batch watermark (max_ts − 10 min) to pass its
+    * gap horizon — fired by the trailing no-data micro-batch that
+    * Trigger.AvailableNow runs before terminating. The oracle encodes
+    * exactly that release rule, so this gate would catch a regression
+    * in timer delivery (no-data batch skipped → missing rows), state
+    * carry-over, or the fold itself. */
+  def qStreamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "streamtws_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pk)
+    spark.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 8) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val q = TwsSession.sessionize(src).toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(pk, v)
+      case None => spark.conf.unset(pk)
+    }
+    lastTwsSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        sum(graft.Tables.dec(col("total_value"))).cast("double")
+          .as("total_value"))
+      .orderBy("user_id")
+  }
+  private val lastTwsSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_incremental" -> qStreamIncremental _,
+    "q_stream_tws" -> qStreamTws _,
     "q_stream_sink" -> qStreamSink _)
 
   val oracles: Map[String, String] = Map(
@@ -517,6 +568,35 @@ object EventsStream {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    // replay of the session machine + Append-mode release rule: all
+    // gap-closed sessions, plus each user's last session iff its gap
+    // horizon cleared the final watermark (max_ts - 10 min) — the
+    // timer fire delivered by AvailableNow's trailing no-data batch
+    "q_stream_tws" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |sess AS (SELECT user_id, sid, MAX(ts) AS last_ts, COUNT(*) AS n,
+        |           SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |         FROM g GROUP BY 1, 2),
+        |emitted AS (SELECT se.* FROM sess se, mx
+        |            WHERE se.sid < (SELECT MAX(s2.sid) FROM sess s2
+        |                            WHERE s2.user_id = se.user_id)
+        |               OR se.last_ts + INTERVAL 30 MINUTE
+        |                  <= mx.m - INTERVAL 10 MINUTE)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(total) AS DOUBLE) AS total_value
+        |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the whole events table, exactly once — a duplicated replayed batch
     // inflates n/n_ids/total_value and fails the hash
     "q_stream_sink" ->
