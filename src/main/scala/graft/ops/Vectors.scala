@@ -640,7 +640,89 @@ object Vectors {
       Graph.connectedComponents(semanticPairs(spark, dir), "semdedup")
     }
 
+  // ---- Johnson–Lindenstrauss random projection ------------------------
+
+  private val JlK = 16 // target dimensionality (64 → 16)
+  private val JlD = 64
+
+  /** Deterministic Rademacher sign matrix s(i,j) ∈ {±1}, derived from
+    * xxhash64 parity of "i:j" — reproducible on any cluster with no RNG
+    * state, same discipline as every hash-sampling operator here. Built
+    * as a tiny Spark job and collected (JlD×JlK = 1024 bounded driver
+    * scalars, the IVF-centroid precedent); also exported so the DuckDB
+    * oracle multiplies by the SAME matrix. */
+  private def jlSignRows(spark: SparkSession): DataFrame = {
+    val i = (col("id") / JlK).cast("int")
+    val j = (col("id") % JlK).cast("int")
+    spark.range(JlD.toLong * JlK).select(i.as("i"), j.as("j"),
+      (lit(1) - lit(2) * xxhash64(concat_ws(":",
+        (col("id") / JlK).cast("int"), (col("id") % JlK).cast("int")))
+        .bitwiseAND(1)).cast("int").as("s"))
+  }
+  private val jlSignsOnce = new Tables.KeyedOnce[Array[Array[Int]]]
+  private def jlSigns(spark: SparkSession): Array[Array[Int]] =
+    jlSignsOnce("jl") {
+      val m = Array.ofDim[Int](JlK, JlD)
+      jlSignRows(spark).collect().foreach { r =>
+        m(r.getInt(1))(r.getInt(0)) = r.getInt(2)
+      }
+      m
+    }
+
+  /** JL random-projection distortion audit: project every embedding
+    * 64→16 dims with the Rademacher matrix (E[‖Pe‖²] = k·‖e‖²) and
+    * report the distribution of the norm-distortion ratio
+    * ‖Pe‖²/(k·‖e‖²) — the audit a pipeline runs before swapping the
+    * cheap projected vectors into clustering/ANN. Distortion is
+    * expected to concentrate at 1 ± O(1/√k) (the JL lemma), which
+    * [[VectorsJlSpec]] asserts.
+    *
+    * Scale shape: the sign matrix is a 1 KB broadcast LITERAL folded
+    * into the plan; the projection is a row-local decimal fold — one
+    * narrow pass over the corpus, no shuffle until the k·buckets-sized
+    * histogram aggregate. Numeric parity: elements cast to
+    * DECIMAL(9,8), per-dim folds kept in DECIMAL(12,8), squared norms
+    * in DECIMAL(24,16) — all exact, so the one double division at the
+    * end is the identical IEEE op in both engines (the [[dotD]]
+    * strategy). */
+  def qJlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(jlSignRows(spark), "jlsigns", dir)
+    val signs = jlSigns(spark)
+    val D128 = DecimalType(12, 8)
+    val D2416 = DecimalType(24, 16)
+    val signsLit = array(signs.map(row =>
+      array(row.map(v => lit(v)): _*)): _*)
+    val esc = transform(col("embedding"),
+      v => v.cast("double").cast(DecimalType(9, 8)))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), esc.as("esc"))
+      .withColumn("proj", transform(sequence(lit(0), lit(JlK - 1)), j =>
+        aggregate(
+          zip_with(col("esc"), element_at(signsLit, j + 1),
+            (e, s) => (e * s).cast(D128)),
+          lit(0).cast(D128),
+          (acc, x) => (acc + x).cast(D128))))
+      .withColumn("np2", aggregate(col("proj"), lit(0).cast(D2416),
+        (acc, p) => (acc + (p * p).cast(D2416)).cast(D2416)))
+      .withColumn("ne2", aggregate(col("esc"), lit(0).cast(D2416),
+        (acc, e) => (acc + (e * e).cast(D2416)).cast(D2416)))
+      .filter(col("ne2") > 0)
+      // ROUND before the double cast: at scale 16 the two engines'
+      // decimal→double conversions differ in the last ulp (the dotD
+      // lesson); ≤9 significant digits convert identically (np2 ≤ 5
+      // int digits → scale 4; ne2 ≤ 2 int digits → scale 6)
+      .withColumn("ratio",
+        round(col("np2"), 4).cast(DecimalType(18, 4)).cast("double") /
+          (lit(JlK) *
+            round(col("ne2"), 6).cast(DecimalType(18, 6)).cast("double")))
+      .groupBy(floor(col("ratio") * 20).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
@@ -682,6 +764,36 @@ object Vectors {
        |$body""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical decimal-exact projection fold against the exported sign
+    // matrix — see qJlDistortion (exact until the final double division)
+    "q_jl_distortion" ->
+      s"""WITH s AS (SELECT i, j, s
+         |           FROM '${graft.OracleExport.oraclePath("jlsigns")}'),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |x AS (SELECT vec_id, gs.i AS i,
+         |        CAST(CAST(embedding[gs.i + 1] AS DOUBLE)
+         |          AS DECIMAL(9,8)) AS esc
+         |      FROM e, generate_series(0, 63) gs(i)),
+         |p AS (SELECT x.vec_id, s.j,
+         |        CAST(SUM(CAST(x.esc * s.s AS DECIMAL(12,8)))
+         |          AS DECIMAL(12,8)) AS p
+         |      FROM x JOIN s ON s.i = x.i GROUP BY 1, 2),
+         |np AS (SELECT vec_id,
+         |         CAST(SUM(CAST(p * p AS DECIMAL(24,16)))
+         |           AS DECIMAL(24,16)) AS np2
+         |       FROM p GROUP BY 1),
+         |ne AS (SELECT vec_id,
+         |         CAST(SUM(CAST(esc * esc AS DECIMAL(24,16)))
+         |           AS DECIMAL(24,16)) AS ne2
+         |       FROM x GROUP BY 1),
+         |r AS (SELECT np.vec_id,
+         |        CAST(CAST(ROUND(np2, 4) AS DECIMAL(18,4)) AS DOUBLE)
+         |          / (16 * CAST(CAST(ROUND(ne2, 6) AS DECIMAL(18,6))
+         |                     AS DOUBLE)) AS ratio
+         |      FROM np JOIN ne ON ne.vec_id = np.vec_id WHERE ne2 > 0)
+         |SELECT CAST(FLOOR(ratio * 20) AS INT) AS bucket,
+         |  COUNT(*) AS n, MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     // Thresholded cosine decision view over the exported LSH candidate
     // set — see qCosineNeardup
     "q_cosine_neardup" -> simOracle(
