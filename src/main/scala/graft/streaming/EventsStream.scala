@@ -249,10 +249,14 @@ object EventsStream {
   def heavyHittersStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"))
+      // group on the window STRUCT, not an extracted field: watermark
+      // tracking (and hence Append finalization) attaches to the window
+      // column itself — grouping on window.start severs it and Append
+      // mode is rejected as "aggregation without watermark"
+      .groupBy(window(col("ts"), "1 hour").as("win"))
       .agg(graft.functions.SpaceSavingTopK
         .spaceSavingTopK(col("event_type"), 3, 64).as("top"))
-      .select(col("bucket"), explode(col("top")).as("e"))
+      .select(col("win.start").as("bucket"), explode(col("top")).as("e"))
       .select(col("bucket"), col("e.item").as("event_type"),
         col("e.est").as("n"))
 
@@ -543,10 +547,78 @@ object EventsStream {
   private val lastTwsSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** The REAL stream-stream interval join behind the driver gate
+    * ([[purchaseErrorJoin]]; the batch twin q_stream_join pins the same
+    * SQL semantics). Inner-join matches emit as soon as both sides are
+    * buffered — no watermark dependency for EMISSION (watermarks bound
+    * state EVICTION) — so with the bounded fixture drained the memory
+    * sink holds exactly the full interval-join result and the oracle is
+    * the same SQL as the batch twin's. A state-eviction bug that drops
+    * a buffered row before its partner arrives would surface as missing
+    * pairs → hash mismatch. */
+  def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamssj_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+      runToMemory(purchaseErrorJoin(src), name, OutputMode.Append)
+    }
+    lastSsjSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        date_format(col("p_ts"), TsFmt).as("pts"),
+        date_format(col("e_ts"), TsFmt).as("ets"), col("value"))
+      .orderBy("p_id", "e_id")
+  }
+  private val lastSsjSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Streaming SpaceSaving heavy hitters behind the driver gate
+    * ([[heavyHittersStream]]): constant-size sketch state per open
+    * window, Append mode, so the sink holds exactly the FINALIZED
+    * windows — those whose end the final watermark (max_ts − 10 min)
+    * passed; the trailing hours stay open and unemitted (deterministic
+    * for a fixed fixture). Capacity 64 ≫ 5 event types keeps the
+    * sketch in its exact regime, so the DuckDB oracle is plain
+    * per-window counting with the sketch's (n DESC, type ASC)
+    * tie-break — the same exact-regime split as q_heavy_hitters. */
+  def qStreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamtopk_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+      // AvailableNow (not processAllAvailable): window finalization
+      // needs the trailing no-data batch after the watermark advances —
+      // the same delivery the tws timer gate relies on
+      val q = heavyHittersStream(src).writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastTopkSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"), col("event_type"), col("n"))
+      .orderBy("bucket", "event_type")
+  }
+  private val lastTopkSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_tws" -> qStreamTws _,
+    "q_stream_join_live" -> qStreamJoinLive _,
+    "q_stream_topk" -> qStreamTopk _,
     "q_stream_sink" -> qStreamSink _)
 
   val oracles: Map[String, String] = Map(
@@ -567,6 +639,37 @@ object EventsStream {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    // identical SQL to the batch twin q_stream_join: inner-join matches
+    // all emit once both sides drain (see qStreamJoinLive)
+    "q_stream_join_live" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p_id, e_id, p.user_id AS user_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  strftime(e_ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        |  value
+        |FROM p JOIN e ON p.user_id = e.user_id
+        |  AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL '30 minutes'
+        |ORDER BY p_id, e_id""".stripMargin,
+    // exact-regime per-window top-3 with the sketch's (n DESC, type ASC)
+    // tie-break, restricted to FINALIZED windows (end < final watermark)
+    "q_stream_topk" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+        |             event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |mx AS (SELECT MAX(ts) AS m FROM events),
+        |fin AS (SELECT w.* FROM w, mx
+        |        WHERE w.b + INTERVAL 1 HOUR < mx.m - INTERVAL 10 MINUTE),
+        |r AS (SELECT b, event_type, n, ROW_NUMBER() OVER (
+        |        PARTITION BY b ORDER BY n DESC, event_type) AS rk
+        |      FROM fin)
+        |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, n
+        |FROM r WHERE rk <= 3
         |ORDER BY bucket, event_type""".stripMargin,
     // replay of the session machine + Append-mode release rule: all
     // gap-closed sessions, plus each user's last session iff its gap
