@@ -73,8 +73,47 @@ object Skew {
       .limit(100)
   }
 
+  /** Salted JOIN: the static skew-mitigation twin of [[saltedAgg]] for
+    * the join side. A Zipfian join key funnels the hot key's fact rows
+    * into one reduce task of a shuffle join; salting spreads them by
+    * joining on (key, salt) with the DIM side replicated once per salt
+    * value — each fact row still matches exactly one dim row, so the
+    * result is IDENTICAL to the plain join (SkewSpec proves equality),
+    * at the cost of nSalts×|dim| replicated build rows. This is the
+    * rewrite for engines/paths AQE's runtime skew splitting doesn't
+    * reach (broadcast-ineligible dims under shuffle-HASH joins — AQE
+    * splits skewed SORT-MERGE partitions only) and for pinning a plan
+    * statically instead of trusting runtime stats. The dim side is
+    * hinted shuffle_hash so the demonstration can't silently degrade
+    * into a broadcast (which needs no salt) at fixture scale. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salt: Column, nSalts: Int): DataFrame = {
+    require(nSalts > 0)
+    val saltedFact = fact.withColumn("__salt", pmod(salt, lit(nSalts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(saltedDim.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Token occurrences (Zipfian fact) joined to the per-token document-
+    * frequency table through the salted rewrite, re-aggregated per
+    * token — gate-checked against the plain join+aggregate in DuckDB. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val dimDf = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    saltedJoin(toks, dimDf, "token", xxhash64(col("doc_id")), nSalts = 16)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), max(col("df")).as("df"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skew_agg" -> qSkewAgg _)
+    "q_skew_agg" -> qSkewAgg _,
+    "q_skew_join" -> qSkewJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_skew_agg" ->
@@ -85,5 +124,16 @@ object Skew {
         |SELECT token, COUNT(*) AS n, MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
         |FROM toks GROUP BY token
-        |ORDER BY n DESC, token LIMIT 100""".stripMargin)
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_skew_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+        |      GROUP BY 1)
+        |SELECT t.token, COUNT(*) AS n, MAX(d.df) AS df
+        |FROM toks t JOIN d ON d.token = t.token
+        |GROUP BY t.token
+        |ORDER BY n DESC, t.token LIMIT 50""".stripMargin)
 }

@@ -65,4 +65,24 @@ class SkewSpec extends SparkSpec {
       assert(s(k)._2 === n, s"count for $k")
     }
   }
+
+  test("saltedJoin equals the plain join and stays a shuffle join on (key, salt)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val dim = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val salted = Skew.saltedJoin(toks, dim, "token",
+      xxhash64(col("doc_id")), nSalts = 8)
+    val plain = toks.join(dim, "token")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    assert(salted.select("token", "doc_id", "df").collect().map(key).sorted
+      .toSeq === plain.select("token", "doc_id", "df").collect().map(key)
+      .sorted.toSeq)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "salt demo degraded to a broadcast join")
+    assert(plan.contains("__salt"), "join lost the salt key")
+  }
 }
