@@ -68,8 +68,69 @@ object Delta {
       .orderBy("n_name")
   }
 
+  /** Snapshot diff (CDC between two corpus versions): keyed full-outer
+    * comparison of a baseline and its successor, classifying every key
+    * as added / removed / changed / unchanged with the aggregate value
+    * drift alongside — the audit a pipeline runs before promoting a new
+    * corpus version (and the input a downstream incremental consumer
+    * wants instead of re-reading the snapshot).
+    *
+    * Scale shape: ONE full-outer join on the key, comparing a per-row
+    * VALUE DIGEST (md5 over a canonical field serialization) instead of
+    * field-by-field predicates — the digest makes the comparison
+    * O(columns) once per row and the join payload one string. At 100 TB
+    * both snapshots would be bucketed on the key (the in-repo layout),
+    * making the diff zero-exchange; change classification and the drift
+    * sums are a narrow aggregate over the join.
+    *
+    * The successor snapshot is DERIVED deterministically here (drop
+    * keys ≡7 mod 101, reprice keys ≡3 mod 13 by +1.00, insert clones
+    * shifted by 10⁷ for keys ≡11 mod 499) so the DuckDB oracle can
+    * construct the identical v2 and recompute the diff from scratch. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val v2base = v1.filter(col("o_orderkey") % 101 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 3,
+          (dec(col("o_totalprice")) + lit(1.00).cast("decimal(18,2)"))
+            .cast("double"))
+          .otherwise(col("o_totalprice")))
+    val inserts = v1.filter(col("o_orderkey") % 499 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    val v2 = v2base.unionByName(inserts)
+
+    // explicit date FORMAT in the digest: a raw timestamp→string cast
+    // renders differently across engines; every field non-null and
+    // '|'-free by construction, so the separator is unambiguous
+    def digest(df: DataFrame) = df.select(col("o_orderkey").as("k"),
+      dec(col("o_totalprice")).as("price"),
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("dig"))
+
+    val a = digest(v1).withColumnRenamed("price", "price_a")
+      .withColumnRenamed("dig", "dig_a")
+    val b = digest(v2).withColumnRenamed("price", "price_b")
+      .withColumnRenamed("dig", "dig_b")
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "removed")
+          .when(col("dig_a") =!= col("dig_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("price_b"), lit(0).cast("decimal(18,2)")) -
+          coalesce(col("price_a"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("price_delta"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_incremental_join" -> qIncrementalJoin _)
+    Map("q_incremental_join" -> qIncrementalJoin _,
+      "q_snapshot_diff" -> qSnapshotDiff _)
 
   /** Oracle = the FULL recompute over base∪delta on both sides: hash
     * equality proves the four-term decomposition exact (drop the cross
@@ -84,5 +145,43 @@ object Delta {
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name
-        |ORDER BY n.n_name""".stripMargin)
+        |ORDER BY n.n_name""".stripMargin,
+    /* identical v2 derivation + digest diff, recomputed from scratch */
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |              o_totalprice, o_orderdate FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 3
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1.00
+        |                AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM v1 WHERE o_orderkey % 101 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate
+        |  FROM v1 WHERE o_orderkey % 499 = 11),
+        |a AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price_a,
+        |        md5(concat_ws('|', o_custkey, o_orderstatus,
+        |          CAST(o_totalprice AS DECIMAL(18,2)),
+        |          strftime(o_orderdate, '%Y-%m-%d'))) AS dig_a
+        |      FROM v1),
+        |b AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price_b,
+        |        md5(concat_ws('|', o_custkey, o_orderstatus,
+        |          CAST(o_totalprice AS DECIMAL(18,2)),
+        |          strftime(o_orderdate, '%Y-%m-%d'))) AS dig_b
+        |      FROM v2),
+        |j AS (SELECT price_a, price_b, dig_a, dig_b
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT CASE WHEN dig_a IS NULL THEN 'added'
+        |            WHEN dig_b IS NULL THEN 'removed'
+        |            WHEN dig_a <> dig_b THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(price_b, 0) - COALESCE(price_a, 0)) AS DOUBLE)
+        |    AS price_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 }

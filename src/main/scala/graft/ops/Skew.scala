@@ -111,9 +111,40 @@ object Skew {
       .limit(50)
   }
 
+  /** The [[graft.plans.AutoSalt]] OPTIMIZER rule end-to-end: the query
+    * is written as a PLAIN groupBy — no salting in user code — and
+    * executed with `spark.graft.autosalt.enabled=true`, so the
+    * optimizer itself plants the two-stage salted shape (AutoSaltSpec
+    * asserts the plan). Executed inside the conf scope via
+    * [[Tables.materialize]] (plans are optimized at ACTION time; just
+    * returning the DataFrame would let the driver run it after the
+    * conf is restored), then re-ordered for the gate. The oracle is
+    * the plain aggregation — the rewrite must be result-invisible. */
+  def qAutoSaltAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AutoSalt.ensureRegistered(spark)
+    val key = "spark.graft.autosalt.enabled"
+    spark.conf.set(key, "true")
+    val mat = try {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      Tables.materialize(
+        toks.groupBy("lang", "token")
+          .agg(count(lit(1)).as("n"),
+            sum(Tables.dec(col("n_chars"))).as("chars"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(desc("n"), asc("lang"), asc("token"))
+          .limit(100), "autosalt")
+    } finally spark.conf.unset(key)
+    mat.select(col("lang"), col("token"), col("n"),
+        col("chars").cast("double").as("chars"), col("last_doc"))
+      .orderBy(desc("n"), asc("lang"), asc("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_agg" -> qSkewAgg _,
-    "q_skew_join" -> qSkewJoin _)
+    "q_skew_join" -> qSkewJoin _,
+    "q_autosalt_agg" -> qAutoSaltAgg _)
 
   val oracles: Map[String, String] = Map(
     "q_skew_agg" ->
@@ -135,5 +166,15 @@ object Skew {
         |SELECT t.token, COUNT(*) AS n, MAX(d.df) AS df
         |FROM toks t JOIN d ON d.token = t.token
         |GROUP BY t.token
-        |ORDER BY n DESC, t.token LIMIT 50""".stripMargin)
+        |ORDER BY n DESC, t.token LIMIT 50""".stripMargin,
+    "q_autosalt_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, token, COUNT(*) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars,
+        |  MAX(doc_id) AS last_doc
+        |FROM toks GROUP BY lang, token
+        |ORDER BY n DESC, lang, token LIMIT 100""".stripMargin)
 }

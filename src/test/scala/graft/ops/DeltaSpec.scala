@@ -25,6 +25,18 @@ class DeltaSpec extends SparkSpec {
     assert(inc.toSeq === full.toSeq)
   }
 
+  test("snapshot diff: identities reconcile, every change class realized") {
+    val rows = Delta.qSnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    val v1 = graft.Tables(spark, dir, "orders").count()
+    assert(rows("removed")._1 + rows("changed")._1 +
+      rows("unchanged")._1 === v1)
+    // every changed row is exactly +1.00
+    assert(math.abs(rows("changed")._2 - rows("changed")._1) < 1e-9)
+    assert(math.abs(rows("unchanged")._2) < 1e-9)
+  }
+
   test("the fixture exercises the cross term (new-cust x new-order rows exist)") {
     val cust = graft.Tables(spark, dir, "customer")
     val ord = graft.Tables(spark, dir, "orders")

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** AutoSalt optimizer rule: plan rewritten under the conf (and ONLY
+  * under the conf), result-identical to the plain aggregation, and
+  * conservative — distinct aggregates, global aggregates, and
+  * unsupported functions are left untouched. */
+class AutoSaltSpec extends SparkSpec {
+
+  private val key = "spark.graft.autosalt.enabled"
+
+  private def withRule[A](body: => A): A = {
+    AutoSalt.ensureRegistered(spark)
+    spark.conf.set(key, "true")
+    try body finally spark.conf.unset(key)
+  }
+
+  private def toks = graft.Tables(spark, sf("sf0.001"), "documents")
+    .select(col("doc_id"), explode(
+      graft.ops.TextOps.tokens(col("text"))).as("token"))
+
+  test("eligible aggregate is rewritten and result-identical") {
+    val agg = toks.groupBy("token")
+      .agg(count(lit(1)).as("n"), sum(graft.Tables.dec(col("doc_id")))
+        .as("s"), min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val plain = agg.orderBy("token").collect().toSeq
+    val (salted, plan) = withRule {
+      (agg.orderBy("token").collect().toSeq,
+        agg.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("pmod(hash("), "plan not salted:\n" + plan)
+    assert(plan.contains("__p_0"), "no partial stage:\n" + plan)
+    assert(salted === plain, "rewrite changed results")
+    // schema unchanged (decimal sum cast back to the original type)
+    assert(withRule(agg.schema) === agg.schema)
+  }
+
+  test("fixpoint-stable: exactly one salt stage appears") {
+    val plan = withRule {
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(plan.split(java.util.regex.Pattern.quote("pmod(hash("),
+      -1).length - 1 == 1, // exactly one salt stage
+      "salt stage duplicated:\n" + plan)
+  }
+
+  test("conservative: distinct, global, and avg aggregates untouched") {
+    withRule {
+      val distinctPlan = toks.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("u"))
+        .queryExecution.optimizedPlan.toString
+      assert(!distinctPlan.contains("__p_0"))
+      val globalPlan = toks.agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(!globalPlan.contains("__p_0"))
+      val avgPlan = toks.groupBy("token").agg(avg(col("doc_id")).as("a"))
+        .queryExecution.optimizedPlan.toString
+      assert(!avgPlan.contains("__p_0"))
+    }
+  }
+
+  test("rule is inert without the conf") {
+    AutoSalt.ensureRegistered(spark)
+    val plan = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__p_0"))
+  }
+}
