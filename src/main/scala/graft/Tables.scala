@@ -81,6 +81,10 @@ object Tables {
     f.delete(); ()
   }
 
+  /** Recursive delete of a staging path (local FS only). */
+  private[graft] def deleteDir(path: String): Unit =
+    deleteRec(new java.io.File(path))
+
   // ONE shutdown hook for all materialized temp dirs: sys.addShutdownHook
   // spawns a thread per call, and a bench session materializes hundreds.
   // Keyed by tag: re-materializing a tag deletes the previous run's copy

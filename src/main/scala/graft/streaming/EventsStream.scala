@@ -613,12 +613,98 @@ object EventsStream {
   private val lastTopkSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  // three-file staged events dir for the LATE-DATA gate: files 00+01
+  // hold the most recent 24 h split at an hour-aligned midpoint (so no
+  // window straddles any boundary), file 02 everything older. THREE
+  // files, not two, because Spark filters late events with the
+  // PREVIOUS batch's watermark (watermarkForLateEvents lags eviction
+  // by one batch — empirically pinned in LateProbeSpec): with only two
+  // files the late batch still sees the 1970 initial watermark and
+  // nothing is dropped; the middle file's batch carries the watermark
+  // forward so the late file meets a current one. Explicit ascending
+  // mtimes pin consumption order — FileStreamSource orders its initial
+  // listing by modification time.
+  private val lateStaged = new graft.Tables.KeyedOnce[String]
+  private[streaming] def lateEventsDir(
+      spark: SparkSession, dir: String): String = lateStaged(dir) {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft-streamlate").toString
+    graft.Tables.registerTempDir(s"streamlate:$d", d)
+    val ev = graft.Tables(spark, dir, "events")
+    val cutoff = ev.agg(date_trunc("hour",
+      max(col("ts")) - expr("INTERVAL 24 HOURS")).as("c"))
+      .head().getAs[java.sql.Timestamp](0)
+    val mid = new java.sql.Timestamp(cutoff.getTime + 12L * 3600 * 1000)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$d/_tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(d, name))
+      graft.Tables.deleteDir(tmp)
+      Paths.get(d, name).toFile.setLastModified(mtime); ()
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts") >= lit(cutoff) && col("ts") < lit(mid)),
+      "00-recent-a.parquet", now - 90000)
+    writeOne(ev.filter(col("ts") >= lit(mid)), "01-recent-b.parquet",
+      now - 60000)
+    writeOne(ev.filter(col("ts") < lit(cutoff)), "02-late.parquet",
+      now - 30000)
+    d
+  }
+
+  /** Watermark LATE-DATA semantics behind the driver gate: the recent
+    * 24 h of events arrive in the first two batches and push the
+    * LATE-EVENTS watermark (which lags one batch — see
+    * [[lateEventsDir]]) to max_ts − 10 min; the older bulk then
+    * arrives ENTIRELY behind it and must be dropped before the
+    * aggregation state (numRowsDroppedByWatermark — EventsStreamSpec
+    * pins the count). The gate witnesses the drop through the OUTPUT:
+    * dropped rows' windows never enter state, so only recent-file
+    * windows (finalized: end < final watermark) emit — a regression
+    * that lets late rows into state would emit the old windows too
+    * (their ends are far behind the watermark) and break the hash. */
+  def qStreamLate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamlate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val src = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(lateEventsDir(spark, dir))
+      val agg = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+        .select(col("win.start").as("bucket"), col("n"),
+          col("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastLateSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"), col("n"), col("total_value"))
+      .orderBy("bucket")
+  }
+  private val lastLateSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_tws" -> qStreamTws _,
     "q_stream_join_live" -> qStreamJoinLive _,
     "q_stream_topk" -> qStreamTopk _,
+    "q_stream_late" -> qStreamLate _,
     "q_stream_sink" -> qStreamSink _)
 
   val oracles: Map[String, String] = Map(
@@ -671,6 +757,23 @@ object EventsStream {
         |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, n
         |FROM r WHERE rk <= 3
         |ORDER BY bucket, event_type""".stripMargin,
+    // only the recent file's finalized windows: the late file's rows
+    // are dropped pre-state, so its (long-finalized) windows must be
+    // ABSENT — see qStreamLate
+    "q_stream_late" ->
+      """WITH mx AS (SELECT MAX(ts) AS m,
+        |             date_trunc('hour', MAX(ts) - INTERVAL 24 HOUR) AS c
+        |           FROM events),
+        |a AS (SELECT e.ts, e.value FROM events e, mx WHERE e.ts >= mx.c),
+        |w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+        |        COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS total_value
+        |      FROM a GROUP BY 1)
+        |SELECT strftime(w.b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+        |  total_value
+        |FROM w, mx WHERE w.b + INTERVAL 1 HOUR < mx.m - INTERVAL 10 MINUTE
+        |ORDER BY bucket""".stripMargin,
     // replay of the session machine + Append-mode release rule: all
     // gap-closed sessions, plus each user's last session iff its gap
     // horizon cleared the final watermark (max_ts - 10 min) — the

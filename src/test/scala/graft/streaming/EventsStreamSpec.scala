@@ -409,4 +409,44 @@ class EventsStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got === want)
   }
+
+  test("late-file rows are watermark-dropped and counted in progress") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val staged = EventsStream.lateEventsDir(spark, dir)
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("late_spec_out").start()
+    q.awaitTermination()
+    // the drop metric counts the STATEFUL OPERATOR's input rows, which
+    // are per-task PARTIAL aggregates (window, partition), not raw
+    // events — bound it between the late file's distinct-window count
+    // and its raw row count
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val ev = graft.Tables.events(spark, dir)
+    val cutoff = ev.agg(date_trunc("hour",
+        max(col("ts")) - expr("INTERVAL 24 HOURS")).as("c"))
+      .head().getAs[java.sql.Timestamp](0)
+    val lateEv = ev.filter(col("ts") < lit(cutoff))
+    val lateRows = lateEv.count()
+    val lateWindows = lateEv
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(lateRows > 0, "staging produced no late rows")
+    assert(dropped >= lateWindows && dropped <= lateRows,
+      s"dropped $dropped outside [$lateWindows, $lateRows]")
+    // the semantic proof: the sink holds ONLY the recent file's
+    // finalized windows — no late window leaked into state
+    val sinkMin = spark.table("late_spec_out")
+      .agg(min(col("win.start"))).head().getTimestamp(0)
+    assert(!sinkMin.before(cutoff),
+      s"late window $sinkMin leaked into the sink (cutoff $cutoff)")
+  }
 }
