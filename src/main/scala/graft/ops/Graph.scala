@@ -216,6 +216,54 @@ object Graph {
           .cast("bigint").as("clustering_bp"))
   }
 
+  /** k-core decomposition (k=2) of the same reranked top-3 k-NN graph
+    * as [[qTriangles]], by ITERATIVE PEELING: each round removes every
+    * node whose degree dropped below k, until the remaining subgraph —
+    * the k-core — is stable. The round-by-round (survivors, edges)
+    * trajectory is the output: near-dup clusters survive peeling (their
+    * members keep each other's degrees up) while thin topical chains
+    * evaporate — the corpus-density metric complementing the triangle
+    * census, and the standard first cut for dense-subgraph/spam-farm
+    * detection on similarity graphs.
+    *
+    * Scale shape: each round is one degree aggregation + two semi
+    * joins over the CURRENT edge set (which only shrinks), with
+    * per-round materialization keeping lineage flat — the CC-loop
+    * discipline; the round count is a bounded driver scalar. All
+    * outputs integers → hash-gatable; the oracle replays the rerank
+    * from the anncand export and unrolls the same six peel rounds as
+    * CTEs (the PageRank pattern). Six rounds reach the fixpoint on the
+    * fixture — and the trajectory being PART OF THE OUTPUT means a
+    * convergence regression is visible, not silent. */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val knn = Vectors.qCosineAnn(spark, dir).select(col("qid"), col("nid"))
+    kcorePeel(knn, k = 2, rounds = 6)
+  }
+
+  private[ops] def kcorePeel(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val cols = edges.columns
+    var e = Tables.materialize(
+      edges.select(least(col(cols(0)), col(cols(1))).as("a"),
+          greatest(col(cols(0)), col(cols(1))).as("b"))
+        .filter(col("a") =!= col("b")).distinct(), "kcore_e0")
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val sym = e.select(col("a").as("u"))
+        .unionByName(e.select(col("b").as("u")))
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      e = Tables.materialize(
+        e.join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+          .select("a", "b"), s"kcore_e$r")
+      rows += ((r, keep.count(), e.count()))
+    }
+    import spark.implicits._
+    rows.result().toDF("round", "n_nodes", "n_edges")
+  }
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val cand = Vectors.annCandidatesExported(spark, dir)
     val e = cand.select(col("qid").as("src"), col("nid").as("dst"))
@@ -225,7 +273,8 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _)
+    Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _,
+      "q_kcore" -> qKcore _)
 
   val oracles: Map[String, String] = {
     val cand = graft.OracleExport.oraclePath("anncand")
@@ -268,6 +317,35 @@ object Graph {
           |  (SELECT n_triangles FROM tri) AS n_triangles,
           |  CAST((3 * (SELECT n_triangles FROM tri) * 10000)
           |    // (SELECT n_wedges FROM w) AS BIGINT) AS clustering_bp""".stripMargin),
+      // same rerank + canonical edge CTEs as q_triangles, then six
+      // unrolled peel rounds (the PageRank unrolling pattern)
+      "q_kcore" -> Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        """, top3 AS (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |ce AS (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |      FROM top3 WHERE qid <> nid),
+          |""".stripMargin +
+          (1 to 6).map { r =>
+            val prev = if (r == 1) "ce" else s"e${r - 1}"
+            s"""d$r AS (SELECT u, COUNT(*) AS d FROM
+               |  (SELECT a AS u FROM $prev UNION ALL SELECT b AS u FROM $prev) s$r
+               |  GROUP BY u),
+               |keep$r AS (SELECT u FROM d$r WHERE d >= 2),
+               |e$r AS (SELECT e.a, e.b FROM $prev e
+               |  JOIN keep$r ka ON ka.u = e.a
+               |  JOIN keep$r kb ON kb.u = e.b)""".stripMargin
+          }.mkString(",\n") + "\n" +
+          "SELECT * FROM (\n" +
+          (1 to 6).map { r =>
+            s"  SELECT $r AS round, (SELECT COUNT(*) FROM keep$r) AS n_nodes, " +
+              s"(SELECT COUNT(*) FROM e$r) AS n_edges"
+          }.mkString("\n  UNION ALL\n") +
+          "\n) rounds ORDER BY round"),
       "q_pagerank" ->
       (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
           |e AS (SELECT qid AS src, nid AS dst FROM pairs

@@ -321,8 +321,10 @@ object Similarity {
     * oracle recomputes the banding, bucket join, and exact-Jaccard
     * verification from them; the hash kernel itself is pinned by the
     * recall/subset property tests in SimilaritySpec. */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.7
+  /** Banded LSH candidate pairs (pre-verification), shared by
+    * [[qMinhashLsh]] and [[qLshQuality]]; performs the knob guard and
+    * the signature/shingle exports the oracles read. */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val (minhashK, bands) = (minhashKN(spark), bandsN(spark))
     require(minhashK % bands == 0, s"minhash.k=$minhashK not divisible by bands=$bands")
     // The gate's oracle SQL hardcodes the DEFAULT band arms (mh0..mh31,
@@ -331,7 +333,7 @@ object Similarity {
     // knob experiments set spark.graft.oracleExport=false and are free.
     if (spark.conf.get("spark.graft.oracleExport", "true") == "true")
       require(minhashK == 32 && bands == 8,
-        s"q_minhash_lsh's oracle SQL assumes k=32/bands=8 (got k=$minhashK" +
+        s"the LSH oracle SQL assumes k=32/bands=8 (got k=$minhashK" +
           s", bands=$bands); set spark.graft.oracleExport=false for " +
           "non-default minhash knobs")
     val rowsPerBand = minhashK / bands
@@ -349,10 +351,48 @@ object Similarity {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // join generator: identical docs share every band signature, so LSH
     // buckets are hot wherever exact dups exist (see bucketPairs scaladoc)
-    val cand = bucketPairsJoin(banded, Seq("band", "sig"), "banded")
-    verifyJaccard(cand, sh, t)
+    bucketPairsJoin(banded, Seq("band", "sig"), "banded")
+  }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.7
+    val cand = lshCandidates(spark, dir)
+    verifyJaccard(cand, corpusShingles(spark, dir), t)
       .select("doc_a", "doc_b", "jac")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Sketch-quality EVALUATION as a first-class operator: precision and
+    * recall of the banded MinHash-LSH candidate generator against the
+    * exact-Jaccard ground truth at the same threshold — the audit a
+    * pipeline runs before trusting a sketch configuration on a new
+    * corpus (recall of banding depends on the corpus's similarity
+    * distribution, not just the S-curve math; SimilaritySpec asserts a
+    * floor once, this puts the measurement behind the gate per corpus).
+    * All-integer output (counts + basis-point ratios via integer DIV)
+    * so the row is hash-gatable.
+    *
+    * Ground truth is computed with the complete PPJoin prefix filter —
+    * never all pairs — and the candidate set is the same banded bucket
+    * join production runs; both sides verify with the same exact
+    * Jaccard, so hits ⊆ truth by construction and n_missed is exactly
+    * the banding's false-negative count. At 100 TB the truth side is
+    * the expensive audit run once per sketch-config change (on a
+    * sampled stratum if need be); the per-ingest path stays
+    * LSH-only. */
+  def qLshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.7
+    val sh = corpusShingles(spark, dir)
+    val cand = materialize(lshCandidates(spark, dir), "lshqcand")
+    val nCand = cand.count()
+    val nHits = verifyJaccard(cand, sh, t).count()
+    val truthCand = bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), "ppjq")
+    val nTruth = verifyJaccard(truthCand, sh, t).count()
+    import spark.implicits._
+    Seq((nTruth, nCand, nHits, nTruth - nHits,
+      nHits * 10000L / nCand, nHits * 10000L / nTruth))
+      .toDF("n_truth", "n_candidates", "n_hits", "n_missed",
+        "precision_bp", "recall_bp")
   }
 
   /** Incremental NEAR-dup detection: a new ingest batch checked against
@@ -495,6 +535,7 @@ object Similarity {
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_lsh" -> qMinhashLsh _,
+    "q_lsh_quality" -> qLshQuality _,
     "q_neardup_incremental" -> qNeardupIncremental _,
     "q_simhash_neardup" -> qSimhashNeardup _)
 
@@ -630,6 +671,44 @@ object Similarity {
          |JOIN sz y ON hist_doc = y.doc_id
          |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.7
          |ORDER BY batch_doc, hist_doc""".stripMargin
+    },
+    // full replay from the exports: banding → candidates; brute
+    // common-shingle truth; hits = cand ∩ truth (same exact verify);
+    // integer basis-point ratios via floor division
+    "q_lsh_quality" -> {
+      val bandArms = (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sig AS (SELECT * FROM '${graft.OracleExport.oraclePath("minhsig")}'),
+         |sh AS (SELECT doc_id, shingle FROM '${graft.OracleExport.oraclePath("shingles")}'),
+         |banded AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT da, db FROM p
+         |  JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.7),
+         |hits AS (
+         |  SELECT t.da FROM truth t
+         |  JOIN cand c ON c.doc_a = t.da AND c.doc_b = t.db),
+         |k AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         |        (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |        (SELECT COUNT(*) FROM hits) AS n_hits)
+         |SELECT n_truth, n_candidates, n_hits,
+         |  n_truth - n_hits AS n_missed,
+         |  n_hits * 10000 // n_candidates AS precision_bp,
+         |  n_hits * 10000 // n_truth AS recall_bp
+         |FROM k""".stripMargin
     },
     "q_minhash_lsh" -> {
       val bandArms = (0 until 8).map { b =>

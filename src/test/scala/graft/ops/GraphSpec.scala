@@ -155,4 +155,37 @@ class GraphSpec extends SparkSpec {
       assert(gbp === 3L * bt * 10000L / bw)
     }
   }
+
+  test("k-core peel: hand graph trajectory and random-graph brute force") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant chain 3-4-5: the chain peels off
+    // one node per round, the triangle is the stable 2-core
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    val traj = Graph.kcorePeel(hand, k = 2, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(traj === Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L), (4, 3L, 3L)))
+
+    // random graphs vs a driver-side peeling recompute
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(60)((rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+        .filter(p => p._1 != p._2).distinct
+      def peel(es: Set[(Long, Long)]): Seq[(Long, Long)] = {
+        var cur = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        (1 to 4).map { _ =>
+          val deg = cur.toSeq.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).map { case (n, v) => n -> v.size }
+          val keep = deg.filter(_._2 >= 2).keySet
+          cur = cur.filter(p => keep(p._1) && keep(p._2))
+          (keep.size.toLong, cur.size.toLong)
+        }
+      }
+      val want = peel(edges.toSet).zipWithIndex
+        .map { case ((n, e), i) => (i + 1, n, e) }
+      val got = Graph.kcorePeel(edges.toDF("x", "y"), k = 2, rounds = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want, s"trial $trial: $edges")
+    }
+  }
 }
