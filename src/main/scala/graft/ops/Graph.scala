@@ -319,24 +319,29 @@ object Graph {
           |    // (SELECT n_wedges FROM w) AS BIGINT) AS clustering_bp""".stripMargin),
       // same rerank + canonical edge CTEs as q_triangles, then six
       // unrolled peel rounds (the PageRank unrolling pattern)
+      // AS MATERIALIZED throughout: each round references the previous
+      // edge set three times — default CTE inlining would expand the
+      // whole rerank chain 3^6 times (manifested as "Too many open
+      // files" on the embeddings parquet)
       "q_kcore" -> Vectors.simOracle(
         s"SELECT qid, nid FROM '$cand'", "qid", "nid",
-        """, top3 AS (SELECT qid, nid FROM (
+        """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
           |  SELECT qid, nid,
           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
           |  FROM (SELECT qid, nid, sim FROM sims
           |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
           |  WHERE rank <= 3),
-          |ce AS (SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
-          |      FROM top3 WHERE qid <> nid),
+          |ce AS MATERIALIZED (
+          |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |  FROM top3 WHERE qid <> nid),
           |""".stripMargin +
           (1 to 6).map { r =>
             val prev = if (r == 1) "ce" else s"e${r - 1}"
-            s"""d$r AS (SELECT u, COUNT(*) AS d FROM
+            s"""d$r AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM
                |  (SELECT a AS u FROM $prev UNION ALL SELECT b AS u FROM $prev) s$r
                |  GROUP BY u),
-               |keep$r AS (SELECT u FROM d$r WHERE d >= 2),
-               |e$r AS (SELECT e.a, e.b FROM $prev e
+               |keep$r AS MATERIALIZED (SELECT u FROM d$r WHERE d >= 2),
+               |e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
                |  JOIN keep$r ka ON ka.u = e.a
                |  JOIN keep$r kb ON kb.u = e.b)""".stripMargin
           }.mkString(",\n") + "\n" +
