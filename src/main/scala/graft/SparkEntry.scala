@@ -45,6 +45,7 @@ object SparkEntry {
       "ann" -> (() => { // ANN family: emb projection -> buckets -> pairs
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
+        ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ()
       }),
       "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components
@@ -56,11 +57,13 @@ object SparkEntry {
         ops.Similarity.survivorPairs(spark, dir)
         ops.Similarity.survivorSizes(spark, dir)
         ops.Similarity.dupComponents(spark, dir)
+        ops.Similarity.truthPairsAt(spark, dir, 0.7) // q_lsh_quality truth
         ()
       }),
-      "minhash" -> (() => { // corpus shingles -> k=32 signatures
+      "minhash" -> (() => { // corpus shingles -> k=32 signatures -> cands
         ops.Similarity.corpusShingles(spark, dir)
         ops.Similarity.minhashSignatures(spark, dir)
+        ops.Similarity.lshCandidates(spark, dir)
         ()
       }),
       "contamination" -> (() => { // 13-gram decontamination index

@@ -176,10 +176,15 @@ object Graph {
     * integers (coefficient in basis points via floor division) →
     * hash-gatable; the oracle recomputes the same top-3 rerank from the
     * anncand export (the q_cosine_ann parity) and the same census. */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val knn = Vectors.qCosineAnn(spark, dir).select(col("qid"), col("nid"))
-    triangleCensus(knn)
-  }
+  /** The reranked top-3 k-NN edge list, session-shared: the graph is a
+    * corpus-version artifact consumed by q_triangles AND q_kcore — the
+    * rerank pipeline runs once per session, not per census. */
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "knn3", dir)(
+      Vectors.qCosineAnn(spark, dir).select(col("qid"), col("nid")))
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(knnEdges(spark, dir))
 
   /** Census core over an arbitrary undirected edge list (first two
     * columns = endpoints, any orientation, duplicates/self-loops
@@ -235,10 +240,8 @@ object Graph {
     * CTEs (the PageRank pattern). Six rounds reach the fixpoint on the
     * fixture — and the trajectory being PART OF THE OUTPUT means a
     * convergence regression is visible, not silent. */
-  def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    val knn = Vectors.qCosineAnn(spark, dir).select(col("qid"), col("nid"))
-    kcorePeel(knn, k = 2, rounds = 6)
-  }
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(knnEdges(spark, dir), k = 2, rounds = 6)
 
   private[ops] def kcorePeel(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {

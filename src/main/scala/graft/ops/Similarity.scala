@@ -350,9 +350,34 @@ object Similarity {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // join generator: identical docs share every band signature, so LSH
-    // buckets are hot wherever exact dups exist (see bucketPairs scaladoc)
-    bucketPairsJoin(banded, Seq("band", "sig"), "banded")
+    // buckets are hot wherever exact dups exist (see bucketPairs scaladoc).
+    // SESSION-SHARED (knob-keyed): the candidate set is a corpus-version
+    // artifact consumed by q_minhash_lsh AND q_lsh_quality.
+    Tables.materializeSharedBy(spark, "lshcand",
+      s"$dir:k=$minhashK.b=$bands")(
+      bucketPairsJoin(banded, Seq("band", "sig"), "banded"))
   }
+
+  /** Exact-Jaccard ≥ t ground-truth pairs over the full corpus
+    * (complete prefix-filter + bucket join + exact verify),
+    * session-shared per (dir, t) — the expensive audit table behind
+    * [[qLshQuality]], built once per corpus version. Measured at
+    * sf0.1: this DIRECT form builds in ~16 s cold while a rep-first
+    * variant (collapse exact-dup clusters, verify survivors, expand
+    * members back — the qJaccardPairs shape) took ~62 s at this t:
+    * the 0.7 threshold lengthens every doc's prefix (0.3n keys vs
+    * 0.2n at 0.8) and the expansion joins outweigh the ~10% candidate
+    * reduction at the fixture's dup rate. At a web corpus's 20-50%
+    * dup rate the rep-first trade flips (the qJaccardPairs scaladoc
+    * argument) — revisit the body, not the callers, if so. */
+  private[graft] def truthPairsAt(spark: SparkSession, dir: String,
+      t: Double): DataFrame =
+    Tables.materializeSharedBy(spark, "lshtruth", s"$dir:t=$t") {
+      val sh = corpusShingles(spark, dir)
+      verifyJaccard(
+        bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), "ppjq"), sh, t)
+        .select(col("doc_a"), col("doc_b"))
+    }
 
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
@@ -383,11 +408,10 @@ object Similarity {
   def qLshQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.7
     val sh = corpusShingles(spark, dir)
-    val cand = materialize(lshCandidates(spark, dir), "lshqcand")
+    val cand = lshCandidates(spark, dir)
     val nCand = cand.count()
     val nHits = verifyJaccard(cand, sh, t).count()
-    val truthCand = bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), "ppjq")
-    val nTruth = verifyJaccard(truthCand, sh, t).count()
+    val nTruth = truthPairsAt(spark, dir, t).count()
     import spark.implicits._
     Seq((nTruth, nCand, nHits, nTruth - nHits,
       nHits * 10000L / nCand, nHits * 10000L / nTruth))
