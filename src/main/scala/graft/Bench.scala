@@ -140,6 +140,25 @@ object Bench {
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Static per-query cost prior from the COMMITTED anchor record
+    // (BENCH_FULL.json's medians): pass 1 runs cheapest-first by it, so
+    // when the registry outgrows the budget the emergency cutoff sheds
+    // the few most expensive queries instead of an arbitrary
+    // alphabetical suffix — maximum per-query coverage survives. New
+    // queries (absent from the anchor) get a mid prior so they are
+    // sampled before the known-heavy tail. Absent/corrupt anchor →
+    // empty prior → name order (the old behavior).
+    val anchorPrior: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)))
+        val qmap = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qmap)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
     var failed = Set.empty[String]
     val ioSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -170,7 +189,9 @@ object Bench {
       // medians stay the headline for the most of the registry the budget
       // can afford (the r11 suite outgrew 3 unconditional full passes).
       val passOrder =
-        if (p == 0) names
+        if (p == 0)
+          if (anchorPrior.isEmpty) names
+          else names.sortBy(n => (anchorPrior.getOrElse(n._1, 1.0), n._1))
         else names.sortBy(n => median(samples.getOrElse(n._1, Nil)))
       for ((name, fn) <- passOrder if !stop) {
         if (p > 0) {
@@ -191,7 +212,8 @@ object Bench {
           // from `value`) or the driver killing the JVM before the JSON
           // line prints at all (round 7's rc 124). Partial wins.
           stop = true; partial = true
-          skipped = names.drop(names.indexWhere(_._1 == name)).map(_._1).toList
+          skipped = passOrder.drop(passOrder.indexWhere(_._1 == name))
+            .map(_._1).toList
           System.err.println(
             f"[bench] EMERGENCY cutoff in pass 1 at $name: elapsed " +
               f"$elapsedSec%.1f s of $budgetSec%.1f s; skipping ${skipped.size} queries")

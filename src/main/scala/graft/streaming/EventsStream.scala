@@ -549,6 +549,17 @@ object EventsStream {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Build the staged stream source dirs (symlink dir, 6-file split,
+    * 3-file late layout) ahead of time — each is a KeyedOnce artifact
+    * that otherwise charges its staging write to the first stream gate
+    * query of a bench pass. */
+  def prewarmStaging(spark: SparkSession, dir: String): Unit = {
+    eventsSrcDir(dir)
+    splitEventsDir(spark, dir)
+    lateEventsDir(spark, dir)
+    ()
+  }
+
   /** The REAL stream-stream interval join behind the driver gate
     * ([[purchaseErrorJoin]]; the batch twin q_stream_join pins the same
     * SQL semantics). Inner-join matches emit as soon as both sides are
