@@ -228,6 +228,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Classifier-evaluation report over [[qLangId]] — the per-class
+    * precision/recall table a pipeline publishes before trusting a
+    * heuristic labeler for routing or filtering (the q_lsh_quality
+    * pattern applied to classification): per label, how many docs
+    * carry it, how many were predicted as it, how many predictions
+    * were right, and the basis-point precision/recall (integer DIV →
+    * hash-gatable; a class never predicted reports NULL precision,
+    * mirrored in both engines). One narrow pass + two tiny
+    * aggregations — evaluation must not cost more than labeling. */
+  def qLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = qLangId(spark, dir)
+    val byTrue = pred.groupBy(col("lang").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_match")).cast("bigint").as("n_correct"))
+    val byPred = pred.groupBy(col("predicted").as("label"))
+      .agg(count(lit(1)).as("n_predicted"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        when(coalesce(col("n_docs"), lit(0L)) > 0,
+          expr("n_correct * 10000 div n_docs")).as("recall_bp"),
+        when(coalesce(col("n_predicted"), lit(0L)) > 0,
+          expr("coalesce(n_correct, 0) * 10000 div n_predicted"))
+          .as("precision_bp"))
+      .orderBy("label")
+  }
+
   /** Document fingerprint: md5 over the whitespace-normalized lowercase
     * text — the canonical-form content fingerprint used for fuzzy-exact
     * dedup (case/spacing-insensitive). */
@@ -772,6 +801,7 @@ object TextOps {
     "q_text_quality" -> qTextQuality _,
     "q_quality_gate" -> qQualityGate _,
     "q_lang_id" -> qLangId _,
+    "q_langid_eval" -> qLangidEval _,
     "q_fingerprint" -> qFingerprint _,
     "q_doc_chunks" -> qDocChunks _,
     "q_seq_pack" -> qSeqPack _,
@@ -784,6 +814,33 @@ object TextOps {
     "q_ngram_novelty" -> qNgramNovelty _,
     "q_text_bigrams" -> qTextBigrams _,
     "q_phrase_search" -> qPhraseSearch _)
+
+  /** Shared by q_lang_id (per-doc) and q_langid_eval (report). */
+  private val langIdSql: String =
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['the','and','of','to','in'])) AS hits_en,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['el','la','de','que','y'])) AS hits_es,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['der','die','und','das','ist'])) AS hits_de,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['le','la','et','les','des'])) AS hits_fr,
+        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['的','是','了','在','我'])) AS hits_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
+        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
+        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
+        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
+        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END AS predicted,
+        |  CAST(CASE
+        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
+        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
+        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
+        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
+        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END = lang AS INT) AS is_match
+        |FROM h ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Gap-bounded chain detection from the exported positions table —
@@ -948,31 +1005,26 @@ object TextOps {
         |    * CAST(sym_ratio <= 0.1 AS INT)
         |    * CAST(n_stop >= 2 AS INT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
-    "q_lang_id" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['the','and','of','to','in'])) AS hits_en,
-        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['el','la','de','que','y'])) AS hits_es,
-        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['der','die','und','das','ist'])) AS hits_de,
-        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['le','la','et','les','des'])) AS hits_fr,
-        |    len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), ['的','是','了','在','我'])) AS hits_zh
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE
-        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
-        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
-        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
-        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
-        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
-        |    ELSE 'und' END AS predicted,
-        |  CAST(CASE
-        |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'en'
-        |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'es'
-        |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'de'
-        |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'fr'
-        |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) AND GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) > 0 THEN 'zh'
-        |    ELSE 'und' END = lang AS INT) AS is_match
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> langIdSql,
+    "q_langid_eval" ->
+      s"""WITH pred AS ($langIdSql),
+         |t AS (SELECT lang AS label, COUNT(*) AS n_docs,
+         |        CAST(SUM(is_match) AS BIGINT) AS n_correct
+         |      FROM pred GROUP BY 1),
+         |p AS (SELECT predicted AS label, COUNT(*) AS n_predicted
+         |      FROM pred GROUP BY 1)
+         |SELECT COALESCE(t.label, p.label) AS label,
+         |  COALESCE(t.n_docs, 0) AS n_docs,
+         |  COALESCE(t.n_correct, 0) AS n_correct,
+         |  COALESCE(p.n_predicted, 0) AS n_predicted,
+         |  CASE WHEN COALESCE(t.n_docs, 0) > 0
+         |    THEN COALESCE(t.n_correct, 0) * 10000 // t.n_docs END
+         |    AS recall_bp,
+         |  CASE WHEN COALESCE(p.n_predicted, 0) > 0
+         |    THEN COALESCE(t.n_correct, 0) * 10000 // p.n_predicted END
+         |    AS precision_bp
+         |FROM t FULL OUTER JOIN p ON t.label = p.label
+         |ORDER BY label""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
