@@ -100,6 +100,28 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("warmtimeq")) {
+      // Debug warmtimeq <n1,n2,..> [dir] — run each query ONCE at
+      // sf0.001 (untimed codegen/JIT warm), then time its FIRST run at
+      // the target dir: isolates how much of the first-run penalty a
+      // tiny-sf warmup removes (same plan structure → same generated
+      // classes).
+      val names = args(1).split(",").toSeq
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      names.foreach { name =>
+        val tw = System.nanoTime()
+        try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => println(s"$name warm failed: $e") }
+        val w = (System.nanoTime() - tw) / 1e9
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"$name warmup ${w}%.2fs, first-target-run ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("annrecall")) {
       // Debug annrecall [dir] — measured top-3 recall of q_cosine_ann and
       // q_cosine_ivf vs the brute-force ground truth

@@ -403,6 +403,15 @@ object EventsStream {
     * same knob UP; the session-global 32 stays untouched for batch.
     * Safe to scope here because the whole stream runs inside the
     * query function (conf is read at stream start, restored after). */
+  /** Stream-gate state-partition count (`spark.graft.stream.parts`,
+    * default 4 — the fixture streams' key cardinalities are ~10³, and
+    * the interleaved A/B at sf0.1 read 4 ≤ 8 on every gate stream:
+    * state-store commit cost scales with partition count; a billion-key
+    * production stream tunes UP); conf'd so partition-count A/Bs don't
+    * need a rebuild. */
+  private def statePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.stream.parts", "4").toInt
+
   private def withStatePartitions[A](spark: SparkSession, n: Int)(
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -414,7 +423,7 @@ object EventsStream {
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "streamdedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions(spark)) {
       val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       runToMemory(dedupStream(src).select("user_id", "event_type", "value"),
@@ -464,7 +473,7 @@ object EventsStream {
   def qStreamIncremental(spark: SparkSession, dir: String): DataFrame = {
     val name = "streaminc_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions(spark)) {
       val src = spark.readStream
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
@@ -520,7 +529,7 @@ object EventsStream {
     val prev = spark.conf.getOption(pk)
     spark.conf.set(pk,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 8) {
+    try withStatePartitions(spark, statePartitions(spark)) {
       val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[Event]
@@ -572,7 +581,7 @@ object EventsStream {
   def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame = {
     val name = "streamssj_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions(spark)) {
       val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
       runToMemory(purchaseErrorJoin(src), name, OutputMode.Append)
     }
@@ -601,7 +610,7 @@ object EventsStream {
   def qStreamTopk(spark: SparkSession, dir: String): DataFrame = {
     val name = "streamtopk_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions(spark)) {
       val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
       // AvailableNow (not processAllAvailable): window finalization
       // needs the trailing no-data batch after the watermark advances —
@@ -680,7 +689,7 @@ object EventsStream {
   def qStreamLate(spark: SparkSession, dir: String): DataFrame = {
     val name = "streamlate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitions(spark)) {
       val src = spark.readStream
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
