@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ShardStoreSink transactional-publish pins: exact round trip,
+  * EXACTLY-ONCE under a task retry (the attempt-unique staging +
+  * winner-only publish), and atomic abort (failed job → no manifest).
+  * The shared test session runs local[8, 2] (one retry allowed), which
+  * is what makes the retry path witnessable. */
+class ShardSinkSpec extends SparkSpec {
+
+  private def docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    .select(col("doc_id"), col("text").as("payload"))
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-shardspec").toString
+    graft.Tables.registerTempDir(s"shardspec:$d", d)
+    d
+  }
+
+  test("round trip is exact (ids and payload bytes)") {
+    val out = freshDir()
+    docs.repartition(4, col("doc_id")).write
+      .format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    val back = ShardStoreSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq === want.toSeq)
+    assert(!Files.exists(Paths.get(out, "_staging")), "staging left behind")
+  }
+
+  test("task retry publishes exactly once (no duplicate, no orphan)") {
+    val out = freshDir()
+    ShardSinkSpec.trip.set(false)
+    val failing = docs.repartition(3, col("doc_id"))
+      .map { r =>
+        // first row seen anywhere fails its task ONCE; the retry runs
+        // clean — local-mode static state, deliberate
+        if (ShardSinkSpec.trip.compareAndSet(false, true))
+          throw new RuntimeException("injected task failure")
+        r
+      }(org.apache.spark.sql.Encoders.row(docs.schema))
+    failing.write.format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    assert(ShardSinkSpec.trip.get, "injection never fired")
+    val back = ShardStoreSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq === want.toSeq, "retry duplicated or lost rows")
+    assert(!Files.exists(Paths.get(out, "_staging")),
+      "loser attempt's staging survived commit")
+    val shards = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("shard-")).sorted
+    assert(shards.length === 3, s"expected 3 shards, got ${shards.toSeq}")
+  }
+
+  test("a failed job publishes NOTHING (no manifest)") {
+    val out = freshDir()
+    val alwaysFail = docs.map { r =>
+      throw new RuntimeException("persistent failure"); r
+    }(org.apache.spark.sql.Encoders.row(docs.schema))
+    intercept[Exception] {
+      alwaysFail.write.format("graft.sources.ShardStoreSink")
+        .option("path", out).mode("overwrite").save()
+    }
+    assert(!Files.exists(Paths.get(out, "manifest.json")),
+      "manifest published despite job failure")
+  }
+}
+
+object ShardSinkSpec {
+  val trip = new AtomicBoolean(false)
+}
