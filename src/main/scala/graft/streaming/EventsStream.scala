@@ -718,8 +718,64 @@ object EventsStream {
   private val lastLateSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** Checkpoint RESTART behind the driver gate — the scheduled
+    * incremental job pattern: run 1 drains the first half of the
+    * staged files under Trigger.AvailableNow and checkpoints; more
+    * files then arrive; run 2 starts FROM THE SAME CHECKPOINT, must
+    * resume from the committed offsets (re-reading nothing) and
+    * restore the aggregation state, and its final Complete snapshot
+    * must equal the one-shot batch aggregation of everything. An
+    * offset-tracking bug double-counts the first half; a state-restore
+    * bug drops it — both break the hash. The spec pins the
+    * no-re-read half separately (run 2's numInputRows = second half
+    * only). Uses the same 6-file staged dir as q_stream_incremental. */
+  def qStreamRestart(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val name = "streamrestart_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val staged = splitEventsDir(spark, dir)
+    val srcFiles = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    val work = Files.createTempDirectory("graft-restart").toString
+    graft.Tables.registerTempDir(s"restart:$work", work)
+    val srcDir = s"$work/src"; val chk = s"$work/chk"
+    Files.createDirectories(Paths.get(srcDir))
+    def linkIn(names: Seq[String]): Unit = names.foreach { f =>
+      Files.createSymbolicLink(Paths.get(srcDir, f), Paths.get(staged, f))
+    }
+    def drain(): Unit = withStatePartitions(spark, statePartitions(spark)) {
+      val src = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val agg = src.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    linkIn(srcFiles.take(3).toSeq)
+    drain() // run 1: first half, checkpointed
+    linkIn(srcFiles.drop(3).toSeq)
+    drain() // run 2: resumes offsets + restores state
+    lastRestartSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(col("event_type"), col("n"), col("total_value"))
+      .orderBy("event_type")
+  }
+  private val lastRestartSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> qStreamDedup _,
+    "q_stream_restart" -> qStreamRestart _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_tws" -> qStreamTws _,
     "q_stream_join_live" -> qStreamJoinLive _,
@@ -777,6 +833,14 @@ object EventsStream {
         |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, n
         |FROM r WHERE rk <= 3
         |ORDER BY bucket, event_type""".stripMargin,
+    // the full-table aggregation: run 2 resumed the checkpoint, so
+    // double-counted offsets or dropped state both break the hash
+    "q_stream_restart" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // only the recent file's finalized windows: the late file's rows
     // are dropped pre-state, so its (long-finalized) windows must be
     // ABSENT — see qStreamLate

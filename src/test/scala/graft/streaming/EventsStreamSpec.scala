@@ -410,6 +410,52 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("checkpoint restart: run 2 reads ONLY the new files and restores state") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val work = Files.createTempDirectory("graft-restart-spec").toString
+    graft.Tables.registerTempDir(s"restartspec:$work", work)
+    val srcDir = s"$work/src"; Files.createDirectories(Paths.get(srcDir))
+    val ev = graft.Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0).repartition(1)
+      .write.parquet(s"$work/half1")
+    ev.filter(col("event_id") % 2 === 1).repartition(1)
+      .write.parquet(s"$work/half2")
+    def linkIn(half: String): Unit =
+      new java.io.File(s"$work/$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          Files.createSymbolicLink(Paths.get(srcDir, s"$half-${f.getName}"),
+            f.toPath)
+        }
+    def drain(): Long = {
+      val src = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(srcDir)
+      val q = src.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName("restart_spec_out").start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    linkIn("half1")
+    val read1 = drain()
+    linkIn("half2")
+    val read2 = drain()
+    val h1 = ev.filter(col("event_id") % 2 === 0).count()
+    val h2 = ev.filter(col("event_id") % 2 === 1).count()
+    assert(read1 === h1, s"run 1 read $read1, expected $h1")
+    assert(read2 === h2, s"run 2 re-read old files: $read2 vs $h2 new rows")
+    val got = spark.table("restart_spec_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = ev.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want, "restored state + new rows != full aggregation")
+  }
+
   test("late-file rows are watermark-dropped and counted in progress") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")
