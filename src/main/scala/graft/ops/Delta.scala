@@ -87,10 +87,15 @@ object Delta {
     * keys ≡7 mod 101, reprice keys ≡3 mod 13 by +1.00, insert clones
     * shifted by 10⁷ for keys ≡11 mod 499) so the DuckDB oracle can
     * construct the identical v2 and recompute the diff from scratch. */
-  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables(spark, dir, "orders")
+  private[ops] def ordersV1(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
+
+  /** The deterministically-derived successor snapshot (see
+    * [[qSnapshotDiff]]'s scaladoc for the derivation rules). */
+  private[ops] def ordersV2(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = ordersV1(spark, dir)
     val v2base = v1.filter(col("o_orderkey") % 101 =!= 7)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 13 === 3,
@@ -99,16 +104,21 @@ object Delta {
           .otherwise(col("o_totalprice")))
     val inserts = v1.filter(col("o_orderkey") % 499 === 11)
       .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-    val v2 = v2base.unionByName(inserts)
+    v2base.unionByName(inserts)
+  }
 
-    // explicit date FORMAT in the digest: a raw timestamp→string cast
-    // renders differently across engines; every field non-null and
-    // '|'-free by construction, so the separator is unambiguous
-    def digest(df: DataFrame) = df.select(col("o_orderkey").as("k"),
-      dec(col("o_totalprice")).as("price"),
-      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")),
-        date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("dig"))
+  // explicit date FORMAT in the digest: a raw timestamp→string cast
+  // renders differently across engines; every field non-null and
+  // '|'-free by construction, so the separator is unambiguous
+  private def digest(df: DataFrame) = df.select(col("o_orderkey").as("k"),
+    dec(col("o_totalprice")).as("price"),
+    md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+      dec(col("o_totalprice")),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("dig"))
+
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = ordersV1(spark, dir)
+    val v2 = ordersV2(spark, dir)
 
     val a = digest(v1).withColumnRenamed("price", "price_a")
       .withColumnRenamed("dig", "dig_a")
@@ -128,9 +138,45 @@ object Delta {
       .orderBy("change_type")
   }
 
+  /** CDC APPLY — the consumer side of [[qSnapshotDiff]]: derive the
+    * change set (removed keys + upsert rows) by digest comparison, then
+    * RECONSTRUCT v2 as `v1 ∖ touched-keys ∪ upserts` and reduce the
+    * reconstruction to content witnesses the oracle recomputes from the
+    * direct v2 derivation — a dropped delete, a missed upsert, or a
+    * stale surviving row each breaks a witness. Scale shape: the change
+    * set is |Δ|-sized; the apply is one anti join on the key (bucketed
+    * → zero-exchange) + a union — never a full rewrite driven by
+    * row-by-row lookups. */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = ordersV1(spark, dir)
+    val v2 = ordersV2(spark, dir)
+    val d1 = digest(v1).select(col("k"), col("dig").as("dig_a"))
+    val d2 = digest(v2).select(col("k"), col("dig").as("dig_b"))
+    // change set: keys to retract (removed OR changed) + rows to upsert
+    val cmp = d1.join(d2, Seq("k"), "full_outer")
+    val retractKeys = cmp.filter(col("dig_b").isNull ||
+      (col("dig_a").isNotNull && col("dig_a") =!= col("dig_b")))
+      .select(col("k"))
+    val upsertKeys = cmp.filter(col("dig_a").isNull ||
+      (col("dig_b").isNotNull && col("dig_a") =!= col("dig_b")))
+      .select(col("k"))
+    val upserts = v2.join(broadcast(upsertKeys),
+      col("o_orderkey") === col("k"), "left_semi")
+    val applied = v1.join(broadcast(retractKeys),
+        col("o_orderkey") === col("k"), "left_anti")
+      .unionByName(upserts)
+    digest(applied)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).cast("bigint").as("key_sum"),
+        sum(col("price")).cast("double").as("price_sum"),
+        sum(conv(substring(col("dig"), 1, 8), 16, 10).cast("long"))
+          .cast("bigint").as("digest_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_incremental_join" -> qIncrementalJoin _,
-      "q_snapshot_diff" -> qSnapshotDiff _)
+      "q_snapshot_diff" -> qSnapshotDiff _,
+      "q_cdc_apply" -> qCdcApply _)
 
   /** Oracle = the FULL recompute over base∪delta on both sides: hash
     * equality proves the four-term decomposition exact (drop the cross
@@ -183,5 +229,31 @@ object Delta {
         |  COUNT(*) AS n,
         |  CAST(SUM(COALESCE(price_b, 0) - COALESCE(price_a, 0)) AS DOUBLE)
         |    AS price_delta
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    /* witnesses of the DIRECT v2 derivation — the reconstruction via
+     * retract+upsert must land on identical content */
+    "q_cdc_apply" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |              o_totalprice, o_orderdate FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 3
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1.00
+        |                AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM v1 WHERE o_orderkey % 101 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate
+        |  FROM v1 WHERE o_orderkey % 499 = 11)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(SUM(CAST('0x' || substr(md5(concat_ws('|', o_custkey,
+        |    o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)),
+        |    strftime(o_orderdate, '%Y-%m-%d'))), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS digest_sum
+        |FROM v2""".stripMargin)
 }

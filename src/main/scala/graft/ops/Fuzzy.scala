@@ -73,8 +73,44 @@ object Fuzzy {
       .orderBy("name_a", "name_b")
   }
 
+  /** End-to-end ENTITY RESOLUTION: the composition a catalog pipeline
+    * actually ships — [[editPairs]] (deletion-neighborhood fuzzy match)
+    * → [[Graph.connectedComponents]] (transitive closure of the
+    * match graph) → one GOLDEN RECORD per entity cluster (canonical =
+    * lexicographic min name — deterministic and engine-neutral; a
+    * production rule would rank by source authority) with the merged
+    * catalog weight behind it. Names enter CC as xxhash64 ids (the CC
+    * kernel is keyed on longs; 64-bit over distinct names — a
+    * collision would merge two clusters, probability ~n²/2⁶⁴); the
+    * OUTPUT carries only name-derived values, so the DuckDB oracle —
+    * brute-force Levenshtein pairs + recursive-CTE min-NAME closure —
+    * re-proves blocking, closure, and canonical pick at once.
+    * Singleton names (no fuzzy partner) are their own cluster via the
+    * coalesce, per the CC isolated-node contract. */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val ids = names.select(col("name"), xxhash64(col("name")).as("nid"))
+    val edges = editPairs(names.select("name"))
+      .join(ids.select(col("name").as("name_a"), col("nid").as("ida")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("nid").as("idb")), "name_b")
+      .select("ida", "idb")
+    val cc = Graph.connectedComponents(edges, "entres")
+    val labeled = ids
+      .join(cc.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      .select(col("name"), coalesce(col("label"), col("nid")).as("label"))
+    labeled.join(names, "name")
+      .groupBy("label")
+      .agg(min(col("name")).as("canonical_name"),
+        count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"))
+      .select("canonical_name", "n_names", "n_parts")
+      .orderBy("canonical_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_fuzzy_match" -> qFuzzyMatch _)
+    Map("q_fuzzy_match" -> qFuzzyMatch _,
+      "q_entity_resolution" -> qEntityResolution _)
 
   /** The oracle is the brute-force DEFINITION (all-pairs Levenshtein);
     * the Spark side is the deletion-neighborhood algorithm — hash
@@ -89,5 +125,28 @@ object Fuzzy {
         |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
         |FROM n a JOIN n b
         |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
-        |ORDER BY name_a, name_b""".stripMargin)
+        |ORDER BY name_a, name_b""".stripMargin,
+    /* brute-force pairs + recursive min-NAME closure: the canonical
+     * name IS the component's min label, so the oracle's `label`
+     * column equals the engine's per-cluster MIN(name) */
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |n AS (SELECT p_name AS name, COUNT(*) AS n_parts FROM part
+        |      GROUP BY 1),
+        |e AS (SELECT a.name AS na, b.name AS nb
+        |      FROM n a JOIN n b
+        |      ON a.name < b.name AND levenshtein(a.name, b.name) <= 1),
+        |sym AS (SELECT na AS u, nb AS v FROM e
+        |        UNION SELECT nb AS u, na AS v FROM e),
+        |reach(u, l) AS (
+        |  SELECT name, name FROM n
+        |  UNION
+        |  SELECT s.u, r.l FROM sym s JOIN reach r ON r.u = s.v),
+        |lab AS (SELECT u AS name, MIN(l) AS label FROM reach GROUP BY u)
+        |SELECT lab.label AS canonical_name,
+        |  COUNT(*) AS n_names,
+        |  CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+        |FROM lab JOIN n ON n.name = lab.name
+        |GROUP BY lab.label
+        |ORDER BY canonical_name""".stripMargin)
 }
