@@ -535,6 +535,38 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection — dedup that keeps the BEST
+    * member of each duplicate cluster instead of the first-seen: the
+    * curation policy real pipelines want (near-dup crawl copies differ;
+    * keep the longest = most complete one, ties to the smaller id for
+    * determinism). Rides the session-shared cluster labeling
+    * ([[docClusters]] + [[dupComponents]] — zero rebuild); selection is
+    * one window over cluster-sized groups. Reports each multi-member
+    * cluster with its kept doc and drop count; the oracle replays the
+    * full recursive-closure labeling plus the same argmax, so a wrong
+    * cluster boundary OR a wrong pick breaks the hash. */
+  def qDedupKeepbest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = docClusters(spark, dir).select("doc_id", "rep")
+    val cc = dupComponents(spark, dir)
+      .select(col("node").as("rep"), col("label"))
+    val labeled = clusters.join(cc, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
+    val rk = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled
+      .join(Tables(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id")
+      .withColumn("rk", row_number().over(rk))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"), col("kept_doc"),
+        col("kept_chars"), (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** End-to-end dedup pipeline, the composition a corpus-curation job
     * runs: (1) exact dedup — keep the min doc_id of each content-hash
     * group; (2) near-dup removal — among exact survivors, drop any doc
@@ -556,6 +588,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> qDupClusters _,
+    "q_dedup_keepbest" -> qDedupKeepbest _,
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_minhash_lsh" -> qMinhashLsh _,
@@ -605,6 +638,50 @@ object Similarity {
         |  COUNT(*) OVER (PARTITION BY cc.label) AS csize
         |FROM reps r JOIN cc ON cc.node = r.rep
         |ORDER BY doc_id""".stripMargin,
+    // same recursive labeling + the keep-longest argmax — see
+    // qDedupKeepbest
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE
+        |reps AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+        |    text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM reps WHERE doc_id = rep),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT rep AS node, rep AS label FROM reps
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT r.doc_id, cc.label AS cluster_id
+        |        FROM reps r JOIN cc ON cc.node = r.rep),
+        |j AS (SELECT lab.doc_id, lab.cluster_id, d.n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        |          ORDER BY d.n_chars DESC, lab.doc_id) AS rk
+        |      FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+        |g AS (SELECT cluster_id, COUNT(*) AS n_members,
+        |        MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+        |        MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars
+        |      FROM j GROUP BY 1)
+        |SELECT cluster_id, n_members, kept_doc, kept_chars,
+        |  n_members - 1 AS n_dropped
+        |FROM g WHERE n_members >= 2 ORDER BY cluster_id""".stripMargin,
     "q_dedup_pipeline" ->
       """WITH survivors AS (
         |  SELECT doc_id, lang, n_chars, text FROM (

@@ -35,6 +35,20 @@ class ShardSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(out, "_staging")), "staging left behind")
   }
 
+  test("payload encoding survives tabs, newlines, unicode, empties") {
+    import spark.implicits._
+    val rows = Seq((1L, "tab\there"), (2L, "nl\nthere\r\nend"),
+      (3L, "uni ♞ ü 中文"), (4L, ""),
+      (5L, "back\\slash\tand\nall"))
+    val out = freshDir()
+    rows.toDF("doc_id", "payload").repartition(2).write
+      .format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    val back = ShardStoreSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq === rows.sortBy(_._1))
+  }
+
   test("task retry publishes exactly once (no duplicate, no orphan)") {
     val out = freshDir()
     ShardSinkSpec.trip.set(false)
