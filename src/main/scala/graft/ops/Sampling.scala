@@ -144,7 +144,41 @@ object Sampling {
       .orderBy("epoch", "shard")
   }
 
+  /** Token-budget apportionment (largest-remainder / Hamilton method):
+    * split a fixed training-token budget across languages exactly
+    * proportionally to their measured token counts — floors of the
+    * exact integer quotas, with the leftover seats going to the
+    * largest remainders (ties to the lexicographically smaller lang).
+    * The allocations sum to the budget EXACTLY (SamplingSpec pins it),
+    * which naive per-lang rounding does not — and every step is
+    * integer arithmetic, identical in both engines. The scale shape is
+    * the point: the corpus pays ONE tokenize pass into a 5-row count
+    * table; the apportionment itself is window arithmetic over
+    * |langs| rows, so the budget solver costs nothing no matter the
+    * corpus size. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100000L
+    val counts = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+    val all = Window.partitionBy()
+    val ranked = counts
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("base",
+        expr(s"$budget * n_tokens div total"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("lang").asc)))
+    ranked.select(col("lang"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget" -> qTokenBudget _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sample_bernoulli" -> qSampleBernoulli _,
     "q_sample_stratified" -> qSampleStratified _,
@@ -152,6 +186,26 @@ object Sampling {
     "q_sample_pps" -> qSamplePps _)
 
   val oracles: Map[String, String] = Map(
+    "q_token_budget" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_tokens FROM (
+        |    SELECT lang,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t <> '')) AS t
+        |    FROM documents) GROUP BY lang),
+        |t AS (SELECT c.*, (SELECT SUM(n_tokens) FROM c) AS total FROM c),
+        |q AS (SELECT lang, n_tokens,
+        |        100000 * n_tokens // total AS base,
+        |        (100000 * n_tokens) % total AS rem
+        |      FROM t),
+        |r AS (SELECT q.*,
+        |        100000 - (SELECT SUM(base) FROM q) AS leftover,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+        |      FROM q)
+        |SELECT lang, n_tokens,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_tokens
+        |FROM r ORDER BY lang""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id, epoch,

@@ -99,4 +99,16 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq === ref.toSeq)
     assert(got.forall(_.getLong(1) <= 20))
   }
+
+  test("token budget: allocations sum EXACTLY to the budget, each within 1 of exact quota") {
+    val rows = Sampling.qTokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val budget = 100000L
+    assert(rows.map(_._3).sum === budget, "apportionment lost/invented tokens")
+    val total = rows.map(_._2).sum
+    rows.foreach { case (lang, n, alloc) =>
+      val exact = budget.toDouble * n / total
+      assert(math.abs(alloc - exact) <= 1.0, s"$lang: $alloc vs exact $exact")
+    }
+  }
 }
