@@ -119,15 +119,33 @@ object DocGenQueries {
       .orderBy("word")
   }
 
+  /** Aggregate PUSHDOWN on the hot path (see [[DocGenAggScan]]): range
+    * filter + count/min/max over the V2 source — the scan plans the
+    * clamped partitions and emits one bounds-arithmetic row each, so
+    * the "corpus scan" costs O(partitions) regardless of corpus size.
+    * DocGenSourceSpec asserts the plan (pushed scan schema) and the
+    * unsupported-aggregate fallback. */
+  def qDocgenStats(spark: SparkSession, dir: String): DataFrame = {
+    exportOnce(spark)
+    source(spark).filter(col("doc_id") < 3000)
+      .agg(count(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_docgen_wordcount" -> qDocgenWordcount _)
+    Map("q_docgen_wordcount" -> qDocgenWordcount _,
+      "q_docgen_stats" -> qDocgenStats _)
 
   val oracles: Map[String, String] = Map(
     "q_docgen_wordcount" ->
       s"""SELECT word, COUNT(*) AS n
          |FROM (SELECT unnest(string_split(text, ' ')) AS word
          |      FROM '$ExportDir/*.parquet') t
-         |GROUP BY word ORDER BY word""".stripMargin)
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "q_docgen_stats" ->
+      s"""SELECT COUNT(doc_id) AS n_docs, MIN(doc_id) AS min_id,
+         |  MAX(doc_id) AS max_id
+         |FROM '$ExportDir/*.parquet' WHERE doc_id < 3000""".stripMargin)
 }
 
 private class DocGenTable(props: Map[String, String])
@@ -150,8 +168,43 @@ private class DocGenTable(props: Map[String, String])
 private[sources] class DocGenScanBuilder(
     numDocs: Long, numPartitions: Int, seed: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  // pushed aggregate plan: one tag per accepted function, in order
+  private var aggFuncs: Option[Seq[String]] = None
+
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        f.fieldNames.toSeq == Seq("doc_id")
+      case _ => false
+    }
+
+  /** COUNT(*) / COUNT(doc_id) / MIN(doc_id) / MAX(doc_id) with no
+    * grouping are answerable from the PARTITION BOUNDS alone — ids are
+    * dense [start, end) per partition and non-null by construction —
+    * so the pushed scan emits ONE arithmetic row per partition and
+    * never generates a document. PARTIAL pushdown (default
+    * supportCompletePushDown = false): Spark still runs the final
+    * merge aggregate over the ≤ numPartitions rows, so correctness
+    * never depends on the source seeing every partition. Composes with
+    * the pushed doc_id range filters: partitions are clamped first,
+    * the bounds arithmetic sees the clamped [s, e). */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct && isDocId(c.column) => Some("count")
+      case m: Min if isDocId(m.column) => Some("min")
+      case m: Max if isDocId(m.column) => Some("max")
+      case _ => None
+    }
+    if (tags.exists(_.isEmpty)) false
+    else { aggFuncs = Some(tags.flatten); true }
+  }
 
   private var required: StructType = DocGenSource.schema
   // doc_id half-open range implied by the pushed filters; ids are the
@@ -192,8 +245,55 @@ private[sources] class DocGenScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new DocGenScan(numDocs, numPartitions, seed, required, lo, hi)
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) =>
+      new DocGenAggScan(numDocs, numPartitions, funcs, lo, hi)
+    case None =>
+      new DocGenScan(numDocs, numPartitions, seed, required, lo, hi)
+  }
+}
+
+/** Scan after aggregate pushdown: same partition layout (and the same
+  * filter clamping) as the row scan, but each partition reader emits a
+  * single row of bounds arithmetic — (count, min, max) partials over
+  * dense ids — instead of the documents themselves. */
+private[sources] class DocGenAggScan(numDocs: Long, numPartitions: Int,
+    funcs: Seq[String], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    funcs.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (numDocs + numPartitions - 1) / numPartitions)
+    (0L until numDocs by per).flatMap { start =>
+      val end = math.min(start + per, numDocs)
+      val s = math.max(start, lo)
+      val e = math.min(end, hi)
+      if (s < e) Some(DocGenPartition(s, e): InputPartition) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocGenAggReaderFactory(funcs)
+}
+
+private case class DocGenAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(funcs.map {
+        case "count" => java.lang.Long.valueOf(part.end - part.start)
+        case "min" => java.lang.Long.valueOf(part.start)
+        case "max" => java.lang.Long.valueOf(part.end - 1)
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class DocGenScan(numDocs: Long, numPartitions: Int,

@@ -84,4 +84,26 @@ class DocGenSourceSpec extends SparkSpec {
       .agg(sum("n")).collect().head.getLong(0)
     assert(total === expected)
   }
+
+  // string probe (AQE wraps the scan leaf): the pushed agg scan's
+  // output columns (count_0, ...) appear in the plan text iff pushed
+  private def scanSchema(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("aggregate pushdown: scan emits bounds arithmetic, results exact") {
+    val df = read(1000).filter(col("doc_id") < 300)
+      .agg(count(col("doc_id")).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+    val schema = scanSchema(df)
+    assert(schema.contains("count_0"), s"aggregates not pushed: $schema")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((300L, 0L, 299L)))
+  }
+
+  test("unsupported aggregate falls back to the row scan, still correct") {
+    val df = read(1000).agg(avg(col("doc_id")).as("a"))
+    val schema = scanSchema(df)
+    assert(!schema.contains("count_0"), s"avg wrongly pushed: $schema")
+    assert(df.head().getDouble(0) === 499.5)
+  }
 }
