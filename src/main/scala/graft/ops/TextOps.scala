@@ -228,6 +228,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus Zipf-law fit — the power-law health check (natural-language
+    * token frequencies follow f ∝ r^(-s), s ≈ 1; a synthetic or
+    * boilerplate-heavy corpus bends the line): exact-integer OLS of
+    * log₂-bits(freq) against log₂-bits(rank) over the full vocabulary,
+    * with both logs computed by the bin-string idiom (float log₂ would
+    * hang the gate on libm agreement) and the slope emitted as an exact
+    * integer FRACTION (num/den) — integer division of a NEGATIVE
+    * numerator truncates toward zero in Spark but floors in DuckDB, so
+    * a milli-slope column would diverge; the fraction cannot.
+    * TextOpsSpec asserts the ratio lands in the Zipf band. Scale shape:
+    * one tokenize pass into the vocabulary-sized frequency table; the
+    * rank window and the 5-sum fold run over |vocab| rows. */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    val pts = freq
+      .withColumn("r", row_number().over(
+        Window.partitionBy().orderBy(col("f").desc, col("t").asc)))
+      .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+        (length(bin(col("f"))) - 1).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("bigint").as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("bigint").as("slope_den"))
+  }
+
   /** Classifier-evaluation report over [[qLangId]] — the per-class
     * precision/recall table a pipeline publishes before trusting a
     * heuristic labeler for routing or filtering (the q_lsh_quality
@@ -802,6 +834,7 @@ object TextOps {
     "q_quality_gate" -> qQualityGate _,
     "q_lang_id" -> qLangId _,
     "q_langid_eval" -> qLangidEval _,
+    "q_zipf_fit" -> qZipfFit _,
     "q_fingerprint" -> qFingerprint _,
     "q_doc_chunks" -> qDocChunks _,
     "q_seq_pack" -> qSeqPack _,
@@ -1006,6 +1039,25 @@ object TextOps {
         |    * CAST(n_stop >= 2 AS INT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT t, COUNT(*) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS t
+        |    FROM documents) GROUP BY t),
+        |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r
+        |      FROM f),
+        |p AS (SELECT CAST(LENGTH(bin(r)) - 1 AS BIGINT) AS x,
+        |        CAST(LENGTH(bin(f)) - 1 AS BIGINT) AS y
+        |      FROM r),
+        |s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM p)
+        |SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM s""".stripMargin,
     "q_langid_eval" ->
       s"""WITH pred AS ($langIdSql),
          |t AS (SELECT lang AS label, COUNT(*) AS n_docs,

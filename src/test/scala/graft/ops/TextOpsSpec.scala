@@ -156,4 +156,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 3L, 0L, 0L), (2L, 1L, 1L, 100L)))
     // doc 3 has no bigrams and is absent, like the oracle's len>=2 filter
   }
+
+  test("zipf fit equals a driver-side exact recompute; slope non-positive") {
+    val dir = sf("sf0.01")
+    val r = TextOps.qZipfFit(spark, dir).head()
+    val (n, num, den) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // independent recompute: token freqs -> (rank,freq) log2 bits -> OLS
+    import org.apache.spark.sql.functions._
+    val freqs = graft.Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }
+    def bits(v: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (bits(i + 1L), bits(f))
+    }
+    val nn = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    assert((n, num, den) ===
+      ((nn, nn * sxy - sx * sy, nn * sxx - sx * sx)))
+    assert(den > 0 && num <= 0, s"slope $num/$den not non-positive")
+  }
 }
