@@ -57,8 +57,16 @@ object SparkEntry {
         ops.Similarity.survivorPairs(spark, dir)
         ops.Similarity.survivorSizes(spark, dir)
         ops.Similarity.dupComponents(spark, dir)
-        ops.Similarity.truthPairsAt(spark, dir, 0.7) // q_lsh_quality truth
         ()
+      }),
+      // q_lsh_quality's exact-truth table is its own chain: it shares no
+      // intermediate with the survivor chain (it needs only corpusShingles,
+      // whose concurrent build the minhash chain's computeIfAbsent
+      // dedupes), and bundling it made "dedup" the prewarm pole — 34.3 s
+      // of a 34.4 s wall vs ~14 s for the next-longest chain (r13
+      // measurement). Split, the two ~17 s halves overlap.
+      "lshtruth" -> (() => {
+        ops.Similarity.truthPairsAt(spark, dir, 0.7); ()
       }),
       "minhash" -> (() => { // corpus shingles -> k=32 signatures -> cands
         ops.Similarity.corpusShingles(spark, dir)

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Point-frequency lookup into a serialized Count-Min sketch (the
@@ -21,6 +22,18 @@ import org.apache.spark.util.sketch.CountMinSketch
   * be broadcast once and probed via a static-cached kernel instead. */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
+  // declared input types: a non-binary sketch or a non-long key (an INT
+  // key column, say) now fails ANALYSIS with a type error instead of a
+  // ClassCastException inside an executor at runtime. (checkInputDataTypes
+  // rather than ExpectsInputTypes: AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY sketch, got ${left.dataType.sql}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT key, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
   override protected def nullSafeEval(sk: Any, key: Any): Any =

@@ -57,7 +57,16 @@ object AutoSalt extends Rule[LogicalPlan] {
   }
 
   private def supported(f: AggregateFunction): Boolean = f match {
-    case _: Sum | _: Min | _: Max | _: Count => true
+    // float/double Sum is excluded: the extra merge stage re-associates
+    // FP addition, so the salted plan could differ in the last ulp from
+    // the plain plan — outside the "provably result-identical" contract.
+    // Integer, long and decimal partials merge exactly.
+    case s: Sum => s.child.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => false
+      case _ => true
+    }
+    case _: Min | _: Max | _: Count => true
     case _ => false
   }
 
@@ -71,8 +80,19 @@ object AutoSalt extends Rule[LogicalPlan] {
       aes.nonEmpty &&
       aes.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
         supported(ae.aggregateFunction)) &&
-      // a node we built (or one structurally like it) is never re-salted
-      !agg.aggregateExpressions.exists(_.name.startsWith("__p_"))
+      // a node we built (or one structurally like it) is never re-salted:
+      // the alias guard catches stage 1 (its outputs are named __p_*);
+      // the structural guard catches stage 2 even if a later rule
+      // rebuilds the node without copying the TreeNodeTag — a genuine
+      // stage-2 merge aggregates ONLY __p_* partial attributes (bare
+      // Count() never appears there: Count merges as Sum over partials),
+      // so "every aggregate input is a __p_* attribute" identifies it.
+      !agg.aggregateExpressions.exists(_.name.startsWith("__p_")) &&
+      !aes.forall(ae => ae.aggregateFunction.children.nonEmpty &&
+        ae.aggregateFunction.children.forall {
+          case a: AttributeReference => a.name.startsWith("__p_")
+          case _ => false
+        })
   }
 
   private def rewrite(agg: Aggregate, n: Int): LogicalPlan = {

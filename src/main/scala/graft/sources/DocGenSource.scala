@@ -260,19 +260,29 @@ private[sources] class DocGenScanBuilder(
 private[sources] class DocGenAggScan(numDocs: Long, numPartitions: Int,
     funcs: Seq[String], lo: Long, hi: Long)
     extends Scan with Batch {
+  // min/max partials are nullable: the empty-clamp marker partition
+  // (below) emits NULL for them, exactly what min/max over no rows is
   override def readSchema(): StructType = StructType(
     funcs.zipWithIndex.map { case (f, i) =>
-      StructField(s"${f}_$i", LongType, nullable = false)
+      StructField(s"${f}_$i", LongType, nullable = f != "count")
     })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (numDocs + numPartitions - 1) / numPartitions)
-    (0L until numDocs by per).flatMap { start =>
+    val parts = (0L until numDocs by per).flatMap { start =>
       val end = math.min(start + per, numDocs)
       val s = math.max(start, lo)
       val e = math.min(end, hi)
       if (s < e) Some(DocGenPartition(s, e): InputPartition) else None
     }.toArray
+    // Pushed doc_id filters can clamp away EVERY partition. This is a
+    // PARTIAL pushdown (Spark computes the final COUNT as Sum over the
+    // partial rows), and Sum over zero partials is NULL — diverging from
+    // the unpushed row-scan result (COUNT of an empty scan is 0). Emit
+    // one empty-range marker partition instead: its reader produces the
+    // correct empty-input partials (count=0, min/max NULL).
+    if (parts.nonEmpty) parts
+    else Array(DocGenPartition(0L, 0L): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     DocGenAggReaderFactory(funcs)
@@ -288,8 +298,11 @@ private case class DocGenAggReaderFactory(funcs: Seq[String])
       override def next(): Boolean = { val r = !done; done = true; r }
       override def get(): InternalRow = InternalRow.fromSeq(funcs.map {
         case "count" => java.lang.Long.valueOf(part.end - part.start)
-        case "min" => java.lang.Long.valueOf(part.start)
-        case "max" => java.lang.Long.valueOf(part.end - 1)
+        // empty marker partition (start == end): min/max over no rows
+        case "min" =>
+          if (part.end <= part.start) null else java.lang.Long.valueOf(part.start)
+        case "max" =>
+          if (part.end <= part.start) null else java.lang.Long.valueOf(part.end - 1)
       })
       override def close(): Unit = ()
     }

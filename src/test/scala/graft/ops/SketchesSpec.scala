@@ -71,6 +71,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: mistyped inputs fail at analysis, not in an executor") {
+    import graft.functions.CmsEstimate.cmsEstimate
+    val sk = graft.Tables(spark, dir, "events")
+      .agg(expr("count_min_sketch(user_id, 0.01d, 0.9d, 42)").as("sk"))
+    // INT key (not BIGINT) → analysis-time type error (Spark 4 surfaces
+    // it as ExtendedAnalysisException, not the sql-api AnalysisException)
+    val e1 = intercept[Exception] {
+      sk.select(cmsEstimate(col("sk"), lit(7))).queryExecution.analyzed
+    }
+    assert(e1.getMessage.toLowerCase.contains("bigint"), e1.getMessage)
+    // non-binary sketch column → analysis-time type error
+    val e2 = intercept[Exception] {
+      sk.select(cmsEstimate(lit("not a sketch"), lit(7L)))
+        .queryExecution.analyzed
+    }
+    assert(e2.getMessage.toLowerCase.contains("binary"), e2.getMessage)
+  }
+
   test("q_cms_freq: within_eps reported, est >= exact on every probe") {
     val rows = graft.SparkEntry.queries("q_cms_freq")(spark, dir).collect()
     assert(rows.length === 25) // 5 types x 5 probe users

@@ -62,6 +62,44 @@ class AutoSaltSpec extends SparkSpec {
     }
   }
 
+  test("conservative: float/double sums untouched (FP re-association)") {
+    withRule {
+      // the extra merge stage would re-associate FP addition — the rule
+      // must leave double/float Sum to the plain single-stage plan
+      val dPlan = toks.groupBy("token")
+        .agg(sum(col("doc_id").cast("double")).as("s"))
+        .queryExecution.optimizedPlan.toString
+      assert(!dPlan.contains("__p_0"), "double sum was salted:\n" + dPlan)
+      val fPlan = toks.groupBy("token")
+        .agg(sum(col("doc_id").cast("float")).as("s"))
+        .queryExecution.optimizedPlan.toString
+      assert(!fPlan.contains("__p_0"), "float sum was salted:\n" + fPlan)
+      // ...while a LONG sum in the same shape still is
+      val lPlan = toks.groupBy("token")
+        .agg(sum(col("doc_id")).as("s"))
+        .queryExecution.optimizedPlan.toString
+      assert(lPlan.contains("__p_0"), "long sum not salted:\n" + lPlan)
+    }
+  }
+
+  test("stage-2 shape is structurally re-salt-proof (tag-independent)") {
+    // a hand-built frame shaped exactly like the rewrite's merge stage —
+    // grouped aggregate whose every aggregate input is a __p_* attribute
+    // — must fail eligibility even with no TreeNodeTag present (a later
+    // rule that rebuilds the node without copying tags must not re-salt)
+    withRule {
+      val partials = toks.groupBy("token")
+        .agg(count(lit(1)).as("__p_0"), sum(col("doc_id")).as("__p_1"))
+      val merge = partials.groupBy("token")
+        .agg(sum(col("__p_0")).as("n"), sum(col("__p_1")).as("s"))
+      val plan = merge.queryExecution.optimizedPlan.toString
+      // the inner aggregate is alias-guarded (its outputs are __p_*) and
+      // the outer is structurally guarded — neither may gain a salt stage
+      assert(!plan.contains("pmod(hash("),
+        "merge-shaped aggregate re-salted:\n" + plan)
+    }
+  }
+
   test("rule is inert without the conf") {
     AutoSalt.ensureRegistered(spark)
     val plan = toks.groupBy("token").agg(count(lit(1)).as("n"))

@@ -100,6 +100,21 @@ class DocGenSourceSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((300L, 0L, 299L)))
   }
 
+  test("aggregate pushdown over an empty clamped range: count 0, not NULL") {
+    // pushed doc_id filters that clamp away every partition used to plan
+    // ZERO input partitions; with partial pushdown Spark then computed
+    // the final COUNT as Sum over no partial rows = NULL. The marker
+    // partition restores the empty-input semantics of the row scan.
+    val df = read(1000).filter(col("doc_id") >= 5000)
+      .agg(count(col("doc_id")).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+    val schema = scanSchema(df)
+    assert(schema.contains("count_0"), s"aggregates not pushed: $schema")
+    val r = df.head()
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L, s"count over empty: $r")
+    assert(r.isNullAt(1) && r.isNullAt(2), s"min/max over empty: $r")
+  }
+
   test("unsupported aggregate falls back to the row scan, still correct") {
     val df = read(1000).agg(avg(col("doc_id")).as("a"))
     val schema = scanSchema(df)
