@@ -65,8 +65,8 @@ object Bpe {
     * arrays + a 1-row argmax collect + a row-local merge fold applied
     * lazily to the arrays. The fold is greedy left-to-right
     * non-overlapping ("aaa" + merge(a,a) → [aa, a]) — the standard BPE
-    * apply order. Not SQL-expressible as one query (iterative argmax)
-    * → rows-only driver check; BpeSpec pins the merge sequence against
+    * apply order. Gated against [[mergesOracleSql]]'s independent DuckDB
+    * re-derivation; BpeSpec additionally pins the merge sequence against
     * an independent single-machine reference implementation. */
   def merges(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
@@ -119,14 +119,13 @@ object Bpe {
     * token merging with a neighbor) while keeping the per-round bench
     * cost at 12 vocabulary-table jobs (once, in prewarm).
     *
-    * Hash-gated via [[graft.OracleExport]]: the learned table itself is
-    * engine-derived (iterative argmax — not single-query SQL), so like
-    * the minhash/winnow exports the oracle reads the exported table;
-    * what the gate adds over the rows-only check is schema/type/order
-    * parity and the export mechanics, while BpeSpec pins the merge
-    * SEQUENCE against an independent reference implementation. The real
-    * downstream gate is [[qBpeEncode]], whose oracle REPLAYS the greedy
-    * merge fold from this export in DuckDB. */
+    * Hash-gated against a fully INDEPENDENT oracle since r13: DuckDB
+    * re-learns the merge sequence from the corpus ([[mergesOracleSql]] —
+    * unrolled greedy argmax with the engine's exact tie order), so a
+    * wrong merge hash-fails in this lane (drilled deliberately: a
+    * second-best-pair bug was caught at step 2). The export below is
+    * still written — [[qBpeEncode]]'s oracle replays encoding from it —
+    * and BpeSpec pins the sequence against a reference fold. */
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val m = sharedMerges(spark, dir)
     graft.OracleExport.export(m, "bpemerges", dir, "n12")
@@ -216,15 +215,64 @@ object Bpe {
     "q_bpe_merges" -> qBpeMerges _,
     "q_bpe_encode" -> qBpeEncode _)
 
+  /** INDEPENDENT DuckDB derivation of the n-step merge sequence — the
+    * oracle no longer reads the engine's export (the one gate in the
+    * registry that could have passed with wrong data in its own lane,
+    * VERDICT r12 item 3). Each unrolled step k: (a) split the
+    * double-space-delimited symbol strings, count adjacent pairs
+    * weighted by word frequency; (b) argmax with the engine's exact tie
+    * order (cnt DESC, left ASC, right ASC); (c) apply the merge via the
+    * boundary-space-consuming string replace proven equivalent to the
+    * greedy left-to-right fold in q_bpe_encode's oracle. Every step is
+    * AS MATERIALIZED — sK is referenced by both p(K+1) and s(K+1), and
+    * unmaterialized reuse doubles per round (the q_kcore 3^6 lesson). */
+  private[graft] def mergesOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH tok AS (
+        |  SELECT lower(t) AS w
+        |  FROM documents, UNNEST(string_split_regex(text, '\s+')) u(t)
+        |  WHERE t <> '' AND regexp_matches(lower(t), '^[a-z]+$')),
+        |s0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s,
+        |         COUNT(*) AS wc
+        |  FROM tok GROUP BY w),
+        |""".stripMargin
+    for (k <- 1 to n) {
+      sb ++=
+        s"""p$k AS (
+           |  SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT regexp_split_to_array(trim(s), ' +') AS a, wc
+           |        FROM s${k - 1}) z,
+           |       UNNEST(range(1, len(a))) g(i)
+           |  GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (
+           |  SELECT $k AS step, l, r, l || r AS merged, cnt
+           |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |""".stripMargin
+      if (k < n) sb ++=
+        s"""s$k AS MATERIALIZED (
+           |  SELECT ' ' || regexp_replace(trim(replace(z.s,
+           |      ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')),
+           |    ' +', '  ', 'g') || ' ' AS s, z.wc
+           |  FROM s${k - 1} z, m$k m),
+           |""".stripMargin
+    }
+    val union = (1 to n).map(k => s"SELECT * FROM m$k").mkString("\nUNION ALL ")
+    sb ++=
+      s"""all_m AS ($union)
+         |SELECT step, l AS "left", r AS "right", merged, cnt
+         |FROM all_m ORDER BY step""".stripMargin
+    sb.result()
+  }
+
   val oracles: Map[String, String] = Map(
-    // The learned table is engine-derived (iterative argmax): the oracle
-    // reads the export — gating schema/types/order + export mechanics;
-    // the sequence itself is pinned by BpeSpec, and q_bpe_encode's
-    // oracle replays the fold from this same export.
-    "q_bpe_merges" ->
-      s"""SELECT step, "left", "right", merged, cnt
-         |FROM '${graft.OracleExport.oraclePath("bpemerges")}'
-         |ORDER BY step""".stripMargin,
+    // Fully independent gate: DuckDB re-learns the 12 merges from the
+    // corpus (unrolled greedy argmax, see mergesOracleSql) — a wrong
+    // merge on the engine side now hash-fails in its own lane. BpeSpec
+    // additionally pins the sequence against a reference fold, and
+    // q_bpe_encode's oracle replays encoding from the export.
+    "q_bpe_merges" -> mergesOracleSql(12),
     // Replays BPE encoding end-to-end from the exported merge table:
     // vocabulary from documents, then 12 recursive steps where each word
     // is a double-space-delimited symbol string (' s  e  g '). Global
