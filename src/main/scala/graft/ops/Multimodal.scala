@@ -39,6 +39,135 @@ object Multimodal {
       payload.take(128).grouped(16).map(_.head.toInt).toArray
   }
 
+  /** One encoded image row: id + container format + real container bytes. */
+  final case class ImgRow(doc_id: Long, fmt: String, payload: Array[Byte])
+
+  /** Deterministic tiny rasters encoded through the JDK's ImageIO codecs
+    * — REAL container bytes (PNG/JPEG/GIF/BMP), not a fake. Dimensions
+    * and pixels derive from doc_id alone, so content is reproducible per
+    * corpus version; the encoder is constructed per partition exactly
+    * like a production decode stage. At 100 TB the same plan reads real
+    * media bytes from parquet binary columns — this builder only stands
+    * in for the upstream crawler. */
+  object ImageCodec {
+    private val fmts = Array("png", "jpg", "gif", "bmp")
+    def fmtFor(id: Long): String = fmts((id % 4).toInt)
+    def dimsFor(id: Long): (Int, Int) = (1 + (id % 13).toInt, 1 + (id % 7).toInt)
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dimsFor(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, fmtFor(id), bos)
+      require(ok, s"no ImageIO writer for ${fmtFor(id)}")
+      bos.toByteArray
+    }
+  }
+
+  /** Container-header parser — pure byte arithmetic from the PUBLISHED
+    * container layouts (PNG: IHDR after the 8-byte signature, big-endian;
+    * GIF: logical screen descriptor, little-endian; BMP: BITMAPINFOHEADER,
+    * little-endian; JPEG: marker-segment walk to the first SOFn). No
+    * codec library involved: this is what a 100 TB media-audit pass runs
+    * — a narrow map over the binary column that never inflates pixels.
+    * Returns (sniffed format, width, height, bit depth). */
+  object ImageHeader {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def parse(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (b.length >= 26 && PngSig.indices.forall(i => u8(b, i) == PngSig(i)))
+        // IHDR: width BE @16, height BE @20, bit depth @24 (per channel)
+        Some(("png", be32(b, 16), be32(b, 20), u8(b, 24)))
+      else if (b.length >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8')
+        // logical screen descriptor: wxh LE @6/@8; GCT size bits → depth
+        Some(("gif", le16(b, 6), le16(b, 8), (u8(b, 10) & 7) + 1))
+      else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+        // BITMAPINFOHEADER: biWidth @18, biHeight @22, biBitCount @28
+        Some(("bmp", le32(b, 18), le32(b, 22), le16(b, 28)))
+      else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8)
+        jpegSof(b)
+      else None
+    }
+
+    /** Walk JPEG marker segments from SOI to the first SOFn (C0-CF minus
+      * the non-frame C4/C8/CC): height BE at +5, width BE at +7,
+      * precision at +4 inside the SOF payload. Stops at SOS/EOI — a
+      * truncated or non-baseline stream yields None, never a crash. */
+    private def jpegSof(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      var p = 2
+      while (p + 3 < b.length) {
+        if (u8(b, p) != 0xFF) return None
+        var q = p
+        while (q + 1 < b.length && u8(b, q + 1) == 0xFF) q += 1 // fill bytes
+        val m = u8(b, q + 1)
+        if (m == 0xD9 || m == 0xDA) return None // EOI / SOS: no SOF seen
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p = q + 2 // standalone
+        else {
+          if (q + 3 >= b.length) return None
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (q + 9 >= b.length) return None
+            return Some(("jpg", be16(b, q + 7), be16(b, q + 5), u8(b, q + 4)))
+          }
+          p = q + 2 + be16(b, q + 2)
+        }
+      }
+      None
+    }
+  }
+
+  /** The session-shared media table (doc_id, fmt, payload) — one real
+    * container file per document, built once per corpus version like
+    * every shared derived table. */
+  private[graft] def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "media", dir) {
+      import spark.implicits._
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map(id => ImgRow(id, ImageCodec.fmtFor(id), ImageCodec.encode(id)))
+        }.toDF()
+    }
+
+  /** Real header audit over real container bytes: sniff the format and
+    * extract (width, height, bit depth) with [[ImageHeader]]'s byte
+    * arithmetic. Fully hash-gated: the media table is exported and the
+    * DuckDB oracle parses the SAME blobs independently — fixed-offset
+    * hex arithmetic for PNG/GIF/BMP and a recursive-CTE marker walk for
+    * JPEG — so a parser bug on either side breaks the hash. The
+    * construction itself is pinned against the JDK's full decoder in
+    * MultimodalSpec (parse == ImageIO.read dims for every format). */
+  def qMultimodalDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    graft.OracleExport.export(media, "media", dir)
+    media.as[ImgRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (sniffed, w, h, d) =
+          ImageHeader.parse(r.payload).getOrElse(("unknown", -1, -1, -1))
+        (r.doc_id, r.fmt, sniffed, w, h, d, r.payload.length)
+      }
+    }.toDF("doc_id", "fmt", "sniffed", "width", "height", "depth", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   /** documents.text as binary payloads (media stand-in). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -83,9 +212,74 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_multimodal_features" -> qMultimodalFeatures _)
+    "q_multimodal_features" -> qMultimodalFeatures _,
+    "q_multimodal_dims" -> qMultimodalDims _)
 
   val oracles: Map[String, String] = Map(
+    // Independent re-parse of the exported container bytes: DuckDB
+    // extracts width/height/depth from the SAME blobs with its own
+    // arithmetic — fixed-offset big-endian (PNG), little-endian
+    // (GIF/BMP) hex reads, and a recursive-CTE marker walk to the first
+    // SOFn for JPEG. Only the bytes are taken from the engine; every
+    // parsed column is derived twice.
+    "q_multimodal_dims" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, fmt, hex(payload) AS h,
+         |         octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("media")}'),
+         |png AS (
+         |  SELECT doc_id, 'png' AS sniffed,
+         |    CAST('0x' || substr(h, 33, 8) AS BIGINT) AS width,
+         |    CAST('0x' || substr(h, 41, 8) AS BIGINT) AS height,
+         |    CAST('0x' || substr(h, 49, 2) AS BIGINT) AS depth
+         |  FROM m WHERE substr(h, 1, 16) = '89504E470D0A1A0A'),
+         |gif AS (
+         |  SELECT doc_id, 'gif' AS sniffed,
+         |    CAST('0x' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT) AS width,
+         |    CAST('0x' || substr(h, 19, 2) || substr(h, 17, 2) AS BIGINT) AS height,
+         |    CAST('0x' || substr(h, 21, 2) AS BIGINT) % 8 + 1 AS depth
+         |  FROM m WHERE substr(h, 1, 8) = '47494638'),
+         |bmp AS (
+         |  SELECT doc_id, 'bmp' AS sniffed,
+         |    CAST('0x' || substr(h, 43, 2) || substr(h, 41, 2)
+         |         || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT) AS width,
+         |    CAST('0x' || substr(h, 51, 2) || substr(h, 49, 2)
+         |         || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT) AS height,
+         |    CAST('0x' || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS depth
+         |  FROM m WHERE substr(h, 1, 4) = '424D'),
+         |jwalk AS (
+         |  SELECT doc_id, 2 AS pos FROM m WHERE substr(h, 1, 4) = 'FFD8'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(w.pos + 2 + CAST('0x' ||
+         |      substr(m.h, CAST(2 * (w.pos + 2) + 1 AS INT), 4) AS BIGINT) AS INT)
+         |  FROM jwalk w JOIN m USING (doc_id)
+         |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 2) = 'FF'
+         |    AND NOT (CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |                  AS BIGINT) BETWEEN 192 AND 207
+         |             AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |                  AS BIGINT) NOT IN (196, 200, 204))
+         |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |             AS BIGINT) NOT IN (216, 217, 218)
+         |    AND 2 * (w.pos + 4) <= length(m.h)),
+         |jpg AS (
+         |  SELECT w.doc_id, 'jpg' AS sniffed,
+         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 7) + 1 AS INT), 4) AS BIGINT) AS width,
+         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 5) + 1 AS INT), 4) AS BIGINT) AS height,
+         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 4) + 1 AS INT), 2) AS BIGINT) AS depth
+         |  FROM jwalk w JOIN m USING (doc_id)
+         |  WHERE CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |             AS BIGINT) BETWEEN 192 AND 207
+         |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |             AS BIGINT) NOT IN (196, 200, 204)),
+         |u AS (
+         |  SELECT * FROM png UNION ALL SELECT * FROM gif
+         |  UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM jpg)
+         |SELECT m.doc_id, m.fmt, u.sniffed,
+         |  CAST(u.width AS INT) AS width, CAST(u.height AS INT) AS height,
+         |  CAST(u.depth AS INT) AS depth, CAST(m.n AS INT) AS n_bytes
+         |FROM m JOIN u USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,

@@ -38,6 +38,52 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.features(hi)(0) === 1L)
   }
 
+  test("ImageHeader: byte-arithmetic parse == the JDK's full decode") {
+    // cross-validation against an INDEPENDENT implementation: ImageIO's
+    // decoders know nothing of our offset arithmetic, so agreement on
+    // every format and a spread of shapes pins the parser to the specs
+    for (id <- 0L until 64L) {
+      val bytes = Multimodal.ImageCodec.encode(id)
+      val fmt = Multimodal.ImageCodec.fmtFor(id)
+      val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+      val parsed = Multimodal.ImageHeader.parse(bytes)
+      assert(parsed.isDefined, s"id=$id fmt=$fmt unparsed")
+      val (sniffed, pw, ph, depth) = parsed.get
+      assert(sniffed === fmt, s"id=$id")
+      assert((pw, ph) === ((w, h)), s"id=$id fmt=$fmt")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)), s"decode id=$id")
+      fmt match {
+        case "png" | "jpg" => assert(depth === 8, s"id=$id fmt=$fmt d=$depth")
+        case "bmp" => assert(depth === 24, s"id=$id d=$depth")
+        case "gif" => assert(depth >= 1 && depth <= 8, s"id=$id d=$depth")
+      }
+    }
+  }
+
+  test("ImageHeader: garbage, truncation and missing SOF yield None") {
+    assert(Multimodal.ImageHeader.parse("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageHeader.parse(Array[Byte]()).isEmpty)
+    val png = Multimodal.ImageCodec.encode(0L) // id 0 -> png
+    assert(Multimodal.ImageHeader.parse(png.take(10)).isEmpty)
+    // SOI then EOI: a JPEG with no frame header
+    assert(Multimodal.ImageHeader.parse(
+      Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+  }
+
+  test("q_multimodal_dims: sniffed == declared, dims match construction") {
+    val rows = Multimodal.qMultimodalDims(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) === r.getString(1), s"sniff mismatch id=$id")
+      assert(r.getInt(3) === 1 + (id % 13).toInt, s"width id=$id")
+      assert(r.getInt(4) === 1 + (id % 7).toInt, s"height id=$id")
+      assert(r.getInt(6) > 0, s"n_bytes id=$id")
+    }
+  }
+
   test("q_multimodal_features emits sortable scalar columns on the fixture") {
     val df = Multimodal.qMultimodalFeatures(spark, sf("sf0.001"))
     assert(df.schema.fields.forall(f =>
