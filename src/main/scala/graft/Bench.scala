@@ -114,17 +114,6 @@ object Bench {
     for (t <- Tables.names)
       try Tables(spark, sfDir, t).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-    // Pre-build the session-shared derived tables (untimed, reported
-    // separately as prewarm_sec): per-query times then reflect the
-    // steady state a production pipeline runs in, instead of charging a
-    // whole family's shared build to its alphabetically-first member.
-    val tp = System.nanoTime()
-    var prewarmErr: Option[String] = None
-    try SparkEntry.prewarm(spark, sfDir)
-    catch { case e: Throwable =>
-      prewarmErr = Some(Option(e.getMessage).getOrElse(e.toString))
-      System.err.println(s"[bench] prewarm failed: $e") }
-    val prewarmSec = (System.nanoTime() - tp) / 1e9
     // Codegen/JIT warmup at the TINY sf for the queries with the largest
     // measured first-run penalties (a first execution pays Janino
     // compilation + JIT — measured 1.5-14×: q_scalar_json 13.1 s cold
@@ -148,17 +137,50 @@ object Bench {
     // failure here is LOGGED per query (name + cause) instead of swallowed
     val tinySf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR",
       "/root/testdata/sf0.001")
-    val tw = System.nanoTime()
-    var warmFailed = 0
-    for (n <- warmupQueries; fn <- SparkEntry.queries.get(n))
-      try fn(spark, tinySf).write.mode("overwrite").format("noop").save()
+    // Pre-build the session-shared derived tables (untimed, reported
+    // separately as prewarm_sec): per-query times then reflect the
+    // steady state a production pipeline runs in, instead of charging a
+    // whole family's shared build to its alphabetically-first member.
+    //
+    // Prewarm (sf-dir shared tables) and the codegen warmup (tiny-sf
+    // runs) OVERLAP: they touch disjoint per-dir-keyed state (every
+    // shared builder is keyed by its sf dir; concurrent builds go
+    // through computeIfAbsent holders), and serially they cost
+    // 16 s + 37 s of the 300 s budget — overlapped, ~the max of the
+    // two. Warmups additionally run 6-way parallel among themselves:
+    // each tiny-sf job uses a few of the 32 cores, and Janino/JIT
+    // compilation is per-plan driver work that parallelizes cleanly.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import java.util.concurrent.Executors
+    val warmPool = ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(6))
+    val tp = System.nanoTime()
+    var prewarmErr: Option[String] = None
+    var prewarmSec = 0.0
+    val prewarmF = Future {
+      try SparkEntry.prewarm(spark, sfDir)
       catch { case e: Throwable =>
-        warmFailed += 1
-        System.err.println(s"[bench] warmup $n failed: ${e.toString.take(300)}")
-      }
+        prewarmErr = Some(Option(e.getMessage).getOrElse(e.toString))
+        System.err.println(s"[bench] prewarm failed: $e") }
+      prewarmSec = (System.nanoTime() - tp) / 1e9
+    }(ExecutionContext.global)
+    val warmFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val warmFs = for (n <- warmupQueries; fn <- SparkEntry.queries.get(n))
+      yield Future {
+        try fn(spark, tinySf).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          warmFailed.incrementAndGet()
+          System.err.println(s"[bench] warmup $n failed: ${e.toString.take(300)}")
+        }
+      }(warmPool)
+    warmFs.foreach(Await.result(_, Duration.Inf))
+    Await.result(prewarmF, Duration.Inf)
+    warmPool.shutdown()
     System.err.println(
-      f"[bench] codegen warmup (${warmupQueries.size} plans, $warmFailed failed): " +
-        f"${(System.nanoTime() - tw) / 1e9}%.1fs")
+      f"[bench] prewarm + codegen warmup (${warmupQueries.size} plans, " +
+        f"${warmFailed.get} failed) overlapped: ${(System.nanoTime() - tp) / 1e9}%.1fs " +
+        f"(prewarm alone $prewarmSec%.1fs)")
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -82,6 +82,27 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("pwtimeq")) {
+      // reproduce the bench condition: full prewarm, then time the FIRST
+      // run of each query (is the shared-table steady state actually
+      // reached before pass 1?): Debug pwtimeq <n1,n2,..> [n] [dir]
+      val names = args(1).split(",").toSeq
+      val n = args.lift(2).map(_.toInt).getOrElse(2)
+      val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      val tp = System.nanoTime()
+      SparkEntry.prewarm(spark, dir)
+      println(f"prewarm: ${(System.nanoTime() - tp) / 1e9}%.1fs")
+      (1 to n).foreach { i =>
+        names.foreach { name =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("timeq")) {
       // time queries N times in a warm JVM: Debug timeq <n1,n2,..> [n] [dir]
       // multiple names run INTERLEAVED round-robin so machine-contention

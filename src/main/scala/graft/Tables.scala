@@ -115,15 +115,25 @@ object Tables {
   private def writeMat(df: DataFrame, tag: String): String = {
     val spark = df.sparkSession
     val base = spark.conf.get("spark.graft.materializeDir", "")
+    // tags may carry a dir qualifier (e.g. "cand:/root/testdata/sf0.01"
+    // — see materialize's concurrency note); sanitize for the path
+    val safeTag = tag.replaceAll("[^A-Za-z0-9.-]", "_")
     val dir =
       if (base.isEmpty)
-        java.nio.file.Files.createTempDirectory(s"graft-mat-$tag-").toString
-      else s"$base/graft-mat-$tag-${java.util.UUID.randomUUID}"
+        java.nio.file.Files.createTempDirectory(s"graft-mat-$safeTag-").toString
+      else s"$base/graft-mat-$safeTag-${java.util.UUID.randomUUID}"
     matCleanup
     df.write.mode("overwrite").parquet(dir)
     dir
   }
 
+  /** Per-tag GC note: replacing a tag DELETES the previous invocation's
+    * dir, so two concurrent executions that reach the same tag race (one
+    * reads a dir the other just deleted — observed when bench overlapped
+    * the tiny-sf codegen warmup with prewarm). Any materialize reachable
+    * from a SHARED builder (which may build concurrently for different
+    * sf dirs) must qualify its tag with the dir (e.g. s"cand:$dir");
+    * plain per-query tags are fine — queries execute serially. */
   def materialize(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
     val dir = writeMat(df, tag)

@@ -96,7 +96,7 @@ object Fuzzy {
       .join(ids.select(col("name").as("name_a"), col("nid").as("ida")), "name_a")
       .join(ids.select(col("name").as("name_b"), col("nid").as("idb")), "name_b")
       .select("ida", "idb")
-    val cc = Graph.connectedComponents(edges, "entres")
+    val cc = Graph.connectedComponents(edges, s"entres:$dir")
     val labeled = ids
       .join(cc.withColumnRenamed("node", "nid"), Seq("nid"), "left")
       .select(col("name"), coalesce(col("label"), col("nid")).as("label"))

@@ -114,17 +114,21 @@ object Similarity {
   private[graft] def dupComponents(spark: SparkSession, dir: String): DataFrame =
     Tables.materializeSharedBy(spark, "dupcc", dir)(
       Graph.connectedComponents(
-        survivorPairs(spark, dir).select("doc_a", "doc_b"), "dup"))
+        survivorPairs(spark, dir).select("doc_a", "doc_b"), s"dup:$dir"))
 
   private[graft] val NearDupT = 0.8
-  private[graft] def survivorPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = survivorShingles(spark, dir)
-    Tables.materializeShared(
+  /** BY-NAME share: restrictSets=true materializes the candidate set
+    * eagerly during construction (a write job) — the strict variant
+    * evaluated that outside the holder lock, so concurrent callers
+    * (bench's overlapped warmup) raced on the cand intermediate's
+    * per-tag GC. */
+  private[graft] def survivorPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "survpairs", dir) {
+      val sh = survivorShingles(spark, dir)
       verifyJaccard(bucketPairs(prefixKeys(sh, NearDupT), Seq("sh_h")),
-        sh, NearDupT, restrictSets = true)
-        .select("doc_a", "doc_b", "common", "jac"),
-      "survpairs", dir)
-  }
+        sh, NearDupT, restrictSets = true, matTag = s"cand:$dir")
+        .select("doc_a", "doc_b", "common", "jac")
+    }
 
   /** Two candidate-pair generators over a bucketed (doc_id, bucket-key)
     * table, picked per caller by the expected bucket-size distribution
@@ -203,8 +207,8 @@ object Similarity {
     * slice it avoids is large (q_jaccard_pairs: 8.3s vs 10.4s; dedup and
     * minhash measured FASTER without it). */
   private[graft] def verifyJaccard(cand0: DataFrame, sh: DataFrame, t: Double,
-      restrictSets: Boolean = false): DataFrame = {
-    val cand = if (restrictSets) materialize(cand0, "cand") else cand0
+      restrictSets: Boolean = false, matTag: String = "cand"): DataFrame = {
+    val cand = if (restrictSets) materialize(cand0, matTag) else cand0
     val shSets =
       if (restrictSets) {
         val candDocs = cand.select(col("doc_a").as("doc_id"))

@@ -686,21 +686,24 @@ object TextOps {
     * corpus version; consumers pay only the tiny pair-table read. The
     * stop-fingerprint filter (2 <= df <= [[winnowMaxDf]]) halves the
     * join input AND caps the per-fp pair fan-out. */
-  private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFps(spark, dir)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= winnowMaxDf(spark)).select("fp")
-    val f2 = Tables.materialize(fps.join(rare, "fp"), "winnowf2")
+  private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     // share key carries the FULL knob suffix (k/w/maxdf): a mid-session
     // knob change rebuilds the fp table, and a pair table keyed by dir
-    // alone would keep serving pairs built under the OLD knobs
-    Tables.materializeShared(
+    // alone would keep serving pairs built under the OLD knobs.
+    // BY-NAME share: the f2 materialize below is a write job executed
+    // during construction — under the strict variant it ran outside the
+    // holder lock and concurrent callers raced on its per-tag GC.
+    Tables.materializeSharedBy(spark, "winnowpairs",
+      s"$dir#${winnowKey(spark)}") {
+      val fps = winnowFps(spark, dir)
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= winnowMaxDf(spark)).select("fp")
+      val f2 = Tables.materialize(fps.join(rare, "fp"), s"winnowf2:$dir")
       f2.select(col("fp"), col("doc_id").as("doc_a"))
         .join(f2.select(col("fp"), col("doc_id").as("doc_b")), "fp")
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared")),
-      "winnowpairs", s"$dir#${winnowKey(spark)}")
-  }
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    }
 
   /** Fingerprint table WITH positions (doc_id, fp, pos), shared per
     * (corpus, knobs) like [[winnowFps]] — the span-report input. Rows
@@ -755,7 +758,7 @@ object TextOps {
       val rare = g.groupBy("fp").agg(count(lit(1)).as("dfreq"))
         .filter(col("dfreq") >= 2 && col("dfreq") <= winnowMaxDf(spark))
         .select("fp")
-      val f2 = Tables.materialize(g.join(rare, "fp"), "winnowf2pos")
+      val f2 = Tables.materialize(g.join(rare, "fp"), s"winnowf2pos:$dir")
       f2.select(col("fp"), col("doc_id").as("doc_a"),
           col("pmin").as("amin"), col("pmax").as("amax"))
         .join(f2.select(col("fp"), col("doc_id").as("doc_b"),

@@ -637,7 +637,7 @@ object Vectors {
   private[graft] def semanticComponents(
       spark: SparkSession, dir: String): DataFrame =
     Tables.materializeSharedBy(spark, "semcc", semKey(spark, dir)) {
-      Graph.connectedComponents(semanticPairs(spark, dir), "semdedup")
+      Graph.connectedComponents(semanticPairs(spark, dir), s"semdedup:$dir")
     }
 
   // ---- Johnson–Lindenstrauss random projection ------------------------
