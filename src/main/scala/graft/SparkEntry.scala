@@ -106,8 +106,9 @@ object SparkEntry {
         // gates otherwise build inside their first timed run
         streaming.EventsStream.prewarmStaging(spark, dir)
       }),
-      "media" -> (() => { // encoded image containers (q_multimodal_dims)
-        ops.Multimodal.mediaTable(spark, dir); ()
+      "media" -> (() => { // encoded image + audio containers
+        ops.Multimodal.mediaTable(spark, dir)
+        ops.Multimodal.audioTable(spark, dir); ()
       }),
       "partitioned" -> (() => { // hive-partitioned documents layout
         // (q_partition_prune) — a corpus-version artifact like the

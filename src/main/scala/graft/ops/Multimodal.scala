@@ -134,6 +134,120 @@ object Multimodal {
     }
   }
 
+  /** Canonical PCM WAV containers — the AUDIO modality. Pure byte
+    * construction (RIFF header + "fmt " + "data" chunks, little-endian
+    * per the published RIFF/WAVE layout): no codec involved on either
+    * side, so the whole path is exact. Deterministic per doc_id:
+    * mono/stereo, one of four sample rates, 16-bit samples from an
+    * integer mix. */
+  object WavCodec {
+    private val Rates = Array(8000, 16000, 22050, 44100)
+    def channelsFor(id: Long): Int = 1 + (id % 2).toInt
+    def rateFor(id: Long): Int = Rates((id % 4).toInt)
+    def nSamplesFor(id: Long): Int = 40 + (id % 50).toInt
+    def sampleAt(id: Long, i: Int): Short =
+      (((id * 31 + i.toLong * i * 7) % 65536L) - 32768L).toShort
+
+    def encode(id: Long): Array[Byte] = {
+      val ch = channelsFor(id); val rate = rateFor(id)
+      val n = nSamplesFor(id); val bits = 16
+      val dataLen = n * ch * (bits / 8)
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * (bits / 8)) // byte rate
+        .putShort((ch * (bits / 8)).toShort) // block align
+        .putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n * ch) { bb.putShort(sampleAt(id, i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  /** RIFF/WAVE chunk-walk parser — spec-level, not fixed-offset: after
+    * the 12-byte RIFF/WAVE preamble it hops chunk to chunk (id + LE32
+    * size, odd sizes padded), reading "fmt " fields and summing the
+    * "data" chunk's signed 16-bit samples as an exact integer content
+    * witness. A 100 TB audio-audit pass is exactly this: a narrow map
+    * over the binary column — header fields + an integrity checksum —
+    * with no decode fan-out. */
+  object WavHeader {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    /** (channels, sampleRate, bits, nSamples, durMs, sumSamples). */
+    def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var pos = 12
+      var channels = -1; var rate = -1; var bits = -1
+      var nSamples = -1L; var sum = 0L; var seenData = false
+      while (pos + 8 <= b.length) {
+        val id = tag(b, pos)
+        val size = le32(b, pos + 4)
+        if (size < 0 || pos + 8 + size > b.length) return None
+        if (id == "fmt ") {
+          if (size < 16) return None
+          channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12)
+          bits = le16(b, pos + 22)
+        } else if (id == "data") {
+          if (channels <= 0 || bits != 16) return None // canonical PCM only
+          seenData = true
+          nSamples = size.toLong / (channels * (bits / 8))
+          var i = pos + 8
+          while (i + 1 < pos + 8 + size) {
+            sum += le16(b, i).toShort.toLong // signed 16-bit
+            i += 2
+          }
+        }
+        pos += 8 + size + (size & 1) // odd chunk sizes are padded
+      }
+      if (!seenData || rate <= 0) None
+      else Some((channels, rate, bits, nSamples, nSamples * 1000L / rate, sum))
+    }
+  }
+
+  /** The session-shared audio table (doc_id, payload). */
+  private[graft] def audioTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "audio", dir) {
+      import spark.implicits._
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, WavCodec.encode(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  /** Audio audit over real WAV bytes: format fields, duration and an
+    * exact sample-sum witness via [[WavHeader]]'s chunk walk. Fully
+    * hash-gated: DuckDB re-walks the exported blobs' chunks with its own
+    * hex arithmetic (recursive CTE) and re-sums every sample. The
+    * construction is pinned against the JDK's javax.sound decoder in
+    * MultimodalSpec. */
+  def qAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir)
+    graft.OracleExport.export(audio, "audio", dir)
+    audio.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (ch, rate, bits, n, durMs, sum) =
+            WavHeader.parse(bytes).getOrElse((-1, -1, -1, -1L, -1L, 0L))
+          (id, ch, rate, bits, n, durMs, sum, bytes.length)
+        }
+      }.toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
+        "dur_ms", "sum_samples", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   /** The session-shared media table (doc_id, fmt, payload) — one real
     * container file per document, built once per corpus version like
     * every shared derived table. */
@@ -213,9 +327,61 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_features" -> qMultimodalFeatures _,
-    "q_multimodal_dims" -> qMultimodalDims _)
+    "q_multimodal_dims" -> qMultimodalDims _,
+    "q_audio_meta" -> qAudioMeta _)
+
+  // DuckDB hex arithmetic over the exported blob (byte offsets 0-based):
+  private def hxB(p: String) = s"substr(a.h, CAST(2 * ($p) + 1 AS INT), 2)"
+  private def le16S(p: String) =
+    s"CAST('0x' || ${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
+  private def le32S(p: String) =
+    s"CAST('0x' || ${hxB(s"($p) + 3")} || ${hxB(s"($p) + 2")} || " +
+      s"${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
+  private def signed16S(p: String) =
+    s"(${le16S(p)} - CASE WHEN ${le16S(p)} > 32767 THEN 65536 ELSE 0 END)"
 
   val oracles: Map[String, String] = Map(
+    // Independent RIFF chunk walk over the exported WAV blobs: DuckDB
+    // hops chunk to chunk (recursive CTE, LE32 sizes + odd-size padding),
+    // reads the fmt fields with its own little-endian hex arithmetic,
+    // and RE-SUMS every signed 16-bit sample of the data chunk — format
+    // fields, duration AND content are derived twice.
+    "q_audio_meta" ->
+      s"""WITH RECURSIVE a AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("audio")}'),
+         |awalk(doc_id, pos) AS (
+         |  SELECT doc_id, 12 FROM a
+         |  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(w.pos + 8 + ${le32S("w.pos + 4")}
+         |         + (${le32S("w.pos + 4")} % 2) AS INT)
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 + ${le32S("w.pos + 4")}
+         |        + (${le32S("w.pos + 4")} % 2) + 8 <= a.n),
+         |fmtc AS (
+         |  SELECT w.doc_id, ${le16S("w.pos + 10")} AS channels,
+         |    ${le32S("w.pos + 12")} AS rate, ${le16S("w.pos + 22")} AS bits
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'),
+         |datac AS (
+         |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'),
+         |sums AS (
+         |  SELECT d.doc_id,
+         |    CAST(list_sum(list_transform(range(d.nbytes // 2),
+         |      i -> ${signed16S("d.off + 2 * i")})) AS BIGINT) AS sum_samples
+         |  FROM datac d JOIN a ON a.doc_id = d.doc_id)
+         |SELECT a.doc_id, CAST(f.channels AS INT) AS channels,
+         |  CAST(f.rate AS INT) AS sample_rate, CAST(f.bits AS INT) AS bits,
+         |  CAST(d.nbytes // (f.channels * 2) AS BIGINT) AS n_samples,
+         |  CAST((d.nbytes // (f.channels * 2)) * 1000 // f.rate AS BIGINT) AS dur_ms,
+         |  s.sum_samples, CAST(a.n AS INT) AS n_bytes
+         |FROM a JOIN fmtc f USING (doc_id) JOIN datac d USING (doc_id)
+         |  JOIN sums s USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
     // Independent re-parse of the exported container bytes: DuckDB
     // extracts width/height/depth from the SAME blobs with its own
     // arithmetic — fixed-offset big-endian (PNG), little-endian

@@ -72,6 +72,41 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
   }
 
+  test("WavHeader: chunk walk == the JDK's javax.sound decode") {
+    for (id <- 0L until 32L) {
+      val bytes = Multimodal.WavCodec.encode(id)
+      val parsed = Multimodal.WavHeader.parse(bytes)
+      assert(parsed.isDefined, s"id=$id unparsed")
+      val (ch, rate, bits, n, durMs, sum) = parsed.get
+      // independent pin: the JDK's own WAV reader agrees on every field
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      assert(ch === f.getChannels, s"id=$id")
+      assert(rate === f.getSampleRate.toInt, s"id=$id")
+      assert(bits === f.getSampleSizeInBits, s"id=$id")
+      assert(n === ais.getFrameLength, s"id=$id frames")
+      assert(durMs === n * 1000L / rate)
+      // content witness: re-sum the samples from the construction formula
+      val expSum = (0 until Multimodal.WavCodec.nSamplesFor(id) * ch)
+        .map(i => Multimodal.WavCodec.sampleAt(id, i).toLong).sum
+      assert(sum === expSum, s"id=$id sample sum")
+      ais.close()
+    }
+  }
+
+  test("WavHeader: garbage, truncation, and lying chunk sizes yield None") {
+    assert(Multimodal.WavHeader.parse("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.WavHeader.parse(Array[Byte]()).isEmpty)
+    val wav = Multimodal.WavCodec.encode(1L)
+    assert(Multimodal.WavHeader.parse(wav.take(30)).isEmpty)
+    // corrupt the data chunk size to exceed the buffer: must refuse,
+    // not read past the end
+    val lying = wav.clone()
+    lying(43) = 0x7F.toByte // big-endian-most byte of the LE32 data size
+    assert(Multimodal.WavHeader.parse(lying).isEmpty)
+  }
+
   test("q_multimodal_dims: sniffed == declared, dims match construction") {
     val rows = Multimodal.qMultimodalDims(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
