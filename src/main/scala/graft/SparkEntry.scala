@@ -106,9 +106,10 @@ object SparkEntry {
         // gates otherwise build inside their first timed run
         streaming.EventsStream.prewarmStaging(spark, dir)
       }),
-      "media" -> (() => { // encoded image + audio containers
+      "media" -> (() => { // encoded image + audio + video containers
         ops.Multimodal.mediaTable(spark, dir)
-        ops.Multimodal.audioTable(spark, dir); ()
+        ops.Multimodal.audioTable(spark, dir)
+        ops.Multimodal.videoTable(spark, dir); ()
       }),
       "partitioned" -> (() => { // hive-partitioned documents layout
         // (q_partition_prune) — a corpus-version artifact like the

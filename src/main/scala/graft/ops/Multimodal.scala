@@ -217,6 +217,126 @@ object Multimodal {
     }
   }
 
+  /** Minimal ISO-BMFF (MP4) containers — the VIDEO modality. Canonical
+    * box layout built from pure bytes (big-endian sizes + 4CC types, per
+    * the published ISO/IEC 14496-12 base-media format): ftyp, moov
+    * [mvhd v0 + free], mdat. Deterministic per doc_id. No codec: the
+    * payload is opaque — exactly how a 100 TB video corpus stores clips
+    * next to typed metadata. */
+  object Mp4Codec {
+    private val Scales = Array(600, 1000, 90000)
+    def brandFor(id: Long): String = if (id % 2 == 0) "isom" else "mp42"
+    def timescaleFor(id: Long): Int = Scales((id % 3).toInt)
+    def durUnitsFor(id: Long): Int = (3000 + (id * 7) % 100000L).toInt
+    def mdatLenFor(id: Long): Int = 16 + (id % 32).toInt
+    def mdatByteAt(id: Long, i: Int): Byte = ((id * 131 + i * 17) & 0xFF).toByte
+
+    def encode(id: Long): Array[Byte] = {
+      val mdatLen = mdatLenFor(id)
+      val bb = java.nio.ByteBuffer.allocate(24 + 8 + 108 + 8 + 8 + mdatLen)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+      // ftyp: major brand, minor version, two compatible brands
+      bb.putInt(24); fourcc("ftyp"); fourcc(brandFor(id)); bb.putInt(0x200)
+      fourcc("isom"); fourcc("mp41")
+      // moov: mvhd (v0, 108 bytes) + free (8 bytes)
+      bb.putInt(8 + 108 + 8); fourcc("moov")
+      bb.putInt(108); fourcc("mvhd")
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(timescaleFor(id)).putInt(durUnitsFor(id))
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      bb.putInt(0).putInt(0) // reserved
+      // identity matrix (9 × 4 bytes)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2) // next track id
+      bb.putInt(8); fourcc("free")
+      bb.putInt(8 + mdatLen); fourcc("mdat")
+      var i = 0
+      while (i < mdatLen) { bb.put(mdatByteAt(id, i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  /** ISO-BMFF box-walk parser: top-level boxes by BE32 size + 4CC,
+    * recursing into moov for mvhd's timescale/duration and summing the
+    * mdat payload bytes as the content witness. size==0 ("to end of
+    * file") and size==1 (64-bit largesize) are refused — canonical
+    * small containers only — as is any box extending past the buffer. */
+  object Mp4Header {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    /** (brand, timescale, durUnits, durMs, mdatBytes, mdatSum). */
+    def parse(b: Array[Byte]): Option[(String, Long, Long, Long, Long, Long)] = {
+      if (b.length < 16 || tag(b, 4) != "ftyp") return None
+      val brand = tag(b, 8)
+      var pos = 0
+      var timescale = -1L; var dur = -1L
+      var mdatBytes = -1L; var mdatSum = 0L
+      while (pos + 8 <= b.length) {
+        val size = be32(b, pos)
+        val t = tag(b, pos + 4)
+        if (size < 8 || pos + size > b.length) return None // 0/1/lying sizes
+        if (t == "moov") {
+          // walk the children of moov for mvhd
+          var p = pos + 8
+          while (p + 8 <= pos + size) {
+            val cs = be32(b, p)
+            if (cs < 8 || p + cs > pos + size) return None
+            if (tag(b, p + 4) == "mvhd") {
+              if (u8(b, p + 8) != 0) return None // version 0 layout only
+              timescale = be32(b, p + 20)
+              dur = be32(b, p + 24)
+            }
+            p += cs.toInt
+          }
+        } else if (t == "mdat") {
+          mdatBytes = size - 8
+          var i = pos + 8
+          while (i < pos + size) { mdatSum += u8(b, i); i += 1 }
+        }
+        pos += size.toInt
+      }
+      if (timescale <= 0 || dur < 0 || mdatBytes < 0) None
+      else Some((brand, timescale, dur, dur * 1000L / timescale, mdatBytes, mdatSum))
+    }
+  }
+
+  /** The session-shared video table (doc_id, payload). */
+  private[graft] def videoTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "video", dir) {
+      import spark.implicits._
+      Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Mp4Codec.encode(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  /** Video audit over ISO-BMFF bytes: container brand, movie timescale /
+    * duration (ms), and an exact mdat byte-sum witness via
+    * [[Mp4Header]]'s nested box walk. Hash-gated: DuckDB re-walks the
+    * exported blobs' boxes (top-level + moov children, both recursive
+    * CTEs) and re-sums the mdat payload. */
+  def qVideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val video = videoTable(spark, dir)
+    graft.OracleExport.export(video, "video", dir)
+    video.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (brand, ts, dur, durMs, mb, msum) =
+            Mp4Header.parse(bytes).getOrElse(("?", -1L, -1L, -1L, -1L, 0L))
+          (id, brand, ts, dur, durMs, mb, msum, bytes.length)
+        }
+      }.toDF("doc_id", "brand", "timescale", "dur_units", "dur_ms",
+        "mdat_bytes", "mdat_sum", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   /** The session-shared audio table (doc_id, payload). */
   private[graft] def audioTable(spark: SparkSession, dir: String): DataFrame =
     Tables.materializeSharedBy(spark, "audio", dir) {
@@ -328,7 +448,8 @@ object Multimodal {
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_multimodal_dims" -> qMultimodalDims _,
-    "q_audio_meta" -> qAudioMeta _)
+    "q_audio_meta" -> qAudioMeta _,
+    "q_video_meta" -> qVideoMeta _)
 
   // DuckDB hex arithmetic over the exported blob (byte offsets 0-based):
   private def hxB(p: String) = s"substr(a.h, CAST(2 * ($p) + 1 AS INT), 2)"
@@ -339,8 +460,65 @@ object Multimodal {
       s"${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
   private def signed16S(p: String) =
     s"(${le16S(p)} - CASE WHEN ${le16S(p)} > 32767 THEN 65536 ELSE 0 END)"
+  private def be32S(p: String) =
+    s"CAST('0x' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 8) AS BIGINT)"
+  private def u8S(p: String) =
+    s"CAST('0x' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+  private def fourccS(p: String) = s"substr(v.h, CAST(2 * ($p) + 1 AS INT), 8)"
 
   val oracles: Map[String, String] = Map(
+    // Independent ISO-BMFF box walk over the exported MP4 blobs: DuckDB
+    // hops top-level boxes by BE32 size + 4CC (recursive CTE), walks
+    // moov's CHILDREN with a second recursive CTE bounded by the moov
+    // extent for mvhd's timescale/duration, decodes the ftyp brand from
+    // raw bytes, and re-sums the mdat payload.
+    "q_video_meta" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("video")}'),
+         |twalk(doc_id, pos) AS (
+         |  SELECT doc_id, 0 FROM v WHERE substr(h, 9, 8) = '66747970'
+         |  UNION ALL
+         |  SELECT w.doc_id, CAST(w.pos + ${be32S("w.pos")} AS INT)
+         |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + ${be32S("w.pos")} + 8 <= v.n),
+         |moovbox AS (
+         |  SELECT w.doc_id, w.pos, ${be32S("w.pos")} AS sz
+         |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE ${fourccS("w.pos + 4")} = '6D6F6F76'),
+         |mwalk(doc_id, pos, lim) AS (
+         |  SELECT doc_id, CAST(pos + 8 AS INT), CAST(pos + sz AS INT)
+         |  FROM moovbox
+         |  UNION ALL
+         |  SELECT w.doc_id, CAST(w.pos + ${be32S("w.pos")} AS INT), w.lim
+         |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + ${be32S("w.pos")} + 8 <= w.lim),
+         |mvhd AS (
+         |  SELECT w.doc_id, ${be32S("w.pos + 20")} AS timescale,
+         |    ${be32S("w.pos + 24")} AS dur
+         |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE ${fourccS("w.pos + 4")} = '6D766864'),
+         |mdat AS (
+         |  SELECT w.doc_id, w.pos + 8 AS off, ${be32S("w.pos")} - 8 AS nb
+         |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE ${fourccS("w.pos + 4")} = '6D646174'),
+         |msum AS (
+         |  SELECT d.doc_id, CAST(list_sum(list_transform(range(d.nb),
+         |    i -> ${u8S("d.off + i")})) AS BIGINT) AS mdat_sum
+         |  FROM mdat d JOIN v ON v.doc_id = d.doc_id),
+         |brand AS (
+         |  SELECT doc_id,
+         |    chr(CAST('0x' || substr(h, 17, 2) AS INT)) ||
+         |    chr(CAST('0x' || substr(h, 19, 2) AS INT)) ||
+         |    chr(CAST('0x' || substr(h, 21, 2) AS INT)) ||
+         |    chr(CAST('0x' || substr(h, 23, 2) AS INT)) AS brand
+         |  FROM v)
+         |SELECT v.doc_id, b.brand, m.timescale AS timescale,
+         |  m.dur AS dur_units, m.dur * 1000 // m.timescale AS dur_ms,
+         |  d.nb AS mdat_bytes, s.mdat_sum, CAST(v.n AS INT) AS n_bytes
+         |FROM v JOIN brand b USING (doc_id) JOIN mvhd m USING (doc_id)
+         |  JOIN mdat d USING (doc_id) JOIN msum s USING (doc_id)
+         |ORDER BY v.doc_id""".stripMargin,
     // Independent RIFF chunk walk over the exported WAV blobs: DuckDB
     // hops chunk to chunk (recursive CTE, LE32 sizes + odd-size padding),
     // reads the fmt fields with its own little-endian hex arithmetic,

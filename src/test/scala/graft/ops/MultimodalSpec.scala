@@ -107,6 +107,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavHeader.parse(lying).isEmpty)
   }
 
+  test("Mp4Header: box walk recovers construction fields exactly") {
+    for (id <- 0L until 32L) {
+      val bytes = Multimodal.Mp4Codec.encode(id)
+      val parsed = Multimodal.Mp4Header.parse(bytes)
+      assert(parsed.isDefined, s"id=$id unparsed")
+      val (brand, ts, dur, durMs, mb, msum) = parsed.get
+      assert(brand === Multimodal.Mp4Codec.brandFor(id))
+      assert(ts === Multimodal.Mp4Codec.timescaleFor(id).toLong)
+      assert(dur === Multimodal.Mp4Codec.durUnitsFor(id).toLong)
+      assert(durMs === dur * 1000L / ts)
+      val n = Multimodal.Mp4Codec.mdatLenFor(id)
+      assert(mb === n.toLong)
+      val expSum = (0 until n)
+        .map(i => (Multimodal.Mp4Codec.mdatByteAt(id, i) & 0xFF).toLong).sum
+      assert(msum === expSum, s"id=$id mdat sum")
+    }
+  }
+
+  test("Mp4Header: garbage, truncation, lying box sizes yield None") {
+    assert(Multimodal.Mp4Header.parse("not a video".getBytes).isEmpty)
+    assert(Multimodal.Mp4Header.parse(Array[Byte]()).isEmpty)
+    val mp4 = Multimodal.Mp4Codec.encode(2L)
+    assert(Multimodal.Mp4Header.parse(mp4.take(40)).isEmpty)
+    // corrupt the moov size to exceed the buffer: refuse, don't overrun
+    val lying = mp4.clone()
+    lying(24) = 0x7F.toByte // BE-most byte of the moov size
+    assert(Multimodal.Mp4Header.parse(lying).isEmpty)
+  }
+
   test("q_multimodal_dims: sniffed == declared, dims match construction") {
     val rows = Multimodal.qMultimodalDims(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
