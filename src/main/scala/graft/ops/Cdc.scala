@@ -129,8 +129,10 @@ object Cdc {
   def qCdcDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.OracleExport.export(gearTable(spark), "cdcgear", dir)
     val ch = chunkTable(spark, dir)
+    // min, not first: equal-digest chunks have equal len, but first() is
+    // formally nondeterministic and would taint the invariance sweep
     val perDigest = ch.groupBy("chunk_md5")
-      .agg(count(lit(1)).as("cnt"), first(col("len")).as("len"))
+      .agg(count(lit(1)).as("cnt"), min(col("len")).as("len"))
     perDigest.agg(
       sum(col("cnt")).cast("bigint").as("n_chunks"),
       count(lit(1)).cast("bigint").as("n_distinct"),

@@ -123,6 +123,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p) // the orderBy, nothing else
   }
 
+  test("media audits + CDC chunking: narrow maps — no shuffle before the final sort") {
+    // the r13 binary-column families promise "a narrow map over the
+    // binary column" (SCALE.md): the only exchange each plan may carry
+    // is the final orderBy's range partitioning
+    for (q <- Seq("q_multimodal_dims", "q_audio_meta", "q_video_meta",
+        "q_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
+  test("q_cdc_dedup: map-side partial aggregation on the digest key") {
+    val p = plan("q_cdc_dedup")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine:\n$p")
+  }
+
   test("q_join_bucketed: bucket-co-located sort-merge join with no exchange below it") {
     // disable size-based broadcast so the assertion exercises the bucketed
     // layout itself (at real fact×fact scale neither side broadcasts)
