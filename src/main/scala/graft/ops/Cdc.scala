@@ -80,16 +80,27 @@ object Cdc {
   /** Chunk digest = md5 over the UPPERCASE HEX of the chunk bytes (not
     * the raw bytes): this DuckDB build has no md5(BLOB) overload, and a
     * digest of the hex string is equally content-addressed (hex is a
-    * bijection) while computable as md5(substr(hex(blob), ...)) there. */
+    * bijection) while computable as md5(substr(hex(blob), ...)) there.
+    *
+    * The MessageDigest is per-thread, not per-chunk: at ~160-byte
+    * average chunks a corpus partition digests millions of chunks, and
+    * getInstance's provider lookup + allocation in that loop is the
+    * codec-per-row anti-pattern. digest() resets the instance. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val HexU = "0123456789ABCDEF".getBytes("US-ASCII")
+
   private def md5hex(b: Array[Byte], off: Int, len: Int): String = {
-    val sb = new java.lang.StringBuilder(len * 2)
-    var i = off
-    while (i < off + len) {
-      sb.append(f"${b(i) & 0xFF}%02X")
+    val hex = new Array[Byte](len * 2)
+    var i = 0
+    while (i < len) {
+      val v = b(off + i) & 0xFF
+      hex(2 * i) = HexU(v >> 4)
+      hex(2 * i + 1) = HexU(v & 0xF)
       i += 1
     }
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(sb.toString.getBytes("US-ASCII")).map(x => f"$x%02x").mkString
+    md5Local.get().digest(hex).map(x => f"$x%02x").mkString
   }
 
   /** The session-shared chunk table (doc_id, idx, start, len, chunk_md5). */

@@ -73,6 +73,24 @@ object Multimodal {
     }
   }
 
+  /** One set of primitive byte readers shared by every container parser
+    * (they used to be copy-pasted per parser with drifting signedness —
+    * the 32-bit reads return UNSIGNED Longs uniformly, so size/bounds
+    * arithmetic can never overflow Int: a crafted LE32/BE32 near 2^31
+    * once slipped a `pos + 8 + size > length` guard by wrapping
+    * negative). Bounds are the caller's job. */
+  private[ops] object ByteReads {
+    def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    def tag(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+  }
+
   /** Container-header parser — pure byte arithmetic from the PUBLISHED
     * container layouts (PNG: IHDR after the 8-byte signature, big-endian;
     * GIF: logical screen descriptor, little-endian; BMP: BITMAPINFOHEADER,
@@ -81,28 +99,27 @@ object Multimodal {
     * — a narrow map over the binary column that never inflates pixels.
     * Returns (sniffed format, width, height, bit depth). */
   object ImageHeader {
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-    private def be32(b: Array[Byte], i: Int): Int =
-      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-    private def le32(b: Array[Byte], i: Int): Int =
-      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+    import ByteReads._
 
     private val PngSig =
       Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
     def parse(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
-      if (b.length >= 26 && PngSig.indices.forall(i => u8(b, i) == PngSig(i)))
-        // IHDR: width BE @16, height BE @20, bit depth @24 (per channel)
-        Some(("png", be32(b, 16), be32(b, 20), u8(b, 24)))
-      else if (b.length >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      if (b.length >= 26 && PngSig.indices.forall(i => u8(b, i) == PngSig(i))) {
+        // IHDR: width BE @16, height BE @20, bit depth @24 (per channel);
+        // the spec caps dimensions at 2^31-1 — larger is malformed
+        val (w, h) = (be32(b, 16), be32(b, 20))
+        if (w > Int.MaxValue || h > Int.MaxValue) None
+        else Some(("png", w.toInt, h.toInt, u8(b, 24)))
+      } else if (b.length >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8')
         // logical screen descriptor: wxh LE @6/@8; GCT size bits → depth
         Some(("gif", le16(b, 6), le16(b, 8), (u8(b, 10) & 7) + 1))
       else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
         // BITMAPINFOHEADER: biWidth @18, biHeight @22, biBitCount @28
-        Some(("bmp", le32(b, 18), le32(b, 22), le16(b, 28)))
+        // (.toInt reinterprets the unsigned read as the spec's signed
+        // int32 — a negative biHeight legitimately means top-down rows)
+        Some(("bmp", le32(b, 18).toInt, le32(b, 22).toInt, le16(b, 28)))
       else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8)
         jpegSof(b)
       else None
@@ -118,6 +135,7 @@ object Multimodal {
         if (u8(b, p) != 0xFF) return None
         var q = p
         while (q + 1 < b.length && u8(b, q + 1) == 0xFF) q += 1 // fill bytes
+        if (q + 1 >= b.length) return None // stream ends in a 0xFF run
         val m = u8(b, q + 1)
         if (m == 0xD9 || m == 0xDA) return None // EOI / SOS: no SOF seen
         else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p = q + 2 // standalone
@@ -177,43 +195,41 @@ object Multimodal {
     * over the binary column — header fields + an integrity checksum —
     * with no decode fan-out. */
   object WavHeader {
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-    private def le32(b: Array[Byte], i: Int): Int =
-      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
-    private def tag(b: Array[Byte], i: Int): String =
-      new String(b, i, 4, "US-ASCII")
+    import ByteReads._
 
     /** (channels, sampleRate, bits, nSamples, durMs, sumSamples). */
     def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
         return None
       var pos = 12
-      var channels = -1; var rate = -1; var bits = -1
+      var channels = -1; var rate = -1L; var bits = -1
       var nSamples = -1L; var sum = 0L; var seenData = false
       while (pos + 8 <= b.length) {
         val id = tag(b, pos)
+        // size as unsigned Long: a crafted LE32 near 2^31 must hit the
+        // bounds guard, not wrap the Int arithmetic past it
         val size = le32(b, pos + 4)
-        if (size < 0 || pos + 8 + size > b.length) return None
+        if (pos + 8L + size > b.length) return None
+        val sz = size.toInt // safe: <= b.length after the guard
         if (id == "fmt ") {
-          if (size < 16) return None
+          if (sz < 16) return None
           channels = le16(b, pos + 10)
           rate = le32(b, pos + 12)
           bits = le16(b, pos + 22)
         } else if (id == "data") {
           if (channels <= 0 || bits != 16) return None // canonical PCM only
           seenData = true
-          nSamples = size.toLong / (channels * (bits / 8))
+          nSamples = sz.toLong / (channels * (bits / 8))
           var i = pos + 8
-          while (i + 1 < pos + 8 + size) {
+          while (i + 1 < pos + 8 + sz) {
             sum += le16(b, i).toShort.toLong // signed 16-bit
             i += 2
           }
         }
-        pos += 8 + size + (size & 1) // odd chunk sizes are padded
+        pos += 8 + sz + (sz & 1) // odd chunk sizes are padded
       }
-      if (!seenData || rate <= 0) None
-      else Some((channels, rate, bits, nSamples, nSamples * 1000L / rate, sum))
+      if (!seenData || rate <= 0 || rate > Int.MaxValue) None
+      else Some((channels, rate.toInt, bits, nSamples, nSamples * 1000L / rate, sum))
     }
   }
 
@@ -265,11 +281,7 @@ object Multimodal {
     * file") and size==1 (64-bit largesize) are refused — canonical
     * small containers only — as is any box extending past the buffer. */
   object Mp4Header {
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
-    private def be32(b: Array[Byte], i: Int): Long =
-      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-    private def tag(b: Array[Byte], i: Int): String =
-      new String(b, i, 4, "US-ASCII")
+    import ByteReads._
 
     /** (brand, timescale, durUnits, durMs, mdatBytes, mdatSum). */
     def parse(b: Array[Byte]): Option[(String, Long, Long, Long, Long, Long)] = {
@@ -289,6 +301,9 @@ object Multimodal {
             val cs = be32(b, p)
             if (cs < 8 || p + cs > pos + size) return None
             if (tag(b, p + 4) == "mvhd") {
+              // the v0 fields read through byte p+27 — a smaller "mvhd"
+              // box would read past its own extent (or the buffer)
+              if (cs < 28) return None
               if (u8(b, p + 8) != 0) return None // version 0 layout only
               timescale = be32(b, p + 20)
               dur = be32(b, p + 24)
@@ -592,11 +607,23 @@ object Multimodal {
          |    CAST('0x' || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS depth
          |  FROM m WHERE substr(h, 1, 4) = '424D'),
          |jwalk AS (
+         |  -- marker walk with the SAME spec coverage as the Scala side:
+         |  -- 0xFF fill bytes slide by 1; TEM (0x01) and RSTn (0xD0-D7)
+         |  -- are standalone (advance 2); other non-SOF segments hop by
+         |  -- their BE16 length; SOI/EOI/SOS (216/217/218) stop the walk
          |  SELECT doc_id, 2 AS pos FROM m WHERE substr(h, 1, 4) = 'FFD8'
          |  UNION ALL
          |  SELECT w.doc_id,
-         |    CAST(w.pos + 2 + CAST('0x' ||
-         |      substr(m.h, CAST(2 * (w.pos + 2) + 1 AS INT), 4) AS BIGINT) AS INT)
+         |    CAST(CASE
+         |      WHEN CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |           AS BIGINT) = 255 THEN w.pos + 1
+         |      WHEN CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |           AS BIGINT) = 1
+         |        OR CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |           AS BIGINT) BETWEEN 208 AND 215 THEN w.pos + 2
+         |      ELSE w.pos + 2 + CAST('0x' ||
+         |        substr(m.h, CAST(2 * (w.pos + 2) + 1 AS INT), 4) AS BIGINT)
+         |    END AS INT)
          |  FROM jwalk w JOIN m USING (doc_id)
          |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 2) = 'FF'
          |    AND NOT (CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)

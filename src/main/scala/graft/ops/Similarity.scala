@@ -359,7 +359,10 @@ object Similarity {
     // artifact consumed by q_minhash_lsh AND q_lsh_quality.
     Tables.materializeSharedBy(spark, "lshcand",
       s"$dir:k=$minhashK.b=$bands")(
-      bucketPairsJoin(banded, Seq("band", "sig"), "banded"))
+      // dir-qualified mat tag: this build runs inside a shared holder,
+      // but holders for DIFFERENT dirs run concurrently under the
+      // overlapped bench prewarm/warmup (the Tables.materialize GC rule)
+      bucketPairsJoin(banded, Seq("band", "sig"), s"banded:$dir"))
   }
 
   /** Exact-Jaccard ≥ t ground-truth pairs over the full corpus
@@ -379,7 +382,7 @@ object Similarity {
     Tables.materializeSharedBy(spark, "lshtruth", s"$dir:t=$t") {
       val sh = corpusShingles(spark, dir)
       verifyJaccard(
-        bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), "ppjq"), sh, t)
+        bucketPairsJoin(prefixKeys(sh, t), Seq("sh_h"), s"ppjq:$dir:$t"), sh, t)
         .select(col("doc_a"), col("doc_b"))
     }
 

@@ -136,6 +136,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Header.parse(lying).isEmpty)
   }
 
+  test("crafted adversarial containers: overflow sizes and boundary runs yield None") {
+    // WAV whose first chunk size is a huge LE32 (~2^31): Int arithmetic
+    // would wrap past the bounds guard and index negatively
+    val wav = Multimodal.WavCodec.encode(1L)
+    val hugeChunk = wav.clone()
+    hugeChunk(16) = 0xF8.toByte; hugeChunk(17) = 0xFF.toByte
+    hugeChunk(18) = 0xFF.toByte; hugeChunk(19) = 0x7F.toByte
+    assert(Multimodal.WavHeader.parse(hugeChunk).isEmpty)
+    // JPEG that ends in a run of 0xFF fill bytes: the fill-skip must not
+    // read one past the buffer
+    assert(Multimodal.ImageHeader.parse(
+      Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)).isEmpty)
+    // MP4 whose moov ends in an 8-byte box TAGGED mvhd: too small for the
+    // v0 field extent — must refuse, not read the next box's bytes
+    val bb = java.nio.ByteBuffer.allocate(24 + 16 + 9)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(24).put("ftyp".getBytes).put("isom".getBytes)
+      .putInt(0x200).put("isom".getBytes).put("mp41".getBytes)
+    bb.putInt(16).put("moov".getBytes).putInt(8).put("mvhd".getBytes)
+    bb.putInt(9).put("mdat".getBytes).put(7.toByte)
+    assert(Multimodal.Mp4Header.parse(bb.array()).isEmpty)
+  }
+
   test("fuzz: no parser ever throws on arbitrary bytes (malformed files must not kill a job)") {
     // at 100 TB some containers WILL be truncated/corrupt; the audit
     // pass must classify them (None), never crash the task. Seeded
