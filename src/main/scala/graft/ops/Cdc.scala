@@ -153,61 +153,108 @@ object Cdc {
         .cast("bigint").as("dup_bytes"))
   }
 
+  /** The incremental re-crawl path — the use case CDC exists for: a new
+    * snapshot's documents dedup against the EXISTING chunk index with no
+    * realignment scans. The "new snapshot" here is a deterministic
+    * prefix edit of every 10th document ("UPDATE " prepended) — a shift
+    * that kills fixed-block dedup outright; content-defined boundaries
+    * resynchronize after the first common cut (pinned in CdcSpec), so
+    * most chunk digests still hit the index. Per edited doc: chunk
+    * counts and reused-vs-new byte totals against the baseline index.
+    * Shuffle shape: chunk the delta (narrow map over the EDITED docs
+    * only — cost ∝ |batch|, never |index| scans), one digest-keyed
+    * semi-join against the index — identical to q_dedup_incremental's
+    * batch-probes-index discipline at chunk granularity. */
+  def qCdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.OracleExport.export(gearTable(spark), "cdcgear", dir)
+    val index = chunkTable(spark, dir).select("chunk_md5").distinct()
+    val edited = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        encode(concat(lit("UPDATE "), col("text")), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        chunks(bytes).map { case (s, l) => (id, l, md5hex(bytes, s, l)) }
+      }).toDF("doc_id", "len", "chunk_md5")
+    edited
+      .join(index.withColumn("hit", lit(1)), Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_reused"),
+        sum(col("len") * coalesce(col("hit"), lit(0)))
+          .cast("bigint").as("reused_bytes"),
+        sum(col("len") * (lit(1) - coalesce(col("hit"), lit(0))))
+          .cast("bigint").as("new_bytes"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_chunks" -> qCdcChunks _,
-    "q_cdc_dedup" -> qCdcDedup _)
+    "q_cdc_dedup" -> qCdcDedup _,
+    "q_cdc_incremental" -> qCdcIncremental _)
 
   /** Shared oracle CTE prefix: bytes → window hashes → candidate
-    * positions → recursive chunk selection → chunk rows. */
+    * positions → recursive chunk selection → chunk rows. CTE names are
+    * prefixed with `ns` so two corpora (baseline + edited snapshot) can
+    * be chunked in one statement; `docsSql` supplies (doc_id, text). */
   private def chunkCte: String =
-    s"""d AS (
-       |  SELECT doc_id, hex(encode(text)) AS h,
-       |         octet_length(encode(text)) AS n
-       |  FROM documents),
-       |gear AS (
-       |  SELECT list(g ORDER BY i) AS gl
-       |  FROM '${graft.OracleExport.oraclePath("cdcgear")}'),
-       |p2 AS ( -- 2^k mod 2^32 for k = 0..31
-       |  SELECT list_transform(range(32), k ->
-       |    CAST(power(2, CAST(k AS INT)) AS BIGINT)) AS p2l),
-       |bv AS ( -- byte values, then per-position 32-byte window hashes
-       |  SELECT doc_id, n,
-       |    list_transform(range(n), i -> CAST('0x' ||
-       |      substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT)) AS b
-       |  FROM d),
-       |wh AS ( -- W_p = sum(gear[b_(p-k)] * 2^k) mod 2^32, k = 0..31
-       |  SELECT doc_id, n,
-       |    list_transform(range(n), p ->
-       |      CASE WHEN p < 31 THEN -1
-       |      ELSE list_sum(list_transform(range(32), k ->
-       |        (gl[CAST(b[CAST(p - k + 1 AS INT)] AS INT) + 1]
-       |          * p2l[CAST(k + 1 AS INT)]) % 4294967296)) % 4294967296
-       |      END) AS w
-       |  FROM bv, gear, p2),
-       |cand AS ( -- boundary-candidate positions (window hash % 128 == 0)
-       |  SELECT doc_id, n, list_sort(list_filter(
-       |    list_transform(range(n), p ->
-       |      CASE WHEN p >= 31 AND w[CAST(p + 1 AS INT)] % ${MaskMod} = 0
-       |           THEN p ELSE -1 END), x -> x >= 0)) AS cands
-       |  FROM wh),
-       |sel(doc_id, s, idx, e) AS ( -- recursive chunk selection
-       |  SELECT doc_id, 0, 0,
-       |    COALESCE(list_min(list_filter(cands,
-       |      p -> p >= ${Min - 1} AND p <= LEAST(${Max - 1}, n - 1))),
-       |      LEAST(${Max - 1}, n - 1))
-       |  FROM cand WHERE n > 0
-       |  UNION ALL
-       |  SELECT w.doc_id, w.e + 1, w.idx + 1,
-       |    COALESCE(list_min(list_filter(c.cands,
-       |      p -> p >= w.e + ${Min} AND p <= LEAST(w.e + ${Max}, c.n - 1))),
-       |      LEAST(w.e + ${Max}, c.n - 1))
-       |  FROM sel w JOIN cand c USING (doc_id)
-       |  WHERE w.e + 1 < c.n),
-       |ch AS ( -- digest = md5 over the hex slice (no md5(BLOB) here)
-       |  SELECT s.doc_id, s.idx, s.s AS start, s.e - s.s + 1 AS len,
-       |    md5(substr(d.h, CAST(2 * s.s + 1 AS INT),
-       |        CAST(2 * (s.e - s.s + 1) AS INT))) AS chunk_md5
-       |  FROM sel s JOIN d USING (doc_id))""".stripMargin
+    chunkCteNs("", "SELECT doc_id, text FROM documents", withGear = true)
+
+  private def chunkCteNs(ns: String, docsSql: String,
+      withGear: Boolean): String = {
+    val gearCtes =
+      s"""gear AS (
+         |  SELECT list(g ORDER BY i) AS gl
+         |  FROM '${graft.OracleExport.oraclePath("cdcgear")}'),
+         |p2 AS ( -- 2^k mod 2^32 for k = 0..31
+         |  SELECT list_transform(range(32), k ->
+         |    CAST(power(2, CAST(k AS INT)) AS BIGINT)) AS p2l),
+         |""".stripMargin
+    (if (withGear) gearCtes else "") +
+      s"""${ns}d AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
+         |  FROM ($docsSql)),
+         |${ns}bv AS ( -- byte values, then per-position 32-byte window hashes
+         |  SELECT doc_id, n,
+         |    list_transform(range(n), i -> CAST('0x' ||
+         |      substr(h, CAST(2 * i + 1 AS INT), 2) AS BIGINT)) AS b
+         |  FROM ${ns}d),
+         |${ns}wh AS ( -- W_p = sum(gear[b_(p-k)] * 2^k) mod 2^32, k = 0..31
+         |  SELECT doc_id, n,
+         |    list_transform(range(n), p ->
+         |      CASE WHEN p < 31 THEN -1
+         |      ELSE list_sum(list_transform(range(32), k ->
+         |        (gl[CAST(b[CAST(p - k + 1 AS INT)] AS INT) + 1]
+         |          * p2l[CAST(k + 1 AS INT)]) % 4294967296)) % 4294967296
+         |      END) AS w
+         |  FROM ${ns}bv, gear, p2),
+         |${ns}cand AS ( -- boundary-candidate positions (hash % 128 == 0)
+         |  SELECT doc_id, n, list_sort(list_filter(
+         |    list_transform(range(n), p ->
+         |      CASE WHEN p >= 31 AND w[CAST(p + 1 AS INT)] % ${MaskMod} = 0
+         |           THEN p ELSE -1 END), x -> x >= 0)) AS cands
+         |  FROM ${ns}wh),
+         |${ns}sel(doc_id, s, idx, e) AS ( -- recursive chunk selection
+         |  SELECT doc_id, 0, 0,
+         |    COALESCE(list_min(list_filter(cands,
+         |      p -> p >= ${Min - 1} AND p <= LEAST(${Max - 1}, n - 1))),
+         |      LEAST(${Max - 1}, n - 1))
+         |  FROM ${ns}cand WHERE n > 0
+         |  UNION ALL
+         |  SELECT w.doc_id, w.e + 1, w.idx + 1,
+         |    COALESCE(list_min(list_filter(c.cands,
+         |      p -> p >= w.e + ${Min} AND p <= LEAST(w.e + ${Max}, c.n - 1))),
+         |      LEAST(w.e + ${Max}, c.n - 1))
+         |  FROM ${ns}sel w JOIN ${ns}cand c USING (doc_id)
+         |  WHERE w.e + 1 < c.n),
+         |${ns}ch AS ( -- digest = md5 over the hex slice (no md5(BLOB) here)
+         |  SELECT s.doc_id, s.idx, s.s AS start, s.e - s.s + 1 AS len,
+         |    md5(substr(d.h, CAST(2 * s.s + 1 AS INT),
+         |        CAST(2 * (s.e - s.s + 1) AS INT))) AS chunk_md5
+         |  FROM ${ns}sel s JOIN ${ns}d d USING (doc_id))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_cdc_chunks" ->
@@ -215,6 +262,26 @@ object Cdc {
          |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(start AS INT) AS start,
          |  CAST(len AS INT) AS len, chunk_md5
          |FROM ch ORDER BY doc_id, idx""".stripMargin,
+    // Full replay of BOTH corpora: the baseline index from documents and
+    // the edited snapshot's chunks from the same prefix-edit expression,
+    // then the digest-keyed classification — boundaries, digests, and
+    // reuse accounting all derived twice.
+    "q_cdc_incremental" ->
+      s"""WITH RECURSIVE $chunkCte,
+         |${chunkCteNs("e",
+            "SELECT doc_id, 'UPDATE ' || text AS text FROM documents " +
+              "WHERE doc_id % 10 = 0", withGear = false)},
+         |idx AS (SELECT DISTINCT chunk_md5 FROM ch)
+         |SELECT e.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN i.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_reused,
+         |  CAST(SUM(CASE WHEN i.chunk_md5 IS NOT NULL THEN e.len ELSE 0 END)
+         |       AS BIGINT) AS reused_bytes,
+         |  CAST(SUM(CASE WHEN i.chunk_md5 IS NULL THEN e.len ELSE 0 END)
+         |       AS BIGINT) AS new_bytes
+         |FROM ech e LEFT JOIN idx i USING (chunk_md5)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     "q_cdc_dedup" ->
       s"""WITH RECURSIVE $chunkCte,
          |pd AS (
