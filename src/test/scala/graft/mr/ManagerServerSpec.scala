@@ -88,6 +88,33 @@ class ManagerServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent clients: simultaneous submits all enqueue and run") {
+    // the reference reads one connection at a time; concurrent clients
+    // queue in the listen backlog — none may be dropped
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    val in = tmpDir("mgr-cc-in")
+    Files.writeString(Paths.get(in, "a.txt"), "a b a\n")
+    val outs = (0 until 4).map(i => tmpDir(s"mgr-cc-out$i") + s"/r$i")
+
+    val srv = new ManagerServer(spark, port = 0).start()
+    try {
+      val threads = outs.map { out =>
+        new Thread(() =>
+          send(srv.boundPort, jobJson(in, out, mapSh, reduceSh, nm = 1, nr = 1)))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      outs.foreach { out =>
+        assert(awaitFile(out + "/part-00000"), s"missing output $out")
+      }
+      assert(srv.failedJobCount === 0)
+    } finally {
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+    }
+  }
+
   test("a failed job does not stop the queue (reference FIFO rule)") {
     val mapSh = stageExecutable("/mr/exec/wc_map.sh")
     val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
