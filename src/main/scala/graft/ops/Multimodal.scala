@@ -509,10 +509,15 @@ object Multimodal {
          |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
          |  WHERE w.pos + ${be32S("w.pos")} + 8 <= w.lim),
          |mvhd AS (
+         |  -- mirror the engine's refusals: v0 layout only, box at least
+         |  -- the v0 field extent (28), positive timescale
          |  SELECT w.doc_id, ${be32S("w.pos + 20")} AS timescale,
          |    ${be32S("w.pos + 24")} AS dur
          |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
-         |  WHERE ${fourccS("w.pos + 4")} = '6D766864'),
+         |  WHERE ${fourccS("w.pos + 4")} = '6D766864'
+         |    AND ${be32S("w.pos")} >= 28
+         |    AND ${u8S("w.pos + 8")} = 0
+         |    AND ${be32S("w.pos + 20")} >= 1),
          |mdat AS (
          |  SELECT w.doc_id, w.pos + 8 AS off, ${be32S("w.pos")} - 8 AS nb
          |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
@@ -527,12 +532,20 @@ object Multimodal {
          |    chr(CAST('0x' || substr(h, 19, 2) AS INT)) ||
          |    chr(CAST('0x' || substr(h, 21, 2) AS INT)) ||
          |    chr(CAST('0x' || substr(h, 23, 2) AS INT)) AS brand
-         |  FROM v)
-         |SELECT v.doc_id, b.brand, m.timescale AS timescale,
-         |  m.dur AS dur_units, m.dur * 1000 // m.timescale AS dur_ms,
-         |  d.nb AS mdat_bytes, s.mdat_sum, CAST(v.n AS INT) AS n_bytes
-         |FROM v JOIN brand b USING (doc_id) JOIN mvhd m USING (doc_id)
-         |  JOIN mdat d USING (doc_id) JOIN msum s USING (doc_id)
+         |  FROM v),
+         |vu AS (
+         |  SELECT b.doc_id, b.brand, m.timescale, m.dur,
+         |    m.dur * 1000 // m.timescale AS dur_ms, d.nb, s.mdat_sum
+         |  FROM brand b JOIN mvhd m USING (doc_id)
+         |    JOIN mdat d USING (doc_id) JOIN msum s USING (doc_id))
+         |SELECT v.doc_id, COALESCE(vu.brand, '?') AS brand,
+         |  CAST(COALESCE(vu.timescale, -1) AS BIGINT) AS timescale,
+         |  CAST(COALESCE(vu.dur, -1) AS BIGINT) AS dur_units,
+         |  CAST(COALESCE(vu.dur_ms, -1) AS BIGINT) AS dur_ms,
+         |  CAST(COALESCE(vu.nb, -1) AS BIGINT) AS mdat_bytes,
+         |  CAST(COALESCE(vu.mdat_sum, 0) AS BIGINT) AS mdat_sum,
+         |  CAST(v.n AS INT) AS n_bytes
+         |FROM v LEFT JOIN vu USING (doc_id)
          |ORDER BY v.doc_id""".stripMargin,
     // Independent RIFF chunk walk over the exported WAV blobs: DuckDB
     // hops chunk to chunk (recursive CTE, LE32 sizes + odd-size padding),
@@ -554,10 +567,17 @@ object Multimodal {
          |  WHERE w.pos + 8 + ${le32S("w.pos + 4")}
          |        + (${le32S("w.pos + 4")} % 2) + 8 <= a.n),
          |fmtc AS (
+         |  -- mirror the engine's refusals: canonical 16-bit PCM with a
+         |  -- positive in-range rate and >=16-byte fmt chunk, else the doc
+         |  -- falls to the unparsed sentinel in the final LEFT JOIN
          |  SELECT w.doc_id, ${le16S("w.pos + 10")} AS channels,
          |    ${le32S("w.pos + 12")} AS rate, ${le16S("w.pos + 22")} AS bits
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
-         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'),
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'
+         |    AND ${le32S("w.pos + 4")} >= 16
+         |    AND ${le16S("w.pos + 10")} > 0
+         |    AND ${le16S("w.pos + 22")} = 16
+         |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647),
          |datac AS (
          |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
@@ -566,14 +586,22 @@ object Multimodal {
          |  SELECT d.doc_id,
          |    CAST(list_sum(list_transform(range(d.nbytes // 2),
          |      i -> ${signed16S("d.off + 2 * i")})) AS BIGINT) AS sum_samples
-         |  FROM datac d JOIN a ON a.doc_id = d.doc_id)
-         |SELECT a.doc_id, CAST(f.channels AS INT) AS channels,
-         |  CAST(f.rate AS INT) AS sample_rate, CAST(f.bits AS INT) AS bits,
-         |  CAST(d.nbytes // (f.channels * 2) AS BIGINT) AS n_samples,
-         |  CAST((d.nbytes // (f.channels * 2)) * 1000 // f.rate AS BIGINT) AS dur_ms,
-         |  s.sum_samples, CAST(a.n AS INT) AS n_bytes
-         |FROM a JOIN fmtc f USING (doc_id) JOIN datac d USING (doc_id)
-         |  JOIN sums s USING (doc_id)
+         |  FROM datac d JOIN a ON a.doc_id = d.doc_id),
+         |au AS (
+         |  SELECT f.doc_id, f.channels, f.rate, f.bits,
+         |    d.nbytes // (f.channels * 2) AS n_samples,
+         |    (d.nbytes // (f.channels * 2)) * 1000 // f.rate AS dur_ms,
+         |    s.sum_samples
+         |  FROM fmtc f JOIN datac d USING (doc_id) JOIN sums s USING (doc_id))
+         |SELECT a.doc_id,
+         |  CAST(COALESCE(au.channels, -1) AS INT) AS channels,
+         |  CAST(COALESCE(au.rate, -1) AS INT) AS sample_rate,
+         |  CAST(COALESCE(au.bits, -1) AS INT) AS bits,
+         |  CAST(COALESCE(au.n_samples, -1) AS BIGINT) AS n_samples,
+         |  CAST(COALESCE(au.dur_ms, -1) AS BIGINT) AS dur_ms,
+         |  CAST(COALESCE(au.sum_samples, 0) AS BIGINT) AS sum_samples,
+         |  CAST(a.n AS INT) AS n_bytes
+         |FROM a LEFT JOIN au USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin,
     // Independent re-parse of the exported container bytes: DuckDB
     // extracts width/height/depth from the SAME blobs with its own
@@ -587,11 +615,16 @@ object Multimodal {
          |         octet_length(payload) AS n
          |  FROM '${graft.OracleExport.oraclePath("media")}'),
          |png AS (
+         |  -- dims above 2^31-1 are malformed per the spec: the engine
+         |  -- parser returns None, so no png row here (falls to the
+         |  -- unparsed sentinel in the final LEFT JOIN)
          |  SELECT doc_id, 'png' AS sniffed,
          |    CAST('0x' || substr(h, 33, 8) AS BIGINT) AS width,
          |    CAST('0x' || substr(h, 41, 8) AS BIGINT) AS height,
          |    CAST('0x' || substr(h, 49, 2) AS BIGINT) AS depth
-         |  FROM m WHERE substr(h, 1, 16) = '89504E470D0A1A0A'),
+         |  FROM m WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
+         |    AND CAST('0x' || substr(h, 33, 8) AS BIGINT) <= 2147483647
+         |    AND CAST('0x' || substr(h, 41, 8) AS BIGINT) <= 2147483647),
          |gif AS (
          |  SELECT doc_id, 'gif' AS sniffed,
          |    CAST('0x' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT) AS width,
@@ -609,8 +642,9 @@ object Multimodal {
          |jwalk AS (
          |  -- marker walk with the SAME spec coverage as the Scala side:
          |  -- 0xFF fill bytes slide by 1; TEM (0x01) and RSTn (0xD0-D7)
-         |  -- are standalone (advance 2); other non-SOF segments hop by
-         |  -- their BE16 length; SOI/EOI/SOS (216/217/218) stop the walk
+         |  -- are standalone (advance 2); every other non-SOF marker —
+         |  -- including a mid-stream D8 — hops by its BE16 length;
+         |  -- only EOI/SOS (217/218) stop the walk, like the engine
          |  SELECT doc_id, 2 AS pos FROM m WHERE substr(h, 1, 4) = 'FFD8'
          |  UNION ALL
          |  SELECT w.doc_id,
@@ -631,9 +665,11 @@ object Multimodal {
          |             AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |                  AS BIGINT) NOT IN (196, 200, 204))
          |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
-         |             AS BIGINT) NOT IN (216, 217, 218)
+         |             AS BIGINT) NOT IN (217, 218)
          |    AND 2 * (w.pos + 4) <= length(m.h)),
          |jpg AS (
+         |  -- the field reads extend to byte pos+8 — mirror the engine's
+         |  -- q+9 truncation guard or a short substr would abort the cast
          |  SELECT w.doc_id, 'jpg' AS sniffed,
          |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 7) + 1 AS INT), 4) AS BIGINT) AS width,
          |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 5) + 1 AS INT), 4) AS BIGINT) AS height,
@@ -642,14 +678,18 @@ object Multimodal {
          |  WHERE CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |             AS BIGINT) BETWEEN 192 AND 207
          |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
-         |             AS BIGINT) NOT IN (196, 200, 204)),
+         |             AS BIGINT) NOT IN (196, 200, 204)
+         |    AND 2 * (w.pos + 9) <= length(m.h)),
          |u AS (
          |  SELECT * FROM png UNION ALL SELECT * FROM gif
          |  UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM jpg)
-         |SELECT m.doc_id, m.fmt, u.sniffed,
-         |  CAST(u.width AS INT) AS width, CAST(u.height AS INT) AS height,
-         |  CAST(u.depth AS INT) AS depth, CAST(m.n AS INT) AS n_bytes
-         |FROM m JOIN u USING (doc_id)
+         |SELECT m.doc_id, m.fmt,
+         |  COALESCE(u.sniffed, 'unknown') AS sniffed,
+         |  CAST(COALESCE(u.width, -1) AS INT) AS width,
+         |  CAST(COALESCE(u.height, -1) AS INT) AS height,
+         |  CAST(COALESCE(u.depth, -1) AS INT) AS depth,
+         |  CAST(m.n AS INT) AS n_bytes
+         |FROM m LEFT JOIN u USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -362,7 +362,11 @@ object Similarity {
       // dir-qualified mat tag: this build runs inside a shared holder,
       // but holders for DIFFERENT dirs run concurrently under the
       // overlapped bench prewarm/warmup (the Tables.materialize GC rule)
-      bucketPairsJoin(banded, Seq("band", "sig"), s"banded:$dir"))
+      // the full share-key knobs, not just the dir: two same-dir holders
+      // under different minhash knobs are distinct and may build
+      // concurrently, so the mat tag must separate them too
+      bucketPairsJoin(banded, Seq("band", "sig"),
+        s"banded:$dir:k$minhashK.b$bands"))
   }
 
   /** Exact-Jaccard ≥ t ground-truth pairs over the full corpus
