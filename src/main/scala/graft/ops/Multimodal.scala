@@ -466,19 +466,25 @@ object Multimodal {
     "q_audio_meta" -> qAudioMeta _,
     "q_video_meta" -> qVideoMeta _)
 
-  // DuckDB hex arithmetic over the exported blob (byte offsets 0-based):
+  // DuckDB hex arithmetic over the exported blob (byte offsets 0-based).
+  // Every numeric read is zero-padded ('0x0' || hex) so it stays TOTAL: a
+  // substr past the hex string's end returns fewer (or zero) characters,
+  // and a bare CAST('0x' AS BIGINT) aborts the whole oracle query — on a
+  // truncated container that abort fired BEFORE the bounds predicates in
+  // the same WHERE could filter the row (SQL conjuncts are unordered).
+  // The leading 0 never changes an in-bounds value.
   private def hxB(p: String) = s"substr(a.h, CAST(2 * ($p) + 1 AS INT), 2)"
   private def le16S(p: String) =
-    s"CAST('0x' || ${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
+    s"CAST('0x0' || ${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
   private def le32S(p: String) =
-    s"CAST('0x' || ${hxB(s"($p) + 3")} || ${hxB(s"($p) + 2")} || " +
+    s"CAST('0x0' || ${hxB(s"($p) + 3")} || ${hxB(s"($p) + 2")} || " +
       s"${hxB(s"($p) + 1")} || ${hxB(p)} AS BIGINT)"
   private def signed16S(p: String) =
     s"(${le16S(p)} - CASE WHEN ${le16S(p)} > 32767 THEN 65536 ELSE 0 END)"
   private def be32S(p: String) =
-    s"CAST('0x' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 8) AS BIGINT)"
+    s"CAST('0x0' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 8) AS BIGINT)"
   private def u8S(p: String) =
-    s"CAST('0x' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+    s"CAST('0x0' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
   private def fourccS(p: String) = s"substr(v.h, CAST(2 * ($p) + 1 AS INT), 8)"
 
   val oracles: Map[String, String] = Map(
@@ -494,20 +500,41 @@ object Multimodal {
          |twalk(doc_id, pos) AS (
          |  SELECT doc_id, 0 FROM v WHERE substr(h, 9, 8) = '66747970'
          |  UNION ALL
+         |  -- size >= 8 also guards the walk itself: a size-0 box would
+         |  -- otherwise re-enqueue the same pos forever (UNION ALL never
+         |  -- converges); the engine refuses such a doc, trefused routes it
          |  SELECT w.doc_id, CAST(w.pos + ${be32S("w.pos")} AS INT)
          |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
-         |  WHERE w.pos + ${be32S("w.pos")} + 8 <= v.n),
+         |  WHERE ${be32S("w.pos")} >= 8
+         |    AND w.pos + ${be32S("w.pos")} + 8 <= v.n),
+         |trefused AS (
+         |  -- engine parity: Mp4Header refuses the WHOLE document when any
+         |  -- top-level box has size < 8 (incl. the 0/"to-eof" and
+         |  -- 1/largesize forms) or extends past the buffer
+         |  SELECT DISTINCT w.doc_id
+         |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= v.n
+         |    AND (${be32S("w.pos")} < 8 OR w.pos + ${be32S("w.pos")} > v.n)),
          |moovbox AS (
          |  SELECT w.doc_id, w.pos, ${be32S("w.pos")} AS sz
          |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
-         |  WHERE ${fourccS("w.pos + 4")} = '6D6F6F76'),
+         |  WHERE ${fourccS("w.pos + 4")} = '6D6F6F76'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM trefused)),
          |mwalk(doc_id, pos, lim) AS (
          |  SELECT doc_id, CAST(pos + 8 AS INT), CAST(pos + sz AS INT)
          |  FROM moovbox
          |  UNION ALL
          |  SELECT w.doc_id, CAST(w.pos + ${be32S("w.pos")} AS INT), w.lim
          |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
-         |  WHERE w.pos + ${be32S("w.pos")} + 8 <= w.lim),
+         |  WHERE ${be32S("w.pos")} >= 8
+         |    AND w.pos + ${be32S("w.pos")} + 8 <= w.lim),
+         |mrefused AS (
+         |  -- engine parity: a moov CHILD whose size is < 8 or overruns the
+         |  -- moov extent refuses the whole document too
+         |  SELECT DISTINCT w.doc_id
+         |  FROM mwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim
+         |    AND (${be32S("w.pos")} < 8 OR w.pos + ${be32S("w.pos")} > w.lim)),
          |mvhd AS (
          |  -- mirror the engine's refusals: v0 layout only, box at least
          |  -- the v0 field extent (28), positive timescale
@@ -517,21 +544,28 @@ object Multimodal {
          |  WHERE ${fourccS("w.pos + 4")} = '6D766864'
          |    AND ${be32S("w.pos")} >= 28
          |    AND ${u8S("w.pos + 8")} = 0
-         |    AND ${be32S("w.pos + 20")} >= 1),
+         |    AND ${be32S("w.pos + 20")} >= 1
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM mrefused)),
          |mdat AS (
          |  SELECT w.doc_id, w.pos + 8 AS off, ${be32S("w.pos")} - 8 AS nb
          |  FROM twalk w JOIN v ON v.doc_id = w.doc_id
-         |  WHERE ${fourccS("w.pos + 4")} = '6D646174'),
+         |  WHERE ${fourccS("w.pos + 4")} = '6D646174'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM trefused)
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM mrefused)),
          |msum AS (
          |  SELECT d.doc_id, CAST(list_sum(list_transform(range(d.nb),
          |    i -> ${u8S("d.off + i")})) AS BIGINT) AS mdat_sum
          |  FROM mdat d JOIN v ON v.doc_id = d.doc_id),
          |brand AS (
+         |  -- CASE keeps the chr() reads off blobs too short to hold a
+         |  -- brand (lazy per-row evaluation; chr(0) would abort)
          |  SELECT doc_id,
-         |    chr(CAST('0x' || substr(h, 17, 2) AS INT)) ||
-         |    chr(CAST('0x' || substr(h, 19, 2) AS INT)) ||
-         |    chr(CAST('0x' || substr(h, 21, 2) AS INT)) ||
-         |    chr(CAST('0x' || substr(h, 23, 2) AS INT)) AS brand
+         |    CASE WHEN n >= 12 THEN
+         |      chr(CAST('0x0' || substr(h, 17, 2) AS INT)) ||
+         |      chr(CAST('0x0' || substr(h, 19, 2) AS INT)) ||
+         |      chr(CAST('0x0' || substr(h, 21, 2) AS INT)) ||
+         |      chr(CAST('0x0' || substr(h, 23, 2) AS INT))
+         |    END AS brand
          |  FROM v),
          |vu AS (
          |  SELECT b.doc_id, b.brand, m.timescale, m.dur,
@@ -566,6 +600,14 @@ object Multimodal {
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
          |  WHERE w.pos + 8 + ${le32S("w.pos + 4")}
          |        + (${le32S("w.pos + 4")} % 2) + 8 <= a.n),
+         |arefused AS (
+         |  -- engine parity: WavHeader refuses the WHOLE document when any
+         |  -- chunk's declared size extends past the buffer (the walk here
+         |  -- merely stops — already-emitted fmt/data rows must not surface)
+         |  SELECT DISTINCT w.doc_id
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= a.n
+         |    AND w.pos + 8 + ${le32S("w.pos + 4")} > a.n),
          |fmtc AS (
          |  -- mirror the engine's refusals: canonical 16-bit PCM with a
          |  -- positive in-range rate and >=16-byte fmt chunk, else the doc
@@ -577,11 +619,13 @@ object Multimodal {
          |    AND ${le32S("w.pos + 4")} >= 16
          |    AND ${le16S("w.pos + 10")} > 0
          |    AND ${le16S("w.pos + 22")} = 16
-         |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647),
+         |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
          |datac AS (
          |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
-         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'),
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
          |sums AS (
          |  SELECT d.doc_id,
          |    CAST(list_sum(list_transform(range(d.nbytes // 2),
@@ -617,28 +661,38 @@ object Multimodal {
          |png AS (
          |  -- dims above 2^31-1 are malformed per the spec: the engine
          |  -- parser returns None, so no png row here (falls to the
-         |  -- unparsed sentinel in the final LEFT JOIN)
+         |  -- unparsed sentinel in the final LEFT JOIN). n >= 26 mirrors
+         |  -- the engine's minimum-length refusal.
          |  SELECT doc_id, 'png' AS sniffed,
-         |    CAST('0x' || substr(h, 33, 8) AS BIGINT) AS width,
-         |    CAST('0x' || substr(h, 41, 8) AS BIGINT) AS height,
-         |    CAST('0x' || substr(h, 49, 2) AS BIGINT) AS depth
+         |    CAST('0x0' || substr(h, 33, 8) AS BIGINT) AS width,
+         |    CAST('0x0' || substr(h, 41, 8) AS BIGINT) AS height,
+         |    CAST('0x0' || substr(h, 49, 2) AS BIGINT) AS depth
          |  FROM m WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
-         |    AND CAST('0x' || substr(h, 33, 8) AS BIGINT) <= 2147483647
-         |    AND CAST('0x' || substr(h, 41, 8) AS BIGINT) <= 2147483647),
+         |    AND n >= 26
+         |    AND CAST('0x0' || substr(h, 33, 8) AS BIGINT) <= 2147483647
+         |    AND CAST('0x0' || substr(h, 41, 8) AS BIGINT) <= 2147483647),
          |gif AS (
          |  SELECT doc_id, 'gif' AS sniffed,
-         |    CAST('0x' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT) AS width,
-         |    CAST('0x' || substr(h, 19, 2) || substr(h, 17, 2) AS BIGINT) AS height,
-         |    CAST('0x' || substr(h, 21, 2) AS BIGINT) % 8 + 1 AS depth
-         |  FROM m WHERE substr(h, 1, 8) = '47494638'),
+         |    CAST('0x0' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT) AS width,
+         |    CAST('0x0' || substr(h, 19, 2) || substr(h, 17, 2) AS BIGINT) AS height,
+         |    CAST('0x0' || substr(h, 21, 2) AS BIGINT) % 8 + 1 AS depth
+         |  FROM m WHERE substr(h, 1, 8) = '47494638' AND n >= 11),
          |bmp AS (
+         |  -- the engine reinterprets the unsigned LE32 reads as SIGNED
+         |  -- int32 (.toInt — a negative biHeight legitimately means
+         |  -- top-down rows): reduce to signed range here, or a top-down
+         |  -- BMP's >= 2^31 raw value would abort the final INT cast
          |  SELECT doc_id, 'bmp' AS sniffed,
-         |    CAST('0x' || substr(h, 43, 2) || substr(h, 41, 2)
-         |         || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT) AS width,
-         |    CAST('0x' || substr(h, 51, 2) || substr(h, 49, 2)
-         |         || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT) AS height,
-         |    CAST('0x' || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS depth
-         |  FROM m WHERE substr(h, 1, 4) = '424D'),
+         |    wraw - CASE WHEN wraw > 2147483647 THEN 4294967296 ELSE 0 END AS width,
+         |    hraw - CASE WHEN hraw > 2147483647 THEN 4294967296 ELSE 0 END AS height,
+         |    CAST('0x0' || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS depth
+         |  FROM (
+         |    SELECT doc_id, h,
+         |      CAST('0x0' || substr(h, 43, 2) || substr(h, 41, 2)
+         |           || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT) AS wraw,
+         |      CAST('0x0' || substr(h, 51, 2) || substr(h, 49, 2)
+         |           || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT) AS hraw
+         |    FROM m WHERE substr(h, 1, 4) = '424D' AND n >= 30)),
          |jwalk AS (
          |  -- marker walk with the SAME spec coverage as the Scala side:
          |  -- 0xFF fill bytes slide by 1; TEM (0x01) and RSTn (0xD0-D7)
@@ -649,35 +703,40 @@ object Multimodal {
          |  UNION ALL
          |  SELECT w.doc_id,
          |    CAST(CASE
-         |      WHEN CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |      WHEN CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |           AS BIGINT) = 255 THEN w.pos + 1
-         |      WHEN CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |      WHEN CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |           AS BIGINT) = 1
-         |        OR CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |        OR CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |           AS BIGINT) BETWEEN 208 AND 215 THEN w.pos + 2
-         |      ELSE w.pos + 2 + CAST('0x' ||
+         |      ELSE w.pos + 2 + CAST('0x0' ||
          |        substr(m.h, CAST(2 * (w.pos + 2) + 1 AS INT), 4) AS BIGINT)
          |    END AS INT)
          |  FROM jwalk w JOIN m USING (doc_id)
          |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 2) = 'FF'
-         |    AND NOT (CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |    AND NOT (CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |                  AS BIGINT) BETWEEN 192 AND 207
-         |             AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |             AND CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |                  AS BIGINT) NOT IN (196, 200, 204))
-         |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |    AND CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |             AS BIGINT) NOT IN (217, 218)
          |    AND 2 * (w.pos + 4) <= length(m.h)),
          |jpg AS (
          |  -- the field reads extend to byte pos+8 — mirror the engine's
-         |  -- q+9 truncation guard or a short substr would abort the cast
+         |  -- q+9 truncation guard or a short substr would abort the cast.
+         |  -- The byte AT pos must be 0xFF too (the engine returns None on
+         |  -- a non-FF walk position): a walk advance can land on any byte,
+         |  -- and accepting an SOF code at pos+1 without the FF at pos
+         |  -- would parse a doc the engine sends to the unknown sentinel.
          |  SELECT w.doc_id, 'jpg' AS sniffed,
-         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 7) + 1 AS INT), 4) AS BIGINT) AS width,
-         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 5) + 1 AS INT), 4) AS BIGINT) AS height,
-         |    CAST('0x' || substr(m.h, CAST(2 * (w.pos + 4) + 1 AS INT), 2) AS BIGINT) AS depth
+         |    CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 7) + 1 AS INT), 4) AS BIGINT) AS width,
+         |    CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 5) + 1 AS INT), 4) AS BIGINT) AS height,
+         |    CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 4) + 1 AS INT), 2) AS BIGINT) AS depth
          |  FROM jwalk w JOIN m USING (doc_id)
-         |  WHERE CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 2) = 'FF'
+         |    AND CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |             AS BIGINT) BETWEEN 192 AND 207
-         |    AND CAST('0x' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
+         |    AND CAST('0x0' || substr(m.h, CAST(2 * (w.pos + 1) + 1 AS INT), 2)
          |             AS BIGINT) NOT IN (196, 200, 204)
          |    AND 2 * (w.pos + 9) <= length(m.h)),
          |u AS (

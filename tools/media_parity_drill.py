@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Oracle-side refusal-parity drill for the media queries.
+
+The engine parsers' refusals on malformed containers are pinned in
+MultimodalSpec (Scala). This drill pins the DUCKDB ORACLES to the same
+behavior: it takes the canonical blobs the engine exported for the gate,
+applies the same corruptions the Scala spec applies (lying chunk/box
+sizes, truncation, size-0 boxes, non-FF marker walks, top-down BMP),
+runs the committed oracle SQL (from Verify's oracle_sql.json dump, with
+the export path rewritten to the corrupted copy), and asserts each
+corrupted doc lands on the SENTINEL row — matching the engine's
+whole-document None — while untouched docs still parse.
+
+Run after `Verify ... q_multimodal_dims q_audio_meta q_video_meta`:
+    python3 tools/media_parity_drill.py /tmp/out
+"""
+import io
+import json
+import struct
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def load(glob_path):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT * FROM '{glob_path}' ORDER BY doc_id").fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    return cols, [list(r) for r in rows]
+
+
+def rewrite(sql, old_glob, new_glob):
+    assert old_glob in sql, f"export path {old_glob} not in oracle SQL"
+    return sql.replace(old_glob, new_glob)
+
+
+def run_oracle(sql, outdir):
+    con = duckdb.connect()
+    rows = con.execute(sql).fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    return cols, {r[0]: r for r in rows}
+
+
+def export_glob(sql):
+    # the FROM '<path>/*.parquet' literal inside the exported oracle SQL
+    import re
+    m = re.search(r"FROM '([^']+\*\.parquet)'", sql)
+    assert m, "no export glob in oracle SQL"
+    return m.group(1)
+
+
+def write_blobs(path, cols, rows):
+    doc_ids = [r[0] for r in rows]
+    arrays = {"doc_id": pa.array(doc_ids, pa.int64())}
+    for i, c in enumerate(cols):
+        if c == "doc_id":
+            continue
+        vals = [r[i] for r in rows]
+        if c == "payload":
+            arrays[c] = pa.array([bytes(v) for v in vals], pa.binary())
+        else:
+            arrays[c] = pa.array(vals)
+    pq.write_table(pa.table(arrays), path)
+
+
+def main(outdir):
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = []
+
+    def check(name, doc_id, row, expect, what):
+        got = tuple(row)
+        if got != tuple(expect):
+            failures.append(f"{name} doc {doc_id} ({what}):\n"
+                            f"  got      {got}\n  expected {tuple(expect)}")
+
+    # ---- audio: truncated/lying data-chunk size must refuse the doc ----
+    sql = oracles["q_audio_meta"]
+    glob_a = export_glob(sql)
+    cols, rows = load(glob_a)
+    pi = cols.index("payload")
+    victims = {}
+    r0 = rows[0]  # lying data size (the spec's WavHeader corruption)
+    b = bytearray(r0[pi]); b[43] = 0x7F; r0[pi] = bytes(b)
+    victims[r0[0]] = "lying data-chunk size"
+    r1 = rows[1]  # truncated mid-data: last chunk overruns
+    r1[pi] = bytes(r1[pi][:-7])
+    victims[r1[0]] = "truncated data chunk"
+    r2 = rows[2]  # huge first-chunk size (~2^31): unsigned-read path
+    b = bytearray(r2[pi])
+    b[16:20] = struct.pack("<I", 0x7FFFFFF8)
+    r2[pi] = bytes(b)
+    victims[r2[0]] = "huge fmt-chunk size"
+    tmp = "/tmp/graft-drill-audio.parquet"
+    write_blobs(tmp, cols, rows)
+    _, res = run_oracle(rewrite(sql, glob_a, tmp), outdir)
+    for r in rows[:8]:
+        doc = r[0]
+        n = len(r[pi])
+        got = res[doc]
+        if doc in victims:
+            check("q_audio_meta", doc, got,
+                  (doc, -1, -1, -1, -1, -1, 0, n), victims[doc])
+        elif got[1] == -1:
+            failures.append(f"q_audio_meta doc {doc}: untouched blob "
+                            f"unexpectedly hit the sentinel: {got}")
+
+    # ---- video: lying moov size, size-0 box (anti-hang), big mdat ----
+    sql = oracles["q_video_meta"]
+    glob_v = export_glob(sql)
+    cols, rows = load(glob_v)
+    pi = cols.index("payload")
+    victims = {}
+    r0 = rows[0]  # lying moov size (spec corruption)
+    b = bytearray(r0[pi]); b[24] = 0x7F; r0[pi] = bytes(b)
+    victims[r0[0]] = "lying moov size"
+    r1 = rows[1]  # size-0 top-level box appended: must refuse, NOT hang
+    r1[pi] = bytes(r1[pi]) + struct.pack(">I", 0) + b"free" + b"\x00" * 8
+    victims[r1[0]] = "size-0 box"
+    r2 = rows[2]  # mdat size overruns the buffer
+    r2[pi] = bytes(r2[pi][:-5])
+    victims[r2[0]] = "truncated mdat"
+    r3 = rows[3]  # moov child (mvhd) size overruns the moov extent
+    b = bytearray(r3[pi]); b[32:36] = struct.pack(">I", 0x7000)
+    r3[pi] = bytes(b)
+    victims[r3[0]] = "lying mvhd size"
+    tmp = "/tmp/graft-drill-video.parquet"
+    write_blobs(tmp, cols, rows)
+    _, res = run_oracle(rewrite(sql, glob_v, tmp), outdir)
+    for r in rows[:8]:
+        doc = r[0]
+        n = len(r[pi])
+        got = res[doc]
+        if doc in victims:
+            check("q_video_meta", doc, got,
+                  (doc, "?", -1, -1, -1, -1, 0, n), victims[doc])
+        elif got[1] == "?":
+            failures.append(f"q_video_meta doc {doc}: untouched blob "
+                            f"unexpectedly hit the sentinel: {got}")
+
+    # ---- images: non-FF SOF walk, top-down BMP, truncated headers ----
+    sql = oracles["q_multimodal_dims"]
+    glob_m = export_glob(sql)
+    cols, rows = load(glob_m)
+    pi = cols.index("payload")
+    fi = cols.index("fmt")
+    # crafted JPEG: APP1 segment whose length lands the walk on a non-FF
+    # byte that is followed by an SOF code (0xC0): engine -> None; the
+    # oracle's jpg CTE must ALSO refuse (the ADVICE finding)
+    jpg_bad = bytes([0xFF, 0xD8,
+                     0xFF, 0xE1, 0x00, 0x04, 0x00, 0x00,  # APP1 len 4
+                     0x00, 0xC0,  # walk lands HERE: non-FF then SOF code
+                     0x00, 0x08, 0x00, 0x10, 0x00, 0x20, 0x03, 0x00])
+    # crafted top-down BMP: biHeight = -16 (0xFFFFFFF0 LE): engine parses
+    # (height -16); the oracle must produce the SIGNED value, not abort
+    bmp_td = bytearray(54)
+    bmp_td[0:2] = b"BM"
+    bmp_td[18:22] = struct.pack("<i", 32)
+    bmp_td[22:26] = struct.pack("<i", -16)
+    bmp_td[28:30] = struct.pack("<H", 24)
+    victims = {}
+    r0 = rows[0]
+    r0[pi] = jpg_bad; r0[fi] = "jpg"
+    victims[r0[0]] = ("non-FF SOF walk", (r0[0], "jpg", "unknown",
+                                          -1, -1, -1, len(jpg_bad)))
+    r1 = rows[1]
+    r1[pi] = bytes(bmp_td); r1[fi] = "bmp"
+    victims[r1[0]] = ("top-down BMP", (r1[0], "bmp", "bmp",
+                                       32, -16, 24, len(bmp_td)))
+    r2 = rows[2]  # truncated PNG header (below the 26-byte minimum)
+    r2[pi] = bytes(r2[pi][:20]) if r2[fi] == "png" else bytes(
+        [0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A] + [0] * 10)
+    victims[r2[0]] = ("truncated PNG", (r2[0], r2[fi], "unknown",
+                                        -1, -1, -1, len(r2[pi])))
+    tmp = "/tmp/graft-drill-media.parquet"
+    write_blobs(tmp, cols, rows)
+    _, res = run_oracle(rewrite(sql, glob_m, tmp), outdir)
+    for r in rows[:8]:
+        doc = r[0]
+        got = res[doc]
+        if doc in victims:
+            what, expect = victims[doc]
+            check("q_multimodal_dims", doc, got, expect, what)
+        elif got[2] == "unknown":
+            failures.append(f"q_multimodal_dims doc {doc}: untouched blob "
+                            f"unexpectedly hit the sentinel: {got}")
+
+    if failures:
+        print("MEDIA PARITY DRILL FAILED:")
+        for f in failures:
+            print(f)
+        sys.exit(1)
+    print("media parity drill: all corrupted blobs hit the sentinel, "
+          "top-down BMP parsed signed, untouched blobs parsed — OK")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/out")
