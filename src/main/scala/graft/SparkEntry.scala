@@ -46,6 +46,8 @@ object SparkEntry {
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
+        ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
+        ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges
         ()
       }),
       "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components

@@ -112,6 +112,38 @@ class GraphSpec extends SparkSpec {
     assert(total <= SCALE && total >= SCALE - 6 * n * 2 - n)
   }
 
+  test("pagerank: per-round materialization (100 TB discipline) is value-identical and bounds plan depth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val e0 = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val e = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    // fully consume the lazy-path result BEFORE the second pagerank call:
+    // both calls materialize the "pagerank-ce" tag, and the tag GC
+    // deletes the first call's dir on replace (the documented
+    // materialize-tag rule — a pending lazy frame would read a dead dir)
+    val lazyDf = Graph.pagerank(e, iters = 6)
+    val lazyRanks = lazyDf.collect()
+    val lazyJoins = lazyDf.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    val key = "spark.graft.pagerank.matMinEdges"
+    val (matRanks, matJoins) = try {
+      spark.conf.set(key, "1") // force the at-scale path on the tiny graph
+      val df = Graph.pagerank(e, iters = 6)
+      (df.collect(), df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size)
+    } finally spark.conf.unset(key)
+    assert(matRanks.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      lazyRanks.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // every round (including the last) lands in parquet, so the returned
+    // frame is a plain scan — constant (zero-join) depth per action,
+    // however many iterations ran; the lazy path carries all six joins
+    assert(matJoins === 0, s"materialized-path plan has $matJoins joins")
+    assert(lazyJoins === 6)
+  }
+
   /** Brute-force census: canonical edge set → adjacency sets → count
     * triangles by scanning each edge's endpoint-neighborhood overlap. */
   private def bruteCensus(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
