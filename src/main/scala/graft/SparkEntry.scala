@@ -41,7 +41,26 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val chains: Seq[(String, () => Unit)] = Seq(
+    val fs = prewarmChains(spark, dir).map { case (name, c) =>
+      Future {
+        val t0 = System.nanoTime()
+        c()
+        System.err.println(
+          f"[prewarm] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+    }
+    // propagate the FIRST failure (prewarm_err must name a real cause)
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** The individual prewarm build chains — exposed so graft.Bench can
+    * schedule them as BACKGROUND work (low-weight FAIR pool) overlapping
+    * the chain-independent prefix of its timed pass, instead of paying
+    * the longest chain as fixed budget up front. Each chain is
+    * independent of the others; queries stay self-contained either way
+    * (a missing artifact is built on demand through the shared holder). */
+  def prewarmChains(spark: SparkSession,
+      dir: String): Seq[(String, () => Unit)] = Seq(
       "ann" -> (() => { // ANN family: emb projection -> buckets -> pairs
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
@@ -119,15 +138,4 @@ object SparkEntry {
         ops.Partitioned.partitionedDocs(spark, dir)
         ()
       }))
-    val fs = chains.map { case (name, c) =>
-      Future {
-        val t0 = System.nanoTime()
-        c()
-        System.err.println(
-          f"[prewarm] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      }
-    }
-    // propagate the FIRST failure (prewarm_err must name a real cause)
-    fs.foreach(Await.result(_, Duration.Inf))
-  }
 }

@@ -139,10 +139,13 @@ object AutoSalt extends Rule[LogicalPlan] {
     stage2
   }
 
-  /** Idempotent post-hoc registration (TopKPerKeyStrategy pattern). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Idempotent post-hoc registration (TopKPerKeyStrategy pattern);
+    * synchronized so the check-then-append stays atomic under the bench's
+    * concurrent-lane escalation. */
+  def ensureRegistered(spark: SparkSession): Unit = this.synchronized {
     if (!spark.experimental.extraOptimizations.contains(AutoSalt)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AutoSalt
     }
+  }
 }

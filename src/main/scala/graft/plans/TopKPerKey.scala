@@ -108,9 +108,13 @@ object TopKPerKey {
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // synchronized: the check-then-append must be atomic now that bench
+    // escalation can run two registered queries concurrently
+    TopKPerKeyStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+      }
     }
     // spark.expression converts eagerly through the session's
     // ColumnNodeToExpressionConverter; ColumnBridge.expression would hand

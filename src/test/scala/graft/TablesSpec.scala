@@ -53,6 +53,7 @@ class TablesSpec extends SparkSpec {
       passTotals = Seq(103.636363, 60.818181, 58.444444),
       passPartial = Seq(false, false, true), budgetSec = 300.0,
       elapsedSec = 287.654, prewarmSec = 9.8765, prewarmOk = true,
+      barrierSec = 3.21, inflation = 2.34, lanesN = 57, streamPar = true,
       canaryFactor = 0.523456, ioCanaryFactor = 0.512345,
       sf = "/root/testdata/sf0.1")
     assert(!line.contains("\n") && !line.contains("\r"))
