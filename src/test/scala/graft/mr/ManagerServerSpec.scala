@@ -115,6 +115,178 @@ class ManagerServerSpec extends SparkSpec {
     }
   }
 
+  /** A minimal fake `mapreduce-worker`: listens on its own TCP port like
+    * the reference worker's TCP_server, sends `register`, and lets the
+    * test read whatever the manager connects back with (register_ack,
+    * forwarded shutdown). */
+  private final class FakeWorker(managerPort: Int) {
+    val listener = new java.net.ServerSocket(0)
+    listener.setSoTimeout(15000)
+    val port: Int = listener.getLocalPort
+    val received =
+      new java.util.concurrent.LinkedBlockingQueue[java.util.Map[String, Object]]()
+    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val t = new Thread(() => {
+      try while (!listener.isClosed) {
+        val s = listener.accept()
+        try {
+          val bytes = s.getInputStream.readAllBytes()
+          received.put(om.readValue(new String(bytes, "UTF-8"),
+            classOf[java.util.Map[String, Object]]))
+        } finally s.close()
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    def register(): Unit = send(managerPort,
+      s"""{"message_type": "register", "worker_host": "localhost",
+         |"worker_port": $port}""".stripMargin)
+    def heartbeat(): Unit = {
+      val sock = new java.net.DatagramSocket()
+      try {
+        val msg = (s"""{"message_type": "heartbeat", "worker_host": """ +
+          s""""localhost", "worker_port": $port}""").getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(msg, msg.length,
+          java.net.InetAddress.getByName("localhost"), managerPort))
+      } finally sock.close()
+    }
+    def finished(): Unit = send(managerPort,
+      s"""{"message_type": "finished", "worker_host": "localhost",
+         |"worker_port": $port}""".stripMargin)
+    def awaitMessage(timeoutMs: Long = 15000): java.util.Map[String, Object] =
+      received.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def close(): Unit = listener.close()
+  }
+
+  private def awaitState(srv: ManagerServer, port: Int, state: String,
+      timeoutMs: Long = 10000): Boolean = {
+    val t0 = System.currentTimeMillis()
+    while (System.currentTimeMillis() - t0 < timeoutMs) {
+      if (srv.workerStates.reverse.collectFirst {
+            case (_, p, s) if p == port => s
+          }.contains(state)) return true
+      Thread.sleep(50)
+    }
+    false
+  }
+
+  test("worker protocol: register -> register_ack, heartbeat keeps alive, silence kills, finished revives") {
+    // short fault-tolerance intervals so the test observes the 10s/2s
+    // reference behavior in ~a second (defaults stay reference-exact)
+    val srv = new ManagerServer(spark, port = 0,
+      heartbeatTimeoutMs = 600, faultPollMs = 100).start()
+    val w = new FakeWorker(srv.boundPort)
+    try {
+      w.register()
+      val ack = w.awaitMessage()
+      assert(ack != null, "no register_ack connect-back from the manager")
+      assert(ack.get("message_type") === "register_ack")
+      assert(ack.get("worker_host") === "localhost")
+      assert(ack.get("worker_port").toString.toInt === w.port)
+      assert(awaitState(srv, w.port, "ready"))
+
+      // heartbeats keep it alive past the timeout
+      (1 to 6).foreach { _ => w.heartbeat(); Thread.sleep(200) }
+      assert(srv.workerStates.exists(e => e._2 == w.port && e._3 == "ready"))
+
+      // silence → fault-tolerance marks it dead
+      assert(awaitState(srv, w.port, "dead"),
+        "silent worker not marked dead")
+
+      // finished flips the first host:port match back to ready — the
+      // reference scan doesn't check state (quirk preserved)
+      w.finished()
+      assert(awaitState(srv, w.port, "ready"))
+      assert(srv.finishedCount === 1)
+
+      // re-registration: old live entry marked dead, fresh entry appended
+      w.register()
+      assert(w.awaitMessage() != null, "no ack on re-registration")
+      val entries = srv.workerStates.filter(_._2 == w.port)
+      assert(entries.size === 2)
+      assert(entries.head._3 === "dead" && entries.last._3 === "ready")
+    } finally {
+      w.close()
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+    }
+  }
+
+  test("shutdown is forwarded to registered workers (check_shutdown)") {
+    val srv = new ManagerServer(spark, port = 0).start()
+    val w = new FakeWorker(srv.boundPort)
+    try {
+      w.register()
+      assert(w.awaitMessage() != null)
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      val fwd = w.awaitMessage()
+      assert(fwd != null, "manager did not forward shutdown to the worker")
+      assert(fwd.get("message_type") === "shutdown")
+      srv.awaitTermination()
+    } finally w.close()
+  }
+
+  test("register to an unreachable worker port marks the host's workers dead (connection_refused)") {
+    val srv = new ManagerServer(spark, port = 0).start()
+    try {
+      // claim a port then close it so the manager's connect-back refuses
+      val tmp = new java.net.ServerSocket(0)
+      val deadPort = tmp.getLocalPort
+      tmp.close()
+      send(srv.boundPort,
+        s"""{"message_type": "register", "worker_host": "localhost",
+           |"worker_port": $deadPort}""".stripMargin)
+      assert(awaitState(srv, deadPort, "dead"),
+        "refused connect-back did not mark the worker dead")
+    } finally {
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+    }
+  }
+
+  test("strict shutdown drops queued jobs; default drain runs them (both modes pinned)") {
+    import java.util.concurrent.CountDownLatch
+    def stubManager(strict: Boolean): (ManagerServer, CountDownLatch,
+        java.util.concurrent.atomic.AtomicInteger) = {
+      val gate = new CountDownLatch(1)
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val srv = new ManagerServer(spark, port = 0, strictShutdown = strict,
+        runner = (_, _) => { gate.await(); ran.incrementAndGet(); () }).start()
+      (srv, gate, ran)
+    }
+    def submit3(port: Int): Unit = (1 to 3).foreach { i =>
+      send(port, jobJson("/tmp/none", tmpDir(s"mgr-ss-$i") + "/o",
+        "/bin/cat", "/bin/cat", 1, 1))
+    }
+    // STRICT: first job is in flight (blocked on the gate), two queued;
+    // shutdown + gate release → only the in-flight job completes, the
+    // queued two are dropped (reference run-loop semantics)
+    def awaitShutdownFlag(s: ManagerServer): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!s.isShutdown && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(20)
+      assert(s.isShutdown, "manager never processed the shutdown message")
+    }
+    val (s1, g1, r1) = stubManager(strict = true)
+    submit3(s1.boundPort)
+    Thread.sleep(500) // let the runner dequeue job 0 and block
+    send(s1.boundPort, """{"message_type": "shutdown"}""")
+    awaitShutdownFlag(s1) // the gate must open only AFTER the flag is set
+    g1.countDown()
+    s1.awaitTermination()
+    assert(r1.get() === 1, s"strict mode ran ${r1.get()} jobs, want 1")
+    assert(s1.droppedJobCount === 2)
+    // DRAIN (default): same sequence → all three jobs complete
+    val (s2, g2, r2) = stubManager(strict = false)
+    submit3(s2.boundPort)
+    Thread.sleep(500)
+    send(s2.boundPort, """{"message_type": "shutdown"}""")
+    awaitShutdownFlag(s2)
+    g2.countDown()
+    s2.awaitTermination()
+    assert(r2.get() === 3, s"drain mode ran ${r2.get()} jobs, want 3")
+    assert(s2.droppedJobCount === 0)
+  }
+
   test("a failed job does not stop the queue (reference FIFO rule)") {
     val mapSh = stageExecutable("/mr/exec/wc_map.sh")
     val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
