@@ -141,10 +141,41 @@ object Skew {
       .orderBy(desc("n"), asc("lang"), asc("token"))
   }
 
+  /** The r14 AutoSalt coverage growth driver-gated: a plain groupBy
+    * whose aggregates are integral AVERAGES (plus a count), rewritten by
+    * the rule into exact Sum+Count partials with one stage-2 division.
+    * One of the averages is over an always-NULL projection
+    * (n_chars where doc_id < 0), so every group exercises the rewrite's
+    * ANSI zero-count guard — the plain Average returns NULL there and
+    * the salted form must too, not throw DIVIDE_BY_ZERO. Oracle = the
+    * plain aggregation with the division written out explicitly
+    * (SUM::DOUBLE / COUNT::DOUBLE — the exact arithmetic both the plain
+    * and the salted engine paths perform on integral input). */
+  def qAutoSaltAvg(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AutoSalt.ensureRegistered(spark)
+    val key = "spark.graft.autosalt.enabled"
+    spark.conf.set(key, "true")
+    val mat = try {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      Tables.materialize(
+        toks.groupBy("lang", "token")
+          .agg(count(lit(1)).as("n"),
+            avg(col("n_chars")).as("avg_chars"),
+            avg(length(col("token"))).as("avg_len"),
+            avg(when(col("doc_id") < 0, col("n_chars"))).as("avg_none"))
+          .orderBy(desc("n"), asc("lang"), asc("token"))
+          .limit(100), "autosaltavg")
+    } finally spark.conf.unset(key)
+    mat.orderBy(desc("n"), asc("lang"), asc("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_agg" -> qSkewAgg _,
     "q_skew_join" -> qSkewJoin _,
-    "q_autosalt_agg" -> qAutoSaltAgg _)
+    "q_autosalt_agg" -> qAutoSaltAgg _,
+    "q_autosalt_avg" -> qAutoSaltAvg _)
 
   val oracles: Map[String, String] = Map(
     "q_skew_agg" ->
@@ -175,6 +206,25 @@ object Skew {
         |SELECT lang, token, COUNT(*) AS n,
         |  CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars,
         |  MAX(doc_id) AS last_doc
+        |FROM toks GROUP BY lang, token
+        |ORDER BY n DESC, lang, token LIMIT 100""".stripMargin,
+    // plain-aggregation oracle with the division written out: on
+    // integral input both the plain Average and the AutoSalt rewrite
+    // compute exact-integer sum / count in one double division, and so
+    // does SUM::DOUBLE / COUNT::DOUBLE here (fixture sums << 2^53, so
+    // every representation is exact). avg_none is an always-NULL
+    // projection: the engine's zero-count guard must yield NULL.
+    "q_autosalt_avg" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, token, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE)
+        |    AS avg_chars,
+        |  CAST(SUM(LENGTH(token)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_len,
+        |  CAST(NULL AS DOUBLE) AS avg_none
         |FROM toks GROUP BY lang, token
         |ORDER BY n DESC, lang, token LIMIT 100""".stripMargin)
 }

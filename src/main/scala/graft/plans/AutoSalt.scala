@@ -20,12 +20,16 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * result-identical: non-empty grouping (a GLOBAL two-stage aggregate
   * would turn empty input's single row into zero rows), all grouping
   * expressions are plain attributes, and every aggregate is an
-  * undistinct, unfiltered Sum/Min/Max/Count (algebraic partials that
-  * merge exactly; decimal sums merge bit-exactly — the Skew.scala
-  * argument). Count merges as Sum over partial counts; a merged
+  * undistinct, unfiltered Sum/Min/Max/Count or integral-input Average
+  * (algebraic partials that merge exactly; decimal sums merge
+  * bit-exactly — the Skew.scala argument). Count merges as Sum over
+  * partial counts; Average decomposes into exact Sum+Count partials
+  * with one stage-2 division (ANSI-safe zero-count guard); a merged
   * decimal Sum widens (p+10) and is cast back to the original type so
-  * the rewritten plan's schema is unchanged. Anything else (avg,
-  * first, distinct, filter clauses) leaves the Aggregate untouched.
+  * the rewritten plan's schema is unchanged. Anything else (float/
+  * double/decimal avg, first/last, distinct, filter clauses) leaves
+  * the Aggregate untouched — see [[supported]] for each exclusion's
+  * reason.
   *
   * Registered post-hoc via `spark.experimental.extraOptimizations`
   * (the optimizer-rule analogue of TopKPerKey's extraStrategies
@@ -67,6 +71,27 @@ object AutoSalt extends Rule[LogicalPlan] {
       case _ => true
     }
     case _: Min | _: Max | _: Count => true
+    // Average over INTEGRAL input decomposes into two exact partials
+    // (long Sum + Count) with ONE final double division — identical to
+    // the plain plan wherever that plan is itself deterministic (its
+    // running double sum is exact up to 2^53; beyond that the plain
+    // Average is already partition-order-dependent, so "identical" has
+    // no referent). Float/double input re-associates like Sum (excluded);
+    // DECIMAL input is excluded too: Average's decimal result rides an
+    // engine-internal precision-promotion chain (p+4/s+4 result via a
+    // widened divide) that a hand-built merge expression would have to
+    // replicate bit-for-bit — out of the conservative contract for now.
+    // First/Last stay excluded ON PRINCIPLE: their value depends on
+    // partition order even in the PLAIN plan, so a rewrite can only
+    // promise "an equally valid answer", never "the identical answer",
+    // and the driver gate hashes identity.
+    case a: Average => a.child.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -106,30 +131,56 @@ object AutoSalt extends Rule[LogicalPlan] {
         if (acc.exists(_.canonicalized == ae.canonicalized)) acc
         else acc :+ ae
     }
-    val partialAlias: Map[Expression, Alias] =
+    // one partial per distinct call — except Average, which decomposes
+    // into TWO exact partials (long Sum + Count; the division happens
+    // once, in stage 2)
+    val partialAliases: Map[Expression, Seq[Alias]] =
       distinctAes.zipWithIndex.map { case (ae, i) =>
-        (ae.canonicalized: Expression, Alias(ae, s"__p_$i")())
+        val parts: Seq[AggregateFunction] = ae.aggregateFunction match {
+          case a: Average => Seq(Sum(a.child), Count(a.child))
+          case f => Seq(f)
+        }
+        (ae.canonicalized: Expression, parts.zipWithIndex.map {
+          case (f, j) =>
+            // FRESH AggregateExpression per partial: ae.copy would keep
+            // ae's resultId, and the two partials of one Average would
+            // then alias to a single physical aggregate (planning dedups
+            // by result attribute) — sum and count came back identical
+            Alias(AggregateExpression(f, Complete, isDistinct = false),
+              s"__p_${i}_$j")()
+        })
       }.toMap
     val saltExpr = Pmod(new Murmur3Hash(agg.child.output), Literal(n))
     val stage1 = Aggregate(
       (groupAttrs: Seq[Expression]) :+ saltExpr,
-      groupAttrs ++ partialAlias.values.toSeq.sortBy(_.name),
+      groupAttrs ++ partialAliases.values.flatten.toSeq.sortBy(_.name),
       agg.child)
     stage1.setTagValue(Salted, true)
     val mergedOut = agg.aggregateExpressions.map { ne =>
       ne.transformUp {
         case ae: AggregateExpression =>
-          val pAttr = partialAlias(ae.canonicalized).toAttribute
-          val mergedFn = ae.aggregateFunction match {
-            case _: Sum => Sum(pAttr)
-            case _: Count => Sum(pAttr)
-            case _: Min => Min(pAttr)
-            case _: Max => Max(pAttr)
+          val pAttrs = partialAliases(ae.canonicalized).map(_.toAttribute)
+          def mergedOf(fn: AggregateFunction) =
+            AggregateExpression(fn, Complete, isDistinct = false)
+          val merged: Expression = ae.aggregateFunction match {
+            case _: Sum => mergedOf(Sum(pAttrs.head))
+            case _: Count => mergedOf(Sum(pAttrs.head))
+            case _: Min => mergedOf(Min(pAttrs.head))
+            case _: Max => mergedOf(Max(pAttrs.head))
+            case _: Average =>
+              // avg = Σpartial sums / Σpartial counts, with the
+              // all-null-group guard built in: ANSI mode (the Spark 4
+              // default) throws on x/0, where the plain Average returns
+              // null — divide only when the merged count is non-zero
+              val sumM = mergedOf(Sum(pAttrs(0)))
+              val cntM = mergedOf(Sum(pAttrs(1)))
+              val dbl = org.apache.spark.sql.types.DoubleType
+              If(EqualTo(cntM, Literal(0L)),
+                Literal(null, dbl),
+                Divide(Cast(sumM, dbl), Cast(cntM, dbl)))
             case other => throw new IllegalStateException(
               s"unsupported agg slipped eligibility: $other")
           }
-          val merged = AggregateExpression(mergedFn, Complete,
-            isDistinct = false)
           if (merged.dataType == ae.dataType) merged
           else Cast(merged, ae.dataType)
       }.asInstanceOf[NamedExpression]

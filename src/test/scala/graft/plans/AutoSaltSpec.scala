@@ -47,7 +47,7 @@ class AutoSaltSpec extends SparkSpec {
       "salt stage duplicated:\n" + plan)
   }
 
-  test("conservative: distinct, global, and avg aggregates untouched") {
+  test("conservative: distinct, global, and non-integral avg untouched") {
     withRule {
       val distinctPlan = toks.groupBy("token")
         .agg(countDistinct(col("doc_id")).as("u"))
@@ -56,10 +56,39 @@ class AutoSaltSpec extends SparkSpec {
       val globalPlan = toks.agg(count(lit(1)).as("n"))
         .queryExecution.optimizedPlan.toString
       assert(!globalPlan.contains("__p_0"))
-      val avgPlan = toks.groupBy("token").agg(avg(col("doc_id")).as("a"))
+      // double avg re-associates; decimal avg rides the engine's
+      // precision-promotion chain — both stay untouched
+      val dAvgPlan = toks.groupBy("token")
+        .agg(avg(col("doc_id").cast("double")).as("a"))
         .queryExecution.optimizedPlan.toString
-      assert(!avgPlan.contains("__p_0"))
+      assert(!dAvgPlan.contains("__p_0"))
+      val decAvgPlan = toks.groupBy("token")
+        .agg(avg(graft.Tables.dec(col("doc_id"))).as("a"))
+        .queryExecution.optimizedPlan.toString
+      assert(!decAvgPlan.contains("__p_0"))
     }
+  }
+
+  test("integral avg is rewritten: exact Sum+Count partials, result-identical, null-safe") {
+    // avg over long, avg over int, and an avg whose input is ALWAYS null
+    // (every group hits the stage-2 zero-count guard — ANSI mode throws
+    // on x/0 where the plain Average returns null)
+    val agg = toks.groupBy("token")
+      .agg(avg(col("doc_id")).as("a"),
+        avg(length(col("token"))).as("al"),
+        avg(when(col("doc_id") < 0, col("doc_id"))).as("an"),
+        count(lit(1)).as("n"))
+    val plain = agg.orderBy("token").collect().toSeq
+    val (salted, plan) = withRule {
+      (agg.orderBy("token").collect().toSeq,
+        agg.queryExecution.optimizedPlan.toString)
+    }
+    assert(plan.contains("pmod(hash("), "plan not salted:\n" + plan)
+    assert(plan.contains("__p_0_0") && plan.contains("__p_0_1"),
+      "avg not decomposed into two partials:\n" + plan)
+    assert(salted === plain, "avg rewrite changed results")
+    assert(plain.forall(_.isNullAt(3)), "avg(all-null) must be null")
+    assert(withRule(agg.schema) === agg.schema)
   }
 
   test("conservative: float/double sums untouched (FP re-association)") {
