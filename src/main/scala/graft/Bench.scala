@@ -134,7 +134,7 @@ object Bench {
   private val streamGates = Set(
     "q_stream_dedup", "q_stream_restart", "q_stream_incremental",
     "q_stream_tws", "q_stream_join_live", "q_stream_topk",
-    "q_stream_late", "q_stream_sink")
+    "q_stream_late", "q_stream_sink", "q_stream_state_metrics")
 
   /** Queries that mutate session-global conf during execution
     * (q_autosalt_agg toggles the optimizer-rule gate): excluded from
@@ -429,11 +429,14 @@ object Bench {
         val key = "spark.sql.shuffle.partitions"
         val orig = spark.conf.get(key)
         spark.conf.set(key, spark.conf.get("spark.graft.stream.parts", "4"))
+        // gates that swap the session-global state-store provider run
+        // solo, before the concurrent rest
+        val providerSolo = Set("q_stream_tws", "q_stream_state_metrics")
         try {
-          gates.filter(_._1 == "q_stream_tws").foreach { case (n, fn) =>
+          gates.filter(g => providerSolo(g._1)).foreach { case (n, fn) =>
             if (!stop && elapsedSec < 0.95 * budgetSec) runOne(n, fn, p)
           }
-          val rest = gates.filterNot(_._1 == "q_stream_tws")
+          val rest = gates.filterNot(g => providerSolo(g._1))
           val gatePool = Executors.newFixedThreadPool(4)
           val fs = rest.map { case (n, fn) =>
             gatePool.submit(new Runnable {
