@@ -53,6 +53,30 @@ object Multimodal {
     private val fmts = Array("png", "jpg", "gif", "bmp")
     def fmtFor(id: Long): String = fmts((id % 4).toInt)
     def dimsFor(id: Long): (Int, Int) = (1 + (id % 13).toInt, 1 + (id % 7).toInt)
+
+    /** JPEG sub-variant: a third of the jpg docs are PROGRESSIVE (SOF2
+      * frames — the common web encoding) and a third carry an EXIF APP1
+      * segment spliced after SOI (the common camera layout); both are
+      * paths a fixed-offset "read SOF0 at byte k" parser gets wrong, and
+      * both must parse to the same dims through the marker walk. */
+    def jpgVariantFor(id: Long): String = ((id / 4) % 3) match {
+      case 1 => "progressive"
+      case 2 => "exif"
+      case _ => "baseline"
+    }
+
+    /** Minimal EXIF APP1 segment: FFE1, BE16 length, "Exif\0\0", then a
+      * little-endian TIFF header with a zero-entry IFD — the smallest
+      * well-formed Exif payload (the fields don't matter; the marker
+      * WALK over the segment does). */
+    private def exifApp1(): Array[Byte] = {
+      val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      Array(0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    }
+
     def encode(id: Long): Array[Byte] = {
       val (w, h) = dimsFor(id)
       val img = new java.awt.image.BufferedImage(
@@ -66,10 +90,25 @@ object Multimodal {
         }
         y += 1
       }
+      val fmt = fmtFor(id)
       val bos = new java.io.ByteArrayOutputStream()
-      val ok = javax.imageio.ImageIO.write(img, fmtFor(id), bos)
-      require(ok, s"no ImageIO writer for ${fmtFor(id)}")
-      bos.toByteArray
+      if (fmt == "jpg" && jpgVariantFor(id) == "progressive") {
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        writer.dispose(); ios.close()
+      } else {
+        val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+        require(ok, s"no ImageIO writer for $fmt")
+      }
+      val base = bos.toByteArray
+      if (fmt == "jpg" && jpgVariantFor(id) == "exif")
+        base.take(2) ++ exifApp1() ++ base.drop(2)
+      else base
     }
   }
 
@@ -166,23 +205,44 @@ object Multimodal {
     def sampleAt(id: Long, i: Int): Short =
       (((id * 31 + i.toLong * i * 7) % 65536L) - 32768L).toShort
 
+    /** Container variant: most docs are canonical 16-bit PCM; two residue
+      * classes carry REAL but NON-PCM containers the audit must REFUSE to
+      * parse (the sentinel rows of q_audio_meta): IEEE-float (fmt tag 3,
+      * 32-bit — javax.sound reads it as PCM_FLOAT, proving the container
+      * is well-formed and the refusal is policy, not breakage) and an
+      * ADPCM-claiming one (fmt tag 2) whose bits field LIES at 16 — the
+      * case that forces the parser to check the format TAG, not just the
+      * sample width. */
+    def variantFor(id: Long): String =
+      if (id % 11 == 5) "float" else if (id % 11 == 7) "adpcm" else "pcm"
+
     def encode(id: Long): Array[Byte] = {
       val ch = channelsFor(id); val rate = rateFor(id)
-      val n = nSamplesFor(id); val bits = 16
+      val n = nSamplesFor(id)
+      val (tag, bits) = variantFor(id) match {
+        case "float" => (3, 32)
+        case "adpcm" => (2, 16) // lying bits: still non-PCM by tag
+        case _ => (1, 16)
+      }
       val dataLen = n * ch * (bits / 8)
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
         .put("WAVE".getBytes("US-ASCII"))
       bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1) // PCM
+        .putShort(tag.toShort)
         .putShort(ch.toShort).putInt(rate)
         .putInt(rate * ch * (bits / 8)) // byte rate
         .putShort((ch * (bits / 8)).toShort) // block align
         .putShort(bits.toShort)
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
-      while (i < n * ch) { bb.putShort(sampleAt(id, i)); i += 1 }
+      if (variantFor(id) == "float")
+        while (i < n * ch) {
+          bb.putFloat(sampleAt(id, i).toFloat / 32768.0f); i += 1
+        }
+      else
+        while (i < n * ch) { bb.putShort(sampleAt(id, i)); i += 1 }
       bb.array()
     }
   }
@@ -202,7 +262,7 @@ object Multimodal {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
         return None
       var pos = 12
-      var channels = -1; var rate = -1L; var bits = -1
+      var channels = -1; var rate = -1L; var bits = -1; var fmtTag = -1
       var nSamples = -1L; var sum = 0L; var seenData = false
       while (pos + 8 <= b.length) {
         val id = tag(b, pos)
@@ -213,11 +273,15 @@ object Multimodal {
         val sz = size.toInt // safe: <= b.length after the guard
         if (id == "fmt ") {
           if (sz < 16) return None
+          fmtTag = le16(b, pos + 8)
           channels = le16(b, pos + 10)
           rate = le32(b, pos + 12)
           bits = le16(b, pos + 22)
         } else if (id == "data") {
-          if (channels <= 0 || bits != 16) return None // canonical PCM only
+          // canonical PCM only — and the format TAG must say PCM too:
+          // an ADPCM container whose bits field lies at 16 would
+          // otherwise be summed as samples it does not contain
+          if (fmtTag != 1 || channels <= 0 || bits != 16) return None
           seenData = true
           nSamples = sz.toLong / (channels * (bits / 8))
           var i = pos + 8
@@ -609,14 +673,17 @@ object Multimodal {
          |  WHERE w.pos + 8 <= a.n
          |    AND w.pos + 8 + ${le32S("w.pos + 4")} > a.n),
          |fmtc AS (
-         |  -- mirror the engine's refusals: canonical 16-bit PCM with a
-         |  -- positive in-range rate and >=16-byte fmt chunk, else the doc
-         |  -- falls to the unparsed sentinel in the final LEFT JOIN
+         |  -- mirror the engine's refusals: canonical 16-bit PCM (format
+         |  -- TAG 1 — float/ADPCM containers refuse even when their bits
+         |  -- field says 16) with a positive in-range rate and >=16-byte
+         |  -- fmt chunk, else the doc falls to the unparsed sentinel in
+         |  -- the final LEFT JOIN
          |  SELECT w.doc_id, ${le16S("w.pos + 10")} AS channels,
          |    ${le32S("w.pos + 12")} AS rate, ${le16S("w.pos + 22")} AS bits
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
          |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'
          |    AND ${le32S("w.pos + 4")} >= 16
+         |    AND ${le16S("w.pos + 8")} = 1
          |    AND ${le16S("w.pos + 10")} > 0
          |    AND ${le16S("w.pos + 22")} = 16
          |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647

@@ -72,8 +72,60 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
   }
 
+  test("ImageHeader: progressive (SOF2) and EXIF (APP1) JPEG variants are real and parse") {
+    // jpg ids are 1, 5, 9, ... with variant = (id/4) % 3
+    val prog = (0L until 200L).filter(id =>
+      Multimodal.ImageCodec.fmtFor(id) == "jpg" &&
+        Multimodal.ImageCodec.jpgVariantFor(id) == "progressive")
+    val exif = (0L until 200L).filter(id =>
+      Multimodal.ImageCodec.fmtFor(id) == "jpg" &&
+        Multimodal.ImageCodec.jpgVariantFor(id) == "exif")
+    assert(prog.nonEmpty && exif.nonEmpty)
+    for (id <- prog.take(4)) {
+      val b = Multimodal.ImageCodec.encode(id)
+      // the frame header really is SOF2 (progressive DCT), not SOF0
+      assert(b.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2), s"id=$id no SOF2")
+      assert(!b.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC0), s"id=$id has SOF0")
+      val parsed = Multimodal.ImageHeader.parse(b)
+      assert(parsed.map(t => (t._2, t._3)) ===
+        Some(Multimodal.ImageCodec.dimsFor(id)), s"id=$id")
+    }
+    for (id <- exif.take(4)) {
+      val b = Multimodal.ImageCodec.encode(id)
+      // APP1/Exif spliced directly after SOI
+      assert((b(2) & 0xFF) == 0xFF && (b(3) & 0xFF) == 0xE1, s"id=$id no APP1")
+      assert(new String(b, 6, 4, "US-ASCII") === "Exif", s"id=$id")
+      val parsed = Multimodal.ImageHeader.parse(b)
+      assert(parsed.map(t => (t._2, t._3)) ===
+        Some(Multimodal.ImageCodec.dimsFor(id)), s"id=$id")
+    }
+  }
+
+  test("WavHeader: non-PCM containers refuse — even a lying 16-bit ADPCM") {
+    val floatId = (0L until 100L)
+      .find(Multimodal.WavCodec.variantFor(_) == "float").get
+    val adpcmId = (0L until 100L)
+      .find(Multimodal.WavCodec.variantFor(_) == "adpcm").get
+    val fb = Multimodal.WavCodec.encode(floatId)
+    // the float container is REAL: javax.sound reads it as PCM_FLOAT, so
+    // our None is canonical-PCM policy, not a malformed blob
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(fb))
+    assert(ais.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT)
+    ais.close()
+    assert(Multimodal.WavHeader.parse(fb).isEmpty, "float WAV must refuse")
+    // the ADPCM container claims bits=16: without the fmt-TAG check the
+    // parser would sum bytes that are not PCM samples
+    val ab = Multimodal.WavCodec.encode(adpcmId)
+    assert(Multimodal.WavHeader.parse(ab).isEmpty, "ADPCM WAV must refuse")
+  }
+
   test("WavHeader: chunk walk == the JDK's javax.sound decode") {
-    for (id <- 0L until 32L) {
+    for (id <- 0L until 32L
+         if Multimodal.WavCodec.variantFor(id) == "pcm") {
       val bytes = Multimodal.WavCodec.encode(id)
       val parsed = Multimodal.WavHeader.parse(bytes)
       assert(parsed.isDefined, s"id=$id unparsed")

@@ -105,6 +105,11 @@ def main(outdir):
         if doc in victims:
             check("q_audio_meta", doc, got,
                   (doc, -1, -1, -1, -1, -1, 0, n), victims[doc])
+        elif doc % 11 in (5, 7):
+            # r14 fixture variants: float (tag 3) / ADPCM (tag 2) WAVs are
+            # REFUSED by design — the sentinel here is the expected row
+            check("q_audio_meta", doc, got,
+                  (doc, -1, -1, -1, -1, -1, 0, n), "non-PCM by design")
         elif got[1] == -1:
             failures.append(f"q_audio_meta doc {doc}: untouched blob "
                             f"unexpectedly hit the sentinel: {got}")
