@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** URL canonicalization: the generator really produces every mangle, the
+  * canonicalizer undoes them all (pinned against an independent
+  * java.net-based reference), canonicalization is idempotent, and messy
+  * spellings of the same logical page genuinely collapse. */
+class UrlsSpec extends SparkSpec {
+
+  /** Independent reference canonicalizer — java.net.URI parsing +
+    * URLDecoder, no shared code with the Column implementation. */
+  private def refCanon(u: String): String = {
+    val m = "^([^:/?#]+)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+    val m(scheme0, hostport, path0, query0, _) = u
+    val scheme = scheme0.toLowerCase
+    val (host0, port0) = hostport.lastIndexOf(':') match {
+      case i if i >= 0 && hostport.drop(i + 1).forall(_.isDigit) =>
+        (hostport.take(i), hostport.drop(i + 1))
+      case _ => (hostport, "")
+    }
+    val host = host0.toLowerCase.stripPrefix("www.")
+    val port =
+      if (port0.isEmpty || (scheme == "http" && port0 == "80") ||
+        (scheme == "https" && port0 == "443")) ""
+      else ":" + port0
+    val dec = java.net.URLDecoder.decode(path0, "UTF-8")
+    val path1 = if (dec.isEmpty) "/" else dec
+    val path = if (path1 != "/" && path1.endsWith("/")) path1.dropRight(1)
+      else path1
+    val query = Option(query0).filter(_.nonEmpty)
+      .map(q => "?" + q.split("&", -1).sorted.mkString("&")).getOrElse("")
+    s"$scheme://$host$port$path$query"
+  }
+
+  test("generator emits every mangle; canonicalize == independent java.net reference") {
+    import spark.implicits._
+    val ids = (0L until 400L)
+    val urls = ids.map(Urls.UrlGen.urlFor)
+    // coverage: the corpus really contains each messy feature
+    assert(urls.exists(_.startsWith("HTTP")), "no uppercase scheme")
+    assert(urls.exists(u => u.contains(":80/") || u.contains(":443/")),
+      "no explicit default port")
+    assert(urls.exists(_.contains(":8080/")), "no non-default port")
+    assert(urls.exists(_.contains("%61")), "no percent escape")
+    assert(urls.exists(_.contains("#sec")), "no fragment")
+    assert(urls.exists(_.contains("/?") || u0trail(urls)), "no trailing slash")
+    assert(urls.exists(_.toLowerCase.contains("://www.")), "no www prefix")
+    val got = ids.map(i => (i, Urls.UrlGen.urlFor(i))).toDF("id", "url")
+      .select(col("id"), Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- ids)
+      assert(got(i) === refCanon(Urls.UrlGen.urlFor(i)), s"id=$i")
+  }
+  private def u0trail(urls: Seq[String]): Boolean =
+    urls.exists(u => u.takeWhile(_ != '?').endsWith("/"))
+
+  test("canonicalization is idempotent and collapses variant spellings") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, Urls.UrlGen.urlFor(i)))
+      .toDF("id", "url")
+    val once = df.select(col("id"), Urls.canonicalize(col("url")).as("c"))
+    val twice = once.select(col("id"), Urls.canonicalize(col("c")).as("c2"),
+      col("c"))
+    assert(twice.filter(col("c") =!= col("c2")).count() === 0,
+      "canonicalize is not idempotent")
+    // messy spellings genuinely collapse: some canonical group holds >1
+    // DISTINCT raw url
+    val collapsed = df.select(Urls.canonicalize(col("url")).as("c"),
+        col("url"))
+      .groupBy("c").agg(countDistinct(col("url")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(collapsed > 0, "no canonical group with multiple raw spellings")
+  }
+}
