@@ -243,6 +243,61 @@ class ManagerServerSpec extends SparkSpec {
     }
   }
 
+  test("the REAL reference mapreduce-worker binary completes its lifecycle against this manager") {
+    // the ultimate wire-protocol fidelity witness: the reference's own
+    // worker process (run verbatim from the read-only reference tree)
+    // must register, receive register_ack, start heartbeating, and exit
+    // on the forwarded shutdown — the r13 manager absorbed `register`
+    // silently, and this worker would have hung awaiting the ack.
+    val refRoot = new java.io.File("/root/reference/map_reduce")
+    val workerMain = new java.io.File(refRoot,
+      "mapreduce/worker/__main__.py")
+    val pyOk =
+      try new ProcessBuilder("python3", "-c", "import click").start()
+        .waitFor() == 0
+      catch { case _: Exception => false }
+    if (!workerMain.exists || !pyOk)
+      cancel("reference worker or python3+click unavailable")
+    // short death threshold so "alive past it" PROVES heartbeats flow
+    // (the reference worker heartbeats every 2 s after the ack)
+    val srv = new ManagerServer(spark, port = 0,
+      heartbeatTimeoutMs = 5000, faultPollMs = 250).start()
+    val probe = new java.net.ServerSocket(0)
+    val wPort = probe.getLocalPort
+    probe.close()
+    val log = java.nio.file.Files.createTempFile("ref-worker", ".log")
+    val pb = new ProcessBuilder("python3", "-m", "mapreduce.worker",
+      "--port", wPort.toString,
+      "--manager-port", srv.boundPort.toString)
+    pb.environment().put("PYTHONPATH", refRoot.getAbsolutePath)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    val proc = pb.start()
+    try {
+      assert(awaitState(srv, wPort, "ready", 20000),
+        s"reference worker never registered; log:\n" +
+          java.nio.file.Files.readString(log))
+      // survive well past the death threshold: only possible if the
+      // worker received register_ack and its heartbeat thread is running
+      Thread.sleep(6500)
+      assert(srv.workerStates.exists(e => e._2 == wPort && e._3 == "ready"),
+        "worker marked dead - it never heartbeat, so it never got the ack; " +
+          s"log:\n" + java.nio.file.Files.readString(log))
+      // forwarded shutdown: the reference worker process must EXIT
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      assert(proc.waitFor(20, java.util.concurrent.TimeUnit.SECONDS),
+        "reference worker did not exit on the forwarded shutdown; log:\n" +
+          java.nio.file.Files.readString(log))
+      srv.awaitTermination()
+    } finally {
+      proc.destroyForcibly()
+      if (!srv.isShutdown) {
+        send(srv.boundPort, """{"message_type": "shutdown"}""")
+        srv.awaitTermination()
+      }
+    }
+  }
+
   test("strict shutdown drops queued jobs; default drain runs them (both modes pinned)") {
     import java.util.concurrent.CountDownLatch
     def stubManager(strict: Boolean): (ManagerServer, CountDownLatch,
