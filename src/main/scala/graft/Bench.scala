@@ -304,20 +304,36 @@ object Bench {
     // queries (absent from the anchor) get a mid prior so they are
     // sampled before the known-heavy tail. Absent/corrupt anchor →
     // empty prior → name order (the old behavior).
-    val anchorPrior: Map[String, Double] = {
-      // priors come from the COMMITTED anchor, independent of where this
-      // run writes its record (SPARK_GRAFT_BENCH_OUT) — routing a test
-      // run's output elsewhere must not blind its ordering/projection
+    // priors come from the COMMITTED anchor, independent of where this
+    // run writes its record (SPARK_GRAFT_BENCH_OUT) — routing a test
+    // run's output elsewhere must not blind its ordering/projection
+    val anchorTxt: String = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "BENCH_FULL.json")
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)))
-        val qmap = "\"queries\":\\{([^}]*)\\}".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qmap)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      catch { case _: Throwable => "" }
     }
+    def anchorMap(field: String): Map[String, Double] = {
+      val qmap = ("\"" + field + "\":\\{([^}]*)\\}").r
+        .findFirstMatchIn(anchorTxt).map(_.group(1)).getOrElse("")
+      "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qmap)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val anchorPrior: Map[String, Double] = anchorMap("queries")
+    // Inflation base: the anchor's PASS-1 samples when available. Medians
+    // under-state pass-1 cost (every pass-1 run is a first run — codegen/
+    // JIT bias is ~2x on the cheap prefix), so comparing pass-1 samples
+    // against medians read "inflation 1.8" on a QUIET machine and
+    // spuriously escalated. Pass-1-vs-pass-1 reads ~1.0 quiet and ~2.3
+    // under the r13 driver weather — clean separation. Older anchors
+    // without the pass1 map fall back to medians; bootstrap a fresh
+    // anchor with SPARK_GRAFT_BENCH_NO_ESCALATE=1 if needed.
+    val anchorP1: Map[String, Double] = {
+      val p1 = anchorMap("pass1")
+      if (p1.nonEmpty) p1 else anchorPrior
+    }
+    val noEscalate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_NO_ESCALATE", "0") == "1"
     val canaryWarm =
       Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7, "q_scalar_regex" -> 1.0)
 
@@ -330,6 +346,9 @@ object Bench {
     // so its total covers only a prefix of the query list
     val passPartial = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // per-query pass-1 sample, persisted in the anchor as the inflation
+    // base for future runs (see anchorP1)
+    val pass1Samples = scala.collection.mutable.Map.empty[String, Double]
     // pass-1 inflation evidence: Σ(actual) / Σ(anchor prior) over timed
     // queries that HAVE a committed prior
     var inflSumActual = 0.0
@@ -345,11 +364,20 @@ object Bench {
     @volatile var stop = false
 
     type Fn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    // inflation samples and escalation decisions only count once the
+    // background chains are DONE: while they run, the cheap pure prefix
+    // is self-contended ~2x its committed anchors (measured: a quiet run
+    // read inflation 2.12 at 24 s, then 1.24 once the chains finished) —
+    // escalating on our own overlap would forfeit the sequential quiet
+    // anchor for nothing. Under real weather the chains finish ~45 s in,
+    // leaving ample budget for the decision.
+    def chainsDone: Boolean = chainFs.forall(_.isCompleted)
     def runOne(name: String, fn: Fn, p: Int): Unit = {
       // precision barrier: if this query's codegen warmup is still in
       // flight, wait it out (normally long finished — the warmups total
       // ~10 s of background work and their targets run late in pass 1)
       warmFs.get(name).foreach(f => Await.ready(f, Duration.Inf))
+      val cleanSample = chainsDone
       var ok = true
       val sec = timed {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -366,8 +394,11 @@ object Bench {
       lock.synchronized {
         if (ok) {
           samples(name) = sec :: samples.getOrElse(name, Nil)
-          if (p == 0) anchorPrior.get(name).foreach { pr =>
-            inflSumActual += sec; inflSumPrior += pr
+          if (p == 0) {
+            pass1Samples(name) = sec
+            if (cleanSample) anchorP1.get(name).foreach { pr =>
+              inflSumActual += sec; inflSumPrior += pr
+            }
           }
         }
         passTotals(p) += sec
@@ -375,11 +406,12 @@ object Bench {
     }
 
     // projected pass-1 finish: elapsed + inflation-scaled remaining work
+    // (both sides of the ratio in pass-1 terms — see anchorP1)
     def projectedOver(remaining: Seq[(String, Fn)], gatesLeft: Seq[(String, Fn)],
         frac: Double): Boolean = {
       val inf = inflation
-      val rem = remaining.map(q => anchorPrior.getOrElse(q._1, 1.0)).sum
-      val gates = gatesLeft.map(q => anchorPrior.getOrElse(q._1, 1.0)).sum
+      val rem = remaining.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
+      val gates = gatesLeft.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
       elapsedSec + inf * (rem + gates) >= frac * budgetSec
     }
 
@@ -486,7 +518,7 @@ object Bench {
         var idx = 0
         def maybeEscalate(remaining: Seq[(String, Fn)],
             alsoRemaining: Seq[(String, Fn)]): Seq[(String, Fn)] =
-          if (!escalated && idx >= 15 &&
+          if (!escalated && !noEscalate && idx >= 15 && chainsDone &&
               projectedOver(remaining ++ alsoRemaining, gates, 0.90)) {
             escalated = true
             System.err.println(
@@ -539,7 +571,7 @@ object Bench {
         // --- stream gates ---
         if (!stop) {
           val par = escalated ||
-            projectedOver(Nil, gates, 0.95)
+            (!noEscalate && projectedOver(Nil, gates, 0.95))
           runGates(gates, par, p)
         }
         if (stop) {
@@ -597,6 +629,9 @@ object Bench {
       .map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // pass-1 samples persisted for the next run's inflation base
+    val p1Json = pass1Samples.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Auxiliary burst-resistant figure: sum of per-query MINIMA. Noise on
     // this host only ever ADDS time, so the min across samples is the best
@@ -635,7 +670,7 @@ object Bench {
     // Full record first (humans + archives), compact summary LAST: the
     // driver keeps only a stdout tail, and the full line's per-query map
     // makes it ~6 KB — r8 recorded parsed:null off a mid-dict tail.
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1Json,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
     println(fullRecord)
     // Persist the full record to a file too: the driver's artifact keeps
     // only a 2 KB stdout tail, which loses the per-query medians for names
