@@ -6,8 +6,9 @@ import graft.Tables
 
 /** URL canonicalization + URL-level dedup — the crawl-frontier side of a
   * training-data pipeline (every web corpus dedups fetch targets before
-  * it dedups content; the same page arrives as `HTTP://WWW.Site.COM:80/
-  * a%61b/?b=2&a=1#frag` and `http://site.com/aab?a=1&b=2`).
+  * it dedups content; the same page arrives as
+  * `HTTP://WWW.Example.COM:80/a%61b/?b=2&a=1#frag` and
+  * `http://example.com/aab?a=1&b=2`).
   *
   * The fixture ships no URL column, so [[UrlGen]] synthesizes
   * deterministic MESSY urls from doc_id (the mediaTable pattern —
