@@ -67,6 +67,7 @@ object SparkEntry {
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges
+        ops.Graph.pagerankNodes(spark, dir) // distinct PR source nodes
         ()
       }),
       "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components

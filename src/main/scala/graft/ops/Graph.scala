@@ -155,16 +155,21 @@ object Graph {
     * writes. GraphSpec pins both paths value-identical and the
     * materialized path's constant plan depth. */
   private[ops] def pagerankCore(ce: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, nodes: Option[DataFrame] = None): DataFrame = {
     val spark = ce.sparkSession
     val minEdges =
       spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
-    // one job for both bounded driver scalars (edge count feeds the
-    // threshold, node count the teleport term)
-    val cnts = ce.agg(count(lit(1)), count_distinct(col("src"))).head()
-    val (nEdges, n) = (cnts.getLong(0), cnts.getLong(1))
+    // bounded driver scalars: edge count feeds the threshold, node count
+    // the teleport term. With a PREPARED node table (the session-shared
+    // path) both are cheap parquet counts; otherwise one combined job.
+    val (nEdges, n, nodeDf) = nodes match {
+      case Some(nd) => (ce.count(), nd.count(), nd)
+      case None =>
+        val cnts = ce.agg(count(lit(1)), count_distinct(col("src"))).head()
+        (cnts.getLong(0), cnts.getLong(1), ce.select(col("src")).distinct())
+    }
     val matRounds = nEdges >= minEdges
-    var r = ce.select(col("src")).distinct()
+    var r = nodeDf.select(col(nodeDf.columns.head).as("src"))
       .selectExpr("src AS node", s"${scale}L div ${n}L AS rank")
     for (i <- 1 to iters) {
       val next = ce.join(r, col("src") === col("node"))
@@ -304,6 +309,10 @@ object Graph {
     for (r <- 1 to rounds) {
       val sym = e.select(col("a").as("u"))
         .unionByName(e.select(col("b").as("u")))
+      // keep is consumed three times per round but is a TINY frame:
+      // materializing it was A/B'd at sf0.1 and LOST (~+0.5 s/round of
+      // write/read against ~-0.2 s of saved recompute) — the
+      // cheap-frame materialization anti-pattern from the invariants
       val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       e = Tables.materialize(
@@ -330,8 +339,17 @@ object Graph {
       e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
     }
 
+  /** Distinct source nodes of [[pagerankEdges]] — shared like the edge
+    * table itself (the per-run count_distinct + distinct shuffles were
+    * ~25% of q_pagerank's steady-state cost). */
+  private[graft] def pagerankNodes(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "prnodes", dir)(
+      pagerankEdges(spark, dir).select(col("src")).distinct())
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankCore(pagerankEdges(spark, dir), iters = 6)
+    pagerankCore(pagerankEdges(spark, dir), iters = 6,
+      nodes = Some(pagerankNodes(spark, dir)))
       .orderBy(desc("rank"), asc("node")).limit(20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
