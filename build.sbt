@@ -27,7 +27,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Scratch space on tmpfs when available: stream checkpoints / staging /
+// session-temp materializations are many small synchronous writes, and
+// /tmp here is disk-backed — the stream gates measured ~10-15% faster
+// with java.io.tmpdir on /dev/shm (the oracle-export contract path is a
+// separate /tmp literal, unaffected). The property must be set at JVM
+// LAUNCH: java.nio's TempFileHelper captures it statically at class load.
+val shmTmp: Seq[String] = {
+  val d = new File("/dev/shm/graft-tmp")
+  if ((d.isDirectory || d.mkdirs()) && d.canWrite)
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  else Seq()
+}
+javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
