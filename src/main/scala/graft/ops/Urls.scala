@@ -159,9 +159,82 @@ object Urls {
       .orderBy("url_canon")
   }
 
+  /** Deterministic robots-exclusion rules per site (the crawl-policy
+    * side of the frontier): RFC 9309 semantics — path-PREFIX matching,
+    * the LONGEST matching rule wins, and on a length tie Allow wins.
+    * Rule mix per site id:
+    *   site % 4 == 0           → no rules (everything allowed);
+    *   otherwise               → Disallow "/docs" + Allow "/docs/page<site%11>"
+    *                             (the longest-match override);
+    *   site % 3 == 2           → + Disallow "/docs/page<(site+1)%11>"
+    *                             (specific disallow beating the broad one
+    *                             is a no-op; beating an ALLOW of equal
+    *                             length is the tie case);
+    *   site % 5 == 1           → + Allow "/docs/page<(site+2)%11>"
+    *                             AND Disallow of the SAME prefix — the
+    *                             RFC tie, resolved to Allow.
+    * Note "/docs/page1" prefix-matches "/docs/page10" too — real robots
+    * semantics, preserved identically in the SQL oracle. */
+  object RobotsGen {
+    /** (ruleType, pathPrefix) list for a site. */
+    def rulesFor(site: Int): Seq[(String, String)] =
+      if (site % 4 == 0) Seq.empty
+      else {
+        val base = Seq(
+          "disallow" -> "/docs",
+          "allow" -> s"/docs/page${site % 11}")
+        val extra1 =
+          if (site % 3 == 2) Seq("disallow" -> s"/docs/page${(site + 1) % 11}")
+          else Seq.empty
+        val extra2 =
+          if (site % 5 == 1) Seq(
+            "allow" -> s"/docs/page${(site + 2) % 11}",
+            "disallow" -> s"/docs/page${(site + 2) % 11}")
+          else Seq.empty
+        base ++ extra1 ++ extra2
+      }
+  }
+
+  /** Robots-exclusion filtering of the canonicalized crawl log: per URL,
+    * the RFC 9309 verdict (longest matching rule; Allow on ties; allowed
+    * when nothing matches). ONE broadcast join of the tiny per-site rule
+    * table against the canonical (site, path) columns + a per-doc max —
+    * at 100 TB the rules stay a broadcast (robots corpora are millions
+    * of rows, not billions) and the scan stays a single pass. */
+  def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = urlTable(spark, dir)
+    graft.OracleExport.export(t, "urls", dir)
+    val canon = t.select(col("doc_id"), canonicalize(col("url")).as("c"))
+      .select(col("doc_id"),
+        regexp_extract(col("c"), "site([0-9]+)\\.", 1).cast("int").as("site"),
+        regexp_extract(col("c"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1).as("path"))
+    val rules = (0 until 23).flatMap(s =>
+        RobotsGen.rulesFor(s).map { case (rt, pre) => (s, rt, pre) })
+      .toDF("site", "rtype", "prefix")
+    // longest match wins; tie → allow (rank allow above disallow at the
+    // same length). The struct max is the one-pass argmax idiom.
+    val matched = canon.join(broadcast(rules), Seq("site"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy("doc_id")
+      .agg(max(struct(length(col("prefix")).as("l"),
+        (col("rtype") === "allow").cast("int").as("isallow"),
+        col("prefix").as("prefix"))).as("w"))
+      .select(col("doc_id"),
+        when(col("w.isallow") === 1, lit("allow")).otherwise(lit("disallow"))
+          .as("mverdict"),
+        col("w.prefix").as("mprefix"))
+    canon.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("site"), col("path"),
+        coalesce(col("mverdict"), lit("allow")).as("verdict"),
+        coalesce(col("mprefix"), lit("-")).as("win_prefix"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_parse" -> qUrlParse _,
-    "q_url_dedup" -> qUrlDedup _)
+    "q_url_dedup" -> qUrlDedup _,
+    "q_robots_filter" -> qRobotsFilter _)
 
   // DuckDB-side percent-decode: split on '%', first piece literal, every
   // later piece starts with two hex digits — chr() them back (media-
@@ -200,6 +273,52 @@ object Urls {
          |  path, query_sorted,
          |  CASE WHEN frag = '' THEN '-' ELSE frag END AS fragment
          |FROM p ORDER BY doc_id""".stripMargin,
+    // rules RE-GENERATED in SQL from the site id (range 23 + the same
+    // residue classes), canonical path re-derived from the raw strings,
+    // and the RFC 9309 longest-match/tie-to-allow argmax mirrored as a
+    // window rank — fully independent of the engine's broadcast join
+    "q_robots_filter" ->
+      s"""WITH $parseCte,
+         |sites AS (SELECT CAST(range AS INT) AS site FROM range(23)),
+         |rules AS (
+         |  SELECT site, 'disallow' AS rtype, '/docs' AS prefix
+         |  FROM sites WHERE site % 4 <> 0
+         |  UNION ALL
+         |  SELECT site, 'allow', '/docs/page' || CAST(site % 11 AS VARCHAR)
+         |  FROM sites WHERE site % 4 <> 0
+         |  UNION ALL
+         |  SELECT site, 'disallow',
+         |    '/docs/page' || CAST((site + 1) % 11 AS VARCHAR)
+         |  FROM sites WHERE site % 4 <> 0 AND site % 3 = 2
+         |  UNION ALL
+         |  SELECT site, 'allow',
+         |    '/docs/page' || CAST((site + 2) % 11 AS VARCHAR)
+         |  FROM sites WHERE site % 4 <> 0 AND site % 5 = 1
+         |  UNION ALL
+         |  SELECT site, 'disallow',
+         |    '/docs/page' || CAST((site + 2) % 11 AS VARCHAR)
+         |  FROM sites WHERE site % 4 <> 0 AND site % 5 = 1),
+         |cu AS (
+         |  SELECT doc_id,
+         |    CAST(regexp_extract(host, 'site([0-9]+)\\.', 1) AS INT) AS site,
+         |    CASE WHEN path = '' THEN '/'
+         |      WHEN path <> '/' THEN regexp_replace(path, '/$$', '')
+         |      ELSE path END AS cpath
+         |  FROM p),
+         |mw AS (
+         |  SELECT cu.doc_id, r.rtype, r.prefix,
+         |    row_number() OVER (PARTITION BY cu.doc_id
+         |      ORDER BY length(r.prefix) DESC,
+         |        CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END DESC,
+         |        r.prefix DESC) AS rn
+         |  FROM cu JOIN rules r ON r.site = cu.site
+         |  WHERE starts_with(cu.cpath, r.prefix)),
+         |m AS (SELECT doc_id, rtype, prefix FROM mw WHERE rn = 1)
+         |SELECT cu.doc_id, cu.site, cu.cpath AS path,
+         |  COALESCE(m.rtype, 'allow') AS verdict,
+         |  COALESCE(m.prefix, '-') AS win_prefix
+         |FROM cu LEFT JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_url_dedup" ->
       s"""WITH $parseCte,
          |c AS (

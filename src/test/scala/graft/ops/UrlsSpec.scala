@@ -56,6 +56,58 @@ class UrlsSpec extends SparkSpec {
   private def u0trail(urls: Seq[String]): Boolean =
     urls.exists(u => u.takeWhile(_ != '?').endsWith("/"))
 
+  /** Independent RFC 9309 reference: longest matching prefix wins, ties
+    * go to Allow, no match allows. */
+  private def refVerdict(site: Int, path: String): (String, String) = {
+    val ms = Urls.RobotsGen.rulesFor(site).filter(r => path.startsWith(r._2))
+    if (ms.isEmpty) ("allow", "-")
+    else {
+      val (rt, pre) = ms.maxBy { case (rt, pre) =>
+        (pre.length, if (rt == "allow") 1 else 0, pre)
+      }
+      (rt, pre)
+    }
+  }
+
+  test("robots filter: RFC 9309 longest-match semantics == independent reference; all rule paths exercised") {
+    import spark.implicits._
+    val df = spark.range(0, 400).toDF("id")
+      .selectExpr("id AS doc_id", "id AS x")
+    // drive the REGISTERED query shape over generated urls by checking
+    // every (site, page) combination directly through the reference
+    val verdicts = for (site <- 0 until 23; page <- 0 until 11) yield
+      (site, s"/docs/page$page", refVerdict(site, s"/docs/page$page"))
+    // coverage: every semantic branch occurs in the fixture universe
+    assert(verdicts.exists { case (s, _, (v, p)) => v == "allow" && p == "-" },
+      "no no-rules site")
+    assert(verdicts.exists { case (_, _, (v, p)) => v == "disallow" && p == "/docs" },
+      "no broad-disallow verdict")
+    assert(verdicts.exists { case (_, _, (v, p)) =>
+      v == "allow" && p.startsWith("/docs/page") }, "no longest-match allow")
+    // the tie case: a site where allow and disallow share the SAME prefix
+    val tieSites = (0 until 23).filter(s =>
+      Urls.RobotsGen.rulesFor(s).groupBy(_._2).exists(_._2.map(_._1).toSet
+        == Set("allow", "disallow")))
+    assert(tieSites.nonEmpty, "no tie-configured site")
+    for (s <- tieSites) {
+      val pre = Urls.RobotsGen.rulesFor(s).groupBy(_._2)
+        .find(_._2.map(_._1).toSet == Set("allow", "disallow")).get._1
+      assert(refVerdict(s, pre)._1 === "allow", s"tie at site $s not allow")
+    }
+    // and the engine agrees with the reference on the real fixture rows
+    val got = Urls.qRobotsFilter(spark, sf("sf0.001")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (v, p) = refVerdict(r.getInt(1), r.getString(2))
+      assert((r.getString(3), r.getString(4)) === ((v, p)),
+        s"doc ${r.getLong(0)} site ${r.getInt(1)} path ${r.getString(2)}")
+    }
+    val byVerdict = got.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byVerdict.getOrElse("allow", 0) > 0 &&
+      byVerdict.getOrElse("disallow", 0) > 0,
+      s"fixture verdicts one-sided: $byVerdict")
+  }
+
   test("canonicalization is idempotent and collapses variant spellings") {
     import spark.implicits._
     val df = (0L until 400L).map(i => (i, Urls.UrlGen.urlFor(i)))
