@@ -114,7 +114,7 @@ object Bench {
     * under-inclusion is only a timing blemish (the query blocks on the
     * shared holder until its chain finishes, inflating that sample),
     * never a correctness issue. */
-  private val chainDepPrefixes = Seq(
+  private[graft] val chainDepPrefixes = Seq(
     "q_cosine", "q_pagerank", "q_triangles", "q_kcore", "q_lsh",
     "q_minhash", "q_jaccard", "q_simhash", "q_winnow", "q_semantic",
     "q_dedup", "q_dup", "q_neardup", "q_entity", "q_fuzzy", "q_bpe",
@@ -132,7 +132,7 @@ object Bench {
     * parallel latency group whose wall-clock is ~the slowest gate, not
     * the sum. Each is self-contained: UUID-named memory sink, own
     * checkpoint dir, shared staging dirs are read-only after prewarm. */
-  private val streamGates = Set(
+  private[graft] val streamGates = Set(
     "q_stream_dedup", "q_stream_restart", "q_stream_incremental",
     "q_stream_tws", "q_stream_join_live", "q_stream_topk",
     "q_stream_late", "q_stream_sink", "q_stream_state_metrics")
@@ -142,7 +142,36 @@ object Bench {
     * lane parallelism — they run sequentially even under escalation so
     * a concurrent query can never be optimized inside their conf
     * scope. */
-  private val laneSolo = Set("q_autosalt_agg")
+  private[graft] val laneSolo = Set("q_autosalt_agg")
+
+  /** Codegen/JIT warmup targets, run at the TINY sf in the background
+    * pool (a first execution pays Janino compilation + JIT — measured
+    * 1.5-14×: q_scalar_json 13.1 s cold vs 1.15 s after a 1.9 s
+    * sf0.001 warm run of the same plan structure). Streams and
+    * driver-loop graph queries are excluded: their cost is state
+    * machinery / real iteration, not codegen. BenchSetsSpec pins every
+    * name to the registry — a renamed query would otherwise silently
+    * drop its warmup (the lookup is get-based) and the cold-pass
+    * overrun would return. */
+  private[graft] val warmupQueries = Seq(
+    "q_scalar_json", "q_tfidf_keywords", "q_minhash_lsh", "q_cosine_ann",
+    "q_events_dedup", "q_interval_join", "q16_supplier_variety",
+    "q_dedup_pipeline", "q_winnow_chains", "q_winnow_overlap",
+    "q_quality_gate", "q21_waiting_supplier", "q_ewma_hourly",
+    "q_cosine_neardup", "q_cosine_ivf", "q8_market_share",
+    "q_jaccard_pairs", "q_curation_pipeline", "q_compact_roundtrip",
+    "q_lsh_quality", "q_snapshot_diff", "q_anomaly_hours",
+    // r12 driver-record cold offenders (12.5× / 4.2× / 3.1× / 4.8×
+    // over their committed anchors — codegen/process-spawn first-run
+    // cost, measured in BENCH_r12.json vs BENCH_FULL.json)
+    "q_scalar_map", "q_percentile", "q_join_bucketed", "q_wordcount_pipe")
+
+  /** Constant-work contention canaries with their quiet warm anchors
+    * (BASELINE.md adjudicates machine weather with them); pinned LAST
+    * among the chain-independent pass-1 queries. */
+  private[graft] val canaryWarm =
+    Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7, "q_scalar_regex" -> 1.0)
+
 
   def main(args: Array[String]): Unit = {
     val tMain = System.nanoTime()
@@ -203,24 +232,6 @@ object Bench {
     for (t <- Tables.names)
       try Tables(spark, sfDir, t).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-    // Codegen/JIT warmup at the TINY sf for the queries with the largest
-    // measured first-run penalties (a first execution pays Janino
-    // compilation + JIT — measured 1.5-14×: q_scalar_json 13.1 s cold
-    // vs 1.15 s after a 1.9 s sf0.001 warm run of the same plan
-    // structure). Streams and driver-loop graph queries are excluded:
-    // their cost is state machinery / real iteration, not codegen.
-    val warmupQueries = Seq(
-      "q_scalar_json", "q_tfidf_keywords", "q_minhash_lsh", "q_cosine_ann",
-      "q_events_dedup", "q_interval_join", "q16_supplier_variety",
-      "q_dedup_pipeline", "q_winnow_chains", "q_winnow_overlap",
-      "q_quality_gate", "q21_waiting_supplier", "q_ewma_hourly",
-      "q_cosine_neardup", "q_cosine_ivf", "q8_market_share",
-      "q_jaccard_pairs", "q_curation_pipeline", "q_compact_roundtrip",
-      "q_lsh_quality", "q_snapshot_diff", "q_anomaly_hours",
-      // r12 driver-record cold offenders (12.5× / 4.2× / 3.1× / 4.8×
-      // over their committed anchors — codegen/process-spawn first-run
-      // cost, measured in BENCH_r12.json vs BENCH_FULL.json)
-      "q_scalar_map", "q_percentile", "q_join_bucketed", "q_wordcount_pipe")
     // tiny-sf dir is derived, not hardcoded: if it's absent every warmup
     // silently no-ops and the 244.7 s cold-pass overrun returns — so any
     // failure here is LOGGED per query (name + cause) instead of swallowed
@@ -334,8 +345,6 @@ object Bench {
     }
     val noEscalate =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NO_ESCALATE", "0") == "1"
-    val canaryWarm =
-      Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7, "q_scalar_regex" -> 1.0)
 
     // ---- shared run-state (lane threads touch it under `lock`) ----
     val lock = new Object
