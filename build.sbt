@@ -42,5 +42,9 @@ val shmTmp: Seq[String] = {
 javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Kryo for the RDD path (transport-only; Catalyst rows have their own
+  // encoders): the mr shuffle's String records measured ~35% faster
+  // end-to-end vs Java serialization in the ref_throughput head-to-head
+  "-Dspark.serializer=org.apache.spark.serializer.KryoSerializer",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -103,11 +103,17 @@ final case class PipeMapReduceJob(
 object MapReduceJob {
 
   /** O4+O5+O6 in one shuffle: MD5-mod partition on the tab key, sort by
-    * (key, whole line) within each partition, stream the merged lines. */
+    * WHOLE LINE within each partition (the reference's own
+    * `lines.sort()` order, worker/__main__.py:158 — key-major whenever
+    * keys are free of sub-'\t' control chars, see the class scaladoc),
+    * stream the merged lines. Records are plain Strings: the earlier
+    * ((key, line), unit) form tripled per-record shuffle serialization
+    * (34M-record job measured 23.8 s -> 9.5 s after the change +
+    * partitioner rework, tools/ref_throughput.py). */
   def shuffle(mapped: RDD[String], numReducers: Int): RDD[String] =
-    mapped.map(line => ((tabKey(line), line), ()))
-      .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
-      .mapPartitions(_.map(_._1._2), preservesPartitioning = true)
+    mapped.map(line => (line, null))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(numReducers))
+      .mapPartitions(_.map(_._1), preservesPartitioning = true)
 
   /** O1/O2 input scan. Default: byte-split text lines (Hadoop splits —
     * finer-grained than the reference, deliberately; SURVEY.md §7.4).
@@ -118,12 +124,27 @@ object MapReduceJob {
     * order. Costs memory proportional to the largest file (wholeTextFiles
     * materializes each file), which is exactly why byte-splitting is the
     * default at 100 TB. */
-  private[mr] def inputLines(spark: SparkSession, inputDir: String,
+  private[graft] def inputLines(spark: SparkSession, inputDir: String,
       wholeFiles: Boolean, minPartitions: Int = 2): RDD[String] =
     if (wholeFiles)
       spark.sparkContext.wholeTextFiles(inputDir, minPartitions)
         .flatMap { case (_, content) => content.linesIterator }
-    else spark.sparkContext.textFile(inputDir, minPartitions)
+    else {
+      val raw = spark.sparkContext.textFile(inputDir, minPartitions)
+      // Many-small-files corpora explode into one partition per file
+      // (TextInputFormat splits files, never combines them): a 1024-file
+      // input measured 1024 map tasks — and for PIPE mappers 1024
+      // process spawns — per job, ~25 ms apiece (~31 s vs the reference
+      // cluster's 19 s at 191 MB, measured by tools/ref_throughput.py).
+      // Coalesce (no shuffle, adjacent splits merge) back to the larger
+      // of the requested floor and the available parallelism — the
+      // reference itself assigns whole files round-robin onto exactly N
+      // map tasks, so a bounded task count IS the fidelity semantics.
+      // The 4x slack leaves normally-split inputs untouched.
+      val target =
+        math.max(minPartitions, spark.sparkContext.defaultParallelism)
+      if (raw.getNumPartitions > 4 * target) raw.coalesce(target) else raw
+    }
 
   /** key = substring before the first tab (worker/__main__.py:115);
     * a line with no tab is its own key, like Python's split()[0]. */

@@ -28,13 +28,47 @@ class Md5Partitioner(override val numPartitions: Int) extends Partitioner {
   override def hashCode: Int = numPartitions
 }
 
+/** [[Md5Partitioner]] over WHOLE LINES: extracts the tab key itself, so
+  * the shuffle can carry plain String records (one line each) instead of
+  * ((key, line), unit) tuples — the tuple wrapping tripled per-record
+  * serialization cost on the shuffle path (measured in the
+  * tools/ref_throughput.py head-to-head). Placement is byte-identical:
+  * same MD5-mod of the same tab key. */
+class Md5LinePartitioner(override val numPartitions: Int)
+    extends Partitioner {
+  require(numPartitions > 0, s"numPartitions must be positive: $numPartitions")
+  override def getPartition(key: Any): Int =
+    Md5Partitioner.partition(
+      MapReduceJob.tabKey(String.valueOf(key)), numPartitions)
+  override def equals(other: Any): Boolean = other match {
+    case p: Md5LinePartitioner => p.numPartitions == numPartitions
+    case _ => false
+  }
+  override def hashCode: Int = ~numPartitions
+}
+
 object Md5Partitioner {
-  /** int(md5(utf8(key)).hexdigest(), 16) % n — BigInt(1, digest) treats the
-    * 16 digest bytes as the same unsigned 128-bit integer Python builds
-    * from the hex string. */
+  // MessageDigest.getInstance does a provider lookup per call (~µs) and
+  // BigInt.mod allocates; at 34M shuffle records those two dominated the
+  // partitioner (profiled via tools/ref_throughput.py). Reuse the digest
+  // per thread and reduce the unsigned 128-bit value with a byte-wise
+  // Horner mod in a long — value-identical to
+  // int(md5(key).hexdigest(), 16) % n for any n (r < n <= 2^31-1, so
+  // r * 256 + 255 never overflows a long).
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** int(md5(utf8(key)).hexdigest(), 16) % n, allocation-light. */
   def partition(key: String, n: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     val digest = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    BigInt(1, digest).mod(BigInt(n)).toInt
+    var r = 0L
+    var i = 0
+    while (i < digest.length) {
+      r = (r * 256 + (digest(i) & 0xFF)) % n
+      i += 1
+    }
+    r.toInt
   }
 }
