@@ -597,7 +597,61 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test SPLIT-LEAKAGE audit across near-duplicate clusters —
+    * the eval-integrity question every LLM data pipeline must answer:
+    * when a doc and its near-duplicate land in different splits, the
+    * held-out set is contaminated no matter how good the 13-gram
+    * decontamination is. Three split schemes over the SAME corpus,
+    * audited against the session-shared cluster labeling
+    * ([[docClusters]] + [[dupComponents]], the q_dup_clusters mapping):
+    *   - id_hash       — md5(doc_id) (q_hash_split): blind to content,
+    *                     leaks whenever a multi-doc cluster's ids hash
+    *                     across the 93.75/3.125/3.125 thresholds;
+    *   - content_hash  — md5(normalized text) (q_hash_split_content):
+    *                     co-locates EXACT/near-exact dupes, still leaks
+    *                     for near-dups whose normalized bytes differ;
+    *   - cluster_key   — md5(cluster_id): keyed by the transitive
+    *                     closure itself, leak-free BY CONSTRUCTION
+    *                     (n_leaky must be 0 — spec-asserted).
+    * One row per scheme: cluster counts, multi-doc clusters, leaky
+    * clusters, docs inside leaky clusters. Scale shape: the labeling is
+    * the shared table; the audit itself is one narrow projection + two
+    * hash aggs. The oracle re-derives the clusters with the
+    * q_dup_clusters recursive closure and replays all three schemes. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = docClusters(spark, dir).select("doc_id", "rep")
+    val cc = dupComponents(spark, dir)
+      .select(col("node").as("rep"), col("label"))
+    val labeled = clusters.join(cc, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+      .join(Tables(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id")
+    val idH2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val clH2 = substring(md5(col("cluster_id").cast("string")), 1, 2)
+    val schemes = labeled.select(col("doc_id"), col("cluster_id"),
+      Curation.splitOf(idH2).as("id_hash"),
+      Curation.splitOf(Curation.contentH2).as("content_hash"),
+      Curation.splitOf(clH2).as("cluster_key"))
+    val long = schemes.selectExpr("doc_id", "cluster_id",
+      """stack(3, 'id_hash', id_hash, 'content_hash', content_hash,
+        |  'cluster_key', cluster_key) AS (scheme, split)""".stripMargin)
+    long.groupBy("scheme", "cluster_id")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("split")).as("nsplits"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n") > 1, 1).otherwise(0)).cast("bigint")
+          .as("n_multi_clusters"),
+        sum(when(col("nsplits") > 1, 1).otherwise(0)).cast("bigint")
+          .as("n_leaky_clusters"),
+        sum(when(col("nsplits") > 1, col("n")).otherwise(0)).cast("bigint")
+          .as("n_docs_in_leaky"))
+      .orderBy("scheme")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> qSplitLeakage _,
     "q_dup_clusters" -> qDupClusters _,
     "q_dedup_keepbest" -> qDedupKeepbest _,
     "q_dedup_pipeline" -> qDedupPipeline _,
@@ -611,6 +665,67 @@ object Similarity {
     * their semantics depend on engine-specific hash functions (recall of
     * LSH banding, xxhash64 bit patterns) — rows-only checks. */
   val oracles: Map[String, String] = Map(
+    // the q_dup_clusters recursive labeling + all three split schemes
+    // replayed over it (id-hash, normalized-content hash, cluster-key);
+    // leakage = a multi-doc cluster spanning >1 split
+    "q_split_leakage" ->
+      """WITH RECURSIVE
+        |reps AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+        |    text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM reps WHERE doc_id = rep),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT rep AS node, rep AS label FROM reps
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT r.doc_id, cc.label AS cluster_id, r.text
+        |  FROM reps r JOIN cc ON cc.node = r.rep),
+        |assigned AS (
+        |  SELECT scheme, cluster_id,
+        |    CASE WHEN h2 < 'f0' THEN 'train'
+        |         WHEN h2 < 'f8' THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT 'id_hash' AS scheme, cluster_id,
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM lab
+        |    UNION ALL
+        |    SELECT 'content_hash', cluster_id,
+        |      substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 2)
+        |    FROM lab
+        |    UNION ALL
+        |    SELECT 'cluster_key', cluster_id,
+        |      substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) FROM lab)),
+        |per_cluster AS (
+        |  SELECT scheme, cluster_id, COUNT(*) AS n,
+        |    COUNT(DISTINCT split) AS nsplits
+        |  FROM assigned GROUP BY 1, 2)
+        |SELECT scheme, COUNT(*) AS n_clusters,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi_clusters,
+        |  CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_clusters,
+        |  CAST(SUM(CASE WHEN nsplits > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_in_leaky
+        |FROM per_cluster GROUP BY scheme ORDER BY scheme""".stripMargin,
     // connected components as a recursive min-label closure: reach(n, l)
     // holds every (node, label-reachable-from-node) pair over the
     // symmetric near-dup edge set among representatives; MIN per node is

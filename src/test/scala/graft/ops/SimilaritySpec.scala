@@ -10,6 +10,23 @@ class SimilaritySpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
 
+  test("split-leakage audit: cluster-keyed split is leak-free by construction, schemes agree on the clustering") {
+    val rows = Similarity.qSplitLeakage(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("cluster_key", "content_hash", "id_hash"))
+    // all three schemes audit the SAME clustering
+    assert(rows.map(_.getLong(1)).distinct.size === 1, "n_clusters differ")
+    assert(rows.map(_.getLong(2)).distinct.size === 1, "n_multi differ")
+    val byScheme = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byScheme("cluster_key") === 0L,
+      s"cluster-keyed split leaked: $byScheme")
+    // leaky docs always >= leaky clusters * 2 (a leaky cluster has >= 2
+    // members by definition)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 2 * r.getLong(3), r.toString)
+    }
+  }
+
   test("prefix-filtered jaccard equals brute-force all-pairs jaccard") {
     // brute force ground truth from the same shingle definition
     val sh = Similarity.shingles(spark, dir)
