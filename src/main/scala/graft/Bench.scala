@@ -122,7 +122,7 @@ object Bench {
     "q_text_bigrams", "q_phrase", "q_multimodal", "q_audio", "q_video",
     "q_partition_prune", "q_join_bucketed", "q_constraints",
     "q2_", "q11_", "q12_", "q18_", "q20_", "q_cdc", "q_para", "q_stream",
-    "q_url", "q_robots", "q_split")
+    "q_url", "q_robots", "q_split", "q_source_overlap")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

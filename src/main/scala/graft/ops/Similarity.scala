@@ -650,7 +650,41 @@ object Similarity {
       .orderBy("scheme")
   }
 
+  /** Cross-SOURCE duplication overlap — which feeds copy from each
+    * other: for every source pair, the number of duplicate clusters
+    * containing docs from both (and, on the diagonal, clusters where one
+    * source contributed ≥ 2 members — the intra-source dup rate). The
+    * provenance signal a corpus-mix decision needs: a source whose rows
+    * mostly collapse into other sources' clusters adds bytes, not
+    * information. Rides the shared cluster labeling; the aggregation is
+    * cluster-keyed (a per-cluster source profile self-joined per
+    * cluster), never doc-pair-keyed — clusters bound the blowup, not the
+    * corpus. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = docClusters(spark, dir).select("doc_id", "rep")
+    val cc = dupComponents(spark, dir)
+      .select(col("node").as("rep"), col("label"))
+    val labeled = clusters.join(cc, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+      .join(Tables(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val srcs = labeled.groupBy("cluster_id", "source")
+      .agg(count(lit(1)).as("n"))
+    val cross = srcs.as("a").join(srcs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val self = srcs.filter(col("n") >= 2)
+      .select(col("source").as("source_a"), col("source").as("source_b"))
+    cross.unionByName(self)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> qSourceOverlap _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_dup_clusters" -> qDupClusters _,
     "q_dedup_keepbest" -> qDedupKeepbest _,
@@ -665,6 +699,52 @@ object Similarity {
     * their semantics depend on engine-specific hash functions (recall of
     * LSH banding, xxhash64 bit patterns) — rows-only checks. */
   val oracles: Map[String, String] = Map(
+    // the recursive labeling + a per-cluster source profile: cross pairs
+    // from a cluster-keyed self-join, the diagonal from sources with >=2
+    // members in one cluster
+    "q_source_overlap" ->
+      """WITH RECURSIVE
+        |reps AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep,
+        |    text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM reps WHERE doc_id = rep),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db
+        |  FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8),
+        |edges AS (
+        |  SELECT da AS s, db AS d FROM pairs
+        |  UNION SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT rep AS node, rep AS label FROM reps
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT r.doc_id, cc.label AS cluster_id
+        |  FROM reps r JOIN cc ON cc.node = r.rep),
+        |srcs AS (
+        |  SELECT l.cluster_id, d.source, COUNT(*) AS n
+        |  FROM lab l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM srcs a JOIN srcs b
+        |    ON a.cluster_id = b.cluster_id AND a.source < b.source
+        |  UNION ALL
+        |  SELECT source, source FROM srcs WHERE n >= 2)
+        |SELECT source_a, source_b, COUNT(*) AS n_shared_clusters
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the q_dup_clusters recursive labeling + all three split schemes
     // replayed over it (id-hash, normalized-content hash, cluster-key);
     // leakage = a multi-doc cluster spanning >1 split
