@@ -122,7 +122,8 @@ object Bench {
     "q_text_bigrams", "q_phrase", "q_multimodal", "q_audio", "q_video",
     "q_partition_prune", "q_join_bucketed", "q_constraints",
     "q2_", "q11_", "q12_", "q18_", "q20_", "q_cdc", "q_para", "q_stream",
-    "q_url", "q_robots", "q_split", "q_source_overlap")
+    "q_url", "q_robots", "q_split", "q_source_overlap", "q_bfs",
+    "q_label_prop", "q_ppr")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 
@@ -135,14 +136,15 @@ object Bench {
   private[graft] val streamGates = Set(
     "q_stream_dedup", "q_stream_restart", "q_stream_incremental",
     "q_stream_tws", "q_stream_join_live", "q_stream_topk",
-    "q_stream_late", "q_stream_sink", "q_stream_state_metrics")
+    "q_stream_late", "q_stream_sink", "q_stream_state_metrics",
+    "q_stream_static_join", "q_stream_outer_join")
 
   /** Queries that mutate session-global conf during execution
     * (q_autosalt_agg toggles the optimizer-rule gate): excluded from
     * lane parallelism — they run sequentially even under escalation so
     * a concurrent query can never be optimized inside their conf
     * scope. */
-  private[graft] val laneSolo = Set("q_autosalt_agg")
+  private[graft] val laneSolo = Set("q_autosalt_agg", "q_autosalt_avg")
 
   /** Codegen/JIT warmup targets, run at the TINY sf in the background
     * pool (a first execution pays Janino compilation + JIT — measured

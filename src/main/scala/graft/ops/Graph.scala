@@ -352,9 +352,160 @@ object Graph {
       nodes = Some(pagerankNodes(spark, dir)))
       .orderBy(desc("rank"), asc("node")).limit(20)
 
+  /** Multi-source BFS distance over the k-NN similarity graph — the
+    * REACHABILITY primitive next to CC (membership), PageRank
+    * (authority), triangles/k-core (density): hop distance from a seed
+    * set, capped at `rounds`. The curation reading: seeds = a vetted
+    * high-quality subset; a document's hop distance through the
+    * similarity graph is a cheap quality prior (near-neighbors of good
+    * docs are likelier good), and the distance HISTOGRAM is the corpus-
+    * level view — how much of the graph is within k hops of the vetted
+    * core, how much unreachable.
+    *
+    * Semantics are distance-CAPPED by construction (dist ≤ rounds, else
+    * -1), so the output is well-defined without a convergence check.
+    * Scale shape per round: one join frontier⋈edges + one groupBy-min —
+    * the CC-round cost envelope, edge-set-partitioned, no driver state;
+    * each round is [[graft.Tables.materialize]]d with alternating tags
+    * (read round r-1 stays alive while round r writes — the PageRank
+    * tag discipline). Seeds are id-keyed (node % 20 == 0): content-blind
+    * but deterministic and SQL-expressible, so the DuckDB oracle replays
+    * the same rounds as unrolled materialized CTEs over the anncand
+    * export (the q_kcore pattern). All-integer output → hash-gated;
+    * sum_nodes is the per-distance id checksum (a wrong-but-same-size
+    * level set still fails the gate). */
+  def qBfsDistance(spark: SparkSession, dir: String): DataFrame =
+    bfsDistance(knnCanonEdges(spark, dir), rounds = 4)
+
+  /** BFS core over an ALREADY canonical (a < b, distinct) edge table —
+    * see [[qBfsDistance]]. Exposed for GraphSpec's crafted graphs. */
+  private[ops] def bfsDistance(canon: DataFrame, rounds: Int): DataFrame = {
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val nodes = canon.select(col("a").as("u"))
+      .unionByName(canon.select(col("b").as("u"))).distinct()
+    var dist = nodes.filter(col("u") % 20 === 0)
+      .select(col("u").as("node"), lit(0).as("dist"))
+    for (r <- 1 to rounds) {
+      val relaxed = sym.join(dist, col("u") === col("node"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = Tables.materialize(
+        dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist")),
+        s"bfs-r${r % 2}")
+    }
+    nodes.join(dist, col("u") === col("node"), "left")
+      .select(coalesce(col("dist"), lit(-1)).as("dist"), col("u"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("u")).as("sum_nodes"))
+      .orderBy("dist")
+  }
+
+  /** PERSONALIZED PageRank from the same id-keyed seed set as
+    * [[qBfsDistance]] (node % 20 == 0): teleport mass flows only to
+    * the seeds, so rank measures random-walk proximity to the vetted
+    * core — the WEIGHTED companion to BFS hop distance (two docs at
+    * hop 2 can differ 100× in walk mass when one sits behind many
+    * parallel paths). Same fixed-point INTEGER arithmetic as
+    * [[qPagerank]] (1e-9 BIGINT units, per-edge floor division) so the
+    * iteration is deterministic under any partitioning and
+    * hash-gatable; the DuckDB oracle unrolls six iterations with the
+    * teleport term routed to the seed rows only. Nodes with zero walk
+    * mass and no seed membership are ABSENT (rank 0), which keeps the
+    * iterated frame proportional to the reachable set — at 100 TB a
+    * tight seed set iterates over its neighborhood, not the corpus.
+    * Scale shape per round: one edges⋈ranks join + one groupBy —
+    * the qPagerank round cost; per-round materialization follows the
+    * same spark.graft.pagerank.matMinEdges threshold. */
+  def qPprSeeds(spark: SparkSession, dir: String): DataFrame =
+    pprCore(pagerankEdges(spark, dir),
+      pagerankNodes(spark, dir).filter(col("src") % 20 === 0),
+      iters = 6)
+      .orderBy(desc("rank"), asc("node")).limit(20)
+
+  /** PPR core over a PREPARED (src, dst, d) contribution table and a
+    * one-column seed table — see [[qPprSeeds]]. */
+  private[ops] def pprCore(ce: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    val spark = ce.sparkSession
+    val minEdges =
+      spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
+    val seedCol = seeds.columns.head
+    // bounded driver scalars (the k-means-state pattern): seed count
+    // feeds the teleport term, edge count the materialization threshold
+    val nS = seeds.count()
+    require(nS > 0, "pprCore: empty seed set")
+    val matRounds = ce.count() >= minEdges
+    val tele = (15L * scale) / (100L * nS)
+    var r = seeds.select(col(seedCol).as("node"))
+      .withColumn("rank", lit(scale / nS))
+    for (i <- 1 to iters) {
+      val walk = ce.join(r, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div d")).as("contrib"))
+        .select(col("dst").as("node"),
+          expr("(85L * contrib) div 100L").as("part"))
+      val t = seeds.select(col(seedCol).as("node"))
+        .withColumn("part", lit(tele))
+      val next = walk.unionByName(t)
+        .groupBy("node").agg(sum(col("part")).as("rank"))
+      r = if (matRounds) Tables.materialize(next, s"ppr-r${i % 2}")
+          else next
+    }
+    r
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * community-detection baseline) over the k-NN similarity graph —
+    * communities vs CC's connectivity: LPA splits a connected but
+    * loosely-bridged graph into dense regions, the "topic cluster"
+    * granularity between whole-component dedup clusters and individual
+    * docs. Deterministic by construction: SYNCHRONOUS rounds (every
+    * node updates from the previous round's labels) and a total-order
+    * argmax (neighbor-label count DESC, label ASC), so the 4-round
+    * trajectory is a pure function of the edge set — hash-gatable, and
+    * the DuckDB oracle unrolls the same rounds (per-round neighbor
+    * label counts + ROW_NUMBER argmax). Output = the community-SIZE
+    * histogram with per-bucket label checksum (bounded rows; the full
+    * labeling is |V|-sized).
+    *
+    * Scale shape per round: one join labels⋈edges + one two-key count
+    * + one argmax window partitioned by node — key-partitioned
+    * shuffles over the edge set, per-round materialization with
+    * alternating tags (the PageRank discipline), no driver state. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelProp(knnCanonEdges(spark, dir), rounds = 4)
+
+  private[ops] def labelProp(canon: DataFrame, rounds: Int): DataFrame = {
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val nodes = canon.select(col("a").as("u"))
+      .unionByName(canon.select(col("b").as("u"))).distinct()
+    var labels = nodes.select(col("u").as("node"), col("u").as("label"))
+    for (r <- 1 to rounds) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(desc("cnt"), asc("nlabel"))
+      labels = Tables.materialize(
+        sym.join(labels, col("u") === col("node"))
+          .groupBy(col("v"), col("label").as("nlabel"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("v").as("node"), col("nlabel").as("label")),
+        s"lpa-r${r % 2}")
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("label")).as("sum_labels"))
+      .orderBy("sz")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _,
-      "q_kcore" -> qKcore _)
+      "q_kcore" -> qKcore _, "q_bfs_distance" -> qBfsDistance _,
+      "q_label_prop" -> qLabelProp _, "q_ppr_seeds" -> qPprSeeds _)
 
   val oracles: Map[String, String] = {
     val cand = graft.OracleExport.oraclePath("anncand")
@@ -367,6 +518,20 @@ object Graph {
          |  FROM e JOIN $prev ON e.src = $prev.node
          |  JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst)""".stripMargin
+    // personalized variant: teleport mass routed to the SEED rows only,
+    // via union — a node appears iff it has walk mass or is a seed
+    val pprTele =
+      "(CAST(15 AS BIGINT) * 1000000000) // (100 * (SELECT n FROM ns))"
+    def pprIter(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, CAST(SUM(x) AS BIGINT) AS rank FROM (
+         |  SELECT e.dst AS node,
+         |    (85 * SUM($prev.rank // deg.d)) // 100 AS x
+         |  FROM e JOIN $prev ON e.src = $prev.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst
+         |  UNION ALL
+         |  SELECT node, $pprTele AS x FROM seeds) z$cur
+         |  GROUP BY node)""".stripMargin
     Map("q_triangles" ->
       // same rerank CTE as q_cosine_ann's oracle (float-dot parity is
       // the proven q_cosine_ann gate), then the census over the top-3
@@ -431,6 +596,74 @@ object Graph {
               s"(SELECT COUNT(*) FROM e$r) AS n_edges"
           }.mkString("\n  UNION ALL\n") +
           "\n) rounds ORDER BY round"),
+      // same rerank + canonical edge CTEs as q_kcore, then four unrolled
+      // BFS relaxation rounds (join frontier to the symmetric edges,
+      // groupBy-min) — AS MATERIALIZED for the same 3^k-expansion reason
+      "q_bfs_distance" -> Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |ce AS MATERIALIZED (
+          |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |  FROM top3 WHERE qid <> nid),
+          |nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+          |  (SELECT a AS u FROM ce UNION ALL SELECT b AS u FROM ce) nn),
+          |sym3 AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
+          |b0 AS MATERIALIZED (
+          |  SELECT u AS node, 0 AS dist FROM nodes WHERE u % 20 = 0),
+          |""".stripMargin +
+          (1 to 4).map { r =>
+            val prev = s"b${r - 1}"
+            s"""b$r AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+               |  SELECT node, dist FROM $prev
+               |  UNION ALL
+               |  SELECT s.v AS node, $prev.dist + 1 AS dist
+               |  FROM sym3 s JOIN $prev ON s.u = $prev.node) x$r
+               |  GROUP BY node)""".stripMargin
+          }.mkString(",\n") + "\n" +
+          """SELECT CAST(COALESCE(b.dist, -1) AS INT) AS dist,
+            |  COUNT(*) AS n_nodes, CAST(SUM(n.u) AS BIGINT) AS sum_nodes
+            |FROM nodes n LEFT JOIN b4 b ON b.node = n.u
+            |GROUP BY 1 ORDER BY dist""".stripMargin),
+      // same preamble as q_bfs_distance, then four unrolled synchronous
+      // LPA rounds: per-round neighbor-label counts + ROW_NUMBER argmax
+      // with the engine's exact tie order (cnt DESC, label ASC)
+      "q_label_prop" -> Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |ce AS MATERIALIZED (
+          |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |  FROM top3 WHERE qid <> nid),
+          |sym3 AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
+          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM
+          |  (SELECT a AS u FROM ce UNION ALL SELECT b AS u FROM ce) nn),
+          |""".stripMargin +
+          (1 to 4).map { r =>
+            val prev = s"l${r - 1}"
+            s"""l$r AS MATERIALIZED (
+               |  SELECT v AS node, nlabel AS label FROM (
+               |    SELECT s.v, l.label AS nlabel, COUNT(*) AS cnt,
+               |      ROW_NUMBER() OVER (PARTITION BY s.v
+               |        ORDER BY COUNT(*) DESC, l.label) AS rk
+               |    FROM sym3 s JOIN $prev l ON s.u = l.node
+               |    GROUP BY s.v, l.label) z$r
+               |  WHERE rk = 1)""".stripMargin
+          }.mkString(",\n") + "\n" +
+          """SELECT sz, COUNT(*) AS n_communities,
+            |  CAST(SUM(label) AS BIGINT) AS sum_labels
+            |FROM (SELECT label, COUNT(*) AS sz FROM l4 GROUP BY label) c
+            |GROUP BY sz ORDER BY sz""".stripMargin),
       "q_pagerank" ->
       (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
           |e AS (SELECT qid AS src, nid AS dst FROM pairs
@@ -442,6 +675,20 @@ object Graph {
           |       FROM deg),
           |""".stripMargin +
         (1 to 6).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+        """SELECT node, rank FROM r6
+          |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+      "q_ppr_seeds" ->
+      (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
+          |e AS (SELECT qid AS src, nid AS dst FROM pairs
+          |      UNION ALL SELECT nid AS src, qid AS dst FROM pairs),
+          |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+          |seeds AS (SELECT src AS node FROM deg WHERE src % 20 = 0),
+          |ns AS (SELECT COUNT(*) AS n FROM seeds),
+          |r0 AS (SELECT node,
+          |       CAST(1000000000 // (SELECT n FROM ns) AS BIGINT) AS rank
+          |       FROM seeds),
+          |""".stripMargin +
+        (1 to 6).map(i => pprIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
         """SELECT node, rank FROM r6
           |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
   }

@@ -703,6 +703,109 @@ object EventsStream {
   private val lastSsjSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** LEFT-OUTER stream-stream interval join behind the gate — the
+    * eviction-driven null-emission semantics no batch twin can witness:
+    * a purchase with no error in its 30-minute window emits its
+    * null-padded row ONLY when the join state watermark proves no
+    * matching error can still arrive (the purchase's buffered state is
+    * evicted), so the unmatched rows materialize in the trailing
+    * no-data micro-batch Trigger.AvailableNow runs after the data
+    * drains — the same delivery the tws timer gate pins. State on both
+    * buffers stays proportional to the watermark horizon (the
+    * [[purchaseErrorJoin]] eviction story), which is exactly why outer
+    * emission is possible at all: "no future match" is decidable only
+    * because the error buffer provably holds everything still
+    * joinable. The emitted set is deterministic for the bounded
+    * fixture: all inner matches, plus every unmatched purchase whose
+    * 30-minute horizon closed below the final watermark
+    * (min of the two sides' max event times − 10 min); the few
+    * trailing purchases whose horizon stayed open remain unemitted.
+    * The DuckDB oracle encodes that release rule explicitly. */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamoj_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions(spark)) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "10 minutes")
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "10 minutes")
+      val joined = purchases.join(errors,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+        .select(col("p_id"), col("e_id"), col("user_id"),
+          col("p_ts"), col("e_ts"), col("value"))
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastOjSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        date_format(col("p_ts"), TsFmt).as("pts"),
+        date_format(col("e_ts"), TsFmt).as("ets"), col("value"))
+      .orderBy(asc("p_id"), asc_nulls_first("e_id"))
+  }
+  private val lastOjSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Stream-STATIC dimension-enrichment join behind the gate — the
+    * third streaming-join shape next to stream-stream
+    * ([[qStreamJoinLive]]) and the batch twin: each micro-batch of the
+    * event stream joins a BATCH dimension table (customer market
+    * segments keyed by c_custkey = user_id), broadcast-hinted — the
+    * production pattern for enriching an unbounded fact stream with a
+    * bounded dim (the static side is planned once per batch and ships
+    * to executors; no state store is involved in the join itself, so
+    * the join contributes ZERO keyed state no matter how long the
+    * stream runs — the only enrichment shape that survives an
+    * unbounded ingest). Downstream a watermarked 1-hour tumbling
+    * window aggregates per segment; Append mode emits only FINALIZED
+    * windows (end below the final watermark, max_ts − 10 min — the
+    * q_stream_topk release rule), so the sink is deterministic for the
+    * bounded fixture and the DuckDB oracle is the batch join +
+    * window aggregation restricted to the same finalized set. */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamstatic_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions(spark)) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+      val dim = graft.Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = src
+        .withWatermark("ts", "10 minutes")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastStaticSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"),
+        col("c_mktsegment").as("segment"), col("n"), col("total_value"))
+      .orderBy("bucket", "segment")
+  }
+  private val lastStaticSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Streaming SpaceSaving heavy hitters behind the driver gate
     * ([[heavyHittersStream]]): constant-size sketch state per open
     * window, Append mode, so the sink holds exactly the FINALIZED
@@ -884,6 +987,8 @@ object EventsStream {
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_tws" -> qStreamTws _,
     "q_stream_join_live" -> qStreamJoinLive _,
+    "q_stream_static_join" -> qStreamStaticJoin _,
+    "q_stream_outer_join" -> qStreamOuterJoin _,
     "q_stream_topk" -> qStreamTopk _,
     "q_stream_late" -> qStreamLate _,
     "q_stream_sink" -> qStreamSink _,
@@ -940,6 +1045,52 @@ object EventsStream {
         |FROM p JOIN e ON p.user_id = e.user_id
         |  AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL '30 minutes'
         |ORDER BY p_id, e_id""".stripMargin,
+    // inner matches + the eviction-released unmatched purchases: a
+    // null-padded row iff no error exists in the window AND the
+    // purchase's 30-min horizon closed below the final watermark
+    // (min of the two sides' max event times - 10 min) — the outer
+    // emission rule, empirically pinned like the tws release rule
+    "q_stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+        |  WHERE event_type = 'error'),
+        |wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p),
+        |         (SELECT MAX(e_ts) FROM e)) - INTERVAL 10 MINUTE AS w),
+        |m AS (SELECT p_id, e_id, p.user_id AS user_id, p_ts, e_ts, value
+        |      FROM p JOIN e ON p.user_id = e.user_id
+        |        AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL '30 minutes'),
+        |u AS (SELECT p.p_id, CAST(NULL AS BIGINT) AS e_id, p.user_id,
+        |        p.p_ts, CAST(NULL AS TIMESTAMP) AS e_ts, p.value
+        |      FROM p, wm
+        |      WHERE p.p_ts + INTERVAL 30 MINUTE < wm.w
+        |        AND NOT EXISTS (SELECT 1 FROM e
+        |          WHERE e.user_id = p.user_id AND e.e_ts >= p.p_ts
+        |            AND e.e_ts <= p.p_ts + INTERVAL '30 minutes'))
+        |SELECT p_id, e_id, user_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+        |  strftime(e_ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+        |  value
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM u) z
+        |ORDER BY p_id, e_id NULLS FIRST""".stripMargin,
+    // batch join + window aggregation restricted to FINALIZED windows
+    // (the q_stream_topk release rule) — the broadcast enrichment must
+    // be row-for-row the batch join
+    "q_stream_static_join" ->
+      """WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        |j AS (SELECT e.ts, e.value, c.c_mktsegment
+        |      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+        |w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
+        |        c_mktsegment, COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS total_value
+        |      FROM j GROUP BY 1, 2)
+        |SELECT strftime(w.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  c_mktsegment AS segment, n, total_value
+        |FROM w, mx WHERE w.b + INTERVAL 1 HOUR < mx.m - INTERVAL 10 MINUTE
+        |ORDER BY bucket, segment""".stripMargin,
     // exact-regime per-window top-3 with the sketch's (n DESC, type ASC)
     // tie-break, restricted to FINALIZED windows (end < final watermark)
     "q_stream_topk" ->

@@ -220,4 +220,129 @@ class GraphSpec extends SparkSpec {
       assert(got === want, s"trial $trial: $edges")
     }
   }
+
+  test("bfs distance: hand graph histogram and random-graph brute force") {
+    import spark.implicits._
+    def bfsOf(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
+      val canon = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .filter(p => p._1 != p._2).distinct
+      Graph.bfsDistance(canon.toDF("a", "b"), rounds = 4).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    // path 0-1-...-6 (seed = node 0, the only node ≡ 0 mod 20) plus a
+    // disconnected pair {7,8}: distances 0..4 reach nodes 0..4, nodes
+    // 5,6 are beyond the 4-round cap and 7,8 unreachable — all -1
+    val hand = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (7L, 8L))
+    assert(bfsOf(hand) === Seq((-1, 4L, 26L), (0, 1L, 0L), (1, 1L, 1L),
+      (2, 1L, 2L), (3, 1L, 3L), (4, 1L, 4L)))
+
+    // random graphs vs a driver-side capped-BFS recompute
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(40)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2).toSet }
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      var dist = nodes.filter(_ % 20 == 0).map(_ -> 0).toMap
+      for (d <- 1 to 4) {
+        val frontier = dist.filter(_._2 == d - 1).keySet
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> d)
+      }
+      val want = nodes.map(n => dist.getOrElse(n, -1))
+        .zip(nodes).groupBy(_._1).toSeq
+        .map { case (d, xs) =>
+          (d, xs.size.toLong, xs.map(_._2).sum) }
+        .sortBy(_._1)
+      assert(bfsOf(edges) === want, s"trial $trial: $edges")
+    }
+  }
+
+  test("personalized pagerank: integer fold == local replay; seeds dominate") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 2) {
+      // fixed (0,1) edge guarantees a nonempty seed set (src 0 ≡ 0 mod 20)
+      val edges = ((0L, 1L) +: Seq.fill(50)(
+        (rng.nextInt(24).toLong, rng.nextInt(24).toLong)))
+        .filter(p => p._1 != p._2).distinct
+      // driver replay of the integer fold: per-edge floor division,
+      // 85% walk + seed-only teleport, absent = 0
+      val d = edges.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+      val seeds = edges.map(_._1).distinct.filter(_ % 20 == 0)
+      val nS = seeds.size
+      val tele = 15L * 1000000000L / (100L * nS)
+      var rank = seeds.map(_ -> 1000000000L / nS).toMap
+      for (_ <- 1 to 6) {
+        val contrib = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((s, t) <- edges; rs <- rank.get(s)) contrib(t) += rs / d(s)
+        val next = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        contrib.foreach { case (n, c) => next(n) += 85L * c / 100L }
+        seeds.foreach(s => next(s) += tele)
+        rank = next.toMap
+      }
+      val want = rank.toSeq.map { case (n, r) => (n, r) }
+        .sortBy { case (n, r) => (-r, n) }
+      val e = edges.toDF("src", "dst")
+      val ce = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      val seedDf = e.select(col("src")).distinct()
+        .filter(col("src") % 20 === 0)
+      val got = Graph.pprCore(ce, seedDf, iters = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sortBy { case (n, r) => (-r, n) }
+      assert(got === want, s"trial $trial: $edges")
+      // seeds hold the teleport floor: every seed's rank ≥ tele
+      val gm = got.toMap
+      seeds.foreach(s => assert(gm(s) >= tele, s"seed $s below teleport"))
+    }
+  }
+
+  test("label propagation: synchronous replay on hand and random graphs") {
+    import spark.implicits._
+    // driver-side synchronous LPA with the engine's (cnt DESC, label ASC)
+    // argmax, then the community-size histogram the query emits
+    def lpaLocal(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val canon = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .filter(p => p._1 != p._2).distinct
+      val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2) }
+      val nodes = canon.flatMap(p => Seq(p._1, p._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to 4) {
+        lab = nodes.map { v =>
+          val counts = adj(v).map(lab).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }.toMap
+      }
+      lab.values.groupBy(identity).toSeq
+        .map { case (l, xs) => (l, xs.size.toLong) }
+        .groupBy(_._2).toSeq
+        .map { case (sz, cs) => (sz, cs.size.toLong, cs.map(_._1).sum) }
+        .sortBy(_._1)
+    }
+    def lpaOf(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val canon = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .filter(p => p._1 != p._2).distinct
+      Graph.labelProp(canon.toDF("a", "b"), rounds = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    // two triangles joined by a bridge: LPA keeps them separate
+    // communities (each triangle's min label wins locally)
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    assert(lpaOf(hand) === lpaLocal(hand))
+
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(50)((rng.nextInt(24).toLong, rng.nextInt(24).toLong))
+        .filter(p => p._1 != p._2).distinct
+      assert(lpaOf(edges) === lpaLocal(edges), s"trial $trial: $edges")
+    }
+  }
 }
