@@ -137,7 +137,7 @@ object Bench {
     "q_stream_dedup", "q_stream_restart", "q_stream_incremental",
     "q_stream_tws", "q_stream_join_live", "q_stream_topk",
     "q_stream_late", "q_stream_sink", "q_stream_state_metrics",
-    "q_stream_static_join", "q_stream_outer_join")
+    "q_stream_static_join", "q_stream_outer_join", "q_stream_session")
 
   /** Queries that mutate session-global conf during execution
     * (q_autosalt_agg toggles the optimizer-rule gate): excluded from
@@ -166,7 +166,10 @@ object Bench {
     // r12 driver-record cold offenders (12.5× / 4.2× / 3.1× / 4.8×
     // over their committed anchors — codegen/process-spawn first-run
     // cost, measured in BENCH_r12.json vs BENCH_FULL.json)
-    "q_scalar_map", "q_percentile", "q_join_bucketed", "q_wordcount_pipe")
+    "q_scalar_map", "q_percentile", "q_join_bucketed", "q_wordcount_pipe",
+    // r14: 12.1s cold vs 2.2s warm (Debug timeq) — the pack+window+
+    // rerank chain compiles five generated stages on first run
+    "q_hamming_rerank")
 
   /** Constant-work contention canaries with their quiet warm anchors
     * (BASELINE.md adjudicates machine weather with them); pinned LAST

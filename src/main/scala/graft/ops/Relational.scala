@@ -961,7 +961,33 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Market-basket pair mining (A-Priori L2 over orders): parts that
+    * co-occur in the same order, counted across orders, reported above
+    * min-support 2 with a deterministic top-50. The self-join keys on
+    * l_orderkey, so fan-out per order is bounded by the order's
+    * DISTINCT item count (≤ 7 in TPC-H shapes) — pair generation is
+    * O(Σ c_o²) with tiny c_o, never corpus². The pair count aggregates
+    * on the (part_a, part_b) key with map-side combine absorbing hot
+    * pairs. At 100 TB the classic A-Priori refinement applies in front:
+    * filter parts below item-level min-support first (one cheap agg +
+    * a broadcast semi-join) so the quadratic term only sees frequent
+    * items; a pathological mega-order (c_o in the millions) is capped
+    * before pairing the same way q_source_cap bounds per-key fan-out. */
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+      .filter(col("pk") < col("pk2"))
+    pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_copurchase" -> qCopurchase _,
     "q_subqueries" -> qSubqueries _,
     "q_join_full_outer" -> qJoinFullOuter _,
     "q_setops_all" -> qSetopsAll _,
@@ -1011,6 +1037,16 @@ object Relational {
     "q_outlier_events" -> qOutlierEvents _)
 
   val oracles: Map[String, String] = Map(
+    // co-occurring part pairs per order, min-support 2, deterministic
+    // top-50 — see qCopurchase
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 50""".stripMargin,
     "q_subqueries" ->
       """SELECT c_custkey,
         |  (SELECT MAX(o_totalprice) FROM orders

@@ -66,6 +66,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style quality TERCILES (Wenzek et al. 2020 §4.3: split each
+    * language's corpus into head/middle/tail by LM perplexity and keep
+    * the head for training): per-language buckets over the integer
+    * surprisal score of [[qLmSurprisal]], with bucket 1 = lowest
+    * centibits (head). Bucketing is by VALUE THRESHOLD, not NTILE — the
+    * scale-honest shape: the cumulative window runs over the tiny
+    * (lang, centibits) HISTOGRAM (≤ a few thousand rows per language,
+    * centibits is a bounded integer), never over docs, so there is no
+    * per-language doc sort anywhere (an NTILE over 20 TB of one
+    * language is a single-task sort — the non-scalable shape CCNet
+    * itself avoids by training quantile thresholds on a sample). Docs
+    * sharing a centibit value land in one bucket by construction
+    * (threshold semantics; head can exceed n/3 under ties — the
+    * documented CCNet behavior), which also makes the split
+    * deterministic under any partitioning: bucket = f(lang, value)
+    * only. Assignment joins the doc scores back to the broadcast-sized
+    * bucket table; everything downstream is one hash aggregation. */
+  def qQualityTerciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scores = surprisal(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val hist = scores.groupBy(col("lang"), col("avg_centibits"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("avg_centibits"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wall = Window.partitionBy(col("lang"))
+    val buckets = hist
+      .withColumn("c_before", coalesce(sum(col("c")).over(wcum), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wall))
+      .withColumn("bucket",
+        when(col("c_before") * 3 < col("n"), 1)
+          .when(col("c_before") * 3 < col("n") * 2, 2)
+          .otherwise(3).cast("int"))
+      .select(col("lang"), col("avg_centibits"), col("bucket"))
+    scores.join(broadcast(buckets), Seq("lang", "avg_centibits"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_centibits")).as("min_centibits"),
+        max(col("avg_centibits")).as("max_centibits"),
+        sum(col("n_bigrams")).cast("bigint").as("n_bigrams"),
+        sum(col("doc_id")).cast("bigint").as("id_checksum"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Exact near... exact duplicate groups by content hash: one row per
     * distinct md5, with the surviving (minimum) doc_id and group size.
     * Keyed on the hash → bucketable/shuffle-friendly at 100 TB (never a
@@ -828,6 +872,7 @@ object TextOps {
     "q_winnow_chains" -> qWinnowChains _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_lm_surprisal" -> qLmSurprisal _,
+    "q_quality_terciles" -> qQualityTerciles _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_survivors" -> qDedupSurvivors _,
@@ -958,6 +1003,46 @@ object TextOps {
         |  CAST(SUM(bits) AS BIGINT) AS total_bits,
         |  CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS avg_centibits
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-lang head/middle/tail by value threshold over the surprisal
+    // histogram — see qQualityTerciles (same surprisal CTE chain as
+    // q_lm_surprisal; all-integer arithmetic)
+    "q_quality_terciles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |occ2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |j AS (SELECT o.doc_id, CAST(LENGTH(bin(c1.c1 // c2.c2)) - 1 AS BIGINT) AS bits
+        |      FROM occ2 o JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |sc AS (SELECT j.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(bits) * 100 // COUNT(*) AS BIGINT) AS v
+        |       FROM j GROUP BY j.doc_id),
+        |scl AS (SELECT sc.doc_id, sc.n_bigrams, sc.v, d.lang
+        |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+        |hist AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM scl GROUP BY 1, 2),
+        |bkt AS (SELECT lang, v,
+        |          COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS c_before,
+        |          SUM(c) OVER (PARTITION BY lang) AS n
+        |        FROM hist),
+        |bkt2 AS (SELECT lang, v,
+        |           CAST(CASE WHEN c_before * 3 < n THEN 1
+        |                     WHEN c_before * 3 < n * 2 THEN 2
+        |                     ELSE 3 END AS INT) AS bucket
+        |         FROM bkt)
+        |SELECT s.lang, b.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(s.v) AS min_centibits, MAX(s.v) AS max_centibits,
+        |  CAST(SUM(s.n_bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s.doc_id) AS BIGINT) AS id_checksum
+        |FROM scl s JOIN bkt2 b ON b.lang = s.lang AND b.v = s.v
+        |GROUP BY 1, 2 ORDER BY s.lang, b.bucket""".stripMargin,
     "q_length_histogram" ->
       """SELECT lang, CAST(LENGTH(bin(n_chars)) AS INT) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,

@@ -556,6 +556,59 @@ object EventsStream {
   private val lastTwsSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** The BUILT-IN `session_window` behind the driver gate — the
+    * declarative twin of [[qStreamTws]]'s hand-rolled keyed-state
+    * sessionization (same 30-minute gap, same events). The two differ
+    * in RELEASE semantics, and that difference is exactly what this
+    * gate pins: Append mode emits a merged session only once the
+    * watermark passes its end (last event + gap), so — unlike the tws
+    * twin, which also emits gap-closed sessions proven by a later
+    * same-user event — the emitted set here is solely
+    * `session_end <= max_ts − 10 min` (final watermark, applied by
+    * Trigger.AvailableNow's trailing no-data batch). The oracle
+    * re-sessionizes in SQL (gap break at >= 30 min — session windows
+    * merge only on strict overlap, matching the tws break rule) and
+    * applies that release filter; a regression in window merging, the
+    * break rule, eviction timing, or the no-data final batch all
+    * surface as missing/extra session rows. Per-session `total` is a
+    * DECIMAL sum (partial-merge order under session merging is
+    * nondeterministic; double sums would not be hash-gatable).
+    * State is one row per OPEN session per user — bounded by the
+    * watermark horizon, never stream history: the only sessionization
+    * shape that survives an unbounded ingest. */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
+    val name = "streamsess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions(spark)) {
+      val src = graft.Tables.eventsStream(spark, eventsSrcDir(dir))
+        .select(col("ts"), col("user_id"), col("value"))
+      val agg = src.withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.Tables.dec(col("value"))).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").as("s"),
+          col("session_window.end").as("e"),
+          col("n"), col("total"))
+      val q = agg.writeStream.outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastSessionSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(col("user_id"),
+        date_format(col("s"), TsFmt).as("session_start"),
+        date_format(col("e"), TsFmt).as("session_end"),
+        col("n"), col("total").cast("double").as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+  private val lastSessionSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** Build the staged stream source dirs (symlink dir, 6-file split,
@@ -986,6 +1039,7 @@ object EventsStream {
     "q_stream_restart" -> qStreamRestart _,
     "q_stream_incremental" -> qStreamIncremental _,
     "q_stream_tws" -> qStreamTws _,
+    "q_stream_session" -> qStreamSession _,
     "q_stream_join_live" -> qStreamJoinLive _,
     "q_stream_static_join" -> qStreamStaticJoin _,
     "q_stream_outer_join" -> qStreamOuterJoin _,
@@ -1135,6 +1189,35 @@ object EventsStream {
     // gap-closed sessions, plus each user's last session iff its gap
     // horizon cleared the final watermark (max_ts - 10 min) — the
     // timer fire delivered by AvailableNow's trailing no-data batch
+    // built-in session_window release rule: ONLY watermark-passed
+    // sessions emit (no early gap-closed emission — that's the tws
+    // twin's rule); end = last event + 30-min gap, final watermark =
+    // max_ts - 10 min via the AvailableNow trailing no-data batch
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events),
+        |mx AS (SELECT MAX(ts) AS m FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS first_ts,
+        |           MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n,
+        |           SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  strftime(first_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(last_ts + INTERVAL 30 MINUTE,
+        |           '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  n, CAST(total AS DOUBLE) AS total_value
+        |FROM sess, mx
+        |WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 10 MINUTE
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_tws" ->
       """WITH e AS (SELECT user_id, ts, value FROM events),
         |mx AS (SELECT MAX(ts) AS m FROM e),
