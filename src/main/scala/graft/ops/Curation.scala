@@ -381,7 +381,28 @@ object Curation {
       .select("source", "doc_id", "h")
       .orderBy("source", "doc_id")
 
+  /** k-anonymity audit over the release metadata (Sweeney 2002): the
+    * quasi-identifier tuple here is (lang, source, log₂ length bucket)
+    * — the attributes a metadata release would carry per doc — and
+    * every equivalence class smaller than k=5 is flagged as
+    * re-identification risk. The complement of [[qPiiScrub]]: scrubbing
+    * removes direct identifiers from CONTENT, this measures how unique
+    * the remaining METADATA combination is. One hash aggregation on
+    * the QI key (map-side combine; class count bounded by
+    * |langs|·|sources|·~40 buckets, so the output is tiny at any
+    * corpus size); the length bucket reuses the bin-string idiom so
+    * the whole row is integer-exact. */
+  def qKanon(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("int").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("class_size"),
+        when(count(lit(1)) < 5, 1).otherwise(0).cast("int").as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> qKanon _,
     "q_source_cap" -> qSourceCap _,
     "q_curation_pipeline" -> qCurationPipeline _,
     "q_hash_split_content" -> qHashSplitContent _,
@@ -394,6 +415,14 @@ object Curation {
     "q_seq_pack_greedy" -> qSeqPackGreedy _)
 
   val oracles: Map[String, String] = Map(
+    // QI equivalence-class sizes with the k=5 risk flag — see qKanon
+    "q_kanon" ->
+      """SELECT lang, source,
+        |  CAST(LENGTH(bin(n_chars)) AS INT) AS len_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS class_size,
+        |  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     "q_source_cap" ->
       """SELECT source, doc_id, h FROM (
         |  SELECT source, doc_id, md5(text) AS h,

@@ -295,7 +295,40 @@ object Temporal {
       .orderBy("event_type", "h")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences (the behavioral-modeling staple next to the funnel:
+    * P(next event | current event) estimated from observed bigrams).
+    * Each user's stream is ordered by (ts, event_id) — the event_id
+    * tiebreak makes the sequence a TOTAL order, so lag() is
+    * deterministic under any partitioning even when a user logs two
+    * events in the same microsecond. Row probabilities are reported as
+    * exact integer basis points (n·10000 div row_total). Shuffle
+    * shape: ONE window partitioned by user_id (per-user sequences are
+    * bounded; a pathological mega-user is capped upstream — the
+    * q_source_cap argument), then a hash agg on the ≤|types|² pair
+    * key with map-side combine; the row-total window runs over the
+    * tiny pair matrix, not events. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = trans
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wrow = Window.partitionBy(col("from_type"))
+    counts.withColumn("row_total", sum(col("n")).over(wrow))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000L div row_total").cast("bigint").as("p_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> qEventTransitions _,
     "q_resample_hourly" -> qResampleHourly _,
     "q_retention" -> qRetention _,
     "q_event_funnel" -> qEventFunnel _,
@@ -308,6 +341,21 @@ object Temporal {
     "q_range_band" -> qRangeBand _)
 
   val oracles: Map[String, String] = Map(
+    // per-user lag over the (ts, event_id) total order, pair counts,
+    // integer basis-point row probabilities — see qEventTransitions
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, event_type AS to_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS p_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q_resample_hourly" ->
       """WITH ev AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
