@@ -68,7 +68,8 @@ object SparkEntry {
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges
         ops.Graph.pagerankNodes(spark, dir) // distinct PR source nodes
-        ()
+        ops.Graph.lpaLabels(spark, dir) // 4-round LPA labeling (label_prop
+        ()                              // + modularity both ride it)
       }),
       "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components
         ops.Vectors.ivfAssigned(spark, dir)

@@ -474,9 +474,27 @@ object Graph {
     * shuffles over the edge set, per-round materialization with
     * alternating tags (the PageRank discipline), no driver state. */
   def qLabelProp(spark: SparkSession, dir: String): DataFrame =
-    labelProp(knnCanonEdges(spark, dir), rounds = 4)
+    lpaHistogram(lpaLabels(spark, dir))
 
-  private[ops] def labelProp(canon: DataFrame, rounds: Int): DataFrame = {
+  /** Session-shared FINAL LPA LABELING of the k-NN graph (4 synchronous
+    * rounds) — built once per corpus, reused by q_label_prop and
+    * q_modularity (the same share-the-derived-table rule as the CC
+    * labelings and PageRank edge tables). The loop's per-round
+    * materialize tags are DIR-QUALIFIED because this builder is
+    * reachable from a shared holder (the r13 concurrency rule: a
+    * shared builder's inner tags must never collide across dirs or
+    * with the spec path's plain tags). */
+  private[graft] def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "lpalabels", dir)(
+      lpaLoop(knnCanonEdges(spark, dir), rounds = 4, tagQual = s":$dir"))
+
+  /** Spec path: loop + histogram with plain tags (hand graphs only —
+    * registered queries go through [[lpaLabels]]). */
+  private[ops] def labelProp(canon: DataFrame, rounds: Int): DataFrame =
+    lpaHistogram(lpaLoop(canon, rounds, tagQual = ""))
+
+  private def lpaLoop(canon: DataFrame, rounds: Int,
+      tagQual: String): DataFrame = {
     val sym = canon.select(col("a").as("u"), col("b").as("v"))
       .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
     val nodes = canon.select(col("a").as("u"))
@@ -492,20 +510,100 @@ object Graph {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("v").as("node"), col("nlabel").as("label")),
-        s"lpa-r${r % 2}")
+        s"lpa$tagQual-r${r % 2}")
     }
+    labels
+  }
+
+  private def lpaHistogram(labels: DataFrame): DataFrame =
     labels.groupBy("label")
       .agg(count(lit(1)).as("sz"))
       .groupBy("sz")
       .agg(count(lit(1)).as("n_communities"),
         sum(col("label")).as("sum_labels"))
       .orderBy("sz")
+
+  /** Newman modularity of the LPA partition — the quality score that
+    * says whether the detected communities are denser than a random
+    * graph with the same degrees would predict (Newman & Girvan 2004):
+    * Q = Σ_c [e_c/m − (d_c/2m)²]. Reported as the EXACT integer
+    * fraction mod_num/mod_den with mod_num = Σ_c(4·m·e_c − d_c²),
+    * mod_den = 4m² — no float log/div anywhere, so the row is
+    * hash-gatable, and the negative-integer-division trap (Spark div
+    * truncates, DuckDB // floors) never arises because there is no
+    * division. Rides the session-shared [[lpaLabels]] + knnCanonEdges
+    * artifacts: incremental cost is two label joins over the edge set
+    * + a degree agg + a community-sized rollup; the scalar edge count
+    * joins in on a literal key (broadcast hash join, not a nested
+    * loop). */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val canon = knnCanonEdges(spark, dir)
+    val labels = lpaLabels(spark, dir)
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val ein = canon.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).cast("bigint").as("e_in"))
+    val sym = canon.select(col("a").as("u"))
+      .unionByName(canon.select(col("b").as("u")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).cast("bigint").as("d"))
+    val dcs = deg.join(labels, col("u") === col("node"))
+      .groupBy("label").agg(sum(col("d")).cast("bigint").as("d_c"))
+    val comm = dcs.join(ein, Seq("label"), "left")
+      .select(col("label"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_c"))
+    val stats = comm.agg(
+      count(lit(1)).cast("bigint").as("n_communities"),
+      sum(col("e_in")).cast("bigint").as("n_internal_edges"),
+      sum(col("d_c") * col("d_c")).cast("bigint").as("sum_dc2"))
+      .withColumn("k", lit(1))
+    val mRow = canon.agg(count(lit(1)).cast("bigint").as("m"))
+      .withColumn("k", lit(1))
+    stats.join(broadcast(mRow), "k")
+      .select(col("m").as("n_edges"), col("n_communities"),
+        col("n_internal_edges"),
+        (lit(4L) * col("m") * col("n_internal_edges") - col("sum_dc2"))
+          .cast("bigint").as("mod_num"),
+        (lit(4L) * col("m") * col("m")).cast("bigint").as("mod_den"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _,
       "q_kcore" -> qKcore _, "q_bfs_distance" -> qBfsDistance _,
-      "q_label_prop" -> qLabelProp _, "q_ppr_seeds" -> qPprSeeds _)
+      "q_label_prop" -> qLabelProp _, "q_ppr_seeds" -> qPprSeeds _,
+      "q_modularity" -> qModularity _)
+
+  /** Shared oracle CTE chain: rerank → canonical edges → 4 unrolled
+    * synchronous LPA rounds (l4 = the final labeling). MATERIALIZED per
+    * round — each round references the previous 3× (the r12
+    * CTE-expansion lesson). */
+  private val lpaCtes: String =
+    """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM (SELECT qid, nid, sim FROM sims
+      |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+      |  WHERE rank <= 3),
+      |ce AS MATERIALIZED (
+      |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+      |  FROM top3 WHERE qid <> nid),
+      |sym3 AS MATERIALIZED (
+      |  SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
+      |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM
+      |  (SELECT a AS u FROM ce UNION ALL SELECT b AS u FROM ce) nn),
+      |""".stripMargin +
+      (1 to 4).map { r =>
+        val prev = s"l${r - 1}"
+        s"""l$r AS MATERIALIZED (
+           |  SELECT v AS node, nlabel AS label FROM (
+           |    SELECT s.v, l.label AS nlabel, COUNT(*) AS cnt,
+           |      ROW_NUMBER() OVER (PARTITION BY s.v
+           |        ORDER BY COUNT(*) DESC, l.label) AS rk
+           |    FROM sym3 s JOIN $prev l ON s.u = l.node
+           |    GROUP BY s.v, l.label) z$r
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
 
   val oracles: Map[String, String] = {
     val cand = graft.OracleExport.oraclePath("anncand")
@@ -635,35 +733,38 @@ object Graph {
       // with the engine's exact tie order (cnt DESC, label ASC)
       "q_label_prop" -> Vectors.simOracle(
         s"SELECT qid, nid FROM '$cand'", "qid", "nid",
-        """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
-          |  SELECT qid, nid,
-          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-          |  FROM (SELECT qid, nid, sim FROM sims
-          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
-          |  WHERE rank <= 3),
-          |ce AS MATERIALIZED (
-          |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
-          |  FROM top3 WHERE qid <> nid),
-          |sym3 AS MATERIALIZED (
-          |  SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
-          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM
-          |  (SELECT a AS u FROM ce UNION ALL SELECT b AS u FROM ce) nn),
-          |""".stripMargin +
-          (1 to 4).map { r =>
-            val prev = s"l${r - 1}"
-            s"""l$r AS MATERIALIZED (
-               |  SELECT v AS node, nlabel AS label FROM (
-               |    SELECT s.v, l.label AS nlabel, COUNT(*) AS cnt,
-               |      ROW_NUMBER() OVER (PARTITION BY s.v
-               |        ORDER BY COUNT(*) DESC, l.label) AS rk
-               |    FROM sym3 s JOIN $prev l ON s.u = l.node
-               |    GROUP BY s.v, l.label) z$r
-               |  WHERE rk = 1)""".stripMargin
-          }.mkString(",\n") + "\n" +
+        lpaCtes + "\n" +
           """SELECT sz, COUNT(*) AS n_communities,
             |  CAST(SUM(label) AS BIGINT) AS sum_labels
             |FROM (SELECT label, COUNT(*) AS sz FROM l4 GROUP BY label) c
             |GROUP BY sz ORDER BY sz""".stripMargin),
+      // Newman modularity of the same l4 labeling as an exact integer
+      // fraction — see qModularity (no division anywhere, so the
+      // Spark-truncate/DuckDB-floor negative-division trap can't bite)
+      "q_modularity" -> Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        lpaCtes + ",\n" +
+          """mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ce),
+            |deg2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+            |         FROM sym3 GROUP BY u),
+            |ein AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+            |        FROM ce JOIN l4 la ON la.node = ce.a
+            |          JOIN l4 lb ON lb.node = ce.b
+            |        WHERE la.label = lb.label GROUP BY la.label),
+            |dcs AS (SELECT l.label, CAST(SUM(d2.d) AS BIGINT) AS d_c
+            |        FROM l4 l JOIN deg2 d2 ON d2.u = l.node
+            |        GROUP BY l.label),
+            |jm AS (SELECT dcs.label, COALESCE(ein.e_in, 0) AS e_in,
+            |         dcs.d_c
+            |       FROM dcs LEFT JOIN ein ON ein.label = dcs.label)
+            |SELECT (SELECT m FROM mm) AS n_edges,
+            |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+            |  CAST(SUM(e_in) AS BIGINT) AS n_internal_edges,
+            |  CAST(4 * (SELECT m FROM mm) * SUM(e_in) - SUM(d_c * d_c)
+            |    AS BIGINT) AS mod_num,
+            |  CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm)
+            |    AS BIGINT) AS mod_den
+            |FROM jm""".stripMargin),
       "q_pagerank" ->
       (s"""WITH pairs AS (SELECT qid, nid FROM '$cand'),
           |e AS (SELECT qid AS src, nid AS dst FROM pairs

@@ -345,4 +345,17 @@ class GraphSpec extends SparkSpec {
       assert(lpaOf(edges) === lpaLocal(edges), s"trial $trial: $edges")
     }
   }
+
+  test("modularity invariants: den = 4m², Q ∈ (0, 1] on the k-NN LPA " +
+    "partition, internal edges bounded by m") {
+    val r = Graph.qModularity(spark, sf("sf0.001")).head()
+    val (m, nc, ein, num, den) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m > 0 && nc > 0)
+    assert(den === 4L * m * m, "mod_den drifted from 4m²")
+    assert(ein >= 0 && ein <= m, s"internal edges $ein out of [0, $m]")
+    // Q = num/den must be a valid modularity, and the LPA partition of
+    // a near-dup k-NN graph is denser than random: Q strictly positive
+    assert(num > 0 && num <= den, s"Q out of (0, 1]: $num/$den")
+  }
 }
