@@ -74,6 +74,7 @@ object SparkEntry {
       "ivf" -> (() => { // IVF: quantizer + lists -> SemDeDup components
         ops.Vectors.ivfAssigned(spark, dir)
         ops.Vectors.semanticComponents(spark, dir)
+        ops.Vectors.pqCodes(spark, dir) // PQ codebooks + nibble codes
         ()
       }),
       "dedup" -> (() => { // clusters -> survivor shingles -> pairs/sizes

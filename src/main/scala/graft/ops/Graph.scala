@@ -534,8 +534,9 @@ object Graph {
     * division. Rides the session-shared [[lpaLabels]] + knnCanonEdges
     * artifacts: incremental cost is two label joins over the edge set
     * + a degree agg + a community-sized rollup; the scalar edge count
-    * joins in on a literal key (broadcast hash join, not a nested
-    * loop). */
+    * joins in as a broadcast 1-row aggregate (the lit(1) join key
+    * constant-folds away, leaving the allowlisted bounded
+    * broadcast-nested-loop shape every global-scalar query uses). */
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
     val canon = knnCanonEdges(spark, dir)
     val labels = lpaLabels(spark, dir)

@@ -48,7 +48,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
                    // counts) cross-joined into the single stats row
     "q_sketch_setops", // non-equi pair expansion of the 5-ROW cohort
                        // sketch table (one sketch per event type)
-    "q_cms_freq") // 5-row sketch table × 5-row broadcast probe list
+    "q_cms_freq", // 5-row sketch table × 5-row broadcast probe list
+    "q_modularity") // 1-row global edge-count scalar beside the community
+                    // stats row (the lit(1)=lit(1) key constant-folds away)
 
   test("cartesian products never; nested-loop joins exactly the deliberate bounded set") {
     val dir = sf("sf0.001")
