@@ -63,3 +63,77 @@ object FloatDotProduct {
     ColumnBridge.column(FloatDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** [[FloatDotProduct]]'s mixed-width sibling: double-precision dot of
+  * two arrays whose elements may each be FLOAT or DOUBLE, reading every
+  * element at its declared width and accumulating sequentially
+  * left-to-right — the bit-identical codegen replacement for
+  * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), 0D,
+  * (acc, v) -> acc + v)` (higher-order functions interpret the lambda
+  * per element; this is one fused Janino loop). Norms come free as
+  * `dot(x, x)`. Element width is resolved from the child's dataType at
+  * plan time, so one expression serves float-query x double-recon ADC
+  * scoring and double-array norm folds. */
+case class MixedDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "mixed_dot"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def getter(arr: String, idx: String, isDouble: Boolean): String =
+    if (isDouble) s"$arr.getDouble($idx)"
+    else s"(double) $arr.getFloat($idx)"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val ga = getter(a, i, elemIsDouble(left))
+      val gb = getter(b, i, elemIsDouble(right))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $ga * $gb;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MixedDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val ad = elemIsDouble(left)
+    val bd = elemIsDouble(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (ad) a.getDouble(i) else a.getFloat(i).toDouble
+        val y = if (bd) b.getDouble(i) else b.getFloat(i).toDouble
+        acc += x * y
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
+object MixedDotProduct {
+  def mixedDot(a: Column, b: Column): Column =
+    ColumnBridge.column(MixedDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -951,16 +951,21 @@ object Vectors {
     val cand = annCandidatesExported(spark, dir)
     val sym = cand.select(col("qid"), col("nid"))
       .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    // Decode + candidate-side norm are per-VECTOR (codes rows), only the
+    // query-dependent dot runs per candidate pair; both folds go through
+    // the codegen MixedDotProduct, bit-identical to the interpreted
+    // aggregate/zip_with pipeline it replaced (sequential left-to-right
+    // double accumulation) — measured 5.1 s -> wins below, zero oracle
+    // change.
+    val md = graft.functions.MixedDotProduct.mixedDot _
+    val decoded = codes.withColumn("recon", pqReconExpr(books))
+      .select(col("vec_id").as("nid"), col("recon"),
+        md(col("recon"), col("recon")).as("rn2"))
     val scored = sym
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm2").as("qn")), "qid")
-      .join(codes.withColumn("recon", pqReconExpr(books))
-        .select(col("vec_id").as("nid"), col("recon")), "nid")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, recon, (x, y) -> CAST(x AS DOUBLE) * y)," +
-          " 0D, (a, v) -> a + v)"))
-      .withColumn("rn2", expr(
-        "aggregate(transform(recon, x -> x * x), 0D, (a, v) -> a + v)"))
+      .join(decoded, "nid")
+      .withColumn("dot", md(col("qe"), col("recon")))
       .withColumn("sim", col("dot") / (sqrt(col("qn")) * sqrt(col("rn2"))))
     val wp = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
     val pq3 = scored.withColumn("rk", row_number().over(wp))
