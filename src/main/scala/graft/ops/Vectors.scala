@@ -437,20 +437,27 @@ object Vectors {
       .select(col("qid"), col("qe"), col("qn"), col("cid"))
   }
 
-  def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-query coarse-probe set (qid, qe, qn, cid) — IVF stage 1, shared
+    * by [[qCosineIvf]] and [[qIvfAdc]]: identical probe selection means
+    * both queries derive the SAME candidate pair set, so both can export
+    * the one ivfcand table their oracles replay from. */
+  private[graft] def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
     val nProbe = ivfProbesN(spark)
     val centroids = ivfCentroids(spark, dir)
+    if (useJoinPath(spark, centroids.length))
+      probesViaJoin(emb, centroids, nProbe)
+    else emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("norm2").as("qn"),
+        explode(ivfRankExpr(centroids, nProbe)).as("probe"))
+      .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
+  }
+
+  def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
     val assigned = ivfAssigned(spark, dir)
     // each query probes its nprobe nearest centroid lists
-    val probes =
-      if (useJoinPath(spark, centroids.length))
-        probesViaJoin(emb, centroids, nProbe)
-      else emb.select(col("vec_id").as("qid"),
-          col("embedding").as("qe"), col("norm2").as("qn"),
-          explode(ivfRankExpr(centroids, nProbe)).as("probe"))
-        .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
+    val probes = ivfProbes(spark, dir)
     // no distinct: (qid, nid) is unique BY CONSTRUCTION — every nid lives
     // in exactly one inverted list and a query probes nProbe DISTINCT
     // lists, so the join can't emit a pair twice (verified identical to
@@ -980,7 +987,112 @@ object Vectors {
         expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
   }
 
+  /** IVFADC end-to-end retrieval (Jégou et al. TPAMI 2011 §IV — the
+    * billion-scale serving composition, the design FAISS's IndexIVFPQ
+    * ships): the coarse quantizer shortlists each query to its nprobe
+    * inverted lists, the shortlist is scored ENTIRELY in the compressed
+    * domain by asymmetric distance computation with per-query LOOKUP
+    * TABLES — each query precomputes its 8×16 subspace⋅codeword dots
+    * once (the actual "table" in ADC: scoring a candidate is then 8
+    * nibble-indexed lookups + adds, not a 64-term dot, and NO candidate
+    * float is ever touched — the inverted lists carry only (cid, nid,
+    * 4 bytes of codes)) — and the exact float rerank pays for 10 rows
+    * per query. Output: recall@3 of both stages against the exact k-NN
+    * ground truth — the compressed-domain ranking alone and the
+    * oversample+rerank production path on top of it.
+    *
+    * At 100 TB this is the shape that survives: the broadcast side is
+    * |corpus|·12 bytes of nibbles (where [[qPqRecall]]'s decoded-recon
+    * join would broadcast 64 doubles/vector), per-pair work is 8 lookups
+    * instead of 64 multiplies, and on a cluster the lists/codes tables
+    * co-partition by cid so stage 2 is a co-located join. The LUT
+    * decomposition regroups the 64-term sum into 8 subspace partials
+    * added in subspace order — a DIFFERENT double grouping than the flat
+    * left-to-right fold, so the oracle mirrors exactly that: per-slice
+    * list_sum folds added left-associatively, plus the same regrouped
+    * candidate norm from the codeword self-dots (driver-computed
+    * literals here, slice folds over the reconstruction there — same
+    * doubles, same order). Probe selection is [[ivfProbes]], shared with
+    * [[qCosineIvf]], so the ivfcand export both oracles replay from is
+    * one table. Hash-gated end to end: codebooks drifting, a nibble
+    * mis-assigned, a LUT index off by one, or premature float contact
+    * all move one of the two recall numbers. */
+  def qIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val books = pqBooks(spark, dir)
+    val codes = pqCodes(spark, dir)
+    graft.OracleExport.export(codes, "pqcodes", dir, pqKeyStr)
+    graft.OracleExport.export(pqBooksDf(spark, books), "pqbooks", dir,
+      pqKeyStr)
+    val md = graft.functions.MixedDotProduct.mixedDot _
+    val fd = graft.functions.FloatDotProduct.floatDot _
+    // inverted lists carrying ONLY the nibble codes — the broadcast side
+    val lists = ivfAssigned(spark, dir).select(col("cid"), col("vec_id"))
+      .join(codes, "vec_id")
+      .select(col("cid") +: col("vec_id").as("nid") +:
+        (0 until PqSubs).map(s => col(s"c$s")): _*)
+    // per-query ADC lookup table: 8 subspaces × 16 codewords of
+    // query-slice ⋅ codeword dots (MixedDotProduct: float slice × double
+    // codeword literals), flat-indexed lut[s*16+c]
+    val lutCol = array((for (s <- 0 until PqSubs; c <- 0 until PqK) yield
+      md(slice(col("qe"), s * 8 + 1, 8),
+        array(books(s)(c).toIndexedSeq.map(lit): _*))): _*)
+    // codeword self-dot literals per subspace (candidate norm lookups);
+    // Array.sum folds left-to-right like the oracle's per-slice list_sum
+    val rnLit = (0 until PqSubs).map(s =>
+      array(books(s).toIndexedSeq.map(cw => lit(cw.map(v => v * v).sum)): _*))
+    val cand = ivfProbes(spark, dir)
+      .withColumn("lut", lutCol)
+      .join(lists, "cid")
+      .filter(col("qid") =!= col("nid"))
+    graft.OracleExport.export(cand.select("qid", "nid"), "ivfcand", dir,
+      ivfKey(spark))
+    val dotCol = (0 until PqSubs).map(s =>
+      element_at(col("lut"), col(s"c$s") + lit(s * PqK + 1)))
+      .reduceLeft(_ + _)
+    val rn2Col = (0 until PqSubs).map(s =>
+      element_at(rnLit(s), col(s"c$s") + 1)).reduceLeft(_ + _)
+    val scored = cand
+      .withColumn("sim", dotCol / (sqrt(col("qn")) * sqrt(rn2Col)))
+      .select(col("qid"), col("nid"), col("sim"))
+    // ADC top-10 per query (bounded heaps over the candidate fan-out);
+    // materialized because BOTH stages below consume it — without this
+    // the whole probe+score pass runs twice
+    val adcTop = Tables.materialize(
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq(col("qid")),
+        Seq(col("sim").desc, col("nid").asc), 10),
+      s"ivfadc10:$dir")
+    val wa = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
+    val adc3 = adcTop.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("adc_hit"))
+    // stage 3: exact float rerank of the 10-row-per-query shortlist
+    val rr = adcTop.select(col("qid"), col("nid"))
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("norm2").as("na")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("eb"),
+        col("norm2").as("nb")), "nid")
+      .withColumn("xsim",
+        fd(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+    val wr = Window.partitionBy(col("qid")).orderBy(desc("xsim"), asc("nid"))
+    val rr3 = rr.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("rr_hit"))
+    Graph.knnEdges(spark, dir)
+      .join(adc3, Seq("qid", "nid"), "left")
+      .join(rr3, Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("adc_hit"), lit(0))).cast("bigint").as("adc_hits"),
+        sum(coalesce(col("rr_hit"), lit(0))).cast("bigint").as("rr_hits"))
+      .select(col("n_queries"), col("n_pairs"), col("adc_hits"),
+        expr("(adc_hits * 10000L) div n_pairs").as("adc_recall_bp"),
+        col("rr_hits"),
+        expr("(rr_hits * 10000L) div n_pairs").as("rr_recall_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivfadc" -> qIvfAdc _,
     "q_pq_recall" -> qPqRecall _,
     "q_hamming_rerank" -> qHammingRerank _,
     "q_centroid_shift" -> qCentroidShift _,
@@ -1025,7 +1137,93 @@ object Vectors {
        |  JOIN n na ON na.vec_id = c.$qidCol JOIN n nb ON nb.vec_id = c.$nidCol)
        |$body""".stripMargin
 
+  /** q_ivfadc's LUT-grouped dot: per-subspace slice folds added
+    * left-associatively — mirrors the engine's lut-lookup sum grouping
+    * exactly (NOT the flat 64-term fold q_pq_recall uses). */
+  private val adcLutSql = (0 until PqSubs).map { s =>
+    val a = s * 8 + 1; val b = s * 8 + 8
+    s"list_sum(list_transform(list_zip(a.embedding[$a:$b], r.r[$a:$b]), " +
+      "z -> CAST(z[1] AS DOUBLE) * z[2]))"
+  }.mkString("(", "\n         |     + ", ")")
+
+  /** q_ivfadc's candidate norm: per-subspace codeword self-dots added in
+    * subspace order — same doubles + order as the engine's rnLit lookups
+    * (driver-side Array.sum folds left-to-right like list_sum). */
+  private val adcRnSql = (0 until PqSubs).map { s =>
+    val a = s * 8 + 1; val b = s * 8 + 8
+    s"list_sum(list_transform(r.r[$a:$b], x -> x * x))"
+  }.mkString("(", "\n         |     + ", ")")
+
   val oracles: Map[String, String] = Map(
+    // IVFADC replay — see qIvfAdc: ground-truth top-3 from the anncand
+    // sims (the proven q_pq_recall chain), candidate reconstruction from
+    // the exported codes/books, ADC scoring with the LUT-grouped
+    // arithmetic (adcLutSql/adcRnSql), then both release stages: ADC
+    // top-3 straight off the compressed ranking, and the exact float
+    // rerank of the ADC top-10 via the proven sim formula.
+    "q_ivfadc" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      s""", top3 AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |  FROM (SELECT qid, nid, sim FROM sims
+         |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+         |  WHERE rank <= 3),
+         |codes AS (SELECT * FROM '${graft.OracleExport.oraclePath("pqcodes")}'),
+         |books AS (SELECT sub, cid, vals
+         |          FROM '${graft.OracleExport.oraclePath("pqbooks")}'),
+         |recon AS MATERIALIZED (SELECT k.vec_id,
+         |    b0.vals || b1.vals || b2.vals || b3.vals ||
+         |    b4.vals || b5.vals || b6.vals || b7.vals AS r
+         |  FROM codes k
+         |  JOIN books b0 ON b0.sub = 0 AND b0.cid = k.c0
+         |  JOIN books b1 ON b1.sub = 1 AND b1.cid = k.c1
+         |  JOIN books b2 ON b2.sub = 2 AND b2.cid = k.c2
+         |  JOIN books b3 ON b3.sub = 3 AND b3.cid = k.c3
+         |  JOIN books b4 ON b4.sub = 4 AND b4.cid = k.c4
+         |  JOIN books b5 ON b5.sub = 5 AND b5.cid = k.c5
+         |  JOIN books b6 ON b6.sub = 6 AND b6.cid = k.c6
+         |  JOIN books b7 ON b7.sub = 7 AND b7.cid = k.c7),
+         |ivfc AS (SELECT qid, nid
+         |         FROM '${graft.OracleExport.oraclePath("ivfcand")}'),
+         |ps AS MATERIALIZED (SELECT iv.qid, iv.nid,
+         |    $adcLutSql
+         |      / (sqrt(na.norm2) * sqrt($adcRnSql)) AS sim
+         |  FROM ivfc iv JOIN e a ON a.vec_id = iv.qid
+         |    JOIN n na ON na.vec_id = iv.qid
+         |    JOIN recon r ON r.vec_id = iv.nid),
+         |adc10 AS MATERIALIZED (SELECT qid, nid, rk FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, nid) AS rk
+         |    FROM ps) z WHERE rk <= 10),
+         |adc3 AS (SELECT qid, nid FROM adc10 WHERE rk <= 3),
+         |rrs AS MATERIALIZED (SELECT h.qid, h.nid,
+         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |      / (sqrt(na.norm2) * sqrt(nb.norm2)) AS sim
+         |  FROM adc10 h JOIN e a ON a.vec_id = h.qid
+         |    JOIN e b ON b.vec_id = h.nid
+         |    JOIN n na ON na.vec_id = h.qid JOIN n nb ON nb.vec_id = h.nid),
+         |rr3 AS MATERIALIZED (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, nid) AS rk
+         |    FROM rrs) z WHERE rk <= 3),
+         |j AS (SELECT t.qid, t.nid,
+         |        CASE WHEN a3.qid IS NULL THEN 0 ELSE 1 END AS adc_hit,
+         |        CASE WHEN r3.qid IS NULL THEN 0 ELSE 1 END AS rr_hit
+         |      FROM top3 t
+         |        LEFT JOIN adc3 a3 ON a3.qid = t.qid AND a3.nid = t.nid
+         |        LEFT JOIN rr3 r3 ON r3.qid = t.qid AND r3.nid = t.nid)
+         |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(adc_hit) AS BIGINT) AS adc_hits,
+         |  CAST((SUM(adc_hit) * 10000) // COUNT(*) AS BIGINT) AS adc_recall_bp,
+         |  CAST(SUM(rr_hit) AS BIGINT) AS rr_hits,
+         |  CAST((SUM(rr_hit) * 10000) // COUNT(*) AS BIGINT) AS rr_recall_bp
+         |FROM j""".stripMargin),
     // Identical decimal-exact projection fold against the exported sign
     // matrix — see qJlDistortion (exact until the final double division)
     "q_jl_distortion" ->

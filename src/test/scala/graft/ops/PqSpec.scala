@@ -43,4 +43,22 @@ class PqSpec extends SparkSpec {
     // below the measurement so machine-independent, well above chance
     assert(bp >= 1000, s"PQ recall collapsed: $bp bp")
   }
+
+  test("IVFADC: stage arithmetic, rerank lift, and recall floors") {
+    val r = Vectors.qIvfAdc(spark, sf("sf0.001")).head()
+    val np = r.getLong(1)
+    val (adcH, adcBp) = (r.getLong(2), r.getLong(3))
+    val (rrH, rrBp) = (r.getLong(4), r.getLong(5))
+    assert(adcH >= 0 && adcH <= np && rrH >= 0 && rrH <= np)
+    assert(adcBp === adcH * 10000L / np, "adc_recall_bp arithmetic drifted")
+    assert(rrBp === rrH * 10000L / np, "rr_recall_bp arithmetic drifted")
+    // the exact rerank of the 10-deep ADC shortlist beats the raw
+    // compressed-domain top-3 on the fixture (sf0.01: 1826 -> 3646 bp);
+    // not a theorem (the IVF and LSH candidate sets differ) but a stable
+    // fixture fact — a regression here means a stage got disconnected
+    assert(rrH >= adcH, s"rerank lost recall: adc=$adcH rr=$rrH")
+    // floors well below the measured values, well above chance
+    assert(adcBp >= 800, s"ADC recall collapsed: $adcBp bp")
+    assert(rrBp >= 1600, s"reranked recall collapsed: $rrBp bp")
+  }
 }
