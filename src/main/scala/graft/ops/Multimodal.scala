@@ -481,6 +481,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode + pixel feature extraction over the BMP subset —
+    * the one container in the media table whose pixel array is stored
+    * uncompressed, so the full decode is hash-gatable: the engine decodes
+    * through the JDK's production ImageIO decoder in a mapPartitions
+    * batch stage (the mapInPandas shape — codec state per partition,
+    * rows streamed through) and emits exact integer channel sums, the
+    * peak r+g+b, and a position-weighted pixel checksum; the DuckDB
+    * oracle re-walks the BMP pixel array INDEPENDENTLY from the exported
+    * blobs (bottom-up row order, 4-byte row padding, BGR byte order) —
+    * so an orientation flip, a stride bug, or a channel swap on either
+    * side breaks the hash. The entropy-coded formats (PNG/GIF/JPEG)
+    * can't be re-derived in SQL; their decodes stay pinned against
+    * ImageIO in MultimodalSpec. Top-down (negative-height) BMPs are
+    * REFUSED by rule on both sides because the JDK decoder itself
+    * rejects them (see [[BmpPixels.accepts]]).
+    *
+    * Inclusion is a SQL-mirrored header predicate, not a decoder
+    * outcome: only documents whose BITMAPINFOHEADER reads 24-bit BI_RGB
+    * with sane bounded dims and a pixel array inside the buffer enter
+    * the output (BOTH sides apply the identical rule, so refusal parity
+    * is exact); within an accepted row a decoder failure fails the query
+    * loudly rather than desyncing the gate. At 100 TB this is the
+    * media-ingest feature pass: a narrow map over the binary column,
+    * pixels never shuffled, output one bounded row per image. */
+  def qImagePixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import ByteReads._
+    val media = mediaTable(spark, dir)
+    graft.OracleExport.export(media, "media", dir)
+    media.as[ImgRow].mapPartitions { rows =>
+      rows.flatMap(r => BmpPixels.stats(r.payload).map { s =>
+        (r.doc_id, s._1, s._2, s._3, s._4, s._5, s._6, s._7)
+      })
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "max_lum", "pix_checksum")
+      .orderBy("doc_id")
+  }
+
+  /** qImagePixels's per-row kernel, factored out so the spec can drive
+    * it with crafted containers (the fixture's BMPs are all bottom-up;
+    * the top-down negative-height branch needs a hand-built file). */
+  private[ops] object BmpPixels {
+    import ByteReads._
+    /** SQL-mirrored inclusion predicate: 24-bit BI_RGB, bounded dims,
+      * pixel array inside the buffer, and BOTTOM-UP only — the JDK's
+      * BMPImageReader throws "Invalid width/height for BI_RGB image
+      * data" on a negative (top-down) height (probed empirically on
+      * Java 17), so admitting one would crash the decode while the
+      * oracle parsed it fine; the height is still decoded SIGNED so a
+      * raw value >= 2^31 is refused here rather than misread as a huge
+      * positive dimension. Must stay in lockstep with the
+      * q_image_pixels oracle's `acc` CTE. */
+    def accepts(b: Array[Byte]): Boolean =
+      b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte && {
+        val off = le32(b, 10); val w = le32(b, 18)
+        val hs = le32(b, 22).toInt // signed reinterpretation
+        le16(b, 28) == 24 && le32(b, 30) == 0L &&
+          w >= 1 && w <= 64 && hs >= 1 && hs <= 64 &&
+          off + ((3 * w + 3) / 4 * 4) * hs.toLong <= b.length
+      }
+    /** (width, height, sum_r, sum_g, sum_b, max_lum, pix_checksum) from
+      * the JDK decode of an accepted BMP; None if the header rule
+      * refuses the document. */
+    def stats(b: Array[Byte])
+        : Option[(Int, Int, Long, Long, Long, Long, Long)] = {
+      if (!accepts(b)) None
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L; var lum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y) & 0xFFFFFF
+            val rr = (v >> 16) & 0xFF; val gg = (v >> 8) & 0xFF
+            val bb = v & 0xFF
+            sr += rr; sg += gg; sb += bb
+            ck += (y.toLong * w + x + 1) * v
+            if (rr + gg + bb > lum) lum = (rr + gg + bb).toLong
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sr, sg, sb, lum, ck))
+      }
+    }
+  }
+
   /** documents.text as binary payloads (media stand-in). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -527,6 +617,7 @@ object Multimodal {
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_multimodal_dims" -> qMultimodalDims _,
+    "q_image_pixels" -> qImagePixels _,
     "q_audio_meta" -> qAudioMeta _,
     "q_video_meta" -> qVideoMeta _)
 
@@ -551,7 +642,71 @@ object Multimodal {
     s"CAST('0x0' || substr(v.h, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
   private def fourccS(p: String) = s"substr(v.h, CAST(2 * ($p) + 1 AS INT), 8)"
 
+  // alias-parameterized twins of the readers above (the BMP pixel walk
+  // reads from two different CTE aliases)
+  private def pxU8(col: String, p: String) =
+    s"CAST('0x0' || substr($col, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+  private def pxLe16(col: String, p: String) =
+    s"CAST('0x0' || substr($col, CAST(2 * (($p) + 1) + 1 AS INT), 2) || " +
+      s"substr($col, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+  private def pxLe32(col: String, p: String) =
+    s"CAST('0x0' || substr($col, CAST(2 * (($p) + 3) + 1 AS INT), 2) || " +
+      s"substr($col, CAST(2 * (($p) + 2) + 1 AS INT), 2) || " +
+      s"substr($col, CAST(2 * (($p) + 1) + 1 AS INT), 2) || " +
+      s"substr($col, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    // Independent BMP pixel-array walk over the exported blobs — see
+    // qImagePixels: the inclusion predicate mirrors the engine's header
+    // rule exactly (24-bit BI_RGB, bounded dims, pixel array in-buffer),
+    // then every pixel byte is read at its computed file offset
+    // (bottom-up vs top-down row order by the SIGNED height, rows padded
+    // to 4 bytes, BGR order) and the channel sums / peak / position-
+    // weighted checksum re-derive what the JDK decoder produced.
+    "q_image_pixels" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len
+         |  FROM '${graft.OracleExport.oraclePath("media")}'
+         |  WHERE octet_length(payload) >= 54
+         |    AND substr(hex(payload), 1, 4) = '424D'),
+         |hdr AS (
+         |  SELECT doc_id, h, len,
+         |    ${pxLe32("h", "10")} AS boff, ${pxLe32("h", "18")} AS w,
+         |    (${pxLe32("h", "22")} - CASE WHEN ${pxLe32("h", "22")}
+         |       > 2147483647 THEN 4294967296 ELSE 0 END) AS hs,
+         |    ${pxLe16("h", "28")} AS bits, ${pxLe32("h", "30")} AS comp
+         |  FROM m),
+         |acc AS (
+         |  -- mirrors BmpPixels.accepts: 24-bit BI_RGB, bounded dims,
+         |  -- pixel array in-buffer, BOTTOM-UP only (signed hs >= 1 —
+         |  -- the JDK decoder rejects top-down BI_RGB, so both sides
+         |  -- refuse it; signed decode keeps a >= 2^31 raw height from
+         |  -- misreading as a huge positive dimension)
+         |  SELECT doc_id, h, boff, w, hs AS habs,
+         |    ((3 * w + 3) // 4) * 4 AS stride
+         |  FROM hdr
+         |  WHERE bits = 24 AND comp = 0 AND w >= 1 AND w <= 64
+         |    AND hs >= 1 AND hs <= 64
+         |    AND boff + ((3 * w + 3) // 4) * 4 * hs <= len),
+         |px AS (
+         |  SELECT a.doc_id, a.w, a.habs, a.h, gy.y, gx.x,
+         |    a.boff + (a.habs - 1 - gy.y) * a.stride + 3 * gx.x AS p
+         |  FROM acc a
+         |  JOIN generate_series(0, 63) gy(y) ON gy.y < a.habs
+         |  JOIN generate_series(0, 63) gx(x) ON gx.x < a.w),
+         |v AS (
+         |  SELECT doc_id, w, habs, y, x,
+         |    ${pxU8("h", "p + 2")} AS r, ${pxU8("h", "p + 1")} AS g,
+         |    ${pxU8("h", "p")} AS b
+         |  FROM px)
+         |SELECT doc_id,
+         |  CAST(MAX(w) AS INT) AS width, CAST(MAX(habs) AS INT) AS height,
+         |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+         |  CAST(SUM(b) AS BIGINT) AS sum_b,
+         |  CAST(MAX(r + g + b) AS BIGINT) AS max_lum,
+         |  CAST(SUM((y * w + x + 1) * (r * 65536 + g * 256 + b))
+         |    AS BIGINT) AS pix_checksum
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Independent ISO-BMFF box walk over the exported MP4 blobs: DuckDB
     // hops top-level boxes by BE32 size + 4CC (recursive CTE), walks
     // moov's CHILDREN with a second recursive CTE bounded by the moov

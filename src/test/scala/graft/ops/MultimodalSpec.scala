@@ -245,6 +245,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BmpPixels: JDK decode stats == independent recompute from the raster formula") {
+    // pixels derive from doc_id alone (ImageCodec.encode's setRGB loop),
+    // so the full decode path — write through ImageIO's BMP encoder,
+    // read back through its decoder, fold stats — is pinned against a
+    // straight recompute that never touches a container byte
+    val bmpIds = (0L until 64L).filter(Multimodal.ImageCodec.fmtFor(_) == "bmp")
+    assert(bmpIds.nonEmpty)
+    bmpIds.foreach { id =>
+      val got = Multimodal.BmpPixels.stats(Multimodal.ImageCodec.encode(id))
+      val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L; var lum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt
+        val rr = (v >> 16) & 0xFF; val gg = (v >> 8) & 0xFF; val bb = v & 0xFF
+        sr += rr; sg += gg; sb += bb
+        ck += (y.toLong * w + x + 1) * v
+        lum = math.max(lum, (rr + gg + bb).toLong)
+      }
+      assert(got === Some((w, h, sr, sg, sb, lum, ck)), s"id=$id")
+    }
+  }
+
+  test("BmpPixels.accepts refuses what the JDK decoder would reject or the oracle can't mirror") {
+    val good = Multimodal.ImageCodec.encode(3L) // id 3 -> bmp
+    assert(Multimodal.BmpPixels.accepts(good))
+    def patched(mod: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mod(b); b
+    }
+    // top-down (negative height): the JDK's BMPImageReader throws
+    // "Invalid width/height for BI_RGB" on these, so the rule refuses
+    val h = (good(22) & 0xFF) | ((good(23) & 0xFF) << 8)
+    val neg = -h
+    assert(!Multimodal.BmpPixels.accepts(patched { b =>
+      b(22) = (neg & 0xFF).toByte; b(23) = ((neg >> 8) & 0xFF).toByte
+      b(24) = ((neg >> 16) & 0xFF).toByte; b(25) = ((neg >> 24) & 0xFF).toByte
+    }), "top-down BMP must be refused")
+    // raw height >= 2^31 must be refused via the SIGNED reinterpretation,
+    // not misread as a huge positive dimension
+    assert(!Multimodal.BmpPixels.accepts(patched { b =>
+      b(25) = 0x80.toByte
+    }), ">=2^31 raw height must be refused")
+    // 32-bit pixels: not the 24-bit BI_RGB walk the oracle mirrors
+    assert(!Multimodal.BmpPixels.accepts(patched(b => b(28) = 32)),
+      "non-24-bit BMP must be refused")
+    // RLE compression: pixel array is not a plain raster
+    assert(!Multimodal.BmpPixels.accepts(patched(b => b(30) = 1)),
+      "compressed BMP must be refused")
+    // pixel array extending past the buffer
+    assert(!Multimodal.BmpPixels.accepts(good.dropRight(1)),
+      "truncated pixel array must be refused")
+    // oversized dims (bounded-walk guard)
+    assert(!Multimodal.BmpPixels.accepts(patched(b => b(18) = 65)),
+      "width > 64 must be refused")
+  }
+
   test("q_multimodal_features emits sortable scalar columns on the fixture") {
     val df = Multimodal.qMultimodalFeatures(spark, sf("sf0.001"))
     assert(df.schema.fields.forall(f =>
