@@ -295,6 +295,40 @@ object Multimodal {
       if (!seenData || rate <= 0 || rate > Int.MaxValue) None
       else Some((channels, rate.toInt, bits, nSamples, nSamples * 1000L / rate, sum))
     }
+
+    /** Interleaved signed 16-bit samples of a canonical PCM container —
+      * the SAME chunk walk and refusal rules as [[parse]] (None exactly
+      * where parse is None), returning (channels, samples) for the
+      * feature pass. Kept as a twin rather than a parse() retrofit so
+      * the metadata audit never allocates sample arrays. */
+    def pcmSamples(b: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var pos = 12
+      var channels = -1; var rate = -1L; var bits = -1; var fmtTag = -1
+      var out: Array[Short] = null
+      while (pos + 8 <= b.length) {
+        val id = tag(b, pos)
+        val size = le32(b, pos + 4)
+        if (pos + 8L + size > b.length) return None
+        val sz = size.toInt
+        if (id == "fmt ") {
+          if (sz < 16) return None
+          fmtTag = le16(b, pos + 8); channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12); bits = le16(b, pos + 22)
+        } else if (id == "data") {
+          if (fmtTag != 1 || channels <= 0 || bits != 16) return None
+          out = new Array[Short](sz / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = le16(b, pos + 8 + 2 * i).toShort; i += 1
+          }
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      if (out == null || rate <= 0 || rate > Int.MaxValue) None
+      else Some((channels, out))
+    }
   }
 
   /** Minimal ISO-BMFF (MP4) containers — the VIDEO modality. Canonical
@@ -445,6 +479,52 @@ object Multimodal {
       }.toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
         "dur_ms", "sum_samples", "n_bytes")
       .orderBy("doc_id")
+  }
+
+  /** PCM feature extraction over the canonical-WAV subset — the audio
+    * twin of [[qImagePixels]]: decode the interleaved 16-bit samples
+    * ([[WavHeader.pcmSamples]], same walk + refusal rules as the
+    * metadata audit, so non-PCM and malformed containers are EXCLUDED by
+    * the shared rule rather than sentinel'd) and fold per-channel
+    * signal features — frame count, peak |x|, zero crossings (sign
+    * changes between consecutive frames), Σ|x| and exact Σx² energy —
+    * all integers, all re-derived INDEPENDENTLY by the DuckDB oracle
+    * from the exported blobs (per-channel de-interleaved list folds over
+    * the data chunk's LE16 samples). A channel swap, an off-by-one in
+    * the interleave stride, or a signedness bug on either side breaks
+    * the hash. At 100 TB this is the audio-ingest feature pass: a
+    * narrow map over the binary column, samples never shuffled,
+    * channels·docs bounded output. */
+  def qAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir)
+    graft.OracleExport.export(audio, "audio", dir)
+    audio.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          WavHeader.pcmSamples(bytes).toSeq.flatMap { case (ch, xs) =>
+            val nFrames = xs.length / ch // ragged tail ignored (both sides)
+            (0 until ch).map { c =>
+              var peak = 0L; var zc = 0L; var sumAbs = 0L; var energy = 0L
+              var prevNonNeg = false
+              var t = 0
+              while (t < nFrames) {
+                val x = xs(t * ch + c).toLong
+                val ax = math.abs(x)
+                if (ax > peak) peak = ax
+                sumAbs += ax; energy += x * x
+                val nonNeg = x >= 0
+                if (t > 0 && nonNeg != prevNonNeg) zc += 1
+                prevNonNeg = nonNeg
+                t += 1
+              }
+              (id, c, nFrames.toLong, peak, zc, sumAbs, energy)
+            }
+          }
+        }
+      }.toDF("doc_id", "channel", "n_frames", "peak_abs", "zero_cross",
+        "sum_abs", "energy")
+      .orderBy("doc_id", "channel")
   }
 
   /** The session-shared media table (doc_id, fmt, payload) — one real
@@ -619,6 +699,7 @@ object Multimodal {
     "q_multimodal_dims" -> qMultimodalDims _,
     "q_image_pixels" -> qImagePixels _,
     "q_audio_meta" -> qAudioMeta _,
+    "q_audio_features" -> qAudioFeatures _,
     "q_video_meta" -> qVideoMeta _)
 
   // DuckDB hex arithmetic over the exported blob (byte offsets 0-based).
@@ -805,6 +886,66 @@ object Multimodal {
     // reads the fmt fields with its own little-endian hex arithmetic,
     // and RE-SUMS every signed 16-bit sample of the data chunk — format
     // fields, duration AND content are derived twice.
+    // Per-channel de-interleaved sample folds over the exported WAV
+    // blobs — see qAudioFeatures. Shares q_audio_meta's walk/refusal
+    // CTEs verbatim (the inclusion rule IS WavHeader's), then channel c
+    // of a doc is the list [x(t*ch + c)] and every feature is a list
+    // fold: frames are 1-based in the zc window (fr[t] vs fr[t+1] =
+    // consecutive frames), energy/Σ|x| plain transforms.
+    "q_audio_features" ->
+      s"""WITH RECURSIVE a AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("audio")}'),
+         |awalk(doc_id, pos) AS (
+         |  SELECT doc_id, 12 FROM a
+         |  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(w.pos + 8 + ${le32S("w.pos + 4")}
+         |         + (${le32S("w.pos + 4")} % 2) AS INT)
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 + ${le32S("w.pos + 4")}
+         |        + (${le32S("w.pos + 4")} % 2) + 8 <= a.n),
+         |arefused AS (
+         |  SELECT DISTINCT w.doc_id
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= a.n
+         |    AND w.pos + 8 + ${le32S("w.pos + 4")} > a.n),
+         |fmtc AS (
+         |  SELECT w.doc_id, ${le16S("w.pos + 10")} AS channels,
+         |    ${le32S("w.pos + 12")} AS rate
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'
+         |    AND ${le32S("w.pos + 4")} >= 16
+         |    AND ${le16S("w.pos + 8")} = 1
+         |    AND ${le16S("w.pos + 10")} > 0
+         |    AND ${le16S("w.pos + 22")} = 16
+         |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
+         |datac AS (
+         |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
+         |feats AS (
+         |  SELECT f.doc_id, c.c AS channel,
+         |    d.nbytes // (2 * f.channels) AS n_frames,
+         |    list_transform(range(d.nbytes // (2 * f.channels)),
+         |      t -> ${signed16S("d.off + 2 * (t * f.channels + c.c)")}) AS fr
+         |  FROM fmtc f JOIN datac d USING (doc_id)
+         |    JOIN a ON a.doc_id = f.doc_id
+         |  JOIN generate_series(0, 7) c(c) ON c.c < f.channels)
+         |SELECT doc_id, CAST(channel AS INT) AS channel,
+         |  CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(list_max(list_transform(fr, x -> abs(x))) AS BIGINT)
+         |    AS peak_abs,
+         |  CAST(COALESCE(list_sum(list_transform(range(1, CAST(n_frames AS INT)),
+         |    t -> CASE WHEN (fr[t] >= 0) <> (fr[t + 1] >= 0)
+         |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross,
+         |  CAST(list_sum(list_transform(fr, x -> abs(x))) AS BIGINT)
+         |    AS sum_abs,
+         |  CAST(list_sum(list_transform(fr, x -> x * x)) AS BIGINT) AS energy
+         |FROM feats ORDER BY doc_id, channel""".stripMargin,
     "q_audio_meta" ->
       s"""WITH RECURSIVE a AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n

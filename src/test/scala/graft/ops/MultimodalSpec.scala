@@ -300,6 +300,52 @@ class MultimodalSpec extends SparkSpec {
       "width > 64 must be refused")
   }
 
+  test("pcmSamples: decode == sample formula; refusals track parse()") {
+    (0L until 33L).foreach { id =>
+      val b = Multimodal.WavCodec.encode(id)
+      val got = Multimodal.WavHeader.pcmSamples(b)
+      if (Multimodal.WavCodec.variantFor(id) != "pcm")
+        assert(got.isEmpty, s"non-PCM id=$id must refuse")
+      else {
+        val ch = Multimodal.WavCodec.channelsFor(id)
+        val n = Multimodal.WavCodec.nSamplesFor(id)
+        val want = Array.tabulate(n * ch)(i => Multimodal.WavCodec.sampleAt(id, i))
+        assert(got.map(_._1) === Some(ch), s"channels id=$id")
+        assert(got.get._2.toSeq === want.toSeq, s"samples id=$id")
+      }
+      // refusal parity with the metadata walk, every id
+      assert(got.isDefined === Multimodal.WavHeader.parse(b).isDefined)
+    }
+  }
+
+  test("q_audio_features: per-channel folds == independent recompute from the sample formula") {
+    val rows = Multimodal.qAudioFeatures(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, c) = (r.getLong(0), r.getInt(1))
+      val ch = Multimodal.WavCodec.channelsFor(id)
+      val n = Multimodal.WavCodec.nSamplesFor(id)
+      assert(Multimodal.WavCodec.variantFor(id) === "pcm", s"id=$id leaked")
+      var peak = 0L; var zc = 0L; var sumAbs = 0L; var energy = 0L
+      var prev = false
+      for (t <- 0 until n) {
+        val x = Multimodal.WavCodec.sampleAt(id, t * ch + c).toLong
+        peak = math.max(peak, math.abs(x))
+        sumAbs += math.abs(x); energy += x * x
+        val nn = x >= 0
+        if (t > 0 && nn != prev) zc += 1
+        prev = nn
+      }
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)) === ((n.toLong, peak, zc, sumAbs, energy)), s"id=$id c=$c")
+    }
+    // every PCM doc contributes exactly `channels` rows
+    val perDoc = rows.groupBy(_.getLong(0)).map { case (id, rs) => (id, rs.length) }
+    perDoc.foreach { case (id, k) =>
+      assert(k === Multimodal.WavCodec.channelsFor(id), s"id=$id rows=$k")
+    }
+  }
+
   test("q_multimodal_features emits sortable scalar columns on the fixture") {
     val df = Multimodal.qMultimodalFeatures(spark, sf("sf0.001"))
     assert(df.schema.fields.forall(f =>
