@@ -342,19 +342,36 @@ object Multimodal {
     def brandFor(id: Long): String = if (id % 2 == 0) "isom" else "mp42"
     def timescaleFor(id: Long): Int = Scales((id % 3).toInt)
     def durUnitsFor(id: Long): Int = (3000 + (id * 7) % 100000L).toInt
-    def mdatLenFor(id: Long): Int = 16 + (id % 32).toInt
+    /** r14: the mdat is now a real FRAME sequence described by an
+      * stsz/stco sample table inside moov > trak > mdia > minf > stbl
+      * (the single-chunk layout: one stco entry, samples contiguous) —
+      * the structure a frame-sampling pass demuxes. stsd/stts are
+      * omitted: the byte-level demux needs only sizes + chunk offset. */
+    def nFramesFor(id: Long): Int = 4 + (id % 9).toInt
+    def frameSizeFor(id: Long, f: Int): Int =
+      3 + ((id * 13 + f.toLong * 7) % 14L).toInt
+    def mdatLenFor(id: Long): Int =
+      (0 until nFramesFor(id)).map(frameSizeFor(id, _)).sum
     def mdatByteAt(id: Long, i: Int): Byte = ((id * 131 + i * 17) & 0xFF).toByte
 
     def encode(id: Long): Array[Byte] = {
+      val n = nFramesFor(id)
       val mdatLen = mdatLenFor(id)
-      val bb = java.nio.ByteBuffer.allocate(24 + 8 + 108 + 8 + 8 + mdatLen)
+      val stszLen = 20 + 4 * n
+      val stblLen = 8 + stszLen + 20
+      val minfLen = 8 + stblLen
+      val mdiaLen = 8 + minfLen
+      val trakLen = 8 + mdiaLen
+      val moovLen = 8 + 108 + trakLen + 8
+      val mdatPayloadOff = 24 + moovLen + 8
+      val bb = java.nio.ByteBuffer.allocate(24 + moovLen + 8 + mdatLen)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
       def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
       // ftyp: major brand, minor version, two compatible brands
       bb.putInt(24); fourcc("ftyp"); fourcc(brandFor(id)); bb.putInt(0x200)
       fourcc("isom"); fourcc("mp41")
-      // moov: mvhd (v0, 108 bytes) + free (8 bytes)
-      bb.putInt(8 + 108 + 8); fourcc("moov")
+      // moov: mvhd (v0, 108) + trak>mdia>minf>stbl(stsz,stco) + free (8)
+      bb.putInt(moovLen); fourcc("moov")
       bb.putInt(108); fourcc("mvhd")
       bb.putInt(0) // version 0 + flags
       bb.putInt(0).putInt(0) // creation, modification
@@ -365,6 +382,19 @@ object Multimodal {
       Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
       (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
       bb.putInt(2) // next track id
+      bb.putInt(trakLen); fourcc("trak")
+      bb.putInt(mdiaLen); fourcc("mdia")
+      bb.putInt(minfLen); fourcc("minf")
+      bb.putInt(stblLen); fourcc("stbl")
+      bb.putInt(stszLen); fourcc("stsz")
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0) // sample_size 0 = per-sample sizes follow
+      bb.putInt(n)
+      (0 until n).foreach(f => bb.putInt(frameSizeFor(id, f)))
+      bb.putInt(20); fourcc("stco")
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(1) // entry_count: single chunk
+      bb.putInt(mdatPayloadOff)
       bb.putInt(8); fourcc("free")
       bb.putInt(8 + mdatLen); fourcc("mdat")
       var i = 0
@@ -418,6 +448,57 @@ object Multimodal {
       if (timescale <= 0 || dur < 0 || mdatBytes < 0) None
       else Some((brand, timescale, dur, dur * 1000L / timescale, mdatBytes, mdatSum))
     }
+
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** Single-chunk sample-table demux: (mdat payload offset, per-frame
+      * sizes). A FULL validating depth-first walk — every box at every
+      * level must be well-formed (size >= 8, inside its parent), known
+      * containers recurse, and the first stsz/stco/mdat encountered (=
+      * lowest file position, since DFS pre-order is position-ordered)
+      * form the table — mirroring the oracle's generalized bwalk CTE
+      * exactly, so a malformed box ANYWHERE refuses the document on both
+      * sides, not just on the path the demux happens to need. Contract
+      * checks after the walk: stsz v0 with per-sample sizes, bounded
+      * count, exact box length; stco v0 single-entry; every size in
+      * [1, 4096]; and the samples exactly tile the mdat payload
+      * (off0 == mdat+8, Σsizes == mdat extent). */
+    def sampleTable(b: Array[Byte]): Option[(Long, Array[Int])] = {
+      if (b.length < 16 || tag(b, 4) != "ftyp") return None
+      var stszP = -1L; var stszE = -1L; var stcoP = -1L; var stcoE = -1L
+      var mdatP = -1L; var mdatE = -1L
+      def walk(p0: Long, lim: Long): Boolean = {
+        var p = p0
+        while (p + 8 <= lim) {
+          val cs = be32(b, p.toInt)
+          val t = tag(b, p.toInt + 4)
+          if (cs < 8 || p + cs > lim) return false
+          if (t == "mdat" && mdatP < 0) { mdatP = p; mdatE = p + cs }
+          if (t == "stsz" && stszP < 0) { stszP = p; stszE = p + cs }
+          if (t == "stco" && stcoP < 0) { stcoP = p; stcoE = p + cs }
+          if (Containers(t) && !walk(p + 8, p + cs)) return false
+          p += cs
+        }
+        true
+      }
+      if (!walk(0L, b.length.toLong)) return None
+      if (stszP < 0 || stcoP < 0 || mdatP < 0) return None
+      if (stszE - stszP < 20) return None // count field must be in-box
+      val n = be32(b, stszP.toInt + 16)
+      val ok = be32(b, stszP.toInt + 8) == 0L && // stsz version+flags
+        be32(b, stszP.toInt + 12) == 0L && // sample_size 0 = varying
+        n >= 1 && n <= 64 && stszE - stszP == 20L + 4L * n &&
+        be32(b, stcoP.toInt + 8) == 0L && // stco version+flags
+        be32(b, stcoP.toInt + 12) == 1L && // single chunk
+        stcoE - stcoP == 20L
+      if (!ok) return None
+      val off0 = be32(b, stcoP.toInt + 16)
+      val sizes = Array.tabulate(n.toInt)(f =>
+        be32(b, stszP.toInt + 20 + 4 * f))
+      if (sizes.exists(s => s < 1 || s > 4096)) None
+      else if (off0 != mdatP + 8 || off0 + sizes.sum != mdatE) None
+      else Some((off0, sizes.map(_.toInt)))
+    }
   }
 
   /** The session-shared video table (doc_id, payload). */
@@ -448,6 +529,44 @@ object Multimodal {
       }.toDF("doc_id", "brand", "timescale", "dur_units", "dur_ms",
         "mdat_bytes", "mdat_sum", "n_bytes")
       .orderBy("doc_id")
+  }
+
+  /** Frame sampling over the ISO-BMFF sample table — the video twin of
+    * [[qImagePixels]]/[[qAudioFeatures]]: demux the container's REAL
+    * stsz/stco sample table ([[Mp4Header.sampleTable]] — full validating
+    * box walk, single-chunk contract) and extract every 3rd frame's byte
+    * extent from mdat with an exact byte-sum witness plus first/last
+    * byte. This is the strided frame-sample pass a video training
+    * pipeline runs before any pixel decode: offsets and sizes come from
+    * the SAMPLE TABLE, not from scanning mdat, so at 100 TB the pass
+    * reads |sampled frames| byte ranges instead of whole clips (and with
+    * a range-request storage layer, only those ranges leave disk).
+    * Inclusion is the sample-table contract — a doc whose table is
+    * malformed, whose sizes don't tile mdat, or whose chunk layout isn't
+    * the single-chunk form is EXCLUDED by the same rule on both sides.
+    * Hash-gated: the DuckDB oracle re-walks the boxes with a generalized
+    * descend-or-hop recursive CTE, re-derives every sampled frame's
+    * offset from the stsz prefix sums, and re-sums its bytes. */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val video = videoTable(spark, dir)
+    graft.OracleExport.export(video, "video", dir)
+    video.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          Mp4Header.sampleTable(b).toSeq.flatMap { case (off0, sizes) =>
+            val offs = sizes.scanLeft(off0)(_ + _)
+            (0 until sizes.length by 3).map { f =>
+              val o = offs(f).toInt; val sz = sizes(f)
+              var s = 0L; var i = 0
+              while (i < sz) { s += (b(o + i) & 0xFF); i += 1 }
+              (id, f, sz, s, b(o) & 0xFF, b(o + sz - 1) & 0xFF)
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "f_bytes", "byte_sum",
+        "first_byte", "last_byte")
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** The session-shared audio table (doc_id, payload). */
@@ -700,7 +819,8 @@ object Multimodal {
     "q_image_pixels" -> qImagePixels _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
-    "q_video_meta" -> qVideoMeta _)
+    "q_video_meta" -> qVideoMeta _,
+    "q_video_frames" -> qVideoFrames _)
 
   // DuckDB hex arithmetic over the exported blob (byte offsets 0-based).
   // Every numeric read is zero-padded ('0x0' || hex) so it stays TOTAL: a
@@ -886,6 +1006,96 @@ object Multimodal {
     // reads the fmt fields with its own little-endian hex arithmetic,
     // and RE-SUMS every signed 16-bit sample of the data chunk — format
     // fields, duration AND content are derived twice.
+    // Generalized ISO-BMFF walk + sample-table demux — see qVideoFrames.
+    // bwalk is a SINGLE recursive arm that either hops to the next
+    // sibling (k=0) or descends into a known container (k=1); vrefused
+    // mirrors Mp4Header.sampleTable's full-walk refusal (a malformed box
+    // at ANY level refuses the whole doc); the first stsz/stco/mdat =
+    // MIN(pos) (DFS pre-order is position-ordered); frame offsets are
+    // stsz prefix sums over the single-chunk base, every sampled frame's
+    // bytes re-summed from the blob.
+    "q_video_frames" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("video")}'),
+         |bwalk(doc_id, pos, lim) AS (
+         |  SELECT doc_id, 0, n FROM v WHERE substr(h, 9, 8) = '66747970'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(CASE g.k WHEN 0 THEN w.pos + ${be32S("w.pos")}
+         |         ELSE w.pos + 8 END AS INT),
+         |    CAST(CASE g.k WHEN 0 THEN w.lim
+         |         ELSE w.pos + ${be32S("w.pos")} END AS INT)
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  JOIN generate_series(0, 1) g(k) ON TRUE
+         |  WHERE w.pos + 8 <= w.lim
+         |    AND ${be32S("w.pos")} >= 8
+         |    AND w.pos + ${be32S("w.pos")} <= w.lim
+         |    AND ((g.k = 0 AND w.pos + ${be32S("w.pos")} + 8 <= w.lim)
+         |      OR (g.k = 1 AND ${fourccS("w.pos + 4")} IN
+         |          ('6D6F6F76', '7472616B', '6D646961',
+         |           '6D696E66', '7374626C')))),
+         |vrefused AS (
+         |  SELECT DISTINCT w.doc_id
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim
+         |    AND (${be32S("w.pos")} < 8
+         |      OR w.pos + ${be32S("w.pos")} > w.lim)),
+         |stszb AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '7374737A'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |stcob AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '7374636F'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |mdatb AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '6D646174'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |acc AS (
+         |  SELECT z.doc_id, z.pos AS zp, m.pos AS mp,
+         |    ${be32S("z.pos + 16")} AS n, ${be32S("c.pos + 16")} AS off0,
+         |    ${be32S("m.pos")} AS msz, v.h
+         |  FROM stszb z JOIN stcob c USING (doc_id)
+         |    JOIN mdatb m USING (doc_id) JOIN v ON v.doc_id = z.doc_id
+         |  WHERE ${be32S("z.pos + 8")} = 0 AND ${be32S("z.pos + 12")} = 0
+         |    AND ${be32S("z.pos + 16")} BETWEEN 1 AND 64
+         |    AND ${be32S("z.pos")} = 20 + 4 * ${be32S("z.pos + 16")}
+         |    AND ${be32S("c.pos + 8")} = 0 AND ${be32S("c.pos + 12")} = 1
+         |    AND ${be32S("c.pos")} = 20),
+         |accx AS (
+         |  SELECT doc_id, n, off0, mp, msz, h,
+         |    list_transform(range(CAST(n AS INT)), i ->
+         |      CAST('0x0' || substr(h, CAST(2 * (zp + 20 + 4 * i) + 1
+         |        AS INT), 8) AS BIGINT)) AS szs
+         |  FROM acc),
+         |okd AS (
+         |  SELECT * FROM accx
+         |  WHERE list_min(szs) >= 1 AND list_max(szs) <= 4096
+         |    AND off0 = mp + 8 AND off0 + list_sum(szs) = mp + msz),
+         |frames AS (
+         |  SELECT o.doc_id, g.f, o.szs[g.f + 1] AS fbytes, o.h,
+         |    o.off0 + COALESCE(list_sum(list_transform(range(g.f),
+         |      j -> o.szs[j + 1])), 0) AS foff
+         |  FROM okd o
+         |  JOIN generate_series(0, 63) g(f) ON g.f < o.n AND g.f % 3 = 0)
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(fbytes AS INT) AS f_bytes,
+         |  CAST(list_sum(list_transform(range(CAST(fbytes AS INT)), i ->
+         |    CAST('0x0' || substr(h, CAST(2 * (foff + i) + 1 AS INT), 2)
+         |      AS BIGINT))) AS BIGINT) AS byte_sum,
+         |  CAST(CAST('0x0' || substr(h, CAST(2 * foff + 1 AS INT), 2)
+         |    AS BIGINT) AS INT) AS first_byte,
+         |  CAST(CAST('0x0' || substr(h, CAST(2 * (foff + fbytes - 1) + 1
+         |    AS INT), 2) AS BIGINT) AS INT) AS last_byte
+         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin,
     // Per-channel de-interleaved sample folds over the exported WAV
     // blobs — see qAudioFeatures. Shares q_audio_meta's walk/refusal
     // CTEs verbatim (the inclusion rule IS WavHeader's), then channel c

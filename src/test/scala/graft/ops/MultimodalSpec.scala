@@ -177,6 +177,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Mp4Header.sampleTable: demux recovers the construction sample table") {
+    for (id <- 0L until 32L) {
+      val b = Multimodal.Mp4Codec.encode(id)
+      val got = Multimodal.Mp4Header.sampleTable(b)
+      assert(got.isDefined, s"id=$id refused")
+      val (off0, sizes) = got.get
+      val n = Multimodal.Mp4Codec.nFramesFor(id)
+      assert(sizes.toSeq ===
+        (0 until n).map(Multimodal.Mp4Codec.frameSizeFor(id, _)), s"id=$id")
+      // the first mdat payload byte must be the formula's byte 0
+      assert((b(off0.toInt) & 0xFF) ===
+        (Multimodal.Mp4Codec.mdatByteAt(id, 0) & 0xFF), s"id=$id off0")
+    }
+  }
+
+  test("Mp4Header.sampleTable: contract violations refuse") {
+    val b = Multimodal.Mp4Codec.encode(6L)
+    def patched(mod: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); mod(c); c
+    }
+    // locate stsz: scan for the fourcc (construction puts exactly one)
+    val hexTag = "stsz".getBytes("US-ASCII")
+    val zp = b.indices.indexWhere(i => i + 4 <= b.length - 4 &&
+      (0 until 4).forall(j => b(i + 4 + j) == hexTag(j)))
+    assert(zp > 0)
+    // lying sample count (box length no longer matches 20 + 4n)
+    assert(Multimodal.Mp4Header.sampleTable(
+      patched(c => c(zp + 19) = (c(zp + 19) + 1).toByte)).isEmpty,
+      "count/box-length mismatch must refuse")
+    // stsz version/flags nonzero
+    assert(Multimodal.Mp4Header.sampleTable(
+      patched(c => c(zp + 8) = 1)).isEmpty, "stsz v1 must refuse")
+    // a sample size of zero breaks the [1, 4096] bound
+    assert(Multimodal.Mp4Header.sampleTable(patched { c =>
+      c(zp + 20) = 0; c(zp + 21) = 0; c(zp + 22) = 0; c(zp + 23) = 0
+    }).isEmpty, "zero-size sample must refuse")
+    // sizes no longer tile mdat exactly (grow one sample by 1)
+    assert(Multimodal.Mp4Header.sampleTable(
+      patched(c => c(zp + 23) = (c(zp + 23) + 1).toByte)).isEmpty,
+      "non-tiling sizes must refuse")
+    // malformed box DEEP in the tree (inside stbl): the full validating
+    // walk must refuse even though the box is not on the demux path —
+    // corrupt the stco header's size to overrun stbl
+    val cp = b.indices.indexWhere(i => i + 4 <= b.length - 4 &&
+      b(i + 4) == 's' && b(i + 5) == 't' && b(i + 6) == 'c' && b(i + 7) == 'o')
+    assert(cp > 0)
+    assert(Multimodal.Mp4Header.sampleTable(
+      patched(c => c(cp + 3) = 0x7F.toByte)).isEmpty,
+      "overrunning nested box must refuse")
+  }
+
+  test("q_video_frames: strided demux == construction formula") {
+    val rows = Multimodal.qVideoFrames(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      assert(f % 3 === 0)
+      val sizes = (0 until Multimodal.Mp4Codec.nFramesFor(id))
+        .map(Multimodal.Mp4Codec.frameSizeFor(id, _))
+      val base = sizes.take(f).sum // offset within the mdat payload
+      val sz = sizes(f)
+      assert(r.getInt(2) === sz, s"id=$id f=$f size")
+      val want = (0 until sz)
+        .map(i => (Multimodal.Mp4Codec.mdatByteAt(id, base + i) & 0xFF).toLong)
+      assert(r.getLong(3) === want.sum, s"id=$id f=$f sum")
+      assert(r.getInt(4) === want.head.toInt, s"id=$id f=$f first")
+      assert(r.getInt(5) === want.last.toInt, s"id=$id f=$f last")
+    }
+    // every doc contributes ceil(n/3) sampled frames
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val n = Multimodal.Mp4Codec.nFramesFor(id)
+      assert(rs.length === (n + 2) / 3, s"id=$id frames=${rs.length}")
+    }
+  }
+
   test("Mp4Header: garbage, truncation, lying box sizes yield None") {
     assert(Multimodal.Mp4Header.parse("not a video".getBytes).isEmpty)
     assert(Multimodal.Mp4Header.parse(Array[Byte]()).isEmpty)
