@@ -170,7 +170,10 @@ object Bench {
     "q_scalar_map", "q_percentile", "q_join_bucketed", "q_wordcount_pipe",
     // r14: 12.1s cold vs 2.2s warm (Debug timeq) — the pack+window+
     // rerank chain compiles five generated stages on first run
-    "q_hamming_rerank")
+    "q_hamming_rerank",
+    // r14: 21s cold vs ~4s warm — the 128-expression ADC lookup-table
+    // projection is the biggest single generated method in the repo
+    "q_ivfadc", "q_pq_recall")
 
   /** Constant-work contention canaries with their quiet warm anchors
     * (BASELINE.md adjudicates machine weather with them); pinned LAST

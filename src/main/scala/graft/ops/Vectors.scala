@@ -1033,16 +1033,24 @@ object Vectors {
         (0 until PqSubs).map(s => col(s"c$s")): _*)
     // per-query ADC lookup table: 8 subspaces × 16 codewords of
     // query-slice ⋅ codeword dots (MixedDotProduct: float slice × double
-    // codeword literals), flat-indexed lut[s*16+c]
+    // codeword literals), flat-indexed lut[s*16+c]. Joined in as a
+    // BROADCAST side, never computed inline on the pair stream: a hash
+    // relation materializes its rows once at build time, whereas a fused
+    // projection defers column evaluation to the point of use — measured
+    // 120 s when whole-stage codegen re-evaluated the 1024-multiply lut
+    // expression per candidate PAIR instead of per query (206M × 1024
+    // multiplies); as a build side it runs once per query row.
     val lutCol = array((for (s <- 0 until PqSubs; c <- 0 until PqK) yield
-      md(slice(col("qe"), s * 8 + 1, 8),
+      md(slice(col("embedding"), s * 8 + 1, 8),
         array(books(s)(c).toIndexedSeq.map(lit): _*))): _*)
+    val qlut = emb.select(col("vec_id").as("qid"),
+      col("norm2").as("qn"), lutCol.as("lut"))
     // codeword self-dot literals per subspace (candidate norm lookups);
     // Array.sum folds left-to-right like the oracle's per-slice list_sum
     val rnLit = (0 until PqSubs).map(s =>
       array(books(s).toIndexedSeq.map(cw => lit(cw.map(v => v * v).sum)): _*))
-    val cand = ivfProbes(spark, dir)
-      .withColumn("lut", lutCol)
+    // the pair fan-out carries ONLY narrow columns (qid, nid, nibbles)
+    val cand = ivfProbes(spark, dir).select("qid", "cid")
       .join(lists, "cid")
       .filter(col("qid") =!= col("nid"))
     graft.OracleExport.export(cand.select("qid", "nid"), "ivfcand", dir,
@@ -1053,6 +1061,7 @@ object Vectors {
     val rn2Col = (0 until PqSubs).map(s =>
       element_at(rnLit(s), col(s"c$s") + 1)).reduceLeft(_ + _)
     val scored = cand
+      .join(broadcast(qlut), "qid")
       .withColumn("sim", dotCol / (sqrt(col("qn")) * sqrt(rn2Col)))
       .select(col("qid"), col("nid"), col("sim"))
     // ADC top-10 per query (bounded heaps over the candidate fan-out);
