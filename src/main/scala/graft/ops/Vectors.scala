@@ -1049,8 +1049,12 @@ object Vectors {
     // Array.sum folds left-to-right like the oracle's per-slice list_sum
     val rnLit = (0 until PqSubs).map(s =>
       array(books(s).toIndexedSeq.map(cw => lit(cw.map(v => v * v).sum)): _*))
-    // the pair fan-out carries ONLY narrow columns (qid, nid, nibbles)
+    // lut/qn attach to the 140k probe rows BEFORE the fan-out (one hash
+    // lookup per probe instead of one per pair); as JOIN columns they are
+    // stored-row reads in codegen, not re-evaluated expressions, so the
+    // fan-out never recomputes them
     val cand = ivfProbes(spark, dir).select("qid", "cid")
+      .join(broadcast(qlut), "qid")
       .join(lists, "cid")
       .filter(col("qid") =!= col("nid"))
     graft.OracleExport.export(cand.select("qid", "nid"), "ivfcand", dir,
@@ -1061,7 +1065,6 @@ object Vectors {
     val rn2Col = (0 until PqSubs).map(s =>
       element_at(rnLit(s), col(s"c$s") + 1)).reduceLeft(_ + _)
     val scored = cand
-      .join(broadcast(qlut), "qid")
       .withColumn("sim", dotCol / (sqrt(col("qn")) * sqrt(rn2Col)))
       .select(col("qid"), col("nid"), col("sim"))
     // ADC top-10 per query (bounded heaps over the candidate fan-out);
