@@ -401,8 +401,40 @@ object Curation {
         when(count(lit(1)) < 5, 1).otherwise(0).cast("int").as("at_risk"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** l-diversity audit (Machanavajjhala et al. ICDE 2006/TKDD 2007) —
+    * the attribute-disclosure complement of [[qKanon]]: k-anonymity
+    * bounds re-identification but a class whose members all share one
+    * SENSITIVE value still leaks it ("homogeneity attack"). Here the
+    * quasi-identifier is (lang, log₂-length-bucket) and the sensitive
+    * attribute is SOURCE — the provenance-private release framing: the
+    * metadata tuple must not reveal where a document came from. Per QI
+    * class: size, distinct sources (distinct l-diversity), the dominant
+    * source's share in exact basis points (the homogeneity signal
+    * without entropy's float log), and the l=3 risk flag. One hash agg
+    * on (QI, source) then a QI-sized rollup — map-side combine absorbs
+    * hot classes; output bounded by |langs|·~40 buckets at any scale. */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(col("lang"),
+        length(bin(col("n_chars"))).cast("int").as("len_bucket"),
+        col("source"))
+      .groupBy("lang", "len_bucket", "source")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("lang", "len_bucket")
+      .agg(sum(col("cnt")).cast("bigint").as("class_size"),
+        count(lit(1)).cast("bigint").as("n_sources"),
+        max(col("cnt")).cast("bigint").as("max_source"))
+      .withColumn("dominant_bp",
+        expr("max_source * 10000L div class_size").cast("bigint"))
+      .withColumn("below_l3",
+        when(col("n_sources") < 3, 1).otherwise(0).cast("int"))
+      .select(col("lang"), col("len_bucket"), col("class_size"),
+        col("n_sources"), col("dominant_bp"), col("below_l3"))
+      .orderBy("lang", "len_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon" -> qKanon _,
+    "q_ldiversity" -> qLDiversity _,
     "q_source_cap" -> qSourceCap _,
     "q_curation_pipeline" -> qCurationPipeline _,
     "q_hash_split_content" -> qHashSplitContent _,
@@ -415,6 +447,20 @@ object Curation {
     "q_seq_pack_greedy" -> qSeqPackGreedy _)
 
   val oracles: Map[String, String] = Map(
+    // Distinct-source diversity per (lang, len-bucket) QI class with the
+    // dominant-share homogeneity signal — see qLDiversity
+    "q_ldiversity" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(LENGTH(bin(n_chars)) AS INT) AS len_bucket,
+        |    source, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, len_bucket,
+        |  CAST(SUM(cnt) AS BIGINT) AS class_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST((MAX(cnt) * 10000) // SUM(cnt) AS BIGINT) AS dominant_bp,
+        |  CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS INT) AS below_l3
+        |FROM per GROUP BY 1, 2
+        |ORDER BY lang, len_bucket""".stripMargin,
     // QI equivalence-class sizes with the k=5 risk flag — see qKanon
     "q_kanon" ->
       """SELECT lang, source,
