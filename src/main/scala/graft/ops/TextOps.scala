@@ -838,13 +838,14 @@ object TextOps {
     * density 2/(w+1) ≈ 0.22/char that's a block of roughly >= 18
     * chars of genuinely shared text). Hash-gated from the same
     * exported positions table as q_winnow_spans. */
-  def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
-    graft.OracleExport.export(
-      winnowFpsPos(spark, dir), "winnowfpspos", dir, winnowKey(spark))
-    // apos is unique within a pair (one k-gram starts at a position, and
-    // the shared frame's amin collapses recurrences), so the window
-    // order is total. Rides the SAME shared matches frame as the span
-    // report — the fp-keyed pair join never re-runs per query.
+  /** The chain-block frame both [[qWinnowChains]] and
+    * [[qSubstringDedup]] consume: gap-bounded runs of matched
+    * fingerprints per pair, >= 4 matches, with position extents in both
+    * documents. apos is unique within a pair (one k-gram starts at a
+    * position, and the shared frame's amin collapses recurrences), so
+    * the window order is total. Rides the SAME shared matches frame as
+    * the span report — the fp-keyed pair join never re-runs per query. */
+  private def winnowChainBlocks(spark: SparkSession, dir: String): DataFrame = {
     val matches = winnowMatches(spark, dir)
       .select(col("fp"), col("doc_a"), col("doc_b"),
         col("amin").as("apos"), col("bmin").as("bpos"))
@@ -863,13 +864,71 @@ object TextOps {
         min(col("apos")).as("a_start"), max(col("apos")).as("a_end"),
         min(col("bpos")).as("b_start"), max(col("bpos")).as("b_end"))
       .filter(col("n_matches") >= 4)
-      .orderBy("doc_a", "doc_b", "chain_id")
+  }
+
+  def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(
+      winnowFpsPos(spark, dir), "winnowfpspos", dir, winnowKey(spark))
+    winnowChainBlocks(spark, dir).orderBy("doc_a", "doc_b", "chain_id")
+  }
+
+  /** Exact-substring dedup by span EXCISION — the operator of Lee et
+    * al. ACL 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): whole-document dedup leaves repeated BLOCKS inside
+    * otherwise-distinct documents (boilerplate, quoted passages,
+    * mirrored sections), so the copied spans themselves are cut,
+    * keeping one occurrence. Policy here: each chain block keeps its
+    * lower-doc_id occurrence and is excised from the higher (pairwise
+    * keep-first — the per-pair approximation of Lee's keep-one-global);
+    * a doc's excision set is the union of its b-side chain extents in
+    * CHAR space ([b_start, b_end + k − 1], k = the winnow k-gram
+    * length), merged as intervals with the same lag/running-sum window
+    * trick as sessionization (adjacent-or-overlapping spans coalesce).
+    * Per affected doc: merged block count, chars removed, chars kept,
+    * and the removal rate in exact basis points.
+    *
+    * Scale shape: everything downstream of the shared matches frame is
+    * bounded by the CHAIN set (pair-candidate sized, df-capped), never
+    * corpus rows; the interval merge windows over per-doc span counts.
+    * Hash-gated end to end from the same positions export as the
+    * span/chain reports. */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(
+      winnowFpsPos(spark, dir), "winnowfpspos", dir, winnowKey(spark))
+    val k = winnowK(spark)
+    val spans = winnowChainBlocks(spark, dir)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_end") + lit(k - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        (col("pmax").isNull || col("s") > col("pmax") + 1).cast("int"))
+      .withColumn("gid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("doc_id", "gid")
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    merged.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_blocks"),
+        sum(col("me") - col("ms") + 1).cast("bigint").as("chars_removed"))
+      .join(Tables(spark, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars")), "doc_id")
+      .withColumn("chars_kept",
+        (col("n_chars") - col("chars_removed")).cast("bigint"))
+      .withColumn("removed_bp",
+        expr("chars_removed * 10000L div n_chars").cast("bigint"))
+      .select(col("doc_id"), col("n_blocks"), col("chars_removed"),
+        col("n_chars"), col("chars_kept"), col("removed_bp"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_winnow_spans" -> qWinnowSpans _,
     "q_winnow_chains" -> qWinnowChains _,
+    "q_substring_dedup" -> qSubstringDedup _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_lm_surprisal" -> qLmSurprisal _,
     "q_quality_terciles" -> qQualityTerciles _,
@@ -952,6 +1011,56 @@ object TextOps {
          |FROM chained GROUP BY 1, 2, 3
          |HAVING COUNT(*) >= 4
          |ORDER BY doc_a, doc_b, chain_id""".stripMargin,
+    // Chain blocks -> b-side char extents (b_end + k-1, k=12 at the
+    // default knobs the export key pins) -> per-doc interval merge
+    // (window MAX over preceding rows) -> excision stats — see
+    // qSubstringDedup
+    "q_substring_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, fp, pos FROM '${graft.OracleExport.oraclePath("winnowfpspos")}'),
+         |g AS (SELECT fp, doc_id, MIN(pos) AS pmin FROM fp GROUP BY 1, 2),
+         |rare AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+         |f2 AS (SELECT g.fp, g.doc_id, g.pmin FROM g JOIN rare USING (fp)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pmin AS apos, b.pmin AS bpos
+         |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |flagged AS (
+         |  SELECT *, CASE WHEN lag(apos) OVER pw IS NULL
+         |      OR apos - lag(apos) OVER pw > 64
+         |      OR abs(bpos - lag(bpos) OVER pw) > 64 THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW pw AS (PARTITION BY doc_a, doc_b ORDER BY apos)),
+         |chained AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b
+         |    ORDER BY apos ROWS UNBOUNDED PRECEDING) AS chain_id
+         |  FROM flagged),
+         |blocks AS (
+         |  SELECT doc_b AS doc_id, MIN(bpos) AS s, MAX(bpos) + 11 AS e
+         |  FROM chained GROUP BY doc_a, doc_b, chain_id
+         |  HAVING COUNT(*) >= 4),
+         |iv AS (
+         |  SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM blocks),
+         |iv2 AS (
+         |  SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+         |    THEN 1 ELSE 0 END AS brk FROM iv),
+         |iv3 AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS UNBOUNDED PRECEDING) AS gid FROM iv2),
+         |merged AS (
+         |  SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+         |  FROM iv3 GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_blocks,
+         |    CAST(SUM(me - ms + 1) AS BIGINT) AS chars_removed
+         |  FROM merged GROUP BY 1)
+         |SELECT p.doc_id, p.n_blocks, p.chars_removed,
+         |  CAST(d.n_chars AS BIGINT) AS n_chars,
+         |  CAST(d.n_chars - p.chars_removed AS BIGINT) AS chars_kept,
+         |  CAST((p.chars_removed * 10000) // d.n_chars AS BIGINT)
+         |    AS removed_bp
+         |FROM per p JOIN documents d USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     // Span extents per pair from the exported positions table — see
     // qWinnowSpans (pure integer ops; COUNT DISTINCT / MIN / MAX)
     "q_winnow_spans" ->

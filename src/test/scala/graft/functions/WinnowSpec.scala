@@ -125,4 +125,24 @@ class WinnowSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
     assert(got(2) == null)
   }
+
+  test("q_substring_dedup: interval merge == brute-force char-set union of the chains") {
+    val dir = sf("sf0.001")
+    // brute force: for each excised doc, the union of its b-side chain
+    // char extents as an explicit position set (k = 12 at default knobs)
+    val chains = graft.ops.TextOps.qWinnowChains(spark, dir).collect()
+    val want = chains.groupBy(_.getLong(1)).map { case (doc, rs) =>
+      val chars = rs.flatMap(r =>
+        r.getInt(6) to (r.getInt(7) + 11)).toSet
+      // maximal runs in the set = merged block count
+      val blocks = chars.toSeq.sorted.foldLeft(0 -> Int.MinValue) {
+        case ((n, prev), p) => (if (p == prev + 1) n else n + 1, p)
+      }._1
+      doc -> ((blocks, chars.size.toLong))
+    }
+    val got = graft.ops.TextOps.qSubstringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must exercise excision")
+  }
 }
