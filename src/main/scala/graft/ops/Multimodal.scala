@@ -65,13 +65,39 @@ object Multimodal {
       case _ => "baseline"
     }
 
-    /** Minimal EXIF APP1 segment: FFE1, BE16 length, "Exif\0\0", then a
-      * little-endian TIFF header with a zero-entry IFD — the smallest
-      * well-formed Exif payload (the fields don't matter; the marker
-      * WALK over the segment does). */
-    private def exifApp1(): Array[Byte] = {
-      val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    /** r14: EXIF orientation per doc (TIFF tag 274, values 1..8). */
+    def orientationFor(id: Long): Int = 1 + ((id / 12) % 8).toInt
+    /** r14: TIFF byte order alternates per doc — a parser that assumes
+      * Intel order silently misreads every Motorola file. */
+    def exifBigEndian(id: Long): Boolean = (id / 4) % 2 == 1
+
+    /** EXIF APP1 segment: FFE1, BE16 length, "Exif\0\0", then a REAL
+      * TIFF structure in the doc's byte order — IFD0 with three
+      * inline-valued entries sorted by tag per TIFF 6.0 §2 (256
+      * ImageWidth LONG, 257 ImageLength LONG, 274 Orientation SHORT;
+      * SHORT values are left-justified in the 4-byte value field), next
+      * IFD offset 0. Parsed back by [[ExifMeta]] and the q_exif_meta
+      * oracle's hex walk. */
+    private def exifApp1(id: Long): Array[Byte] = {
+      val (w, h) = dimsFor(id)
+      val big = exifBigEndian(id)
+      val bb = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4)
+        .order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put((if (big) "MM" else "II").getBytes("US-ASCII"))
+      bb.putShort(42).putInt(8) // magic + IFD0 offset
+      bb.putShort(3) // entry count
+      def entry(tag: Int, typ: Int, value: Long): Unit = {
+        bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+        if (typ == 4) bb.putInt(value.toInt)
+        else { bb.putShort(value.toShort); bb.putShort(0) } // left-justified
+      }
+      entry(256, 4, w.toLong) // ImageWidth, LONG
+      entry(257, 4, h.toLong) // ImageLength, LONG
+      entry(274, 3, orientationFor(id).toLong) // Orientation, SHORT
+      bb.putInt(0) // next IFD
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        bb.array()
       val len = payload.length + 2
       Array(0xFF.toByte, 0xE1.toByte,
         ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
@@ -107,7 +133,7 @@ object Multimodal {
       }
       val base = bos.toByteArray
       if (fmt == "jpg" && jpgVariantFor(id) == "exif")
-        base.take(2) ++ exifApp1() ++ base.drop(2)
+        base.take(2) ++ exifApp1(id) ++ base.drop(2)
       else base
     }
   }
@@ -328,6 +354,80 @@ object Multimodal {
       }
       if (out == null || rate <= 0 || rate > Int.MaxValue) None
       else Some((channels, out))
+    }
+  }
+
+  /** EXIF metadata extraction — the typed-metadata twin of the header
+    * audits: walk the JPEG marker stream to the first APP1 whose
+    * payload is "Exif\0\0", then parse the TIFF structure at the
+    * declared byte order (II little / MM big — alternating per doc in
+    * the fixture, so an Intel-order assumption misreads half the
+    * corpus) and scan IFD0 for ImageWidth(256)/ImageLength(257) LONGs
+    * and Orientation(274) SHORT. Refusals: malformed marker stream
+    * (jpegSof's rules), APP1 without the Exif signature is skipped (a
+    * later one may carry it), bad TIFF magic, IFD outside the segment,
+    * unbounded entry count, missing width/height, or an orientation
+    * outside 1..8. */
+  object ExifMeta {
+    import ByteReads._
+
+    /** (byte_order, n_tags, exif_width, exif_height, orientation). */
+    def parse(b: Array[Byte]): Option[(String, Int, Long, Long, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+      var p = 2
+      while (p + 3 < b.length) {
+        if (u8(b, p) != 0xFF) return None
+        var q = p
+        while (q + 1 < b.length && u8(b, q + 1) == 0xFF) q += 1 // fill bytes
+        if (q + 1 >= b.length) return None
+        val m = u8(b, q + 1)
+        if (m == 0xD9 || m == 0xDA) return None // EOI / SOS: no Exif seen
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p = q + 2
+        else {
+          if (q + 3 >= b.length) return None
+          val segLen = be16(b, q + 2)
+          if (m == 0xE1 && segLen >= 16 && q + 2 + segLen <= b.length &&
+              tag(b, q + 4) == "Exif" && u8(b, q + 8) == 0 &&
+              u8(b, q + 9) == 0)
+            return parseTiff(b, q + 10, q + 2 + segLen)
+          p = q + 2 + segLen
+        }
+      }
+      None
+    }
+
+    private def parseTiff(b: Array[Byte], t: Int, lim: Int)
+        : Option[(String, Int, Long, Long, Int)] = {
+      if (t + 8 > lim) return None
+      val big = b(t) == 'M'.toByte && b(t + 1) == 'M'.toByte
+      val little = b(t) == 'I'.toByte && b(t + 1) == 'I'.toByte
+      if (!big && !little) return None
+      def r16(i: Int): Int = if (big) be16(b, i) else le16(b, i)
+      def r32(i: Int): Long = if (big) be32(b, i) else le32(b, i)
+      if (r16(t + 2) != 42) return None
+      val ifd = r32(t + 4)
+      if (ifd < 8 || t + ifd + 2 > lim) return None
+      val base = t + ifd.toInt
+      val n = r16(base)
+      if (n < 1 || n > 64 || base + 2 + 12 * n + 4 > lim) return None
+      var w = -1L; var h = -1L; var ori = -1
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + 12 * i
+        val tg = r16(e); val ty = r16(e + 2); val cnt = r32(e + 4)
+        if (cnt == 1L) {
+          // inline values only: LONG fills the field, SHORT is
+          // left-justified in it (TIFF 6.0 §2). Duplicate tags are out
+          // of contract per the spec; max-wins keeps engine and oracle
+          // aggregation identical even on malformed input.
+          if (tg == 256 && ty == 4) w = math.max(w, r32(e + 8))
+          else if (tg == 257 && ty == 4) h = math.max(h, r32(e + 8))
+          else if (tg == 274 && ty == 3) ori = math.max(ori, r16(e + 8))
+        }
+        i += 1
+      }
+      if (w < 0 || h < 0 || ori < 1 || ori > 8) None
+      else Some((if (big) "MM" else "II", n, w, h, ori))
     }
   }
 
@@ -646,6 +746,29 @@ object Multimodal {
       .orderBy("doc_id", "channel")
   }
 
+  /** Typed EXIF metadata over the media table — the camera-layout JPEGs
+    * carry a REAL TIFF IFD0 (alternating II/MM byte order) and this
+    * pass extracts its typed fields through [[ExifMeta]]'s marker walk
+    * + endian-aware IFD scan; docs without a valid Exif APP1 (every
+    * non-jpg, the baseline/progressive jpg variants, malformed TIFF)
+    * are EXCLUDED by the shared refusal rules. Hash-gated: the DuckDB
+    * oracle re-walks the markers (the jwalk pattern without the SOF
+    * stop), locates the first Exif APP1, and re-reads the IFD at the
+    * declared byte order — an endian mix-up, a wrong type filter, or an
+    * off-by-one in the 12-byte entry stride breaks the hash. */
+  def qExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    graft.OracleExport.export(media, "media", dir)
+    media.as[ImgRow].mapPartitions { rows =>
+      rows.flatMap(r => ExifMeta.parse(r.payload).map {
+        case (bo, n, w, h, ori) => (r.doc_id, bo, n, w, h, ori)
+      })
+    }.toDF("doc_id", "byte_order", "n_tags", "exif_width", "exif_height",
+      "orientation")
+      .orderBy("doc_id")
+  }
+
   /** The session-shared media table (doc_id, fmt, payload) — one real
     * container file per document, built once per corpus version like
     * every shared derived table. */
@@ -817,6 +940,7 @@ object Multimodal {
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_multimodal_dims" -> qMultimodalDims _,
     "q_image_pixels" -> qImagePixels _,
+    "q_exif_meta" -> qExifMeta _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
     "q_video_meta" -> qVideoMeta _,
@@ -855,6 +979,16 @@ object Multimodal {
       s"substr($col, CAST(2 * (($p) + 2) + 1 AS INT), 2) || " +
       s"substr($col, CAST(2 * (($p) + 1) + 1 AS INT), 2) || " +
       s"substr($col, CAST(2 * ($p) + 1 AS INT), 2) AS BIGINT)"
+  private def pxBe16(col: String, p: String) =
+    s"CAST('0x0' || substr($col, CAST(2 * ($p) + 1 AS INT), 4) AS BIGINT)"
+  private def pxBe32(col: String, p: String) =
+    s"CAST('0x0' || substr($col, CAST(2 * ($p) + 1 AS INT), 8) AS BIGINT)"
+  /** TIFF reads at the row's declared byte order (`big` = 1 for MM):
+    * the q_exif_meta oracle's endian-branching twins of r16/r32. */
+  private def tf16(p: String) =
+    s"(CASE WHEN big = 1 THEN ${pxBe16("h", p)} ELSE ${pxLe16("h", p)} END)"
+  private def tf32(p: String) =
+    s"(CASE WHEN big = 1 THEN ${pxBe32("h", p)} ELSE ${pxLe32("h", p)} END)"
 
   val oracles: Map[String, String] = Map(
     // Independent BMP pixel-array walk over the exported blobs — see
@@ -1006,6 +1140,86 @@ object Multimodal {
     // reads the fmt fields with its own little-endian hex arithmetic,
     // and RE-SUMS every signed 16-bit sample of the data chunk — format
     // fields, duration AND content are derived twice.
+    // Marker walk to the first Exif APP1 (the jwalk pattern WITHOUT the
+    // SOF stop — SOF segments hop by length like any other), then the
+    // TIFF header + IFD0 re-read at the DECLARED byte order — see
+    // qExifMeta. A doc whose walk dies or whose TIFF violates the
+    // contract produces no row on either side.
+    "q_exif_meta" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("media")}'),
+         |ewalk AS (
+         |  SELECT doc_id, 2 AS pos FROM m WHERE substr(h, 1, 4) = 'FFD8'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(CASE
+         |      WHEN ${pxU8("m.h", "w.pos + 1")} = 255 THEN w.pos + 1
+         |      WHEN ${pxU8("m.h", "w.pos + 1")} = 1
+         |        OR ${pxU8("m.h", "w.pos + 1")} BETWEEN 208 AND 215
+         |        THEN w.pos + 2
+         |      ELSE w.pos + 2 + ${pxBe16("m.h", "w.pos + 2")}
+         |    END AS INT)
+         |  FROM ewalk w JOIN m USING (doc_id)
+         |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 2) = 'FF'
+         |    AND ${pxU8("m.h", "w.pos + 1")} NOT IN (217, 218)
+         |    AND 2 * (w.pos + 4) <= length(m.h)),
+         |app1 AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM ewalk w JOIN m USING (doc_id)
+         |  WHERE substr(m.h, CAST(2 * w.pos + 1 AS INT), 4) = 'FFE1'
+         |    AND ${pxBe16("m.h", "w.pos + 2")} >= 16
+         |    AND w.pos + 2 + ${pxBe16("m.h", "w.pos + 2")} <= m.n
+         |    AND substr(m.h, CAST(2 * (w.pos + 4) + 1 AS INT), 12)
+         |        = '457869660000'
+         |  GROUP BY 1),
+         |tfr AS (
+         |  SELECT a.doc_id, a.pos + 10 AS tb,
+         |    a.pos + 2 + ${pxBe16("m.h", "a.pos + 2")} AS lim, m.h AS h
+         |  FROM app1 a JOIN m USING (doc_id)),
+         |bo AS (
+         |  SELECT doc_id, tb, lim, h,
+         |    CASE WHEN substr(h, CAST(2 * tb + 1 AS INT), 4) = '4D4D'
+         |         THEN 1 ELSE 0 END AS big
+         |  FROM tfr
+         |  WHERE tb + 8 <= lim
+         |    AND substr(h, CAST(2 * tb + 1 AS INT), 4) IN ('4D4D', '4949')),
+         |ifd0 AS (
+         |  SELECT doc_id, tb, lim, h, big, tb + ${tf32("tb + 4")} AS base
+         |  FROM bo
+         |  WHERE ${tf16("tb + 2")} = 42 AND ${tf32("tb + 4")} >= 8
+         |    AND tb + ${tf32("tb + 4")} + 2 <= lim),
+         |ok AS (
+         |  SELECT doc_id, lim, h, big, base, ${tf16("base")} AS ntags
+         |  FROM ifd0
+         |  WHERE ${tf16("base")} BETWEEN 1 AND 64
+         |    AND base + 2 + 12 * ${tf16("base")} + 4 <= lim),
+         |ent AS (
+         |  SELECT o.doc_id, o.big AS obig, o.ntags,
+         |    ${tf16("base + 2 + 12 * g.i")} AS tg,
+         |    ${tf16("base + 2 + 12 * g.i + 2")} AS ty,
+         |    ${tf32("base + 2 + 12 * g.i + 4")} AS cnt,
+         |    ${tf32("base + 2 + 12 * g.i + 8")} AS v32,
+         |    ${tf16("base + 2 + 12 * g.i + 8")} AS v16
+         |  FROM ok o JOIN generate_series(0, 63) g(i) ON g.i < o.ntags),
+         |agg AS (
+         |  SELECT doc_id, MAX(obig) AS big, MAX(ntags) AS n_tags,
+         |    MAX(CASE WHEN tg = 256 AND ty = 4 AND cnt = 1 THEN v32 END)
+         |      AS w,
+         |    MAX(CASE WHEN tg = 257 AND ty = 4 AND cnt = 1 THEN v32 END)
+         |      AS hh,
+         |    MAX(CASE WHEN tg = 274 AND ty = 3 AND cnt = 1 THEN v16 END)
+         |      AS ori
+         |  FROM ent GROUP BY 1)
+         |SELECT doc_id,
+         |  CASE WHEN big = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+         |  CAST(n_tags AS INT) AS n_tags,
+         |  CAST(w AS BIGINT) AS exif_width,
+         |  CAST(hh AS BIGINT) AS exif_height,
+         |  CAST(ori AS INT) AS orientation
+         |FROM agg
+         |WHERE w IS NOT NULL AND hh IS NOT NULL AND ori BETWEEN 1 AND 8
+         |ORDER BY doc_id""".stripMargin,
     // Generalized ISO-BMFF walk + sample-table demux — see qVideoFrames.
     // bwalk is a SINGLE recursive arm that either hops to the next
     // sibling (k=0) or descends into a known container (k=1); vrefused

@@ -103,6 +103,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ExifMeta: both byte orders parse to construction values; non-Exif docs refuse") {
+    var (sawII, sawMM) = (false, false)
+    for (id <- 0L until 96L) {
+      val b = Multimodal.ImageCodec.encode(id)
+      val got = Multimodal.ExifMeta.parse(b)
+      val isExif = Multimodal.ImageCodec.fmtFor(id) == "jpg" &&
+        Multimodal.ImageCodec.jpgVariantFor(id) == "exif"
+      if (!isExif) assert(got.isEmpty, s"id=$id must refuse")
+      else {
+        val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+        val big = Multimodal.ImageCodec.exifBigEndian(id)
+        if (big) sawMM = true else sawII = true
+        assert(got === Some((if (big) "MM" else "II", 3, w.toLong, h.toLong,
+          Multimodal.ImageCodec.orientationFor(id))), s"id=$id")
+      }
+    }
+    assert(sawII && sawMM, "fixture must exercise both byte orders")
+  }
+
+  test("ExifMeta: TIFF contract violations refuse") {
+    val id = (0L until 96L).find(i =>
+      Multimodal.ImageCodec.fmtFor(i) == "jpg" &&
+        Multimodal.ImageCodec.jpgVariantFor(i) == "exif").get
+    val b = Multimodal.ImageCodec.encode(id)
+    assert(Multimodal.ExifMeta.parse(b).isDefined)
+    // TIFF base = APP1 at 2 + marker(2) + len(2) + "Exif\0\0"(6) = 12
+    def patched(mod: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); mod(c); c
+    }
+    // bad magic (42 -> 43) at either byte order's position
+    val big = Multimodal.ImageCodec.exifBigEndian(id)
+    assert(Multimodal.ExifMeta.parse(
+      patched(c => c(if (big) 15 else 14) = 43)).isEmpty, "bad magic")
+    // byte-order marker garbage
+    assert(Multimodal.ExifMeta.parse(
+      patched(c => c(12) = 'X')).isEmpty, "bad byte order")
+    // orientation out of 1..8: the SHORT value is left-justified in the
+    // 4-byte value field of entry 2 — TIFF base 12, IFD at 12+8=20,
+    // entry 2 at 20+2+2·12 = 46, value field at 46+8 = 54..55
+    assert(Multimodal.ExifMeta.parse(patched { c =>
+      c(54) = 0; c(55) = 0
+    }).isEmpty, "orientation 0 must refuse")
+    // truncated mid-IFD
+    assert(Multimodal.ExifMeta.parse(b.take(40)).isEmpty, "truncation")
+  }
+
   test("WavHeader: non-PCM containers refuse — even a lying 16-bit ADPCM") {
     val floatId = (0L until 100L)
       .find(Multimodal.WavCodec.variantFor(_) == "float").get
