@@ -1103,8 +1103,67 @@ object Vectors {
         expr("(rr_hits * 10000L) div n_pairs").as("rr_recall_bp"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk ACL 2019 —
+    * the scoring CCMatrix/CCAligned mine bitext with): a raw cosine
+    * threshold can't separate translation pairs from hubs (vectors
+    * close to EVERYTHING) or deserts (vectors far from everything), so
+    * each pair is scored RELATIVE to its endpoints' neighborhoods —
+    * margin = 2·sim(x,y) / (nnavg(x) + nnavg(y)), nnavg = mean of the
+    * vector's top-3 neighbor sims. Labels play the language role on
+    * this fixture (the embeddings table's own partition column); mined
+    * pairs are cross-label candidates whose margin clears 1.0 — i.e.
+    * the pair is at least as strong as its endpoints' average
+    * neighborhood, the ratio test that survives hubness where absolute
+    * thresholds don't.
+    *
+    * Determinism: the top-3 mean folds over the SORTED sim list
+    * (array_sort + sequential aggregate — a plain double SUM would be
+    * partition-order-dependent), then one division; margins are ratios
+    * of bit-identical doubles, so the output hashes. Scale shape: rides
+    * the shared LSH candidate set (bucketed, never all-pairs), one
+    * window over candidate-sized groups, two broadcast-sized label
+    * joins. */
+  def qBitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val cand = annCandidatesExported(spark, dir)
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm2").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val avg3 = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("qid")
+      .agg((expr(
+        "aggregate(array_sort(collect_list(sim)), 0D, (a, v) -> a + v)")
+        / count(lit(1)).cast("double")).as("nnavg"))
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    pairs.filter(col("qid") < col("nid"))
+      .join(avg3.select(col("qid"), col("nnavg").as("avg_a")), "qid")
+      .join(avg3.select(col("qid").as("nid"), col("nnavg").as("avg_b")),
+        "nid")
+      .withColumn("margin", col("sim") * 2.0 / (col("avg_a") + col("avg_b")))
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("label_a")), "qid")
+      .join(labels.select(col("vec_id").as("nid"),
+        col("label").as("label_b")), "nid")
+      .filter(col("label_a") =!= col("label_b") && col("margin") >= 1.0)
+      .select(col("label_a"), col("label_b"), col("qid").as("doc_a"),
+        col("nid").as("doc_b"), col("sim"), col("margin"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivfadc" -> qIvfAdc _,
+    "q_bitext_mining" -> qBitextMining _,
     "q_pq_recall" -> qPqRecall _,
     "q_hamming_rerank" -> qHammingRerank _,
     "q_centroid_shift" -> qCentroidShift _,
@@ -1167,6 +1226,36 @@ object Vectors {
   }.mkString("(", "\n         |     + ", ")")
 
   val oracles: Map[String, String] = Map(
+    // Margin replay over the exported LSH candidate set — see
+    // qBitextMining: top-3 neighborhood means via list_sum(list_sort(...))
+    // (sequential fold over the sorted doubles = Spark's
+    // aggregate(array_sort(collect_list))), then the same ratio test.
+    "q_bitext_mining" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |         UNION ALL SELECT nid, qid, sim FROM sims),
+        |top3 AS (SELECT qid, sim FROM (
+        |    SELECT qid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS rk
+        |    FROM sym) z WHERE rk <= 3),
+        |avg3 AS (SELECT qid,
+        |    list_sum(list_sort(list(sim))) / COUNT(*) AS nnavg
+        |  FROM top3 GROUP BY 1),
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |mined AS (
+        |  SELECT la.label AS label_a, lb2.label AS label_b,
+        |    s.qid AS doc_a, s.nid AS doc_b, s.sim,
+        |    s.sim * 2.0 / (a.nnavg + b.nnavg) AS margin
+        |  FROM sims s
+        |    JOIN avg3 a ON a.qid = s.qid JOIN avg3 b ON b.qid = s.nid
+        |    JOIN lb la ON la.vec_id = s.qid
+        |    JOIN lb lb2 ON lb2.vec_id = s.nid
+        |  WHERE s.qid < s.nid AND la.label <> lb2.label
+        |    AND s.sim * 2.0 / (a.nnavg + b.nnavg) >= 1.0)
+        |SELECT label_a, label_b, doc_a, doc_b, sim, margin
+        |FROM mined ORDER BY doc_a, doc_b""".stripMargin),
     // IVFADC replay — see qIvfAdc: ground-truth top-3 from the anncand
     // sims (the proven q_pq_recall chain), candidate reconstruction from
     // the exported codes/books, ADC scoring with the LUT-grouped

@@ -327,4 +327,21 @@ class SimilaritySpec extends SparkSpec {
       assert(trueJac >= 0.7)
     }
   }
+
+  test("bitext mining: mined pairs are cross-label with margin >= 1, margin is the stated ratio") {
+    val rows = Vectors.qBitextMining(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty, "fixture must mine some pairs")
+    rows.foreach { r =>
+      assert(r.getInt(0) !== r.getInt(1), "same-label pair leaked")
+      assert(r.getLong(2) < r.getLong(3), "pair not canonical")
+      assert(r.getDouble(5) >= 1.0, "margin below threshold")
+    }
+    // margin must be scale-relative, not absolute: some mined pair's raw
+    // sim sits below the global max sim (a pure threshold would order
+    // them identically; the ratio test must not)
+    val margins = rows.map(r => (r.getDouble(4), r.getDouble(5)))
+    val byMargin = margins.sortBy(-_._2).map(_._1).toSeq
+    val bySim = margins.sortBy(-_._1).map(_._1).toSeq
+    assert(byMargin !== bySim, "margin ordering degenerated to raw sim")
+  }
 }
