@@ -1161,8 +1161,79 @@ object Vectors {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Diversified retrieval by Maximal Marginal Relevance (Carbonell &
+    * Goldstein SIGIR 1998) — the rerank stage between "nearest" and
+    * "useful": a plain top-k returns near-duplicates of one result,
+    * MMR picks greedily by λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so
+    * every later pick is penalized by its redundancy against what's
+    * already selected (λ = 0.7). The greedy loop is UNROLLED into three
+    * declarative stages (pick-1 = plain argmax; each later stage joins
+    * the remaining shortlist against the last pick for its pairwise sim
+    * and takes the penalized argmax) — no driver loop, no typed lambda,
+    * and the per-query work is bounded by the shortlist (10), so the
+    * whole rerank is three windows + two 9-rows-per-query joins
+    * regardless of corpus size. All sims ride the proven FloatDotProduct
+    * arithmetic; scores are bit-identical double expressions on both
+    * engines, so the greedy argmax (score DESC, nid ASC) is
+    * hash-gatable. */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val cand = annCandidatesExported(spark, dir)
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm2").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    // the shortlist is consumed by three stages — materialize once
+    val top10 = Tables.materialize(
+      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10),
+      s"mmr10:$dir")
+    // pairwise candidate-candidate sim via the same proven arithmetic
+    def pairSim(df: DataFrame, other: String): DataFrame = df
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("de"),
+        col("norm2").as("dn")), "nid")
+      .join(emb.select(col("vec_id").as(other), col("embedding").as("se"),
+        col("norm2").as("sn")), other)
+      .withColumn("p" + other,
+        dot2(col("de"), col("se")) / (sqrt(col("dn")) * sqrt(col("sn"))))
+      .drop("de", "dn", "se", "sn")
+    val s1 = top10.filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), (lit(0.7) * col("sim")).as("mmr"))
+    val rest1 = top10.filter(col("rk") > 1).select("qid", "nid", "sim")
+    val sc1 = pairSim(rest1.join(s1.select(col("qid"),
+        col("nid").as("s1")), "qid"), "s1")
+      .withColumn("score", lit(0.7) * col("sim") - lit(0.3) * col("ps1"))
+    val w1 = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    val r1 = sc1.withColumn("rk2", row_number().over(w1))
+    val s2 = r1.filter(col("rk2") === 1)
+      .select(col("qid"), col("nid"), col("score").as("mmr"))
+    val rest2 = r1.filter(col("rk2") > 1)
+      .select("qid", "nid", "sim", "ps1")
+    val sc2 = pairSim(rest2.join(s2.select(col("qid"),
+        col("nid").as("s2")), "qid"), "s2")
+      .withColumn("score", lit(0.7) * col("sim") -
+        lit(0.3) * greatest(col("ps1"), col("ps2")))
+    val w2 = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    val s3 = sc2.withColumn("rk3", row_number().over(w2))
+      .filter(col("rk3") === 1)
+      .select(col("qid"), col("nid"), col("score").as("mmr"))
+    s1.withColumn("pick", lit(1))
+      .unionByName(s2.withColumn("pick", lit(2)))
+      .unionByName(s3.withColumn("pick", lit(3)))
+      .select(col("qid"), col("pick"), col("nid"), col("mmr"))
+      .orderBy("qid", "pick")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivfadc" -> qIvfAdc _,
+    "q_mmr_rerank" -> qMmrRerank _,
     "q_bitext_mining" -> qBitextMining _,
     "q_pq_recall" -> qPqRecall _,
     "q_hamming_rerank" -> qHammingRerank _,
@@ -1256,6 +1327,53 @@ object Vectors {
         |    AND s.sim * 2.0 / (a.nnavg + b.nnavg) >= 1.0)
         |SELECT label_a, label_b, doc_a, doc_b, sim, margin
         |FROM mined ORDER BY doc_a, doc_b""".stripMargin),
+    // Unrolled greedy MMR replay over the exported candidate set — see
+    // qMmrRerank: three argmax stages, each later stage joining the
+    // remaining shortlist to the previous pick for its pairwise sim via
+    // the proven sequential-fold arithmetic.
+    "q_mmr_rerank" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |         UNION ALL SELECT nid, qid, sim FROM sims),
+        |top10 AS (SELECT qid, nid, sim, rk FROM (
+        |    SELECT qid, nid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS rk
+        |    FROM sym) z WHERE rk <= 10),
+        |s1 AS (SELECT qid, nid, 0.7 * sim AS mmr FROM top10 WHERE rk = 1),
+        |rest1 AS (SELECT qid, nid, sim FROM top10 WHERE rk > 1),
+        |ds1 AS (SELECT r.qid, r.nid, r.sim,
+        |    list_sum(list_transform(list_zip(da.embedding, db.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(nda.norm2) * sqrt(ndb.norm2)) AS ps1
+        |  FROM rest1 r JOIN s1 ON s1.qid = r.qid
+        |    JOIN e da ON da.vec_id = r.nid JOIN e db ON db.vec_id = s1.nid
+        |    JOIN n nda ON nda.vec_id = r.nid
+        |    JOIN n ndb ON ndb.vec_id = s1.nid),
+        |sc1 AS (SELECT qid, nid, sim, ps1,
+        |    0.7 * sim - 0.3 * ps1 AS score FROM ds1),
+        |r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, nid) AS rk2 FROM sc1),
+        |s2 AS (SELECT qid, nid, score AS mmr FROM r1 WHERE rk2 = 1),
+        |rest2 AS (SELECT qid, nid, sim, ps1 FROM r1 WHERE rk2 > 1),
+        |ds2 AS (SELECT r.qid, r.nid, r.sim, r.ps1,
+        |    list_sum(list_transform(list_zip(da.embedding, db.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(nda.norm2) * sqrt(ndb.norm2)) AS ps2
+        |  FROM rest2 r JOIN s2 ON s2.qid = r.qid
+        |    JOIN e da ON da.vec_id = r.nid JOIN e db ON db.vec_id = s2.nid
+        |    JOIN n nda ON nda.vec_id = r.nid
+        |    JOIN n ndb ON ndb.vec_id = s2.nid),
+        |sc2 AS (SELECT qid, nid,
+        |    0.7 * sim - 0.3 * GREATEST(ps1, ps2) AS score FROM ds2),
+        |s3 AS (SELECT qid, nid, score AS mmr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid) AS rk3 FROM sc2) z WHERE rk3 = 1)
+        |SELECT qid, 1 AS pick, nid, mmr FROM s1
+        |UNION ALL SELECT qid, 2 AS pick, nid, mmr FROM s2
+        |UNION ALL SELECT qid, 3 AS pick, nid, mmr FROM s3
+        |ORDER BY qid, pick""".stripMargin),
     // IVFADC replay — see qIvfAdc: ground-truth top-3 from the anncand
     // sims (the proven q_pq_recall chain), candidate reconstruction from
     // the exported codes/books, ADC scoring with the LUT-grouped

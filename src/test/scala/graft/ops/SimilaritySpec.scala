@@ -344,4 +344,31 @@ class SimilaritySpec extends SparkSpec {
     val bySim = margins.sortBy(-_._1).map(_._1).toSeq
     assert(byMargin !== bySim, "margin ordering degenerated to raw sim")
   }
+
+  test("MMR rerank: picks distinct per query, pick 1 = top-1, diversity does work") {
+    val dir = sf("sf0.001")
+    val rows = Vectors.qMmrRerank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val picks = rs.sortBy(_.getInt(1))
+      assert(picks.map(_.getInt(1)).toSeq === (1 to picks.length), s"q=$q")
+      assert(picks.map(_.getLong(2)).distinct.length === picks.length,
+        s"q=$q picked a duplicate")
+    }
+    // pick 1 must be the plain similarity argmax
+    val top1 = Vectors.qCosineAnn(spark, dir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.find(_.getInt(1) == 1).map(_.getLong(2)) === top1.get(q))
+    }
+    // the redundancy penalty must reorder SOMETHING vs plain top-3
+    val top3 = Vectors.qCosineAnn(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).take(3).toSeq }
+    val mmr3 = byQ.map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(mmr3.exists { case (q, picks) => top3.get(q).exists(_ != picks) },
+      "MMR never diverged from plain top-3 — penalty inert")
+  }
 }
