@@ -1034,7 +1034,85 @@ object EventsStream {
   private val lastRestartSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** The BATCH-REFRESHED DIMENSION pattern behind the gate: a long-lived
+    * incremental job joins its stream against a dim table that is
+    * republished between runs — each run's micro-batches must see the
+    * dim snapshot CURRENT at that run's start (the plan re-reads the dim
+    * path when the query starts), while the keyed aggregation state
+    * carries across runs through one checkpoint. Two drains against one
+    * checkpoint (the q_stream_restart machinery): run 1 streams the
+    * even-user slice joined to dim v1, then the odd-user slice lands and
+    * the dim is OVERWRITTEN with v2 (every third customer re-segmented),
+    * and run 2 resumes offsets and joins v2. The run split is keyed
+    * user_id % 2 so it is SQL-expressible: the oracle joins even users
+    * to v1 and odd users to v2 and must match the final Complete
+    * snapshot — stale dim capture (v1 leaking into run 2), re-reading
+    * run-1 files under v2, or state loss across the restart all break
+    * the hash. */
+  def qStreamDimRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val name = "streamdim_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val work = Files.createTempDirectory("graft-dimrefresh").toString
+    graft.Tables.registerTempDir(s"dimrefresh:$work", work)
+    val srcDir = s"$work/src"; val chk = s"$work/chk"
+    val dimDir = s"$work/dim"
+    Files.createDirectories(Paths.get(srcDir))
+    val ev = graft.Tables.events(spark, dir)
+    def stageSlice(tag: String, parity: Int): Unit = {
+      val d = s"$work/slice$tag"
+      ev.filter(col("user_id") % 2 === parity).coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createSymbolicLink(Paths.get(srcDir, s"$tag.parquet"),
+        part.toPath)
+    }
+    val cust = graft.Tables(spark, dir, "customer")
+    def publishDim(version: Int): Unit = {
+      val seg =
+        if (version == 1) col("c_mktsegment")
+        else when(col("c_custkey") % 3 === 0,
+          concat(col("c_mktsegment"), lit("_R")))
+          .otherwise(col("c_mktsegment"))
+      cust.select(col("c_custkey"), seg.as("segment"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    }
+    def drain(): Unit = withStatePartitions(spark, statePartitions(spark)) {
+      val src = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val dim = spark.read.parquet(dimDir) // the snapshot current NOW
+      val agg = src
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    stageSlice("a", 0); publishDim(1)
+    drain() // run 1: even users under dim v1, checkpointed
+    stageSlice("b", 1); publishDim(2)
+    drain() // run 2: odd users under dim v2, state restored
+    lastDimSink.getAndSet(name) match {
+      case null => ()
+      case prevSink => spark.catalog.dropTempView(prevSink)
+    }
+    spark.table(name)
+      .select(col("segment"), col("n"), col("total_value"))
+      .orderBy("segment")
+  }
+  private val lastDimSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dim_refresh" -> qStreamDimRefresh _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_stream_restart" -> qStreamRestart _,
     "q_stream_incremental" -> qStreamIncremental _,
@@ -1132,6 +1210,23 @@ object EventsStream {
     // batch join + window aggregation restricted to FINALIZED windows
     // (the q_stream_topk release rule) — the broadcast enrichment must
     // be row-for-row the batch join
+    // even users under dim v1, odd under v2 (the SQL-expressible run
+    // split), one merged Complete snapshot — see qStreamDimRefresh
+    "q_stream_dim_refresh" ->
+      """WITH d1 AS (SELECT c_custkey, c_mktsegment AS segment
+        |            FROM customer),
+        |d2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_R'
+        |         ELSE c_mktsegment END AS segment FROM customer),
+        |j AS (
+        |  SELECT d.segment, e.value FROM events e
+        |    JOIN d1 d ON d.c_custkey = e.user_id WHERE e.user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT d.segment, e.value FROM events e
+        |    JOIN d2 d ON d.c_custkey = e.user_id WHERE e.user_id % 2 = 1)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_stream_static_join" ->
       """WITH mx AS (SELECT MAX(ts) AS m FROM events),
         |j AS (SELECT e.ts, e.value, c.c_mktsegment
