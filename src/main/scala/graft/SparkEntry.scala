@@ -64,6 +64,7 @@ object SparkEntry {
       "ann" -> (() => { // ANN family: emb projection -> buckets -> pairs
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
+        ops.Vectors.annSims(spark, dir) // shared exact sims (4 consumers)
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges

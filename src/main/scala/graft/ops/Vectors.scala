@@ -222,23 +222,34 @@ object Vectors {
     * oracle recomputes symmetrization, the float-dot cosine re-rank
     * (bit-identical — verified pairwise on the fixture), and the top-3
     * window from it. Recall itself is floor-asserted in SimilaritySpec. */
+  /** Exact float-cosine sims over the DIRECTED LSH candidate set —
+    * session-shared + prewarmed: [[qCosineAnn]], [[qCosineNeardup]],
+    * [[qMmrRerank]] and [[qBitextMining]] all consume exactly this frame
+    * (and Graph.knnEdges materializes qCosineAnn's rerank of it), so the
+    * two emb joins + the dot over the candidate volume run once per
+    * corpus version instead of once per query. Plain double dot for
+    * re-ranking (no oracle here; the exact-decimal path costs ~10× on
+    * the candidate set). By-name share: the candidate build itself
+    * executes jobs during construction. */
+  private[graft] def annSims(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "annsims",
+      s"$dir#${annKey(spark)}") {
+      val emb = sharedEmb(spark, dir)
+      val dot2 = graft.functions.FloatDotProduct.floatDot _
+      annCandidates(spark, dir)
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("norm2").as("qn")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("norm2").as("nn")), "nid")
+        .select(col("qid"), col("nid"),
+          (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+            .as("sim"))
+    }
+
   def qCosineAnn(spark: SparkSession, dir: String): DataFrame = {
-    // consumed by the bucket self-join side AND both re-rank joins —
-    // shared materializations (see sharedEmb / annTable)
-    val emb = sharedEmb(spark, dir)
-    val cand = annCandidates(spark, dir)
-    graft.OracleExport.export(cand, "anncand", dir, annKey(spark))
-    // plain double dot for re-ranking: no oracle here, and the exact-decimal
-    // path costs ~10x on the candidate set
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val pairs = cand
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("norm2").as("qn")), "qid")
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("norm2").as("nn")), "nid")
-      .select(col("qid"), col("nid"),
-        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
-          .as("sim"))
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val pairs = annSims(spark, dir)
     // symmetrize so every vector ranks its in-bucket neighbors
     val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
       col("qid").as("nid"), col("sim")))
@@ -593,21 +604,11 @@ object Vectors {
     * Hash-gated from the same exported candidate set as [[qCosineAnn]]
     * (the oracle recomputes the thresholded cosine decision view). */
   def qCosineNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // four consumers (bucket self-join sides + both verify joins) —
-    // shared materializations (see sharedEmb / annTable)
-    val emb = sharedEmb(spark, dir)
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
-    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir, annKey(spark))
-    val cand = annCandidates(spark, dir)
-      .select(col("qid").as("keep_id"), col("nid").as("dup_id"))
-    cand
-      .join(emb.select(col("vec_id").as("keep_id"), col("embedding").as("qe"),
-        col("norm2").as("qn")), "keep_id")
-      .join(emb.select(col("vec_id").as("dup_id"), col("embedding").as("ne"),
-        col("norm2").as("nn")), "dup_id")
-      .select(col("keep_id"), col("dup_id"),
-        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
-          .as("sim"))
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    annSims(spark, dir) // the shared sims frame — see annSims
+      .select(col("qid").as("keep_id"), col("nid").as("dup_id"),
+        col("sim"))
       .filter(col("sim") >= 0.25)
       .orderBy("keep_id", "dup_id")
   }
@@ -1124,17 +1125,9 @@ object Vectors {
     * window over candidate-sized groups, two broadcast-sized label
     * joins. */
   def qBitextMining(spark: SparkSession, dir: String): DataFrame = {
-    val emb = sharedEmb(spark, dir)
-    val cand = annCandidatesExported(spark, dir)
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val pairs = cand
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("norm2").as("qn")), "qid")
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("norm2").as("nn")), "nid")
-      .select(col("qid"), col("nid"),
-        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
-          .as("sim"))
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val pairs = annSims(spark, dir)
     val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
       col("qid").as("nid"), col("sim")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
@@ -1178,16 +1171,10 @@ object Vectors {
     * hash-gatable. */
   def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
-    val cand = annCandidatesExported(spark, dir)
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
     val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val pairs = cand
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("norm2").as("qn")), "qid")
-      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("norm2").as("nn")), "nid")
-      .select(col("qid"), col("nid"),
-        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
-          .as("sim"))
+    val pairs = annSims(spark, dir)
     val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
       col("qid").as("nid"), col("sim")))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
