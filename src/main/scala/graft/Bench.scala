@@ -124,7 +124,8 @@ object Bench {
     "q2_", "q11_", "q12_", "q18_", "q20_", "q_cdc", "q_para", "q_stream",
     "q_url", "q_robots", "q_split", "q_source_overlap", "q_bfs",
     "q_label_prop", "q_ppr", "q_hamming", "q_modularity", "q_pq",
-    "q_ivfadc", "q_image", "q_substring", "q_bitext", "q_exif", "q_mmr")
+    "q_ivfadc", "q_image", "q_substring", "q_bitext", "q_exif", "q_mmr",
+    "q_rank_corr")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -796,12 +796,17 @@ object Vectors {
     * packed-xor-popcount must equal it bit for bit) and both rerank
     * stages via the proven sim CTE. Single final aggregation (no
     * scalar cross-join, stays off the BNLJ list). */
-  def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
-    val emb = sharedEmb(spark, dir)
-    val codes = emb.select(col("vec_id"), expr(
+  /** 64 sign bits packed into one BIGINT per vector — shared by
+    * [[qHammingRerank]] and [[qRankCorr]]. */
+  private def signCodes(spark: SparkSession, dir: String): DataFrame =
+    sharedEmb(spark, dir).select(col("vec_id"), expr(
       """aggregate(transform(sequence(0, 63), i ->
         |  IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
         |0L, (a, x) -> a + x)""".stripMargin).as("code"))
+
+  def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val codes = signCodes(spark, dir)
     val cand = annCandidatesExported(spark, dir)
     val sym = cand.select(col("qid"), col("nid"))
       .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
@@ -1218,8 +1223,64 @@ object Vectors {
       .orderBy("qid", "pick")
   }
 
+  /** Kendall rank correlation between the COMPRESSED ranking (64-bit
+    * sign-code hamming) and the exact cosine ranking, per query over its
+    * candidate neighborhood — the finer-grained sketch audit next to
+    * recall@k: recall only sees the top-3 boundary, tau sees every
+    * pairwise inversion the compression introduces. For each query, all
+    * unordered pairs of its candidates are classified concordant (the
+    * orderings agree: higher sim ↔ lower hamming), discordant, or tied
+    * (equal hamming — common for integer distances; exact-sim ties
+    * count there too); the global tau_a numerator C−D is reported in
+    * exact basis points over all comparable pairs. All-integer output.
+    * Scale shape: the pair-of-pairs fan-out is Σ c_q² — QUADRATIC in
+    * per-query candidate count, and raw LSH buckets are hot (the
+    * q_triangles lesson: measured Σc² = 16.6M at sf0.01 uncapped), so
+    * each query's list is first CAPPED to its top-16 by exact sim
+    * (bounded heap, the q_source_cap pattern) — per-query work is then
+    * ≤ 120 comparisons at any corpus size, and tau is measured exactly
+    * where it matters, among each query's strongest candidates. */
+  def qRankCorr(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val pairs = annSims(spark, dir)
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val top = graft.plans.TopKPerKey.topKPerKey(sym, Seq(col("qid")),
+      Seq(col("sim").desc, col("nid").asc), 16)
+    val codes = signCodes(spark, dir)
+    val base = top
+      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
+        "qid")
+      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
+        "nid")
+      .select(col("qid"), col("nid"), col("sim"),
+        expr("bit_count(cq ^ cn)").as("ham"))
+    val pp = base.select(col("qid"), col("nid").as("na"),
+        col("sim").as("sa"), col("ham").as("ha"))
+      .join(base.select(col("qid"), col("nid").as("nb"),
+        col("sim").as("sb"), col("ham").as("hb")), "qid")
+      .filter(col("na") < col("nb"))
+    pp.agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("sa") > col("sb") && col("ha") < col("hb")) ||
+          (col("sa") < col("sb") && col("ha") > col("hb")), 1L)
+          .otherwise(0L)).cast("bigint").as("concordant"),
+        sum(when((col("sa") > col("sb") && col("ha") > col("hb")) ||
+          (col("sa") < col("sb") && col("ha") < col("hb")), 1L)
+          .otherwise(0L)).cast("bigint").as("discordant"),
+        sum(when(col("ha") === col("hb") || col("sa") === col("sb"), 1L)
+          .otherwise(0L)).cast("bigint").as("tied"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("tied"),
+        // tau as an exact FRACTION (num/n_pairs): the numerator can be
+        // negative and negative integer division truncates in Spark but
+        // floors in DuckDB (the q_zipf_fit lesson) — never divide it
+        expr("(concordant - discordant) * 10000L").as("tau_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivfadc" -> qIvfAdc _,
+    "q_rank_corr" -> qRankCorr _,
     "q_mmr_rerank" -> qMmrRerank _,
     "q_bitext_mining" -> qBitextMining _,
     "q_pq_recall" -> qPqRecall _,
@@ -1314,6 +1375,43 @@ object Vectors {
         |    AND s.sim * 2.0 / (a.nnavg + b.nnavg) >= 1.0)
         |SELECT label_a, label_b, doc_a, doc_b, sim, margin
         |FROM mined ORDER BY doc_a, doc_b""".stripMargin),
+    // Kendall-tau replay: exact sims + per-dimension sign-mismatch
+    // hamming over the exported candidate set, then the same per-query
+    // pair-of-pairs classification — see qRankCorr
+    "q_rank_corr" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |         UNION ALL SELECT nid, qid, sim FROM sims),
+        |top AS MATERIALIZED (SELECT qid, nid, sim FROM (
+        |    SELECT qid, nid, sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS rk
+        |    FROM sym) z WHERE rk <= 16),
+        |bits AS MATERIALIZED (SELECT vec_id, gs.i AS i,
+        |    CAST(embedding[gs.i + 1] AS DOUBLE) >= 0 AS s
+        |  FROM e, generate_series(0, 63) gs(i)),
+        |ham AS MATERIALIZED (SELECT sc.qid, sc.nid,
+        |    SUM(CASE WHEN ba.s <> bb.s THEN 1 ELSE 0 END) AS ham
+        |  FROM top sc JOIN bits ba ON ba.vec_id = sc.qid
+        |    JOIN bits bb ON bb.vec_id = sc.nid AND bb.i = ba.i
+        |  GROUP BY sc.qid, sc.nid),
+        |base AS MATERIALIZED (SELECT s.qid, s.nid, s.sim, h.ham
+        |  FROM top s JOIN ham h ON h.qid = s.qid AND h.nid = s.nid),
+        |pp AS (SELECT a.sim AS sa, a.ham AS ha, b.sim AS sb, b.ham AS hb
+        |  FROM base a JOIN base b ON b.qid = a.qid AND a.nid < b.nid)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN (sa > sb AND ha < hb) OR (sa < sb AND ha > hb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(SUM(CASE WHEN (sa > sb AND ha > hb) OR (sa < sb AND ha < hb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(SUM(CASE WHEN ha = hb OR sa = sb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tied,
+        |  CAST((SUM(CASE WHEN (sa > sb AND ha < hb) OR (sa < sb AND ha > hb)
+        |    THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN (sa > sb AND ha > hb) OR (sa < sb AND ha < hb)
+        |    THEN 1 ELSE 0 END)) * 10000 AS BIGINT) AS tau_num
+        |FROM pp""".stripMargin),
     // Unrolled greedy MMR replay over the exported candidate set — see
     // qMmrRerank: three argmax stages, each later stage joining the
     // remaining shortlist to the previous pick for its pairwise sim via
