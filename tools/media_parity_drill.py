@@ -11,8 +11,14 @@ the export path rewritten to the corrupted copy), and asserts each
 corrupted doc lands on the SENTINEL row — matching the engine's
 whole-document None — while untouched docs still parse.
 
-Run after `Verify ... q_multimodal_dims q_audio_meta q_video_meta`:
+Run after `Verify ... q_multimodal_dims q_audio_meta q_video_meta
+q_image_pixels q_video_frames q_exif_meta q_audio_features`:
     python3 tools/media_parity_drill.py /tmp/out
+
+r14: the EXCLUSION-rule queries (image pixels / video frames / exif /
+audio features) are drilled too — a corrupted doc must VANISH from the
+oracle output (their engine refusals are pinned in MultimodalSpec), and
+untouched docs must stay byte-identical.
 """
 import io
 import json
@@ -194,13 +200,95 @@ def main(outdir):
             failures.append(f"q_multimodal_dims doc {doc}: untouched blob "
                             f"unexpectedly hit the sentinel: {got}")
 
+    # ---- r14 EXCLUSION-rule queries: a corrupted doc must vanish from
+    # the oracle output (the engine's refusal for the same corruption is
+    # pinned in MultimodalSpec — together that's whole-row parity), and
+    # untouched docs must be byte-identical to the pristine run ----
+    def drill_absent(qname, corruptions, tmpname, eligible=None):
+        sql = oracles[qname]
+        g = export_glob(sql)
+        cols, rows = load(g)
+        pi = cols.index("payload")
+        con = duckdb.connect()
+        base_rows = con.execute(sql).fetchall()
+        con.close()
+        base_ids = {r[0] for r in base_rows}
+        victims = {}
+        pool = [r for r in rows if r[0] in base_ids
+                and (eligible is None or eligible(bytes(r[pi])))]
+        assert len(pool) >= len(corruptions), f"{qname}: no victims"
+        for (what, fn), r in zip(corruptions, pool):
+            r[pi] = fn(bytes(r[pi]))
+            victims[r[0]] = what
+        tmp = f"/tmp/graft-drill-{tmpname}.parquet"
+        write_blobs(tmp, cols, rows)
+        con = duckdb.connect()
+        new_rows = con.execute(rewrite(sql, g, tmp)).fetchall()
+        con.close()
+        new_ids = {r[0] for r in new_rows}
+        for doc, what in victims.items():
+            if doc in new_ids:
+                failures.append(f"{qname} doc {doc} ({what}): corrupted "
+                                f"blob still emitted by the oracle")
+        ub = {tuple(r) for r in base_rows if r[0] not in victims}
+        un = {tuple(r) for r in new_rows if r[0] not in victims}
+        if ub != un:
+            failures.append(f"{qname}: untouched rows changed under drill")
+
+    def le32(b, i):
+        return struct.unpack_from("<I", b, i)[0]
+
+    def patch(b, i, vals):
+        b = bytearray(b)
+        for k, v in enumerate(vals):
+            b[i + k] = v
+        return bytes(b)
+
+    # q_image_pixels: top-down height, 32-bit pixels, truncated array
+    def flip_height(b):
+        h = struct.unpack_from("<i", b, 22)[0]
+        return patch(b, 22, struct.pack("<i", -h))
+    drill_absent("q_image_pixels", [
+        ("top-down height", flip_height),
+        ("32-bit pixels", lambda b: patch(b, 28, [32])),
+        ("truncated pixel array", lambda b: b[:-1]),
+    ], "imagepx")
+
+    # q_video_frames: count/box-length mismatch, zero-size sample,
+    # truncated mdat (tiling + walk refusal)
+    def stsz_at(b):
+        return b.index(b"stsz") - 4
+    drill_absent("q_video_frames", [
+        ("lying stsz count", lambda b: patch(b, stsz_at(b) + 19,
+                                             [b[stsz_at(b) + 19] + 1])),
+        ("zero-size sample", lambda b: patch(b, stsz_at(b) + 20,
+                                             [0, 0, 0, 0])),
+        ("truncated mdat", lambda b: b[:-3]),
+    ], "videofr")
+
+    # q_exif_meta: byte-order garbage, bad TIFF magic, orientation 0
+    drill_absent("q_exif_meta", [
+        ("byte-order garbage", lambda b: patch(b, 12, b"XX")),
+        ("bad TIFF magic", lambda b: patch(b, 14, [43, 43])),
+        ("orientation 0", lambda b: patch(b, 54, [0, 0])),
+    ], "exif")
+
+    # q_audio_features: overrunning data-chunk size, non-PCM format tag
+    def data_at(b):
+        return b.index(b"data")
+    drill_absent("q_audio_features", [
+        ("lying data-chunk size", lambda b: patch(b, data_at(b) + 7,
+                                                  [0x7F])),
+        ("non-PCM tag", lambda b: patch(b, 20, [2, 0])),
+    ], "audiofeat")
+
     if failures:
         print("MEDIA PARITY DRILL FAILED:")
         for f in failures:
             print(f)
         sys.exit(1)
-    print("media parity drill: all corrupted blobs hit the sentinel, "
-          "top-down BMP parsed signed, untouched blobs parsed — OK")
+    print("media parity drill: sentinel rows + exclusion rules verified on "
+          "every corruption, untouched blobs unchanged — OK")
 
 
 if __name__ == "__main__":
