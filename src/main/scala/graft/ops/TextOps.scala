@@ -924,7 +924,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML 2009)
+    * — the vocabulary-free text vectorizer: every token routes to one of
+    * 64 buckets by content hash with a ±1 sign hash, per-doc bucket
+    * values are SIGNED token counts, and the result is a fixed-width
+    * sparse vector with no vocabulary table, no fitting pass, and no
+    * coordination — the featurization that works on the first pass over
+    * a corpus of any size (sign hashing keeps collisions unbiased,
+    * ibid. §3). Values are integers, so the audit columns are EXACT:
+    * nnz, the squared l2 norm Σv², and a position-weighted checksum
+    * Σ(bucket+1)·v that pins sign and placement, not just magnitude.
+    * Scale shape: one tokenize pass exploding (doc, bucket, ±1), a hash
+    * agg on (doc, bucket) with map-side combine, then a doc-keyed
+    * rollup — derived-key shuffles only, vectors never materialize
+    * wider than their nnz. Hash = md5 prefix (cross-engine, the
+    * sampling-family idiom), sign = the next hex digit's parity. */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 64")
+          .as("bucket"),
+        expr("IF(CAST(conv(substring(md5(tok), 5, 1), 16, 10) AS BIGINT)" +
+          " % 2 = 0, 1L, -1L)").as("s"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0) // true sparsity: cancelled buckets drop out
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("nnz"),
+        sum(col("v") * col("v")).cast("bigint").as("norm2"),
+        sum((col("bucket") + 1) * col("v")).cast("bigint").as("checksum"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> qFeatureHash _,
     "q_winnow_overlap" -> qWinnowOverlap _,
     "q_winnow_spans" -> qWinnowSpans _,
     "q_winnow_chains" -> qWinnowChains _,
@@ -983,6 +1017,26 @@ object TextOps {
         |FROM h ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same md5-prefix bucket/sign hashes, same signed-count folds — see
+    // qFeatureHash (Spark conv(hex,16,10) == DuckDB '0x'||hex CAST)
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 5, 1) AS BIGINT) % 2
+        |      = 0 THEN 1 ELSE -1 END AS s
+        |  FROM toks),
+        |vec AS (
+        |  SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS v
+        |  FROM hashed GROUP BY 1, 2 HAVING SUM(s) <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS nnz,
+        |  CAST(SUM(v * v) AS BIGINT) AS norm2,
+        |  CAST(SUM((bucket + 1) * v) AS BIGINT) AS checksum
+        |FROM vec GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Gap-bounded chain detection from the exported positions table —
     // see qWinnowChains (lag-gap flags -> running-sum chain ids; pure
     // integer ops; chain_id/n_matches cast INT because DuckDB's SUM and
