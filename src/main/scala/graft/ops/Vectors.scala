@@ -1278,8 +1278,48 @@ object Vectors {
         expr("(concordant - discordant) * 10000L").as("tau_num"))
   }
 
+  /** Leave-one-out kNN-classifier evaluation (Cover & Hart 1967) over
+    * the session-shared k-NN graph — the WEAK-LABELING audit: if a
+    * vector's top-3 neighbors vote its own label back, labels propagate
+    * reliably through the embedding space (the precondition for kNN
+    * label spreading, silver-label bootstrapping, or using neighbors as
+    * retrieval-augmented supervision); a label whose accuracy reads at
+    * chance is noise to the embedding. Prediction = majority label of
+    * the top-3 neighbors, ties by (count DESC, label ASC) — fully
+    * deterministic. Per true label: vectors evaluated, correct
+    * predictions, accuracy in exact basis points. Incremental cost over
+    * the prewarmed graph: two broadcast-sized label joins + a
+    * vectors-sized argmax window. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val votes = Graph.knnEdges(spark, dir)
+      .join(labels.select(col("vec_id").as("nid"),
+        col("label").as("nl")), "nid")
+      .groupBy("qid", "nl")
+      .agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy("qid")
+      .orderBy(desc("cnt"), asc("nl"))
+    val pred = votes.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nl").as("predicted"))
+    pred
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), "qid")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_correct"))
+      .withColumn("acc_bp",
+        expr("n_correct * 10000L div n_vectors").cast("bigint"))
+      .orderBy("true_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivfadc" -> qIvfAdc _,
+    "q_knn_classify" -> qKnnClassify _,
     "q_rank_corr" -> qRankCorr _,
     "q_mmr_rerank" -> qMmrRerank _,
     "q_bitext_mining" -> qBitextMining _,
@@ -1375,6 +1415,35 @@ object Vectors {
         |    AND s.sim * 2.0 / (a.nnavg + b.nnavg) >= 1.0)
         |SELECT label_a, label_b, doc_a, doc_b, sim, margin
         |FROM mined ORDER BY doc_a, doc_b""".stripMargin),
+    // kNN top-3 replay from the anncand sims + the same majority argmax
+    // and accuracy rollup — see qKnnClassify
+    "q_knn_classify" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM (SELECT qid, nid, sim FROM sims
+        |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+        |  WHERE rank <= 3),
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |votes AS (
+        |  SELECT t.qid, l.label AS nl, COUNT(*) AS cnt
+        |  FROM top3 t JOIN lb l ON l.vec_id = t.nid
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT qid, nl AS predicted FROM (
+        |    SELECT qid, nl,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cnt DESC, nl) AS rk
+        |    FROM votes) z WHERE rk = 1)
+        |SELECT l.label AS true_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST((SUM(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END)
+        |    * 10000) // COUNT(*) AS BIGINT) AS acc_bp
+        |FROM pred p JOIN lb l ON l.vec_id = p.qid
+        |GROUP BY 1 ORDER BY true_label""".stripMargin),
     // Kendall-tau replay: exact sims + per-dimension sign-mismatch
     // hamming over the exported candidate set, then the same per-query
     // pair-of-pairs classification — see qRankCorr
