@@ -1352,13 +1352,16 @@ object Multimodal {
          |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
          |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
          |feats AS (
+         |  -- series bound = LE16's max so the de-interleave can never
+         |  -- silently truncate a high-channel-count container the
+         |  -- engine (unbounded loop) would fully emit
          |  SELECT f.doc_id, c.c AS channel,
          |    d.nbytes // (2 * f.channels) AS n_frames,
          |    list_transform(range(d.nbytes // (2 * f.channels)),
          |      t -> ${signed16S("d.off + 2 * (t * f.channels + c.c)")}) AS fr
          |  FROM fmtc f JOIN datac d USING (doc_id)
          |    JOIN a ON a.doc_id = f.doc_id
-         |  JOIN generate_series(0, 7) c(c) ON c.c < f.channels)
+         |  JOIN generate_series(0, 65535) c(c) ON c.c < f.channels)
          |SELECT doc_id, CAST(channel AS INT) AS channel,
          |  CAST(n_frames AS BIGINT) AS n_frames,
          |  CAST(list_max(list_transform(fr, x -> abs(x))) AS BIGINT)
