@@ -567,21 +567,39 @@ object Multimodal {
       if (b.length < 16 || tag(b, 4) != "ftyp") return None
       var stszP = -1L; var stszE = -1L; var stcoP = -1L; var stcoE = -1L
       var mdatP = -1L; var mdatE = -1L
-      def walk(p0: Long, lim: Long): Boolean = {
+      // explicit-stack DFS: recursion depth on a crafted
+      // container-inside-container chain is bounded only by len/8, which
+      // would overflow the JVM stack long before it exhausted the buffer
+      // — the frontier mirrors the oracle's recursive CTE instead
+      var frames = List((0L, b.length.toLong))
+      var bad = false
+      while (frames.nonEmpty && !bad) {
+        val (p0, lim) = frames.head
+        frames = frames.tail
         var p = p0
-        while (p + 8 <= lim) {
+        while (p + 8 <= lim && !bad) {
           val cs = be32(b, p.toInt)
           val t = tag(b, p.toInt + 4)
-          if (cs < 8 || p + cs > lim) return false
-          if (t == "mdat" && mdatP < 0) { mdatP = p; mdatE = p + cs }
-          if (t == "stsz" && stszP < 0) { stszP = p; stszE = p + cs }
-          if (t == "stco" && stcoP < 0) { stcoP = p; stcoE = p + cs }
-          if (Containers(t) && !walk(p + 8, p + cs)) return false
-          p += cs
+          if (cs < 8 || p + cs > lim) bad = true
+          else {
+            // "first" = MIN file position (what the oracle's MIN(pos)
+            // computes) — tracked explicitly since the frontier order
+            // is not pre-order
+            if (t == "mdat" && (mdatP < 0 || p < mdatP)) {
+              mdatP = p; mdatE = p + cs
+            }
+            if (t == "stsz" && (stszP < 0 || p < stszP)) {
+              stszP = p; stszE = p + cs
+            }
+            if (t == "stco" && (stcoP < 0 || p < stcoP)) {
+              stcoP = p; stcoE = p + cs
+            }
+            if (Containers(t)) frames = (p + 8, p + cs) :: frames
+            p += cs
+          }
         }
-        true
       }
-      if (!walk(0L, b.length.toLong)) return None
+      if (bad) return None
       if (stszP < 0 || stcoP < 0 || mdatP < 0) return None
       if (stszE - stszP < 20) return None // count field must be in-box
       val n = be32(b, stszP.toInt + 16)

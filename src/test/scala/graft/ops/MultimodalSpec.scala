@@ -274,6 +274,26 @@ class MultimodalSpec extends SparkSpec {
       "overrunning nested box must refuse")
   }
 
+  test("Mp4Header.sampleTable: pathological container nesting cannot overflow the stack") {
+    // 100k-deep moov-inside-moov chain: each level is an 8-byte header
+    // declaring size = everything remaining — legal per the walk's
+    // size/bounds rules, so a recursive DFS would recurse len/8 deep
+    val depth = 100000
+    val total = 16 + 8 * depth
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+    var remaining = 8 * depth
+    while (remaining > 0) {
+      bb.putInt(remaining); bb.put("moov".getBytes("US-ASCII"))
+      remaining -= 8
+    }
+    // must terminate without StackOverflowError and refuse (no sample
+    // table anywhere in the tree)
+    assert(Multimodal.Mp4Header.sampleTable(bb.array()).isEmpty)
+  }
+
   test("q_video_frames: strided demux == construction formula") {
     val rows = Multimodal.qVideoFrames(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
