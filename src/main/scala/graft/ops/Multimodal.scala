@@ -909,6 +909,60 @@ object Multimodal {
         Some((w, h, sr, sg, sb, lum, ck))
       }
     }
+
+    /** 4×4 nearest-neighbor thumbnail of an accepted BMP:
+      * (width, height, t_sum_r, t_sum_g, t_sum_b, t_checksum) where
+      * thumbnail pixel (x, y) = source (x·W div 4, y·H div 4) and the
+      * checksum is Σ(row-major index + 1)·rgb24. */
+    def thumb(b: Array[Byte])
+        : Option[(Int, Int, Long, Long, Long, Long)] = {
+      if (!accepts(b)) None
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v = img.getRGB(x * w / 4, y * h / 4) & 0xFFFFFF
+            sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+            ck += (y.toLong * 4 + x + 1) * v
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sr, sg, sb, ck))
+      }
+    }
+  }
+
+  /** Image RESIZE over the BMP subset — the thumbnail/preprocess pass
+    * (every vision pipeline normalizes resolution before featurizing):
+    * each accepted BMP decodes through ImageIO and downsamples to a 4×4
+    * thumbnail by NEAREST NEIGHBOR — src(x·W div 4, y·H div 4) — the one
+    * resampling kernel that COPIES source pixels instead of blending
+    * them, so the result is integer-exact and the DuckDB oracle can
+    * re-read the same 16 sampled positions straight from the file's
+    * pixel array (no float filter arithmetic to mirror). Output per
+    * image: thumbnail channel sums and the row-major position-weighted
+    * checksum Σ(i+1)·rgb24ᵢ — placement-sensitive, so a flipped axis,
+    * a transposed grid, or an off-by-one in the index map breaks the
+    * hash. Same inclusion rule as [[qImagePixels]]; same narrow-map
+    * scale shape (a thumbnail never inflates past 16 pixels per asset
+    * no matter the source size). */
+  def qImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    graft.OracleExport.export(media, "media", dir)
+    media.as[ImgRow].mapPartitions { rows =>
+      rows.flatMap(r => BmpPixels.thumb(r.payload).map { t =>
+        (r.doc_id, t._1, t._2, t._3, t._4, t._5, t._6)
+      })
+    }.toDF("doc_id", "width", "height", "t_sum_r", "t_sum_g", "t_sum_b",
+      "t_checksum")
+      .orderBy("doc_id")
   }
 
   /** documents.text as binary payloads (media stand-in). */
@@ -958,6 +1012,7 @@ object Multimodal {
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_multimodal_dims" -> qMultimodalDims _,
     "q_image_pixels" -> qImagePixels _,
+    "q_image_resize" -> qImageResize _,
     "q_exif_meta" -> qExifMeta _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
@@ -1158,6 +1213,50 @@ object Multimodal {
     // reads the fmt fields with its own little-endian hex arithmetic,
     // and RE-SUMS every signed 16-bit sample of the data chunk — format
     // fields, duration AND content are derived twice.
+    // Nearest-neighbor thumbnail replay — see qImageResize: the same
+    // acc inclusion CTE as q_image_pixels, then the 16 sampled source
+    // positions re-read straight from the pixel array (nearest neighbor
+    // copies pixels, so there is no filter arithmetic to mirror).
+    "q_image_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len
+         |  FROM '${graft.OracleExport.oraclePath("media")}'
+         |  WHERE octet_length(payload) >= 54
+         |    AND substr(hex(payload), 1, 4) = '424D'),
+         |hdr AS (
+         |  SELECT doc_id, h, len,
+         |    ${pxLe32("h", "10")} AS boff, ${pxLe32("h", "18")} AS w,
+         |    (${pxLe32("h", "22")} - CASE WHEN ${pxLe32("h", "22")}
+         |       > 2147483647 THEN 4294967296 ELSE 0 END) AS hs,
+         |    ${pxLe16("h", "28")} AS bits, ${pxLe32("h", "30")} AS comp
+         |  FROM m),
+         |acc AS (
+         |  SELECT doc_id, h, boff, w, hs AS habs,
+         |    ((3 * w + 3) // 4) * 4 AS stride
+         |  FROM hdr
+         |  WHERE bits = 24 AND comp = 0 AND w >= 1 AND w <= 64
+         |    AND hs >= 1 AND hs <= 64
+         |    AND boff + ((3 * w + 3) // 4) * 4 * hs <= len),
+         |px AS (
+         |  SELECT a.doc_id, a.w, a.habs, a.h, gy.y, gx.x,
+         |    a.boff + (a.habs - 1 - (gy.y * a.habs // 4)) * a.stride
+         |      + 3 * (gx.x * a.w // 4) AS p
+         |  FROM acc a
+         |  JOIN generate_series(0, 3) gy(y) ON TRUE
+         |  JOIN generate_series(0, 3) gx(x) ON TRUE),
+         |v AS (
+         |  SELECT doc_id, w, habs, y, x,
+         |    ${pxU8("h", "p + 2")} AS r, ${pxU8("h", "p + 1")} AS g,
+         |    ${pxU8("h", "p")} AS b
+         |  FROM px)
+         |SELECT doc_id,
+         |  CAST(MAX(w) AS INT) AS width, CAST(MAX(habs) AS INT) AS height,
+         |  CAST(SUM(r) AS BIGINT) AS t_sum_r,
+         |  CAST(SUM(g) AS BIGINT) AS t_sum_g,
+         |  CAST(SUM(b) AS BIGINT) AS t_sum_b,
+         |  CAST(SUM((y * 4 + x + 1) * (r * 65536 + g * 256 + b))
+         |    AS BIGINT) AS t_checksum
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Marker walk to the first Exif APP1 (the jwalk pattern WITHOUT the
     // SOF stop — SOF segments hop by length like any other), then the
     // TIFF header + IFD0 re-read at the DECLARED byte order — see

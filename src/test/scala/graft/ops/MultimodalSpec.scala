@@ -408,6 +408,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BmpPixels.thumb: nearest-neighbor 4x4 == raster formula at the sampled positions") {
+    val bmpIds = (0L until 64L).filter(Multimodal.ImageCodec.fmtFor(_) == "bmp")
+    bmpIds.foreach { id =>
+      val got = Multimodal.BmpPixels.thumb(Multimodal.ImageCodec.encode(id))
+      val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val (sx, sy) = (x * w / 4, y * h / 4)
+        val v = ((id * 2654435761L + sx * 131 + sy * 31) & 0xFFFFFF).toInt
+        sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+        ck += (y.toLong * 4 + x + 1) * v
+      }
+      assert(got === Some((w, h, sr, sg, sb, ck)), s"id=$id")
+    }
+  }
+
   test("BmpPixels.accepts refuses what the JDK decoder would reject or the oracle can't mirror") {
     val good = Multimodal.ImageCodec.encode(3L) // id 3 -> bmp
     assert(Multimodal.BmpPixels.accepts(good))
