@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -79,6 +80,26 @@ case class MixedDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "mixed_dot"
+
+  // elemIsDouble treats "not double" as float, so an un-validated
+  // ArrayType(IntegerType) child would silently read ints at float
+  // width (garbage values, no error) — reject anything that is not an
+  // ARRAY<FLOAT|DOUBLE> at analysis time instead. (checkInputDataTypes
+  // rather than ExpectsInputTypes: AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!ok(left))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${left.dataType.sql}")
+    else if (!ok(right))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true

@@ -306,8 +306,14 @@ object Multimodal {
         } else if (id == "data") {
           // canonical PCM only — and the format TAG must say PCM too:
           // an ADPCM container whose bits field lies at 16 would
-          // otherwise be summed as samples it does not contain
+          // otherwise be summed as samples it does not contain.
+          // A SECOND data chunk is refused outright: parse would
+          // accumulate across chunks while pcmSamples kept only the
+          // last, and the per-chunk oracle join would emit one row per
+          // chunk — three different answers for one container. Refusal
+          // keeps all three sides trivially aligned.
           if (fmtTag != 1 || channels <= 0 || bits != 16) return None
+          if (seenData) return None
           seenData = true
           nSamples = sz.toLong / (channels * (bits / 8))
           var i = pos + 8
@@ -344,6 +350,7 @@ object Multimodal {
           rate = le32(b, pos + 12); bits = le16(b, pos + 22)
         } else if (id == "data") {
           if (fmtTag != 1 || channels <= 0 || bits != 16) return None
+          if (out != null) return None // second data chunk: refuse (see parse)
           out = new Array[Short](sz / 2)
           var i = 0
           while (i < out.length) {
@@ -1467,7 +1474,17 @@ object Multimodal {
          |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
          |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
-         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)
+         |    -- engine parity: WavHeader refuses a container with MORE
+         |    -- THAN ONE data chunk (parse would sum across chunks while
+         |    -- pcmSamples kept the last; this join would emit one row
+         |    -- per chunk) — exclude multi-data docs by rule here too
+         |    AND w.doc_id NOT IN (
+         |      SELECT w2.doc_id FROM awalk w2
+         |      JOIN a a2 ON a2.doc_id = w2.doc_id
+         |      WHERE substr(a2.h, CAST(2 * w2.pos + 1 AS INT), 8)
+         |            = '64617461'
+         |      GROUP BY w2.doc_id HAVING count(*) > 1)),
          |feats AS (
          |  -- series bound = LE16's max so the de-interleave can never
          |  -- silently truncate a high-channel-count container the
@@ -1532,7 +1549,17 @@ object Multimodal {
          |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
          |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
          |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
-         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)
+         |    -- engine parity: WavHeader refuses a container with MORE
+         |    -- THAN ONE data chunk (parse would sum across chunks while
+         |    -- pcmSamples kept the last; this join would emit one row
+         |    -- per chunk) — exclude multi-data docs by rule here too
+         |    AND w.doc_id NOT IN (
+         |      SELECT w2.doc_id FROM awalk w2
+         |      JOIN a a2 ON a2.doc_id = w2.doc_id
+         |      WHERE substr(a2.h, CAST(2 * w2.pos + 1 AS INT), 8)
+         |            = '64617461'
+         |      GROUP BY w2.doc_id HAVING count(*) > 1)),
          |sums AS (
          |  SELECT d.doc_id,
          |    CAST(list_sum(list_transform(range(d.nbytes // 2),

@@ -25,7 +25,9 @@ import graft.Tables
   *   3. default port dropped (http:80, https:443), others kept;
   *   4. percent-escapes decoded in the path (the generator emits only
   *      unreserved escapes, so full decode == the RFC's
-  *      decode-unreserved-only);
+  *      decode-unreserved-only; a literal '+' is pre-escaped to %2B
+  *      first because Spark's url_decode is form-encoding — it would
+  *      turn '+' into a space, which RFC 3986 path decoding does not);
   *   5. trailing path slash stripped (root `/` kept);
   *   6. query params sorted bytewise;    7. fragment dropped.
   *
@@ -105,6 +107,13 @@ object Urls {
   private def fragmentOf(u: Column): Column =
     regexp_extract(u, "#(.*)$", 1)
 
+  /** RFC 3986 %XX-only decode of a path: Spark's url_decode implements
+    * application/x-www-form-urlencoded semantics ('+' → space), which
+    * the DuckDB oracle's %XX-rebuild does not share — pre-escape any
+    * literal '+' to %2B so url_decode leaves it untouched. */
+  private def pathDecode(p: Column): Column =
+    url_decode(regexp_replace(p, "\\+", "%2B"))
+
   /** Canonical URL per the scaladoc rules — one codegen expression. */
   private[ops] def canonicalize(u: Column): Column = {
     val scheme = schemeOf(u)
@@ -115,7 +124,7 @@ object Urls {
       (scheme === "https" && port0 === "443")
     val port = when(port0 === "" || isDefault, lit(""))
       .otherwise(concat(lit(":"), port0))
-    val path0 = url_decode(pathOf(u))
+    val path0 = pathDecode(pathOf(u))
     val path1 = when(path0 === "", lit("/")).otherwise(path0)
     // strip ONE trailing slash unless the path IS the root
     val pathC = when(path1 === "/", path1)
@@ -136,7 +145,7 @@ object Urls {
         hostOf(col("url")).as("host"),
         when(portOf(col("url")) === "", lit(-1))
           .otherwise(portOf(col("url")).cast("int")).as("port"),
-        url_decode(pathOf(col("url"))).as("path"),
+        pathDecode(pathOf(col("url"))).as("path"),
         array_join(array_sort(split(queryOf(col("url")), "&")), "&")
           .as("query_sorted"),
         when(fragmentOf(col("url")) === "", lit("-"))

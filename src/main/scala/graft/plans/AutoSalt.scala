@@ -72,7 +72,7 @@ object AutoSalt extends Rule[LogicalPlan] {
     }
     case _: Min | _: Max | _: Count => true
     // Average over INTEGRAL input decomposes into two exact partials
-    // (long Sum + Count) with ONE final double division — identical to
+    // (DECIMAL(38,0) Sum + Count) with ONE final double division — identical to
     // the plain plan wherever that plan is itself deterministic (its
     // running double sum is exact up to 2^53; beyond that the plain
     // Average is already partition-order-dependent, so "identical" has
@@ -137,7 +137,20 @@ object AutoSalt extends Rule[LogicalPlan] {
     val partialAliases: Map[Expression, Seq[Alias]] =
       distinctAes.zipWithIndex.map { case (ae, i) =>
         val parts: Seq[AggregateFunction] = ae.aggregateFunction match {
-          case a: Average => Seq(Sum(a.child), Count(a.child))
+          // the Sum partial is widened to DECIMAL(38,0): a long Sum
+          // would throw ARITHMETIC_OVERFLOW under ANSI mode (the
+          // Spark 4 default) on a group summing past Long.MaxValue,
+          // where the plain Average (internal double running sum)
+          // returns a finite value — the salted plan must never error
+          // where the plain plan succeeds. Decimal partials still
+          // merge exactly, and the one final cast-to-double division
+          // is identical to the long path for every sum <= 2^53 (the
+          // same bound beyond which the plain Average is already
+          // partition-order-dependent).
+          case a: Average => Seq(
+            Sum(Cast(a.child,
+              org.apache.spark.sql.types.DecimalType(38, 0))),
+            Count(a.child))
           case f => Seq(f)
         }
         (ae.canonicalized: Expression, parts.zipWithIndex.map {

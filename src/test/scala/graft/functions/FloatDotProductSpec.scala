@@ -31,6 +31,34 @@ class FloatDotProductSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("MixedDotProduct rejects non-float/double arrays at analysis time") {
+    import graft.functions.MixedDotProduct.mixedDot
+    // an ARRAY<INT> child used to slip through and be READ at float
+    // width (garbage values, no error) — must now fail analysis
+    val ints = spark.range(4)
+      .select(array(col("id").cast("int")).as("a"),
+        array(col("id").cast("int")).as("b"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(mixedDot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("mixed_dot"))
+    // and a non-array child fails too
+    val scalars = spark.range(4).select(col("id"), col("id").as("b"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      scalars.select(mixedDot(col("id"), col("b"))).collect()
+    }
+    // while the four legitimate width combinations still work
+    val mixed = spark.range(4).select(
+      array(col("id").cast("float")).as("f"),
+      array(col("id").cast("double")).as("d"))
+    val row = mixed.select(
+      mixedDot(col("f"), col("f")).as("ff"),
+      mixedDot(col("f"), col("d")).as("fd"),
+      mixedDot(col("d"), col("f")).as("df"),
+      mixedDot(col("d"), col("d")).as("dd")).orderBy(col("ff")).collect()
+    assert(row.length === 4)
+  }
+
   test("codegen and interpreted eval agree (fallback parity)") {
     val df = randomPairs(200).select(floatDot(col("a"), col("b")).as("d"))
     val withCodegen = df.collect().map(_.getDouble(0)).toSeq

@@ -205,6 +205,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavHeader.parse(lying).isEmpty)
   }
 
+  test("WavHeader: a second data chunk refuses in BOTH parse and pcmSamples") {
+    val wav = Multimodal.WavCodec.encode(1L)
+    assert(Multimodal.WavHeader.parse(wav).isDefined)
+    assert(Multimodal.WavHeader.pcmSamples(wav).isDefined)
+    // well-formed container, two data chunks: parse used to SUM across
+    // both while pcmSamples kept only the last and the per-chunk oracle
+    // join emitted one row per chunk — refusal is the only answer all
+    // three sides share (ADVICE r14)
+    val extra = new Array[Byte](12)
+    extra(0) = 'd'; extra(1) = 'a'; extra(2) = 't'; extra(3) = 'a'
+    extra(4) = 4 // LE32 size = 4
+    extra(8) = 1; extra(9) = 2; extra(10) = 3; extra(11) = 4
+    val twoData = wav ++ extra
+    assert(Multimodal.WavHeader.parse(twoData).isEmpty,
+      "parse must refuse a second data chunk")
+    assert(Multimodal.WavHeader.pcmSamples(twoData).isEmpty,
+      "pcmSamples must refuse a second data chunk")
+  }
+
   test("Mp4Header: box walk recovers construction fields exactly") {
     for (id <- 0L until 32L) {
       val bytes = Multimodal.Mp4Codec.encode(id)

@@ -125,4 +125,21 @@ class UrlsSpec extends SparkSpec {
       .filter(col("n") > 1).count()
     assert(collapsed > 0, "no canonical group with multiple raw spellings")
   }
+
+  test("a literal '+' in the path stays a '+' (RFC 3986, not form-encoding)") {
+    import spark.implicits._
+    // Spark's url_decode is application/x-www-form-urlencoded ('+' →
+    // space); the oracle's %XX-rebuild leaves '+' literal — the
+    // canonicalizer pre-escapes '+' so both sides agree (ADVICE r14)
+    val df = Seq(
+      (1L, "http://site.example.com/a+b/c"),
+      (2L, "http://site.example.com/a%2Bb/c"),
+      (3L, "http://site.example.com/sp%61ce+x")).toDF("id", "url")
+    val got = df.select(col("id"), Urls.canonicalize(col("url")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(got(0) === "http://site.example.com/a+b/c", got(0))
+    // %2B decodes to a literal '+' — same canonical form as the raw '+'
+    assert(got(1) === got(0), s"${got(1)} != ${got(0)}")
+    assert(got(2) === "http://site.example.com/space+x", got(2))
+  }
 }

@@ -91,6 +91,21 @@ class AutoSaltSpec extends SparkSpec {
     assert(withRule(agg.schema) === agg.schema)
   }
 
+  test("integral avg: salted plan never overflows where the plain plan succeeds") {
+    // a group whose input sums past Long.MaxValue: the plain Average
+    // (internal double running sum) returns a finite value, so the
+    // salted plan must too — a long Sum partial threw
+    // ARITHMETIC_OVERFLOW here under ANSI mode (ADVICE r14); the
+    // DECIMAL(38,0) partial widens past any reachable sum
+    val big = spark.range(0, 2).select(
+      lit("k").as("k"), lit(Long.MaxValue).as("v"))
+    val agg = big.groupBy("k").agg(avg(col("v")).as("a"))
+    val plain = agg.collect().toSeq
+    val salted = withRule(agg.collect().toSeq)
+    assert(salted === plain,
+      "salted avg diverged (or threw) on a Long-overflowing group")
+  }
+
   test("conservative: float/double sums untouched (FP re-association)") {
     withRule {
       // the extra merge stage would re-associate FP addition — the rule
