@@ -52,9 +52,29 @@ import org.apache.spark.sql.SparkSession
   *    counter and flips the FIRST host:port match back to ready — the
   *    reference does not check state on that scan, so a dead entry can be
   *    revived to ready; quirk preserved.
-  *  TASK dispatch stays with Spark's scheduler (the substrate owns real
-  *  data movement — SURVEY §2.2's documented delegation): registered
-  *  workers are tracked and acked but not sent new_map_task messages.
+  *  TASK DISPATCH has two modes:
+  *  - default: Spark's scheduler executes the job in-process via
+  *    [[Submit.run]] (the substrate owns real data movement — SURVEY
+  *    §2.2's delegation); registered workers are tracked and acked but
+  *    not sent task messages.
+  *  - `dispatchToWorkers = true` (CLI `--dispatch-workers`): the
+  *    reference's OWN run_job loop (manager/__main__.py:212-424) —
+  *    every dequeued job is partitioned with [[WireDispatch]] and sent
+  *    to registered workers as `new_map_task` / `new_reduce_task`
+  *    messages over TCP; the manager blocks polling for a ready worker
+  *    (1 s sleep, ref :262-263), drains `finished` messages, and
+  *    re-dispatches failed tasks (a busy worker falling silent past the
+  *    heartbeat timeout, or a refused connect, queues its current_task
+  *    for reassignment — ref :279-323, :377-420, :426-438). Map output
+  *    lands in a shared `mapreduce-shared-jobNNNNN-` tempdir, reduce
+  *    output in the job's output_directory, both written BY THE WORKERS
+  *    (shared filesystem assumed, as the reference assumes). One
+  *    documented deviation: tasks_finished resets to 0 at the START of
+  *    the map phase — the reference carries the previous job's reduce
+  *    count into the next job's map barrier (manager/__main__.py:328 is
+  *    the only reset), which can release the barrier before any map
+  *    task ran when job N+1's num_mappers equals job N's num_reducers;
+  *    correctness wins over that quirk.
   *
   * SHUTDOWN (`{"message_type": "shutdown"}`): forwards shutdown to every
   * non-dead registered worker by connecting to its host:port
@@ -75,14 +95,29 @@ import org.apache.spark.sql.SparkSession
 final class ManagerServer(spark: SparkSession, host: String = "localhost",
     port: Int = 0, strictShutdown: Boolean = false,
     heartbeatTimeoutMs: Long = 10000, faultPollMs: Long = 2000,
+    dispatchToWorkers: Boolean = false,
+    workerPollMs: Long = 1000,
+    // the reference manager's --shared_dir (manager/__main__.py:519-522):
+    // where the per-job shared tmpdir lives. MUST be on the same
+    // filesystem as the workers' local tempdir — the reference worker
+    // shutil.move's its map output while the file is STILL OPEN with
+    // buffered writes (worker/__main__.py:157-165); a same-fs move is a
+    // rename (inode keeps the later flush), but a cross-device move
+    // copies the UNFLUSHED bytes and drops the sort. Default: the
+    // system property the Python default tempdir also honors.
+    sharedDir: Option[String] = None,
     runner: (SparkSession, Seq[String]) => Unit = Submit.run(_, _)) {
 
   private val queue = new LinkedBlockingQueue[java.util.Map[String, Object]]()
   private val numJobs = new AtomicInteger(0)
   @volatile private var shutdownFlag = false
   @volatile private var failedJobs = 0
-  @volatile private var tasksFinished = 0
+  private val tasksFinished = new AtomicInteger(0)
   @volatile private var droppedJobs = 0
+  // tasks abandoned by a dead/refused busy worker, awaiting re-dispatch
+  // (the reference's self.failed_tasks list, manager/__main__.py:494)
+  private val failedTasks =
+    new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
 
   /** One registered worker — a LIST entry like the reference's
     * self.workers dicts (duplicates per host:port are possible by
@@ -90,6 +125,7 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
   private final class WorkerEntry(val host: String, val port: Int) {
     @volatile var state: String = "ready" // ready | busy | dead
     @volatile var lastHeartbeat: Long = System.currentTimeMillis()
+    @volatile var currentTask: Int = -1 // ref current_task ({} when unset)
   }
   private val workers =
     new java.util.concurrent.CopyOnWriteArrayList[WorkerEntry]()
@@ -110,7 +146,7 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
   def boundPort: Int = server.getLocalPort
   def isShutdown: Boolean = shutdownFlag
   def failedJobCount: Int = failedJobs
-  def finishedCount: Int = tasksFinished
+  def finishedCount: Int = tasksFinished.get
   def droppedJobCount: Int = droppedJobs
   /** Registration-ordered (host, port, state) snapshot — test probe. */
   def workerStates: Seq[(String, Int, String)] = {
@@ -126,6 +162,10 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
   private def connectionRefused(workerHost: String): Unit = {
     import scala.jdk.CollectionConverters._
     for (w <- workers.asScala if w.host == workerHost && w.state != "dead") {
+      // a busy worker's in-flight task goes back on the failed queue
+      // for re-dispatch (ref :62-64)
+      if (w.state == "busy" && w.currentTask >= 0)
+        failedTasks.add(w.currentTask)
       println("worker died") // ref :64
       w.state = "dead"
     }
@@ -172,7 +212,7 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
   private def handleFinished(dict: java.util.Map[String, Object]): Unit = {
     import scala.jdk.CollectionConverters._
     println("RECEIVED FINISHED MESSAGE") // ref :198
-    tasksFinished += 1
+    tasksFinished.incrementAndGet()
     for {
       wHost <- Option(dict.get("worker_host")).map(_.toString)
       wPort <- Option(dict.get("worker_port")).map(_.toString.toInt)
@@ -279,12 +319,119 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
     while (!shutdownFlag) {
       val now = System.currentTimeMillis()
       for (w <- workers.asScala
-           if now - w.lastHeartbeat > heartbeatTimeoutMs && w.state != "dead")
-        w.state = "dead" // busy-task reassignment is Spark's job here
+           if now - w.lastHeartbeat > heartbeatTimeoutMs && w.state != "dead") {
+        // reference fault_tolerance (ref :426-438): a silent busy
+        // worker's task is queued for re-dispatch before it dies
+        if (w.state == "busy" && w.currentTask >= 0)
+          failedTasks.add(w.currentTask)
+        w.state = "dead"
+      }
       try Thread.sleep(faultPollMs)
       catch { case _: InterruptedException => () }
     }
   }, "graft-manager-fault")
+
+  // ---- over-the-wire task dispatch (reference run_job, ref :212-424) ----
+
+  /** Block until a ready worker exists (1 s poll, ref :262-263), mark it
+    * busy with this task, and send it the message. A refused connect
+    * routes through connectionRefused, which re-queues the task. Returns
+    * false only when shutdown arrived while waiting. */
+  private def dispatchTask(taskId: Int,
+      mkMsg: (String, Int) => String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    while (!shutdownFlag) {
+      workers.asScala.find(_.state == "ready") match {
+        case Some(w) =>
+          // reference order (ref :257-275): mark busy + current_task
+          // FIRST, then connect-and-send — a refused send then lands the
+          // task on the failed queue via connection_refused
+          w.state = "busy"
+          w.currentTask = taskId
+          sendToWorker(w.host, w.port, mkMsg(w.host, w.port))
+          return true
+        case None => Thread.sleep(workerPollMs)
+      }
+    }
+    false
+  }
+
+  /** The reference's phase barrier (ref :280-323 map, :377-420 reduce):
+    * spin until `n` finished messages arrived AND no failed task is
+    * pending, re-dispatching failures as ready workers appear. */
+  private def awaitPhase(n: Int, mkMsg: Int => (String, Int) => String): Unit =
+    while (!shutdownFlag &&
+        (!failedTasks.isEmpty || tasksFinished.get != n)) {
+      val t = failedTasks.poll()
+      if (t != null) dispatchTask(t, mkMsg(t))
+      else Thread.sleep(100)
+    }
+
+  /** One job over the wire: partition → new_map_task fleet → barrier →
+    * new_reduce_task fleet → barrier. Workers write all output (map to
+    * the shared tmpdir, reduce to the job's output_directory). */
+  private def runWireJob(job: java.util.Map[String, Object]): Unit = {
+    val jobId = job.get("job_id").toString.toInt
+    val nm = job.get("num_mappers").toString.toInt
+    val nr = job.get("num_reducers").toString.toInt
+    val inputDir = job.get("input_directory").toString
+    val outputDir = job.get("output_directory").toString
+    val tmpdir = (sharedDir match {
+      case Some(d) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(d), f"mapreduce-shared-job$jobId%05d-")
+      case None => java.nio.file.Files
+        .createTempDirectory(f"mapreduce-shared-job$jobId%05d-")
+    }).toFile
+    def msgJson(msgType: String, taskId: Int, inputs: Vector[String],
+        exe: String, outDir: String, extra: Map[String, Object])(
+        wHost: String, wPort: Int): String = {
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("message_type", msgType)
+      m.put("task_id", Integer.valueOf(taskId))
+      m.put("input_paths", java.util.List.copyOf(
+        scala.jdk.CollectionConverters.SeqHasAsJava(inputs).asJava))
+      m.put("executable", exe)
+      m.put("output_directory", outDir)
+      extra.foreach { case (k, v) => m.put(k, v) }
+      m.put("worker_host", wHost)
+      m.put("worker_port", Integer.valueOf(wPort))
+      mapper.writeValueAsString(m)
+    }
+    try {
+      val files = Option(new java.io.File(inputDir).list())
+        .getOrElse(Array.empty[String]).toSeq
+      val partitions = WireDispatch.inputPartition(files, nm, inputDir)
+      // MAP (documented deviation: reset the finished counter here — the
+      // reference's only reset is between phases, see the class scaladoc)
+      tasksFinished.set(0)
+      failedTasks.clear()
+      def mapMsg(taskId: Int): (String, Int) => String =
+        msgJson("new_map_task", taskId, partitions(taskId),
+          job.get("mapper_executable").toString, tmpdir.getPath,
+          Map("num_partitions" -> Integer.valueOf(nr)))
+      for (i <- 0 until nm if !shutdownFlag) dispatchTask(i, mapMsg(i))
+      awaitPhase(nm, mapMsg)
+      if (shutdownFlag) return
+      // REDUCE (ref :325-334)
+      tasksFinished.set(0)
+      failedTasks.clear()
+      val shuffleFiles = Option(tmpdir.list())
+        .getOrElse(Array.empty[String]).toSeq
+      val reduceParts =
+        WireDispatch.inputPartitionReduce(shuffleFiles, nr, tmpdir.getPath)
+      def redMsg(taskId: Int): (String, Int) => String =
+        msgJson("new_reduce_task", taskId, reduceParts(taskId),
+          job.get("reducer_executable").toString, outputDir, Map.empty)
+      for (i <- 0 until nr if !shutdownFlag) dispatchTask(i, redMsg(i))
+      awaitPhase(nr, redMsg)
+      if (!shutdownFlag) Thread.sleep(1000) // ref :421
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(tmpdir)
+    }
+  }
 
   private val runnerThread = new Thread(() => {
     // drain mode keeps accepted work; strict mode mirrors the reference
@@ -300,8 +447,10 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
           "-r", job.get("reducer_executable").toString,
           "--nmappers", job.get("num_mappers").toString,
           "--nreducers", job.get("num_reducers").toString)
-        try runner(spark, argv)
-        catch { case scala.util.control.NonFatal(e) =>
+        try {
+          if (dispatchToWorkers) runWireJob(job)
+          else runner(spark, argv)
+        } catch { case scala.util.control.NonFatal(e) =>
           failedJobs += 1
           System.err.println(
             s"job ${job.get("job_id")} failed: " +
@@ -341,17 +490,24 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
 
 object ManagerServer {
   /** `runMain graft.mr.ManagerServer [--host h] [--port p]
-    * [--strict-shutdown]` — listen until a shutdown message arrives
-    * (reference default port 6000, map_reduce/bin/mapreduce:24). */
+    * [--strict-shutdown] [--dispatch-workers]` — listen until a shutdown
+    * message arrives (reference default port 6000,
+    * map_reduce/bin/mapreduce:24). With `--dispatch-workers`, jobs are
+    * sent to registered `mapreduce-worker` processes as
+    * new_map_task/new_reduce_task messages instead of running on Spark. */
   def main(args: Array[String]): Unit = {
     var host = "localhost"
     var port = 6000
     var strict = false
+    var dispatch = false
+    var shared: Option[String] = None
     var rest = args.toList
     while (rest.nonEmpty) rest = rest match {
       case "--host" :: v :: t => host = v; t
       case "--port" :: v :: t => port = v.toInt; t
       case "--strict-shutdown" :: t => strict = true; t
+      case "--dispatch-workers" :: t => dispatch = true; t
+      case "--shared-dir" :: v :: t => shared = Some(v); t
       case other =>
         throw new IllegalArgumentException(s"unknown option: ${other.head}")
     }
@@ -363,7 +519,8 @@ object ManagerServer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srv = new ManagerServer(spark, host, port,
-      strictShutdown = strict).start()
+      strictShutdown = strict, dispatchToWorkers = dispatch,
+      sharedDir = shared).start()
     try srv.awaitTermination()
     finally spark.stop()
   }

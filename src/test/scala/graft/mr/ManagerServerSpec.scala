@@ -298,6 +298,146 @@ class ManagerServerSpec extends SparkSpec {
     }
   }
 
+  test("dispatch mode: REAL reference workers run a word-count job over the wire; output byte-identical to Submit") {
+    // the full reference experience end-to-end: this manager partitions
+    // the job with WireDispatch, sends new_map_task/new_reduce_task to
+    // two UNMODIFIED reference worker processes, drains their finished
+    // messages through the phase barriers, and the workers themselves
+    // write every byte of output — which must equal what the in-process
+    // Spark path (Submit.run) produces for the same job.
+    val refRoot = new java.io.File("/root/reference/map_reduce")
+    val pyOk =
+      try new ProcessBuilder("python3", "-c", "import click").start()
+        .waitFor() == 0
+      catch { case _: Exception => false }
+    if (!new java.io.File(refRoot, "mapreduce/worker/__main__.py").exists
+        || !pyOk)
+      cancel("reference worker or python3+click unavailable")
+
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    val in = tmpDir("mgr-wire-in")
+    // 4 files for 2 mappers: the reference worker binary crashes on an
+    // empty input_paths task (all_files unbound), so keep nm <= files —
+    // exactly as a reference user must
+    Files.writeString(Paths.get(in, "a.txt"), "to be or not to be\n")
+    Files.writeString(Paths.get(in, "b.txt"), "be the change\n")
+    Files.writeString(Paths.get(in, "c.txt"), "or not or else\n")
+    Files.writeString(Paths.get(in, "d.txt"), "to the lighthouse\n")
+    val expectOut = tmpDir("mgr-wire-exp") + "/exp"
+    Submit.run(spark, Seq("-i", in, "-o", expectOut, "-m", mapSh,
+      "-r", reduceSh, "--nmappers", "2", "--nreducers", "2"))
+
+    val out = tmpDir("mgr-wire-out") + "/got"
+    // sharedDir must be same-filesystem with the python workers' /tmp
+    // (see the ManagerServer param scaladoc): java.io.tmpdir here is
+    // /dev/shm and a cross-device move would copy the worker's map
+    // output BEFORE its buffered sorted rewrite flushed
+    val srv = new ManagerServer(spark, port = 0,
+      dispatchToWorkers = true, sharedDir = Some("/tmp")).start()
+    val logs = Seq.fill(2)(Files.createTempFile("ref-worker-job", ".log"))
+    val ports = Seq.fill(2) {
+      val p = new java.net.ServerSocket(0)
+      val n = p.getLocalPort; p.close(); n
+    }
+    val procs = ports.zip(logs).map { case (wPort, log) =>
+      val pb = new ProcessBuilder("python3", "-m", "mapreduce.worker",
+        "--port", wPort.toString,
+        "--manager-port", srv.boundPort.toString)
+      pb.environment().put("PYTHONPATH", refRoot.getAbsolutePath)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log.toFile)
+      pb.start()
+    }
+    def logsText(): String =
+      logs.map(l => Files.readString(l)).mkString("\n---\n")
+    try {
+      ports.foreach { p =>
+        assert(awaitState(srv, p, "ready", 20000),
+          s"reference worker $p never registered; logs:\n" + logsText())
+      }
+      send(srv.boundPort, jobJson(in, out, mapSh, reduceSh, nm = 2, nr = 2))
+      // both reduce parts must appear, written by the WORKERS; moves can
+      // be cross-device (copy+delete), so poll until content stabilizes
+      // at the expected bytes instead of racing the copy
+      val expect = (0 to 1).map { i =>
+        Files.readAllBytes(Paths.get(expectOut, f"part-$i%05d")).toSeq
+      }
+      def gotEqual: Boolean = (0 to 1).forall { i =>
+        val p = Paths.get(out, f"part-$i%05d")
+        Files.exists(p) && Files.readAllBytes(p).toSeq == expect(i)
+      }
+      val t0 = System.currentTimeMillis()
+      while (!gotEqual && System.currentTimeMillis() - t0 < 90000)
+        Thread.sleep(200)
+      assert(gotEqual,
+        "worker-written output never matched Submit's bytes; logs:\n" +
+          logsText())
+      assert(srv.failedJobCount === 0)
+    } finally {
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      procs.foreach { p =>
+        if (!p.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+      }
+      srv.awaitTermination()
+    }
+  }
+
+  test("dispatch mode: a worker dying mid-phase gets its task re-dispatched (reference retry semantics)") {
+    // FakeWorker twins: worker A accepts its map task and goes SILENT;
+    // fault tolerance must queue task 0 for reassignment, and worker B
+    // (registering later) must receive the SAME task_id with the SAME
+    // input_paths. B then answers every dispatch with `finished`, driving
+    // both phases to completion.
+    val in = tmpDir("mgr-retry-in")
+    Files.writeString(Paths.get(in, "a.txt"), "x y\n")
+    val out = tmpDir("mgr-retry-out") + "/o"
+    val srv = new ManagerServer(spark, port = 0, dispatchToWorkers = true,
+      heartbeatTimeoutMs = 800, faultPollMs = 100,
+      workerPollMs = 100).start()
+    val a = new FakeWorker(srv.boundPort)
+    val b = new FakeWorker(srv.boundPort)
+    try {
+      a.register()
+      assert(a.awaitMessage() != null) // ack
+      a.heartbeat()
+      send(srv.boundPort, jobJson(in, out, "/bin/cat", "/bin/cat",
+        nm = 1, nr = 1))
+      val taskA = a.awaitMessage()
+      assert(taskA != null && taskA.get("message_type") === "new_map_task",
+        s"worker A never got the map task: $taskA")
+      assert(taskA.get("task_id").toString.toInt === 0)
+      // A never heartbeats again and never reports finished → dead;
+      // B registers and must inherit task 0
+      b.register()
+      assert(b.awaitMessage() != null) // ack
+      val hb = new Thread(() => while (!Thread.interrupted()) {
+        b.heartbeat(); Thread.sleep(200)
+      })
+      hb.setDaemon(true); hb.start()
+      val taskB = b.awaitMessage(20000)
+      assert(taskB != null, "task 0 never re-dispatched after A died")
+      assert(taskB.get("message_type") === "new_map_task")
+      assert(taskB.get("task_id").toString.toInt === 0)
+      assert(taskB.get("input_paths") === taskA.get("input_paths"),
+        "re-dispatch must carry the same input_paths")
+      b.finished() // map phase barrier opens
+      val reduceB = b.awaitMessage(20000)
+      assert(reduceB != null && reduceB.get("message_type") ===
+        "new_reduce_task", s"reduce task not dispatched: $reduceB")
+      assert(reduceB.get("output_directory") === out)
+      b.finished() // reduce phase barrier opens; job completes
+      Thread.sleep(1500) // ride out the reference's post-job 1 s sleep
+      assert(srv.failedJobCount === 0)
+      hb.interrupt()
+    } finally {
+      a.close(); b.close()
+      send(srv.boundPort, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+    }
+  }
+
   test("strict shutdown drops queued jobs; default drain runs them (both modes pinned)") {
     import java.util.concurrent.CountDownLatch
     def stubManager(strict: Boolean): (ManagerServer, CountDownLatch,
