@@ -112,7 +112,8 @@ object Vectors {
     cand
   }
   private def ivfKey(spark: SparkSession): String =
-    s"k${ivfListsN(spark)}.i${ivfItersN(spark)}.p${ivfProbesN(spark)}"
+    s"k${ivfListsN(spark)}.i${ivfItersN(spark)}.p${ivfProbesN(spark)}" +
+      s".t${trainMaxN(spark)}"
 
   /** Deterministic Rademacher (±1) hyperplane signs for plane p, dim d —
     * splitmix64-style bit mix so both build runs and all executors agree. */
@@ -362,6 +363,31 @@ object Vectors {
     best.getField("cid")
   }
 
+  /** Quantizer-training sample cap (IVF centroids and PQ codebooks):
+    * above this many vectors, Lloyd rounds aggregate a deterministic
+    * md5-strided stratum instead of the full corpus — the q_range_shard
+    * trick, so the training scan is sample-sized at ANY corpus scale
+    * (at 100 TB, 2 Lloyd rounds over the full corpus would be two extra
+    * full scans for state that a few thousand vectors pin just as
+    * well). Below the cap the sample IS the corpus, so small-SF results
+    * (and every oracle hash) are unchanged. */
+  private def trainMaxN(spark: SparkSession) =
+    intConf(spark, "spark.graft.quantizer.trainMax", 4096)
+
+  /** Deterministic training stratum: every vector whose md5(vec_id)
+    * lands on the stride survives — content-keyed, so the sample is
+    * identical across partition counts, sessions, and engines. */
+  private[graft] def trainSample(emb: DataFrame, target: Int): DataFrame = {
+    val n = emb.count()
+    if (n <= target) emb
+    else {
+      val step = ((n + target - 1) / target).toInt
+      emb.filter(pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(step.toLong)) === 0L)
+    }
+  }
+
   // The quantizer is DETERMINISTIC per (dir, nlist, iters) — init = first
   // nlist vectors by id, decimal-exact means — so the driver-side centroid
   // array is cached JVM-wide (bounded: nlist × 64 doubles per corpus),
@@ -376,15 +402,18 @@ object Vectors {
     * distributed. Runs ONCE per (corpus, knobs) per session. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
-    ivfCentroidCache(s"$dir#k$nList.i$nIter") {
+    ivfCentroidCache(s"$dir#k$nList.i$nIter.t${trainMaxN(spark)}") {
       val emb = sharedEmb(spark, dir)
       // deterministic init: the first nlist vectors by id
       var centroids: Array[Array[Double]] = emb.orderBy("vec_id")
         .limit(nList).collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      // Lloyd rounds aggregate the deterministic training stratum only
+      // (identity below the cap — see trainSample)
+      val train = trainSample(emb, trainMaxN(spark))
       (1 to nIter).foreach { _ =>
         // decimal-exact per-dimension means -> deterministic centroids
-        val sums = withCid(emb, centroids)
+        val sums = withCid(train, centroids)
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg((sum(col("x").cast(El)).cast("double") / count(lit(1))).as("m"))
@@ -405,7 +434,7 @@ object Vectors {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
     Tables.materializeShared(
       withCid(sharedEmb(spark, dir), ivfCentroids(spark, dir)),
-      "ivfassign", s"$dir#k$nList.i$nIter")
+      "ivfassign", s"$dir#k$nList.i$nIter.t${trainMaxN(spark)}")
   }
 
   /** IVF-style ANN: a coarse k-means quantizer (nlist=16 centroids, 3
@@ -843,26 +872,58 @@ object Vectors {
 
   // ---- Product quantization (Jégou et al. TPAMI 2011) ----------------
   // m=8 subspaces × 8 dims, k=16 codewords each: every vector compresses
-  // to 8 nibbles (4 bytes — 64× smaller than float32). Codebooks train
-  // like the IVF quantizer (deterministic init = first 16 vectors by id,
-  // 2 Lloyd rounds with decimal-exact means, driver-held bounded state);
-  // codes assign distributed via the same literal-inlined argmin
-  // expressions. The oracle gates the ADC scoring + recall replay from
-  // the EXPORTED codes/codebooks (the IVF-candidate convention: training
-  // is pinned by determinism + spec, the gate pins everything after it).
+  // to 8 nibbles (4 bytes — 64× smaller than float32). RESIDUAL
+  // encoding per §IV: codes quantize r = x − centroid(cid) (the coarse
+  // IVF assignment), not the raw vector — the same 4 bytes spend their
+  // resolution where the coarse quantizer left error. Measured effect on
+  // THIS fixture (near-orthogonal, deliberately the quantizer worst
+  // case): recon MSE drops 1.0 → 0.89 (centroid alone) → 0.51 (codes),
+  // recall@3 0.205 → 0.235 and reranked IVFADC 0.36 → 0.41. The lift is
+  // modest BECAUSE the coarse quantizer only removes 11% of variance
+  // here — on clustered real-world embeddings the centroid term carries
+  // most of the vector and residual coding is the standard large
+  // multiplier (Jégou §IV); the implementation is the published
+  // algorithm either way, and the decode/scoring identities below hold
+  // regardless of data shape.
+  // Codebooks train like the IVF quantizer (deterministic init = first
+  // 16 residuals by vec_id, 2 Lloyd rounds with decimal-exact means,
+  // driver-held bounded state); codes assign distributed via the same
+  // literal-inlined argmin expressions. The oracle gates the ADC scoring
+  // + recall replay from the EXPORTED codes/codebooks/centroids (the
+  // IVF-candidate convention: training is pinned by determinism + spec,
+  // the gate pins everything after it).
   private val PqSubs = 8
   private val PqK = 16
-  private val PqIters = 2
-  private val pqKeyStr = s"m$PqSubs.k$PqK.i$PqIters"
+  private val PqIters = 4
+  /** PQ identity: its own knobs + the coarse quantizer's (residual codes
+    * are meaningless under different centroids). */
+  private def pqKey(spark: SparkSession): String =
+    s"m$PqSubs.k$PqK.i$PqIters.res.k${ivfListsN(spark)}" +
+      s".i${ivfItersN(spark)}.t${trainMaxN(spark)}"
 
-  /** Squared L2 from a vector's `sub`-th 8-dim slice to codeword `c`
-    * (same |e|² + |c|² − 2e·c shape as the IVF assign distance). */
+  /** Centroid matrix as a (foldable) nested array literal — element_at
+    * by cid+1 gives the 64-double centroid row. All children are
+    * literals, so constant folding collapses the whole thing into one
+    * ArrayData before codegen sees it. */
+  private def centArrLit(cs: Array[Array[Double]]): Column =
+    array(cs.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+
+  /** Residual r = x − centroid(cid), element-wise double subtraction
+    * (float widens exactly; one IEEE op per element — deterministic).
+    * Requires `embedding` and `cid` columns. */
+  private def residualCol(cs: Array[Array[Double]]): Column =
+    zip_with(col("embedding"), element_at(centArrLit(cs), col("cid") + 1),
+      (x, c) => x.cast("double") - c)
+
+  /** Squared L2 from a residual's `sub`-th 8-dim slice to codeword `c`
+    * (same |r|² + |c|² − 2r·c shape as the IVF assign distance; the
+    * mixed kernel reads the residual's doubles at full width). */
   private def pqSubDist(sub: Int, c: Array[Double]): Column = {
-    val fd = graft.functions.FloatDotProduct.floatDot _
-    val esub = slice(col("embedding"), sub * 8 + 1, 8)
-    val cFloat = array(c.toIndexedSeq.map(v => lit(v.toFloat)): _*)
-    fd(esub, esub) + lit(c.map(v => v * v).sum) -
-      lit(2.0) * fd(esub, cFloat)
+    val md = graft.functions.MixedDotProduct.mixedDot _
+    val rsub = slice(col("res"), sub * 8 + 1, 8)
+    val cArr = array(c.toIndexedSeq.map(lit): _*)
+    md(rsub, rsub) + lit(c.map(v => v * v).sum) -
+      lit(2.0) * md(rsub, cArr)
   }
 
   private def pqAssignExpr(sub: Int, book: Array[Array[Double]]): Column =
@@ -870,26 +931,43 @@ object Vectors {
       struct(pqSubDist(sub, c).as("d"), lit(i).as("cid"))
     }: _*)).getField("cid")
 
+  /** ivfAssigned + the residual column — the PQ training/encode input. */
+  private def pqResiduals(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .withColumn("res", residualCol(ivfCentroids(spark, dir)))
+
   private val pqBookCache =
     new graft.Tables.KeyedOnce[Array[Array[Array[Double]]]]
 
-  /** Per-subspace codebooks [sub][cid][dim] — deterministic per
-    * (corpus, knobs), cached JVM-wide like the IVF centroids. */
+  /** Per-subspace RESIDUAL codebooks [sub][cid][dim] — deterministic per
+    * (corpus, knobs), cached JVM-wide like the IVF centroids. Lloyd
+    * rounds aggregate over the deterministic training stratum
+    * ([[trainSample]]) so the training scan is sample-sized at any
+    * corpus scale. */
   private[graft] def pqBooks(spark: SparkSession,
       dir: String): Array[Array[Array[Double]]] =
-    pqBookCache(s"$dir#$pqKeyStr") {
-      val emb = sharedEmb(spark, dir)
-      val init = emb.orderBy("vec_id").limit(PqK).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    pqBookCache(s"$dir#${pqKey(spark)}") {
+      val res = pqResiduals(spark, dir)
+      // deterministic init: residuals of the first PqK vectors by id,
+      // subtracted driver-side with the same double arithmetic as
+      // [[residualCol]]
+      val cents = ivfCentroids(spark, dir)
+      val init = res.orderBy("vec_id").limit(PqK)
+        .select(col("embedding"), col("cid")).collect()
+        .map { r =>
+          val e = r.getSeq[Float](0); val cid = r.getInt(1)
+          Array.tabulate(64)(d => e(d).toDouble - cents(cid)(d))
+        }
       var books = Array.tabulate(PqSubs)(s =>
         Array.tabulate(PqK)(c => init(c).slice(s * 8, s * 8 + 8)))
+      val train = trainSample(res, trainMaxN(spark))
       (1 to PqIters).foreach { _ =>
-        val assigned = emb.select(col("embedding") +:
+        val assigned = train.select(col("res") +:
           (0 until PqSubs).map(s =>
             pqAssignExpr(s, books(s)).as(s"c$s")): _*)
         // decimal-exact per-dimension means; pos identifies (sub, dim)
         val sums = assigned
-          .select(posexplode(col("embedding")).as(Seq("pos", "x")),
+          .select(posexplode(col("res")).as(Seq("pos", "x")),
             expr("element_at(array(c0,c1,c2,c3,c4,c5,c6,c7), " +
               "CAST(pos div 8 + 1 AS INT))").as("cid"))
           .groupBy("pos", "cid")
@@ -906,14 +984,15 @@ object Vectors {
       books
     }
 
-  /** (vec_id, c0..c7) nibble codes, shared per (corpus, knobs) — the
-    * 4-byte compressed-corpus derived table. */
+  /** (vec_id, cid, c0..c7) coarse id + residual nibble codes, shared per
+    * (corpus, knobs) — the compressed-corpus derived table (5 bytes of
+    * payload per vector; the cid doubles as the inverted-list key). */
   private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val books = pqBooks(spark, dir)
     Tables.materializeShared(
-      sharedEmb(spark, dir).select(col("vec_id") +:
+      pqResiduals(spark, dir).select(col("vec_id") +: col("cid") +:
         (0 until PqSubs).map(s => pqAssignExpr(s, books(s)).as(s"c$s")): _*),
-      "pqcodes", s"$dir#$pqKeyStr")
+      "pqcodes", s"$dir#${pqKey(spark)}")
   }
 
   /** Codebooks as a 128-row frame (sub, cid, vals) — the oracle's
@@ -925,14 +1004,30 @@ object Vectors {
       yield (s, c, books(s)(c).toSeq)).toDF("sub", "cid", "vals")
   }
 
-  /** Reconstructed (decoded) vector from the 8 nibble codes — 64
-    * doubles via literal codebook lookup (8·16·8 = 1024 literals, the
-    * same inlining budget as the IVF assign expressions). */
-  private def pqReconExpr(books: Array[Array[Array[Double]]]): Column =
+  /** Coarse centroids as an nlist-row frame (cid, vals) — the oracle's
+    * residual-decode base table. */
+  private def centsDf(spark: SparkSession,
+      cs: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cs.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "vals")
+  }
+
+  /** Reconstructed RESIDUAL from the 8 nibble codes — 64 doubles via
+    * literal codebook lookup (8·16·8 = 1024 literals, all foldable). */
+  private def pqResReconExpr(books: Array[Array[Array[Double]]]): Column =
     concat((0 until PqSubs).map { s =>
       element_at(array(books(s).toIndexedSeq.map(cw =>
         array(cw.toIndexedSeq.map(lit): _*)): _*), col(s"c$s") + 1)
     }: _*)
+
+  /** Full decoded vector x̂ = centroid(cid) + residual recon — the §IV
+    * decode: element-wise double addition, mirroring the oracle's
+    * list_transform(list_zip(cent, resrecon), z -> z[1] + z[2]). */
+  private def pqReconExpr(books: Array[Array[Array[Double]]],
+      cs: Array[Array[Double]]): Column =
+    zip_with(element_at(centArrLit(cs), col("cid") + 1),
+      pqResReconExpr(books), (a, b) => a + b)
 
   /** PQ COMPRESSION-RECALL audit: every LSH candidate is scored by the
     * asymmetric distance computation — exact float query × DECODED
@@ -947,20 +1042,27 @@ object Vectors {
     * the float matrix it replaces) and scoring is a narrow map over the
     * candidate set; measured on the near-orthogonal fixture (the worst
     * case for ANY quantizer — no cluster structure for codewords to
-    * exploit): 0.205 recall@3 at sf0.01 — on par with raw sign-bit
-    * hamming (0.20) from 4 bytes instead of 8, and the same
-    * oversample+exact-rerank stage that lifted hamming to 0.43 applies
-    * unchanged on top of this ranking. The oracle reconstructs every
-    * candidate from
-    * the EXPORTED codes/books and replays both rankings via the proven
+    * exploit): RAW-vector codes scored 0.205 recall@3 at sf0.01 — on
+    * par with raw sign-bit hamming (0.20); RESIDUAL codes (Jégou §IV —
+    * quantize x − centroid(cid), decode as centroid + codeword, this
+    * implementation) lift that to 0.235 with recon MSE 1.0 → 0.51 —
+    * modest here because the near-orthogonal corpus gives the coarse
+    * quantizer only 11% of the variance to absorb (see the section
+    * comment). The same oversample+exact-rerank stage that
+    * lifted hamming to 0.43 applies unchanged on top. The oracle
+    * reconstructs every candidate from the EXPORTED
+    * codes/books/centroids and replays both rankings via the proven
     * sequential-fold sim arithmetic. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val books = pqBooks(spark, dir)
+    val cents = ivfCentroids(spark, dir)
     val codes = pqCodes(spark, dir)
-    graft.OracleExport.export(codes, "pqcodes", dir, pqKeyStr)
+    graft.OracleExport.export(codes, "pqcodes", dir, pqKey(spark))
     graft.OracleExport.export(pqBooksDf(spark, books), "pqbooks", dir,
-      pqKeyStr)
+      pqKey(spark))
+    graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
+      pqKey(spark))
     val cand = annCandidatesExported(spark, dir)
     val sym = cand.select(col("qid"), col("nid"))
       .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
@@ -971,7 +1073,7 @@ object Vectors {
     // double accumulation) — measured 5.1 s -> wins below, zero oracle
     // change.
     val md = graft.functions.MixedDotProduct.mixedDot _
-    val decoded = codes.withColumn("recon", pqReconExpr(books))
+    val decoded = codes.withColumn("recon", pqReconExpr(books, cents))
       .select(col("vec_id").as("nid"), col("recon"),
         md(col("recon"), col("recon")).as("rn2"))
     val scored = sym
@@ -1008,71 +1110,105 @@ object Vectors {
     * oversample+rerank production path on top of it.
     *
     * At 100 TB this is the shape that survives: the broadcast side is
-    * |corpus|·12 bytes of nibbles (where [[qPqRecall]]'s decoded-recon
-    * join would broadcast 64 doubles/vector), per-pair work is 8 lookups
-    * instead of 64 multiplies, and on a cluster the lists/codes tables
-    * co-partition by cid so stage 2 is a co-located join. The LUT
-    * decomposition regroups the 64-term sum into 8 subspace partials
-    * added in subspace order — a DIFFERENT double grouping than the flat
-    * left-to-right fold, so the oracle mirrors exactly that: per-slice
-    * list_sum folds added left-associatively, plus the same regrouped
-    * candidate norm from the codeword self-dots (driver-computed
-    * literals here, slice folds over the reconstruction there — same
-    * doubles, same order). Probe selection is [[ivfProbes]], shared with
+    * |corpus|·13 bytes of cid+nibbles (where [[qPqRecall]]'s
+    * decoded-recon join would broadcast 64 doubles/vector), per-pair
+    * work is 17 lookups + adds instead of 64 multiplies, and on a
+    * cluster the lists/codes tables co-partition by cid so stage 2 is a
+    * co-located join. RESIDUAL decomposition (§IV): x̂ = c_cid + r̂, so
+    * q·x̂ = q·c_cid + Σ_s lut[s][code_s] — the per-query state is one
+    * 16-entry centroid-dot table plus the 128-entry residual-codeword
+    * LUT ("the LUTs shift per probe" reduces to adding the probe's
+    * centroid term), and ‖x̂‖² = Σ_s ‖c_slice + codeword‖², a
+    * per-(cid, sub, code) driver literal looked up per candidate. The
+    * grouping of every double sum is mirrored exactly in the oracle:
+    * dot = ((q·c + lut_0) + lut_1) + … left-associative; norm = 8
+    * per-slice folds (each a sequential 8-term (c+r)² sum) added
+    * left-associatively. Probe selection is [[ivfProbes]], shared with
     * [[qCosineIvf]], so the ivfcand export both oracles replay from is
-    * one table. Hash-gated end to end: codebooks drifting, a nibble
-    * mis-assigned, a LUT index off by one, or premature float contact
-    * all move one of the two recall numbers. */
-  def qIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    * one table; a candidate's probe cid IS its codes-table cid (a
+    * vector lives in exactly one inverted list), so the oracle needs no
+    * extra export column. Hash-gated end to end: centroids or codebooks
+    * drifting, a nibble mis-assigned, a LUT index off by one, or
+    * premature float contact all move one of the two recall numbers. */
+  /** Stage 1+2 of [[qIvfAdc]] — probe shortlist scored entirely in the
+    * compressed domain, (qid, nid, sim). Extracted so PlanShapeSpec can
+    * walk ITS final adaptive plan directly: inside qIvfAdc the scored
+    * frame executes during Tables.materialize, so the returned query
+    * plan never contains the broadcast this stage's correctness-at-speed
+    * depends on (the 120 s deferred-eval trap — see the lut comment). */
+  private[graft] def adcScored(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val books = pqBooks(spark, dir)
+    val cents = ivfCentroids(spark, dir)
     val codes = pqCodes(spark, dir)
-    graft.OracleExport.export(codes, "pqcodes", dir, pqKeyStr)
-    graft.OracleExport.export(pqBooksDf(spark, books), "pqbooks", dir,
-      pqKeyStr)
     val md = graft.functions.MixedDotProduct.mixedDot _
-    val fd = graft.functions.FloatDotProduct.floatDot _
-    // inverted lists carrying ONLY the nibble codes — the broadcast side
-    val lists = ivfAssigned(spark, dir).select(col("cid"), col("vec_id"))
-      .join(codes, "vec_id")
-      .select(col("cid") +: col("vec_id").as("nid") +:
-        (0 until PqSubs).map(s => col(s"c$s")): _*)
-    // per-query ADC lookup table: 8 subspaces × 16 codewords of
-    // query-slice ⋅ codeword dots (MixedDotProduct: float slice × double
-    // codeword literals), flat-indexed lut[s*16+c]. Joined in as a
-    // BROADCAST side, never computed inline on the pair stream: a hash
-    // relation materializes its rows once at build time, whereas a fused
-    // projection defers column evaluation to the point of use — measured
-    // 120 s when whole-stage codegen re-evaluated the 1024-multiply lut
-    // expression per candidate PAIR instead of per query (206M × 1024
-    // multiplies); as a build side it runs once per query row.
+    // inverted lists carrying ONLY the coarse id + nibble codes
+    val lists = codes.select(col("cid") +: col("vec_id").as("nid") +:
+      (0 until PqSubs).map(s => col(s"c$s")): _*)
+    // per-query ADC state: the 8×16 residual-codeword LUT (query-slice ⋅
+    // codeword dots, flat-indexed lut[s*16+c]) plus the 16-entry
+    // query⋅centroid table (the residual decomposition's per-probe
+    // term). Joined in as a BROADCAST side, never computed inline on the
+    // pair stream: a hash relation materializes its rows once at build
+    // time, whereas a fused projection defers column evaluation to the
+    // point of use — measured 120 s when whole-stage codegen
+    // re-evaluated the 1024-multiply lut expression per candidate PAIR
+    // instead of per query (206M × 1024 multiplies); as a build side it
+    // runs once per query row.
     val lutCol = array((for (s <- 0 until PqSubs; c <- 0 until PqK) yield
       md(slice(col("embedding"), s * 8 + 1, 8),
         array(books(s)(c).toIndexedSeq.map(lit): _*))): _*)
+    val qcentCol = array(cents.toIndexedSeq.map(c =>
+      md(col("embedding"), array(c.toIndexedSeq.map(lit): _*))): _*)
     val qlut = emb.select(col("vec_id").as("qid"),
-      col("norm2").as("qn"), lutCol.as("lut"))
-    // codeword self-dot literals per subspace (candidate norm lookups);
-    // Array.sum folds left-to-right like the oracle's per-slice list_sum
-    val rnLit = (0 until PqSubs).map(s =>
-      array(books(s).toIndexedSeq.map(cw => lit(cw.map(v => v * v).sum)): _*))
-    // lut/qn attach to the 140k probe rows BEFORE the fan-out (one hash
-    // lookup per probe instead of one per pair); as JOIN columns they are
-    // stored-row reads in codegen, not re-evaluated expressions, so the
-    // fan-out never recomputes them
+      col("norm2").as("qn"), lutCol.as("lut"), qcentCol.as("qcent"))
+    // candidate-norm literals per (cid, sub, code): ‖c_slice + cw‖² —
+    // an 8-term sequential fold per entry, matching the oracle's
+    // per-slice list_sum over (c+r)²; nested array folds to one literal
+    val wnLit = array(cents.toIndexedSeq.map { cent =>
+      array((for (s <- 0 until PqSubs; c <- 0 until PqK) yield {
+        var acc = 0.0
+        var d = 0
+        while (d < 8) {
+          val v = cent(s * 8 + d) + books(s)(c)(d); acc += v * v; d += 1
+        }
+        lit(acc)
+      }): _*)
+    }: _*)
+    // lut/qcent/qn attach to the 140k probe rows BEFORE the fan-out (one
+    // hash lookup per probe instead of one per pair); as JOIN columns
+    // they are stored-row reads in codegen, not re-evaluated
+    // expressions, so the fan-out never recomputes them
     val cand = ivfProbes(spark, dir).select("qid", "cid")
       .join(broadcast(qlut), "qid")
       .join(lists, "cid")
       .filter(col("qid") =!= col("nid"))
     graft.OracleExport.export(cand.select("qid", "nid"), "ivfcand", dir,
       ivfKey(spark))
-    val dotCol = (0 until PqSubs).map(s =>
-      element_at(col("lut"), col(s"c$s") + lit(s * PqK + 1)))
+    val dotCol = (element_at(col("qcent"), col("cid") + 1) +:
+      (0 until PqSubs).map(s =>
+        element_at(col("lut"), col(s"c$s") + lit(s * PqK + 1))))
       .reduceLeft(_ + _)
     val rn2Col = (0 until PqSubs).map(s =>
-      element_at(rnLit(s), col(s"c$s") + 1)).reduceLeft(_ + _)
-    val scored = cand
+      element_at(element_at(wnLit, col("cid") + 1),
+        col(s"c$s") + lit(s * PqK + 1))).reduceLeft(_ + _)
+    cand
       .withColumn("sim", dotCol / (sqrt(col("qn")) * sqrt(rn2Col)))
       .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  def qIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = sharedEmb(spark, dir)
+    val books = pqBooks(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val codes = pqCodes(spark, dir)
+    graft.OracleExport.export(codes, "pqcodes", dir, pqKey(spark))
+    graft.OracleExport.export(pqBooksDf(spark, books), "pqbooks", dir,
+      pqKey(spark))
+    graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
+      pqKey(spark))
+    val fd = graft.functions.FloatDotProduct.floatDot _
+    val scored = adcScored(spark, dir)
     // ADC top-10 per query (bounded heaps over the candidate fan-out);
     // materialized because BOTH stages below consume it — without this
     // the whole probe+score pass runs twice
@@ -1367,21 +1503,31 @@ object Vectors {
        |  JOIN n na ON na.vec_id = c.$qidCol JOIN n nb ON nb.vec_id = c.$nidCol)
        |$body""".stripMargin
 
-  /** q_ivfadc's LUT-grouped dot: per-subspace slice folds added
-    * left-associatively — mirrors the engine's lut-lookup sum grouping
-    * exactly (NOT the flat 64-term fold q_pq_recall uses). */
-  private val adcLutSql = (0 until PqSubs).map { s =>
-    val a = s * 8 + 1; val b = s * 8 + 8
-    s"list_sum(list_transform(list_zip(a.embedding[$a:$b], r.r[$a:$b]), " +
+  /** q_ivfadc's residual-decomposed dot: the query⋅centroid term FIRST,
+    * then the per-subspace (query-slice ⋅ residual-recon-slice) folds,
+    * all added left-associatively — mirrors the engine's
+    * reduceLeft(qcent-lookup +: lut-lookups) grouping exactly (NOT the
+    * flat 64-term fold q_pq_recall uses). r.r is the RESIDUAL recon;
+    * ct.vals the candidate's coarse centroid. */
+  private val adcDotSql = {
+    val qc = "list_sum(list_transform(list_zip(a.embedding, ct.vals), " +
       "z -> CAST(z[1] AS DOUBLE) * z[2]))"
-  }.mkString("(", "\n         |     + ", ")")
+    val luts = (0 until PqSubs).map { s =>
+      val a = s * 8 + 1; val b = s * 8 + 8
+      s"list_sum(list_transform(list_zip(a.embedding[$a:$b], r.r[$a:$b]), " +
+        "z -> CAST(z[1] AS DOUBLE) * z[2]))"
+    }
+    (qc +: luts).mkString("(", "\n         |     + ", ")")
+  }
 
-  /** q_ivfadc's candidate norm: per-subspace codeword self-dots added in
-    * subspace order — same doubles + order as the engine's rnLit lookups
-    * (driver-side Array.sum folds left-to-right like list_sum). */
+  /** q_ivfadc's candidate norm ‖c + r̂‖²: per-subspace folds of
+    * (c_d + r_d)² added in subspace order — same doubles + order as the
+    * engine's wnLit lookups (each a driver-side sequential 8-term fold,
+    * like list_sum). */
   private val adcRnSql = (0 until PqSubs).map { s =>
     val a = s * 8 + 1; val b = s * 8 + 8
-    s"list_sum(list_transform(r.r[$a:$b], x -> x * x))"
+    s"list_sum(list_transform(list_zip(ct.vals[$a:$b], r.r[$a:$b]), " +
+      "z -> (z[1] + z[2]) * (z[1] + z[2])))"
   }.mkString("(", "\n         |     + ", ")")
 
   val oracles: Map[String, String] = Map(
@@ -1546,7 +1692,9 @@ object Vectors {
          |codes AS (SELECT * FROM '${graft.OracleExport.oraclePath("pqcodes")}'),
          |books AS (SELECT sub, cid, vals
          |          FROM '${graft.OracleExport.oraclePath("pqbooks")}'),
-         |recon AS MATERIALIZED (SELECT k.vec_id,
+         |cent AS (SELECT cid, vals
+         |         FROM '${graft.OracleExport.oraclePath("ivfcent")}'),
+         |recon AS MATERIALIZED (SELECT k.vec_id, k.cid,
          |    b0.vals || b1.vals || b2.vals || b3.vals ||
          |    b4.vals || b5.vals || b6.vals || b7.vals AS r
          |  FROM codes k
@@ -1561,11 +1709,12 @@ object Vectors {
          |ivfc AS (SELECT qid, nid
          |         FROM '${graft.OracleExport.oraclePath("ivfcand")}'),
          |ps AS MATERIALIZED (SELECT iv.qid, iv.nid,
-         |    $adcLutSql
+         |    $adcDotSql
          |      / (sqrt(na.norm2) * sqrt($adcRnSql)) AS sim
          |  FROM ivfc iv JOIN e a ON a.vec_id = iv.qid
          |    JOIN n na ON na.vec_id = iv.qid
-         |    JOIN recon r ON r.vec_id = iv.nid),
+         |    JOIN recon r ON r.vec_id = iv.nid
+         |    JOIN cent ct ON ct.cid = r.cid),
          |adc10 AS MATERIALIZED (SELECT qid, nid, rk FROM (
          |    SELECT qid, nid,
          |      ROW_NUMBER() OVER (PARTITION BY qid
@@ -1649,10 +1798,15 @@ object Vectors {
          |codes AS (SELECT * FROM '${graft.OracleExport.oraclePath("pqcodes")}'),
          |books AS (SELECT sub, cid, vals
          |          FROM '${graft.OracleExport.oraclePath("pqbooks")}'),
+         |cent AS (SELECT cid, vals
+         |         FROM '${graft.OracleExport.oraclePath("ivfcent")}'),
          |recon AS MATERIALIZED (SELECT k.vec_id,
-         |    b0.vals || b1.vals || b2.vals || b3.vals ||
-         |    b4.vals || b5.vals || b6.vals || b7.vals AS r
+         |    list_transform(list_zip(ct.vals,
+         |      b0.vals || b1.vals || b2.vals || b3.vals ||
+         |      b4.vals || b5.vals || b6.vals || b7.vals),
+         |      z -> z[1] + z[2]) AS r
          |  FROM codes k
+         |  JOIN cent ct ON ct.cid = k.cid
          |  JOIN books b0 ON b0.sub = 0 AND b0.cid = k.c0
          |  JOIN books b1 ON b1.sub = 1 AND b1.cid = k.c1
          |  JOIN books b2 ON b2.sub = 2 AND b2.cid = k.c2

@@ -49,6 +49,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(ep.contains("struct<doc_id:bigint>"), ep)
   }
 
+  test("q_ivfadc: the ADC LUT projection materializes on a broadcast build side") {
+    // the r14 deferred-eval trap, pinned: whole-stage codegen evaluates
+    // projected columns at point of USE, so the 1024-multiply per-query
+    // LUT fused into the probe→lists fan-out re-evaluates PER OUTPUT
+    // PAIR (measured 120 s). The plan contract is that every mixed_dot
+    // projection (the LUT + query⋅centroid tables) sits BENEATH a
+    // broadcast exchange — a hash relation materializes its rows once at
+    // build time. An AQE decision or a hint flip that moves it onto the
+    // streamed side fails here by name instead of silently costing 40×.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val df = Vectors.adcScored(spark, sf("sf0.001"))
+    df.collect() // finalize AQE so the walked plan is the executed one
+    // (node, inside-a-broadcast-exchange-subtree) pairs for every node
+    // whose OWN expressions mention the mixed_dot kernel
+    def bearers(p: SparkPlan, inside: Boolean): Seq[(String, Boolean)] = {
+      val in = inside || p.isInstanceOf[BroadcastExchangeLike]
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      val self =
+        if (p.isInstanceOf[org.apache.spark.sql.execution.ProjectExec] &&
+            p.asInstanceOf[org.apache.spark.sql.execution.ProjectExec]
+              .projectList.exists(_.toString.contains("mixed_dot")))
+          Seq((p.nodeName, in))
+        else Seq.empty
+      self ++ kids.flatMap(bearers(_, in))
+    }
+    val found = bearers(df.queryExecution.executedPlan, inside = false)
+    assert(found.nonEmpty,
+      "no mixed_dot projection found — the LUT pipeline changed shape; " +
+        "update this pin alongside it:\n" +
+        df.queryExecution.executedPlan.toString)
+    val escaped = found.filterNot(_._2)
+    assert(escaped.isEmpty,
+      s"LUT projection evaluated OUTSIDE a broadcast build side " +
+        s"(the 120 s per-pair re-evaluation trap): $escaped\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("q_topk: TakeOrdered, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
