@@ -184,6 +184,52 @@ object Bench {
     Map("q1_pricing" -> 2.0, "q_percentile" -> 1.7, "q_scalar_regex" -> 1.0)
 
 
+  /** Identity fingerprint of everything a cached prewarm artifact can
+    * depend on: every compiled graft class (relative path, size, CRC32 of
+    * bytes — any source edit changes it), the Spark version, and the
+    * fixture listing (name, size) of each data dir. The fingerprint IS
+    * the cache directory name, so invalidation is structural — no
+    * bump-me version constant. */
+  private[graft] def prewarmFingerprint(sfDirs: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    def feed(s: String): Unit = { md.update(s.getBytes("UTF-8")); () }
+    feed(org.apache.spark.SPARK_VERSION)
+    val loc = getClass.getProtectionDomain.getCodeSource.getLocation
+    val base = new java.io.File(loc.toURI)
+    if (base.isDirectory) {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(base).filter(_.getName.endsWith(".class")).foreach { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes)
+        feed(s"${f.getPath.stripPrefix(base.getPath)}:${bytes.length}:${crc.getValue}")
+      }
+    } else {
+      // sbt's runMain executes from a freshly-packaged jar under a
+      // RANDOM bg-jobs path every invocation — identity must come from
+      // the zip directory (entry name/size/CRC are content-only; the
+      // path and zip timestamps are not)
+      val zf = new java.util.zip.ZipFile(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        zf.entries().asScala.toSeq.sortBy(_.getName)
+          .filter(_.getName.endsWith(".class"))
+          .foreach(e => feed(s"${e.getName}:${e.getSize}:${e.getCrc}"))
+      } finally zf.close()
+    }
+    sfDirs.foreach { d =>
+      feed(d)
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName)
+        .foreach(f => feed(s"${f.getName}:${f.length}"))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(20)
+  }
+
   def main(args: Array[String]): Unit = {
     val tMain = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tMain) / 1e9
@@ -200,6 +246,11 @@ object Bench {
     // medians over fewer passes beats a dead one — later passes start only
     // if the budget provably fits another pass.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    // Catastrophic fuse for PASS-1 paths: pass 1 no longer sheds coverage
+    // at 95% budget (escalation handles weather); this bound only exists
+    // so a pathological hang still produces an artifact before the
+    // driver's kill window. Later passes keep the strict budget checks.
+    val hardFuseSec = 1.9 * budgetSec
     // FAIR pools so the background prewarm/warmup work yields to the timed
     // queries (weight 1 vs 1000): FAIR interleaves task SCHEDULING — a
     // timed query's tasks go to the front whenever it has demand, and the
@@ -233,6 +284,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // every job from the main (timed) thread runs in the high-weight pool
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bench")
+    // ---- prewarm disk cache (VERDICT r14 item 1) ----
+    // Shared-table materializations and training arrays read back from a
+    // fingerprinted on-disk cache instead of rebuilding: the r14 driver
+    // run burned 137 s of its 300 s budget on a contended prewarm
+    // rebuild. The fingerprint (code + fixture identity) is the
+    // directory name — see prewarmFingerprint; other fingerprints' dirs
+    // are swept so the cache never grows past one generation. Set
+    // SPARK_GRAFT_PREWARM_CACHE="" to disable.
+    val tinySfEarly = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR",
+      "/root/testdata/sf0.001")
+    val cacheBase =
+      sys.env.getOrElse("SPARK_GRAFT_PREWARM_CACHE", "/tmp/graft-prewarm-cache")
+    if (cacheBase.nonEmpty) {
+      val t0 = System.nanoTime()
+      val fp = prewarmFingerprint(Seq(sfDir, tinySfEarly))
+      val root = new java.io.File(cacheBase, fp)
+      root.mkdirs()
+      Option(new java.io.File(cacheBase).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != fp)
+        .foreach(Tables.deleteDir _ compose ((f: java.io.File) => f.getPath))
+      spark.conf.set("spark.graft.prewarmCache.dir", root.getPath)
+      System.err.println(f"[bench] prewarm cache $root " +
+        f"(fingerprint ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"${Option(root.listFiles()).map(_.length).getOrElse(0)} entries)")
+    }
     // Warm up JIT/codegen/shuffle/parquet paths on the tiny sf so the first
     // timed query isn't charged ~10s of JVM warmup.
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
@@ -272,8 +348,8 @@ object Bench {
     // background build, reported for comparability with the old up-front
     // metric even though it no longer blocks the pass)
     val prewarmDoneAt = new java.util.concurrent.atomic.AtomicLong(tp)
-    val chainFs = SparkEntry.prewarmChains(spark, sfDir).map { case (n, c) =>
-      Future {
+    val chainFs: Seq[(String, Future[Unit])] =
+      SparkEntry.prewarmChains(spark, sfDir).map { case (n, c) => n -> Future {
         // explicit per-task pool set: local properties are INHERITED from
         // the spawning thread, and the pool threads may be created from
         // the main thread after it claimed the "bench" pool
@@ -290,9 +366,16 @@ object Bench {
         }
         prewarmDoneAt.updateAndGet(math.max(_, System.nanoTime())); ()
       }(bgPool)
-    }
+      }
     def prewarmSec: Double = (prewarmDoneAt.get() - tp) / 1e9
     val warmFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // warmups get their OWN pool: sharing bgPool with the chains meant
+    // that under heavy weather the 14 chain futures occupied all 8
+    // threads for the whole prewarm and the first warmed query's
+    // Await stalled pass 1 behind them (observed: 492 s prewarm under a
+    // 64-burner drill with 18 queries timed)
+    val warmPool = ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(4))
     val warmFs: Map[String, Future[Unit]] =
       (for (n <- warmupQueries; fn <- SparkEntry.queries.get(n)) yield n ->
         Future {
@@ -302,7 +385,7 @@ object Bench {
             warmFailed.incrementAndGet()
             System.err.println(s"[bench] warmup $n failed: ${e.toString.take(300)}")
           }
-        }(bgPool)).toMap
+        }(warmPool)).toMap
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -377,6 +460,13 @@ object Bench {
       if (inflSumPrior >= 5.0) math.max(1.0, inflSumActual / inflSumPrior)
       else 1.0
     }
+    // evidence mass behind the inflation estimate (sum of anchor priors
+    // of the timed queries) — escalation DECISIONS wait for enough of it:
+    // a 1.3x read off fifteen sub-second samples is ordinary spread, not
+    // weather (a quiet drill escalated at 29.5 s on exactly that), while
+    // real 2x+ contention accumulates 15 s of prior mass within a few
+    // seconds more and still trips early
+    def inflEvidence: Double = lock.synchronized { inflSumPrior }
     var barrierSec = 0.0
     var lanesN = 0 // queries timed in 2-lane mode (0 = fully sequential)
     var streamPar = false
@@ -391,12 +481,18 @@ object Bench {
     // escalating on our own overlap would forfeit the sequential quiet
     // anchor for nothing. Under real weather the chains finish ~45 s in,
     // leaving ample budget for the decision.
-    def chainsDone: Boolean = chainFs.forall(_.isCompleted)
+    def chainsDone: Boolean = chainFs.forall(_._2.isCompleted)
     def runOne(name: String, fn: Fn, p: Int): Unit = {
       // precision barrier: if this query's codegen warmup is still in
       // flight, wait it out (normally long finished — the warmups total
-      // ~10 s of background work and their targets run late in pass 1)
-      warmFs.get(name).foreach(f => Await.ready(f, Duration.Inf))
+      // ~10 s of background work and their targets run late in pass 1).
+      // BOUNDED: under extreme weather an unfinished warmup must cost at
+      // most a few seconds of wait, not stall the pass — a sample that
+      // pays its own codegen beats no sample
+      warmFs.get(name).foreach { f =>
+        try { Await.ready(f, scala.concurrent.duration.Duration(10, "s")); () }
+        catch { case _: java.util.concurrent.TimeoutException => () }
+      }
       val cleanSample = chainsDone
       var ok = true
       val sec = timed {
@@ -446,8 +542,8 @@ object Bench {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bench")
         var next = it.poll()
         while (next != null && !stop) {
-          if (elapsedSec >= 0.95 * budgetSec) {
-            stop = true // emergency: never-timed queries land in skipped
+          if (elapsedSec >= hardFuseSec) {
+            stop = true // catastrophic fuse only — see hardFuseSec
             next = null
           } else {
             runOne(next._1, next._2, p)
@@ -456,10 +552,10 @@ object Bench {
           }
         }
       }
-      // heavy external contention → a third lane: the queries are partly
+      // heavy external contention → more lanes: the queries are partly
       // driver-latency-bound, so extra lanes keep converting idle wall
       // time into samples even when the cores are externally busy
-      val n = if (inflation >= 1.8) 3 else 2
+      val n = if (inflation >= 3.0) 4 else if (inflation >= 1.8) 3 else 2
       val ts = (1 to n).map(i => new Thread(() => worker(), s"bench-lane-$i"))
       ts.foreach(_.start()); ts.foreach(_.join())
     }
@@ -474,7 +570,7 @@ object Bench {
     def runGates(gates: Seq[(String, Fn)], parallel: Boolean, p: Int): Unit = {
       if (!parallel) {
         for ((n, fn) <- gates if !stop) {
-          if (elapsedSec >= 0.95 * budgetSec) stop = true
+          if (elapsedSec >= hardFuseSec) stop = true
           else runOne(n, fn, p)
         }
       } else {
@@ -487,7 +583,7 @@ object Bench {
         val providerSolo = Set("q_stream_tws", "q_stream_state_metrics")
         try {
           gates.filter(g => providerSolo(g._1)).foreach { case (n, fn) =>
-            if (!stop && elapsedSec < 0.95 * budgetSec) runOne(n, fn, p)
+            if (!stop && elapsedSec < hardFuseSec) runOne(n, fn, p)
           }
           val rest = gates.filterNot(g => providerSolo(g._1))
           val gatePool = Executors.newFixedThreadPool(4)
@@ -496,7 +592,7 @@ object Bench {
               def run(): Unit = {
                 spark.sparkContext.setLocalProperty(
                   "spark.scheduler.pool", "bench")
-                if (!stop && elapsedSec < 0.95 * budgetSec) runOne(n, fn, p)
+                if (!stop && elapsedSec < hardFuseSec) runOne(n, fn, p)
                 else stop = true
               }
             })
@@ -536,21 +632,58 @@ object Bench {
         val depOrd = dep.sortBy(q => (anchorPrior.getOrElse(q._1, 1.0), q._1))
         var escalated = false
         var idx = 0
+        // EARLY stream-gate group (VERDICT r14 item 1): under heavy
+        // weather (inflation >= 2 at escalation time) the latency-bound
+        // gates start CONCURRENTLY with the lane tail instead of closing
+        // the pass — they only need the staged source dirs, so the
+        // launcher awaits just the streamstage chain. The r14 driver run
+        // shed all 17 gates precisely because they were last in line.
+        val gatesLaunched = new java.util.concurrent.atomic.AtomicBoolean(false)
+        @volatile var gatesThread: Thread = null
+        def launchGatesEarly(pp: Int): Unit =
+          if (gatesLaunched.compareAndSet(false, true)) {
+            val t = new Thread(() => {
+              chainFs.filter(_._1 == "streamstage")
+                .foreach(c => Await.ready(c._2, Duration.Inf))
+              runGates(gates, parallel = true, pp)
+            }, "bench-gates-early")
+            t.start()
+            gatesThread = t
+          }
         def maybeEscalate(remaining: Seq[(String, Fn)],
-            alsoRemaining: Seq[(String, Fn)]): Seq[(String, Fn)] =
-          if (!escalated && !noEscalate && idx >= 15 && chainsDone &&
-              projectedOver(remaining ++ alsoRemaining, gates, 0.90)) {
+            alsoRemaining: Seq[(String, Fn)]): Seq[(String, Fn)] = {
+          // two escalation paths: the EVIDENCE path (enough clean
+          // pass-1 samples against priors, chains quiet, projection
+          // over budget) and the TIME path (40% of the budget gone and
+          // the projection still over — the crush case where evidence
+          // can never accumulate because every sample is dirty or only
+          // a handful of queries have run; a 64-burner drill with a
+          // cold cache timed 8 queries in 585 s because the old idx>=25
+          // gate was unreachable). Either way the 0.85-budget line is a
+          // last-ditch trigger.
+          val evidencePath = idx >= 25 && chainsDone && inflEvidence >= 15.0
+          val timePath = elapsedSec >= 0.4 * budgetSec
+          if (!escalated && !noEscalate && (evidencePath || timePath) &&
+              (projectedOver(remaining ++ alsoRemaining, gates, 0.90) ||
+                elapsedSec >= 0.85 * budgetSec)) {
             escalated = true
             System.err.println(
               f"[bench] pass-1 projection over budget at ${elapsedSec}%.1f s " +
-                f"(inflation ${inflation}%.2f): escalating to 2 lanes + " +
+                f"(inflation ${inflation}%.2f): escalating to lanes + " +
                 "parallel stream group")
+            if (inflation >= 2.0 || !chainsDone) launchGatesEarly(p)
             remaining
           } else remaining
+        }
         // --- pure prefix ---
+        // NO pass-1 coverage shedding: the only stop inside pass 1 is the
+        // catastrophic fuse (hardFuseSec); budget pressure escalates to
+        // lanes + the parallel gate group instead. The r14 driver run
+        // shed 77/230 under 2.8x weather; coverage always beats purity
+        // (escalated samples are flagged, never the anchor).
         var queue: Seq[(String, Fn)] = pureOrd
         while (queue.nonEmpty && !stop && !escalated) {
-          if (elapsedSec >= 0.95 * budgetSec) stop = true
+          if (elapsedSec >= hardFuseSec) stop = true
           else {
             runOne(queue.head._1, queue.head._2, p)
             idx += 1
@@ -565,7 +698,7 @@ object Bench {
         // --- chain barrier (the only time pass 1 waits on prewarm) ---
         if (!stop) {
           val tb = System.nanoTime()
-          chainFs.foreach(Await.ready(_, Duration.Inf))
+          chainFs.foreach(c => Await.ready(c._2, Duration.Inf))
           barrierSec = (System.nanoTime() - tb) / 1e9
           if (barrierSec > 0.5)
             System.err.println(
@@ -575,7 +708,7 @@ object Bench {
         if (!stop) {
           queue = depOrd
           while (queue.nonEmpty && !stop && !escalated) {
-            if (elapsedSec >= 0.95 * budgetSec) stop = true
+            if (elapsedSec >= hardFuseSec) stop = true
             else {
               runOne(queue.head._1, queue.head._2, p)
               idx += 1
@@ -588,8 +721,11 @@ object Bench {
             runLanes(laned, p)
           }
         }
-        // --- stream gates ---
-        if (!stop) {
+        // --- stream gates (joined if already launched early) ---
+        if (gatesLaunched.get) {
+          val t = gatesThread
+          if (t != null) t.join()
+        } else if (!stop) {
           val par = escalated ||
             (!noEscalate && projectedOver(Nil, gates, 0.95))
           runGates(gates, par, p)
@@ -640,6 +776,7 @@ object Bench {
       }
     }
     bgPool.shutdown()
+    warmPool.shutdown()
     System.err.println(
       f"[bench] prewarm ${prewarmSec}%.1fs (background), barrier " +
         f"$barrierSec%.1fs, warmups ${warmFailed.get} failed, " +
@@ -690,7 +827,23 @@ object Bench {
     // Full record first (humans + archives), compact summary LAST: the
     // driver keeps only a stdout tail, and the full line's per-query map
     // makes it ~6 KB — r8 recorded parsed:null off a mid-dict tail.
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1Json,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
+    // Flagged-run triage (VERDICT r14 item 6): when the run escalated or
+    // read real inflation, the per-query sample/prior ratio table makes
+    // "compare individually, not totals" automatic for the driver and
+    // the judge — the 10 worst ratios name exactly the queries whose
+    // flagged samples are weather/lane-contended rather than regressed.
+    val triageJson =
+      if (lanesN > 0 || streamPar || inflFinal > 1.3) {
+        pass1Samples.toSeq
+          .flatMap { case (q, sec) =>
+            anchorP1.get(q).map(pr => (q, sec, pr, sec / pr)) }
+          .sortBy(-_._4).take(10)
+          .map { case (q, sec, pr, r) =>
+            s"""{"q":"$q","sample":${num("%.3f", sec)},""" +
+              s""""prior":${num("%.3f", pr)},"ratio":${num("%.2f", r)}}"""
+          }.mkString("[", ",", "]")
+      } else "[]"
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1Json,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"triage":$triageJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
     println(fullRecord)
     // Persist the full record to a file too: the driver's artifact keeps
     // only a 2 KB stdout tail, which loses the per-query medians for names
@@ -703,19 +856,62 @@ object Bench {
     // stream_par): its per-query numbers are weather/lane-contended and
     // must not become the cheapest-first priors or the 2× anchor.
     val outPath0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val outPath =
-      if (failed.isEmpty && skipped.isEmpty && lanesN == 0 && !streamPar)
-        outPath0
-      else {
-        System.err.println(s"[bench] imperfect run (failed ${failed.size}, " +
-          s"skipped ${skipped.size}, lanes_n $lanesN, stream_par $streamPar)" +
-          s" - writing record to $outPath0.flagged, NOT the anchor file")
-        s"$outPath0.flagged"
-      }
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      fullRecord + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
+    val clean = failed.isEmpty && skipped.isEmpty && lanesN == 0 && !streamPar
+    if (!clean) {
+      System.err.println(s"[bench] imperfect run (failed ${failed.size}, " +
+        s"skipped ${skipped.size}, lanes_n $lanesN, stream_par $streamPar)" +
+        s" - writing record to $outPath0.flagged, NOT the anchor file")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outPath0.flagged"), fullRecord + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath0.flagged: $e") }
+    } else {
+      // ANCHOR = per-query medians over the last <=5 CLEAN runs (VERDICT
+      // r14 item 5): a single fastest-window run as the anchor makes the
+      // inflation estimator over-read ordinary machine spread as weather
+      // and escalate prematurely. Clean full records accumulate in a runs
+      // history (capped at 8); the anchor file carries the cross-run
+      // medians plus run-count metadata, and the latest run's full record
+      // stays available in the history file.
+      try {
+        val runsPath = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "BENCH_RUNS.jsonl"))
+        val priorLines =
+          if (java.nio.file.Files.exists(runsPath))
+            scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(runsPath)).asScala.toSeq
+              .filter(_.trim.nonEmpty)
+          else Seq.empty[String]
+        val hist = (priorLines :+ fullRecord).takeRight(8)
+        java.nio.file.Files.writeString(runsPath, hist.mkString("\n") + "\n")
+        val lastK = hist.takeRight(5)
+        def fieldMap(txt: String, field: String): Map[String, Double] = {
+          val qmap = ("\"" + field + "\":\\{([^}]*)\\}").r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qmap)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        val histQ = lastK.map(fieldMap(_, "queries"))
+        val histP1 = lastK.map(fieldMap(_, "pass1"))
+        // anchor covers exactly the CURRENT registry (the latest run's
+        // query set); each query's prior is its median over the runs
+        // that have it
+        val latestQ = results.map(_._1)
+        def mergedJson(maps: Seq[Map[String, Double]]): String =
+          latestQ.map { q =>
+            "\"" + q + "\":" + num("%.4f", median(maps.flatMap(_.get(q))))
+          }.mkString("{", ",", "}")
+        val mergedQ = latestQ.map(q =>
+          median(histQ.flatMap(_.get(q)))).sum
+        val anchorRecord =
+          s"""{"metric":"total","value":${num("%.3f", mergedQ)},"unit":"sec","n_queries":${latestQ.size},"anchor_runs":${lastK.size},"anchor_note":"per-query medians over the last ${lastK.size} clean runs (history: BENCH_RUNS.jsonl); single-run records route to .flagged","queries":${mergedJson(histQ)},"pass1":${mergedJson(histP1)},"latest":${summaryJson(total, results.size, minTotal, failed.size, skipped.size, multiSampledN, passes, passesCompleted, passTotals.toSeq, passPartial.toSeq, budgetSec, elapsedSec, prewarmSec, prewarmOk, barrierSec, inflFinal, lanesN, streamPar, factor, ioSec / ioWarm, sfDir)},"sf":${jsonStr(sfDir)}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outPath0), anchorRecord + "\n")
+        System.err.println(s"[bench] anchor re-derived from ${lastK.size} " +
+          s"clean run(s) -> $outPath0")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not update anchor $outPath0: $e") }
+    }
     println(summaryJson(
       total, results.size, minTotal, failed.size, skipped.size,
       multiSampledN, passes, passesCompleted, passTotals.toSeq,
