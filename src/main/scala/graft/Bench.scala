@@ -223,9 +223,19 @@ object Bench {
     }
     sfDirs.foreach { d =>
       feed(d)
-      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .sortBy(_.getName)
-        .foreach(f => feed(s"${f.getName}:${f.length}"))
+      // recursive walk, keyed by relative path + size + mtime (r15
+      // ADVICE): the driver regenerates fixtures with identical names
+      // and often identical byte lengths but fresh mtimes — (name, size)
+      // alone would silently reuse stale centroids/codebooks, and a
+      // top-level-only listing is meaningless for nested layouts
+      val base = new java.io.File(d)
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .sortBy(_.getName).foreach(walk)
+        else feed(s"${f.getPath.stripPrefix(base.getPath)}:" +
+          s"${f.length}:${f.lastModified}")
+      walk(base)
     }
     md.digest().map("%02x".format(_)).mkString.take(20)
   }
@@ -301,8 +311,20 @@ object Bench {
       val fp = prewarmFingerprint(Seq(sfDir, tinySfEarly))
       val root = new java.io.File(cacheBase, fp)
       root.mkdirs()
+      // heartbeat marks this generation LIVE; the sweep skips any
+      // sibling with a fresh one (r15 ADVICE: a concurrently running
+      // bench on a different fingerprint must not lose its cache
+      // mid-run). 30 min staleness >> any bench budget.
+      val hb = new java.io.File(root, ".heartbeat")
+      hb.createNewFile()
+      hb.setLastModified(System.currentTimeMillis())
       Option(new java.io.File(cacheBase).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName != fp)
+        .filter { f =>
+          val h = new java.io.File(f, ".heartbeat")
+          !h.exists() ||
+            System.currentTimeMillis() - h.lastModified > 30 * 60 * 1000L
+        }
         .foreach(Tables.deleteDir _ compose ((f: java.io.File) => f.getPath))
       spark.conf.set("spark.graft.prewarmCache.dir", root.getPath)
       System.err.println(f"[bench] prewarm cache $root " +

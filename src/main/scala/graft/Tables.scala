@@ -234,9 +234,24 @@ object Tables {
             case Some(root) =>
               val safeTag = tag.replaceAll("[^A-Za-z0-9.-]", "_")
               val cdir = s"$root/mat-$safeTag-${sha1Hex(key)}"
-              if (!successExists(cdir))
-                build().write.mode("overwrite").parquet(cdir)
-              cdir
+              if (successExists(cdir)) cdir
+              else {
+                // build into a uniquely named temp dir and atomically
+                // rename into the cache path (r15 ADVICE): two JVMs
+                // sharing the cache can both see a missing _SUCCESS —
+                // an in-place overwrite write would race the other's
+                // read (PATH_NOT_FOUND mid-scan). Rename loser defers
+                // to the winner's published dir; a wedged target
+                // (exists, no _SUCCESS) falls back to serving the
+                // private build.
+                val tmp =
+                  s"$cdir.build-${java.util.UUID.randomUUID().toString.take(8)}"
+                build().write.mode("overwrite").parquet(tmp)
+                if (new java.io.File(tmp).renameTo(new java.io.File(cdir)))
+                  cdir
+                else if (successExists(cdir)) { deleteDir(tmp); cdir }
+                else { matDirs.put(s"shared:$tag:$key", tmp); tmp }
+              }
             case None =>
               val dd = writeMat(build(), tag)
               matDirs.put(s"shared:$tag:$key", dd) // shutdown cleanup

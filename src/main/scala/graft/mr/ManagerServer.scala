@@ -108,6 +108,16 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
     sharedDir: Option[String] = None,
     runner: (SparkSession, Seq[String]) => Unit = Submit.run(_, _)) {
 
+  /** Cross-device shared-dir warning, if any (r15 verdict #7): computed
+    * at construction so the operator sees it BEFORE the first job's map
+    * output silently loses its sort to a cross-device move. */
+  val sharedDirWarning: Option[String] =
+    if (dispatchToWorkers)
+      sharedDir.flatMap(d =>
+        ManagerServer.crossDeviceWarning(d, System.getProperty("java.io.tmpdir")))
+    else None
+  sharedDirWarning.foreach(w => System.err.println(s"WARNING: $w"))
+
   private val queue = new LinkedBlockingQueue[java.util.Map[String, Object]]()
   private val numJobs = new AtomicInteger(0)
   @volatile private var shutdownFlag = false
@@ -161,14 +171,17 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
     * reference quirk), a busy one's task is abandoned. */
   private def connectionRefused(workerHost: String): Unit = {
     import scala.jdk.CollectionConverters._
-    for (w <- workers.asScala if w.host == workerHost && w.state != "dead") {
-      // a busy worker's in-flight task goes back on the failed queue
-      // for re-dispatch (ref :62-64)
-      if (w.state == "busy" && w.currentTask >= 0)
-        failedTasks.add(w.currentTask)
-      println("worker died") // ref :64
-      w.state = "dead"
-    }
+    for (w <- workers.asScala if w.host == workerHost && w.state != "dead")
+      w.synchronized {
+        if (w.state != "dead") {
+          // a busy worker's in-flight task goes back on the failed queue
+          // for re-dispatch (ref :62-64)
+          if (w.state == "busy" && w.currentTask >= 0)
+            failedTasks.add(w.currentTask)
+          println("worker died") // ref :64
+          w.state = "dead"
+        }
+      }
   }
 
   /** Connect back to the worker and send one JSON message, closing after
@@ -217,7 +230,13 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
       wHost <- Option(dict.get("worker_host")).map(_.toString)
       wPort <- Option(dict.get("worker_port")).map(_.toString.toInt)
     } workers.asScala.find(w => w.host == wHost && w.port == wPort)
-      .foreach(_.state = "ready") // first match, state unchecked (ref :203)
+      .foreach { w => w.synchronized {
+        w.state = "ready" // first match, state unchecked (ref :203)
+        // deviation (r15 ADVICE): clear current_task so the fault
+        // scanner can never re-queue an already-finished task when this
+        // worker later falls silent (the reference leaves it set)
+        w.currentTask = -1
+      } }
   }
 
   private def handleHeartbeat(dict: java.util.Map[String, Object]): Unit = {
@@ -319,13 +338,16 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
     while (!shutdownFlag) {
       val now = System.currentTimeMillis()
       for (w <- workers.asScala
-           if now - w.lastHeartbeat > heartbeatTimeoutMs && w.state != "dead") {
-        // reference fault_tolerance (ref :426-438): a silent busy
-        // worker's task is queued for re-dispatch before it dies
-        if (w.state == "busy" && w.currentTask >= 0)
-          failedTasks.add(w.currentTask)
-        w.state = "dead"
-      }
+           if now - w.lastHeartbeat > heartbeatTimeoutMs && w.state != "dead")
+        w.synchronized { // paired with dispatchTask's claim (r15 ADVICE)
+          if (w.state != "dead") {
+            // reference fault_tolerance (ref :426-438): a silent busy
+            // worker's task is queued for re-dispatch before it dies
+            if (w.state == "busy" && w.currentTask >= 0)
+              failedTasks.add(w.currentTask)
+            w.state = "dead"
+          }
+        }
       try Thread.sleep(faultPollMs)
       catch { case _: InterruptedException => () }
     }
@@ -345,11 +367,20 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
         case Some(w) =>
           // reference order (ref :257-275): mark busy + current_task
           // FIRST, then connect-and-send — a refused send then lands the
-          // task on the failed queue via connection_refused
-          w.state = "busy"
-          w.currentTask = taskId
-          sendToWorker(w.host, w.port, mkMsg(w.host, w.port))
-          return true
+          // task on the failed queue via connection_refused. The claim
+          // re-checks state under the entry lock (r15 ADVICE): the fault
+          // thread can mark this worker dead between the find and the
+          // write, and an unguarded write would resurrect dead→busy and
+          // strand the task for an extra full heartbeat timeout.
+          val claimed = w.synchronized {
+            if (w.state == "ready") {
+              w.state = "busy"; w.currentTask = taskId; true
+            } else false
+          }
+          if (claimed) {
+            sendToWorker(w.host, w.port, mkMsg(w.host, w.port))
+            return true
+          } // else: lost the race; rescan for another ready worker
         case None => Thread.sleep(workerPollMs)
       }
     }
@@ -358,10 +389,15 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
 
   /** The reference's phase barrier (ref :280-323 map, :377-420 reduce):
     * spin until `n` finished messages arrived AND no failed task is
-    * pending, re-dispatching failures as ready workers appear. */
+    * pending, re-dispatching failures as ready workers appear.
+    * Documented deviation #2 (r15 ADVICE): exit on `>= n`, not the
+    * reference's `!= n` — if a slow-but-alive worker is declared dead
+    * (workers may not heartbeat mid-task) and BOTH it and its
+    * replacement report finished, the counter overshoots n and a
+    * `!=` barrier spins forever, wedging the job queue. */
   private def awaitPhase(n: Int, mkMsg: Int => (String, Int) => String): Unit =
     while (!shutdownFlag &&
-        (!failedTasks.isEmpty || tasksFinished.get != n)) {
+        (!failedTasks.isEmpty || tasksFinished.get < n)) {
       val t = failedTasks.poll()
       if (t != null) dispatchTask(t, mkMsg(t))
       else Thread.sleep(100)
@@ -489,6 +525,33 @@ final class ManagerServer(spark: SparkSession, host: String = "localhost",
 }
 
 object ManagerServer {
+
+  /** Returns a warning when `sharedDir` and `localTmp` live on different
+    * filesystems (r15 verdict #7). The reference worker shutil.move's
+    * its map output from its local tempdir into the shared job dir
+    * while the file is STILL OPEN with buffered writes
+    * (worker/__main__.py:157-165): a same-fs move is a rename (the
+    * inode keeps the later flush), but a cross-device move COPIES the
+    * unflushed bytes and silently drops the tail of the sorted output.
+    * Heuristic: the manager's java.io.tmpdir stands in for the workers'
+    * local tempdir (true for same-host fleets, the reference's default
+    * topology) — so this warns rather than refuses. */
+  private[mr] def crossDeviceWarning(sharedDir: String,
+      localTmp: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val a = Files.getFileStore(Paths.get(sharedDir).toRealPath())
+      val b = Files.getFileStore(Paths.get(localTmp).toRealPath())
+      if (a != b) Some(
+        s"--shared-dir '$sharedDir' (fs $a) is on a different filesystem " +
+          s"than the local tempdir '$localTmp' (fs $b): the reference " +
+          "worker moves OPEN buffered map output into the shared dir — a " +
+          "cross-device move copies unflushed bytes and silently loses " +
+          "the sort. Put --shared-dir on the workers' tmp filesystem.")
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** `runMain graft.mr.ManagerServer [--host h] [--port p]
     * [--strict-shutdown] [--dispatch-workers]` — listen until a shutdown
     * message arrives (reference default port 6000,

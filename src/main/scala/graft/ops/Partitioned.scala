@@ -53,6 +53,8 @@ object Partitioned {
     val docs = partitionedDocs(spark, dir)
     val hot = Tables(spark, dir, "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))
+      // empty-partition window over the |langs|-row aggregate only —
+      // bounded by key cardinality, never data-sized
       .withColumn("mean_n", avg(col("n")).over(Window.partitionBy()))
       .filter(col("n") > col("mean_n"))
       .select("lang")

@@ -162,6 +162,9 @@ object Sampling {
     val counts = Tables(spark, dir, "documents")
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+    // empty-partition window is BOUNDED by key cardinality: it runs over
+    // the per-lang aggregate (|langs| rows — single digits at any corpus
+    // size), never over data-sized input
     val all = Window.partitionBy()
     val ranked = counts
       .withColumn("total", sum(col("n_tokens")).over(all))

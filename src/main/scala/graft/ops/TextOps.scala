@@ -283,15 +283,27 @@ object TextOps {
     * a milli-slope column would diverge; the fraction cannot.
     * TextOpsSpec asserts the ratio lands in the Zipf band. Scale shape:
     * one tokenize pass into the vocabulary-sized frequency table; the
-    * rank window and the 5-sum fold run over |vocab| rows. */
+    * rank is a DISTRIBUTED two-phase rank (range-partition +
+    * sort-within + zipWithIndex offset arithmetic — r16: the old
+    * unpartitioned row_number window put the whole vocabulary through
+    * ONE task, the q_range_shard defect in miniature; vocabulary grows
+    * with the corpus, so at 100 TB that single sort is a straggler).
+    * zipWithIndex's global index equals the exact rank−1 regardless of
+    * where the sampled range boundaries fall, because range partitions
+    * are order-disjoint and (f desc, t asc) is a strict total order —
+    * so the result is identical to the window form, partition-invariant
+    * and hash-stable. */
   def qZipfFit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("f"))
-    val pts = freq
-      .withColumn("r", row_number().over(
-        Window.partitionBy().orderBy(col("f").desc, col("t").asc)))
+    val spark2 = freq.sparkSession
+    val rankedRdd = freq
+      .repartitionByRange(32, col("f").desc, col("t").asc)
+      .sortWithinPartitions(col("f").desc, col("t").asc)
+      .select(col("f")).rdd.map(_.getLong(0))
+      .zipWithIndex().map { case (f, i) => (i + 1L, f) }
+    val pts = spark2.createDataFrame(rankedRdd).toDF("r", "f")
       .select((length(bin(col("r"))) - 1).cast("long").as("x"),
         (length(bin(col("f"))) - 1).cast("long").as("y"))
     pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),

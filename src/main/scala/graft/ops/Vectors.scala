@@ -374,17 +374,22 @@ object Vectors {
   private def trainMaxN(spark: SparkSession) =
     intConf(spark, "spark.graft.quantizer.trainMax", 4096)
 
-  /** Deterministic training stratum: every vector whose md5(vec_id)
-    * lands on the stride survives — content-keyed, so the sample is
-    * identical across partition counts, sessions, and engines. */
+  /** Deterministic training stratum: every vector whose 60-bit md5
+    * prefix falls below a count-scaled threshold survives —
+    * content-keyed, so the sample is identical across partition counts,
+    * sessions, and engines. Threshold (not stride): expected size is
+    * n·thr/2⁶⁰ ≈ target SMOOTHLY in n, where the old ceil-stride rule
+    * undershot by up to ~2× just past a boundary (r15 ADVICE) —
+    * n = 2·target+1 gave ~0.67·target, eroding the vectors-per-centroid
+    * margin PqSpec's quality cap assumes. */
   private[graft] def trainSample(emb: DataFrame, target: Int): DataFrame = {
     val n = emb.count()
     if (n <= target) emb
     else {
-      val step = ((n + target - 1) / target).toInt
-      emb.filter(pmod(
+      val thr = (BigInt(1) << 60) * target / n
+      emb.filter(
         conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(step.toLong)) === 0L)
+          .cast("long") < lit(thr.toLong))
     }
   }
 

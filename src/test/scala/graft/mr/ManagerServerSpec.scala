@@ -502,4 +502,35 @@ class ManagerServerSpec extends SparkSpec {
       srv.awaitTermination()
     }
   }
+
+  test("cross-device --shared-dir is warned about at startup (open-file move trap)") {
+    // crafted cross-device arrangement: /dev/shm (tmpfs) vs / (disk) —
+    // the exact pairing that silently lost map sorts in the r15 drill
+    val shm = Paths.get("/dev/shm")
+    val disk = Paths.get("/var/tmp")
+    assume(Files.isWritable(shm) && Files.isDirectory(disk) &&
+      Files.getFileStore(shm) != Files.getFileStore(disk))
+    val w = ManagerServer.crossDeviceWarning(shm.toString, disk.toString)
+    assert(w.isDefined, "cross-device shared dir must warn")
+    assert(w.get.contains("cross-device"), w.get)
+    // same filesystem: silent
+    assert(ManagerServer
+      .crossDeviceWarning(shm.toString, shm.toString).isEmpty)
+    // and the constructor surfaces it only in dispatch mode with a
+    // shared dir (Spark mode never moves worker map output)
+    val sharedTmp = System.getProperty("java.io.tmpdir")
+    val other =
+      if (Files.getFileStore(Paths.get(sharedTmp)) == Files.getFileStore(disk))
+        shm.toString
+      else disk.toString
+    val srv = new ManagerServer(spark, port = 0,
+      dispatchToWorkers = true, sharedDir = Some(other))
+    try assert(srv.sharedDirWarning.isDefined)
+    finally { send(srv.start().boundPort, """{"message_type": "shutdown"}""")
+      srv.awaitTermination() }
+    val srv2 = new ManagerServer(spark, port = 0, sharedDir = Some(other))
+    try assert(srv2.sharedDirWarning.isEmpty)
+    finally { send(srv2.start().boundPort, """{"message_type": "shutdown"}""")
+      srv2.awaitTermination() }
+  }
 }
