@@ -175,7 +175,12 @@ object Bench {
     "q_hamming_rerank",
     // r14: 21s cold vs ~4s warm — the 128-expression ADC lookup-table
     // projection is the biggest single generated method in the repo
-    "q_ivfadc", "q_pq_recall")
+    "q_ivfadc", "q_pq_recall",
+    // r16: 17.8s cold vs 1.2s warm (the 1024-literal recon projection
+    // compiles per-session; the planted chain prewarm covers training);
+    // q_opq_recall 29.5s cold vs 2.6s warm (two 64×64 rotation
+    // projections = the biggest generated methods in the repo)
+    "q_pq_planted", "q_opq_recall")
 
   /** Constant-work contention canaries with their quiet warm anchors
     * (BASELINE.md adjudicates machine weather with them); pinned LAST

@@ -78,6 +78,16 @@ object SparkEntry {
         ops.Vectors.pqCodes(spark, dir) // PQ codebooks + nibble codes
         ()
       }),
+      // the planted calibration fixtures' quantizers/codebooks/rotation
+      // are corpus-independent but share nothing with the "ivf" chain —
+      // built here so q_pq_planted/q_opq_recall's timed runs pay
+      // scoring only
+      "planted" -> (() => {
+        ops.Vectors.pqCodes(spark, ops.Vectors.PlantedDir)
+        ops.Vectors.pqCodes(spark, ops.Vectors.OpqDir)
+        ops.Vectors.opqTrain(spark, ops.Vectors.OpqDir)
+        ()
+      }),
       "dedup" -> (() => { // clusters -> survivor shingles -> pairs/sizes
         ops.Similarity.survivorPairs(spark, dir)
         ops.Similarity.survivorSizes(spark, dir)

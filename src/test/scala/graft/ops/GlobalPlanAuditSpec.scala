@@ -49,6 +49,11 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_sketch_setops", // non-equi pair expansion of the 5-ROW cohort
                        // sketch table (one sketch per event type)
     "q_cms_freq", // 5-row sketch table × 5-row broadcast probe list
+    "q_pq_planted", // CONSTANT-SIZE planted calibration fixture: 256
+                    // queries × 2048-row broadcast decode/exact sides
+                    // (the ground-truth brute force is the point)
+    "q_opq_recall", // same fixture shape: exact truth + two decoded
+                    // rankings over the 2048-row broadcast sides
     "q_modularity") // 1-row global edge-count scalar beside the community
                     // stats row (the lit(1)=lit(1) key constant-folds away)
 

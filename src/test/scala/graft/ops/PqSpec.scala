@@ -110,6 +110,38 @@ class PqSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.quantizer.trainMax")
   }
 
+  test("planted-fixture recall floor BINDS (r15 verdict #4)") {
+    // the near-orthogonal corpus floors (0.235/0.41) can't distinguish a
+    // residual-PQ regression from noise; the planted-cluster fixture can:
+    // measured recall is 1.0000 (768/768) — twins get near-unique code
+    // vectors because the coarse centroid absorbs the cluster structure
+    // and the residual books spend all capacity on group offsets. A
+    // raw-vector-training regression collapses same-cluster vectors onto
+    // shared codes (recall → ~3/128 ≈ 0.023); a decode bug (dropped
+    // centroid term) ranks by noise (recall → ~0). Floor at 0.90 leaves
+    // margin for knob drift while catching every failure mode by a mile.
+    val r = Vectors.qPqPlanted(spark, sf("sf0.001")).head()
+    assert(r.getLong(0) === 256L, "query count drifted")
+    assert(r.getLong(1) === 768L, "truth pair count drifted")
+    assert(r.getLong(3) >= 9000L,
+      s"planted recall ${r.getLong(3)}bp below the binding floor")
+  }
+
+  test("OPQ rotation lifts recall on the low-rank fixture (r15 verdict #6)") {
+    // rank-4 latent mixed densely across all 64 coordinates = maximal
+    // cross-subspace correlation, PQ's blind spot. Measured: plain
+    // residual PQ 7070bp, OPQ 8359bp (+12.9 points). The gate demands a
+    // REAL lift (not just parity) plus absolute floors with margin; the
+    // alternation's monotone-distortion property makes the lift stable
+    // under knob drift.
+    val r = Vectors.qOpqRecall(spark, sf("sf0.001")).head()
+    val (pq, opq) = (r.getLong(4), r.getLong(5))
+    assert(pq >= 6000L, s"plain-PQ recall ${pq}bp collapsed")
+    assert(opq >= 7500L, s"OPQ recall ${opq}bp below floor")
+    assert(opq >= pq + 500L,
+      s"OPQ lift vanished: pq=${pq}bp opq=${opq}bp")
+  }
+
   test("recall floor on the near-orthogonal worst case") {
     val r = Vectors.qPqRecall(spark, sf("sf0.001")).head()
     val (np, nh, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
