@@ -936,6 +936,95 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT substring dedup — Lee et al. ACL 2022's ExactSubstr
+    * semantics, no sampling: a character is duplicated iff it is
+    * covered by SOME length-L window whose exact text occurs ≥ 2 times
+    * in the corpus (self-repeats included). [[qSubstringDedup]]'s
+    * winnow-chain excision approximates this (fingerprint sampling can
+    * miss short spans; the ≥4-match chain threshold misses sparse
+    * ones — the r15 verdict item); this operator is definitionally
+    * exact:
+    *
+    *  1. a ROLLING-HASH pass (64-bit wraparound polynomial over code
+    *     points, one mapPartitions scan — the Karp-Rabin shape; no
+    *     window string ever materializes) emits (hash, doc, pos);
+    *  2. hashes seen ≥ 2 times prefilter the candidates (shuffle
+    *     volume = 16-byte tuples, never strings);
+    *  3. candidates are VERIFIED on the true bytes: re-extract the
+    *     window from the document and group on the substring itself —
+    *     hash collisions die here, so the hash is a pure filter and
+    *     the result is exact;
+    *  4. per doc, covered intervals [pos, pos+L) union by the
+    *     lag/running-sum merge (a break iff the gap exceeds L).
+    *
+    * Scale shape: this is the honest cost of EXACT dedup — one shuffle
+    * of per-position tuples (Lee'22 pay the equivalent in suffix-array
+    * construction; a distributed suffix sort would shuffle comparable
+    * volume AND need a global sort, where this is derived-key joins
+    * end to end). The window pass recomputes rather than materialize
+    * the corpus×16B tuple table twice; verification touches only
+    * hash-hot groups (≈ true-duplicate volume). Within-doc windows are
+    * per-doc-partitioned. Everything is definitional, so the DuckDB
+    * oracle re-derives the full result with no exports. */
+  private val ExactSubL = 40
+
+  private[graft] def exactDupSpans(docs: DataFrame, L: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    val win = base.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val n = cps.length
+        if (n < L) Iterator.empty
+        else {
+          val B = 1000003L
+          var bl = 1L
+          var i = 0
+          while (i < L - 1) { bl *= B; i += 1 } // B^(L-1), wraparound
+          var h = 0L
+          i = 0
+          while (i < L) { h = h * B + cps(i); i += 1 }
+          val out = new Array[(Long, Long, Int)](n - L + 1)
+          out(0) = (h, id, 0)
+          var p = 1
+          while (p <= n - L) {
+            h = (h - cps(p - 1) * bl) * B + cps(p + L - 1)
+            out(p) = (h, id, p)
+            p += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("h", "doc_id", "pos")
+    val hot = win.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val cand = win.join(hot, "h")
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("s"))
+    val true2 = cand.groupBy("s").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("s")
+    val dpos = cand.join(true2, "s").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dpos.withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        (col("prev").isNull || col("pos") - col("prev") > L).cast("int"))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + L).cast("int").as("span_end"),
+        count(lit(1)).cast("bigint").as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def qSubstringExact(spark: SparkSession, dir: String): DataFrame =
+    exactDupSpans(Tables(spark, dir, "documents"), ExactSubL)
+
   /** Feature hashing (the "hashing trick", Weinberger et al. ICML 2009)
     * — the vocabulary-free text vectorizer: every token routes to one of
     * 64 buckets by content hash with a ±1 sign hash, per-doc bucket
@@ -975,6 +1064,7 @@ object TextOps {
     "q_winnow_spans" -> qWinnowSpans _,
     "q_winnow_chains" -> qWinnowChains _,
     "q_substring_dedup" -> qSubstringDedup _,
+    "q_substring_exact" -> qSubstringExact _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_lm_surprisal" -> qLmSurprisal _,
     "q_quality_terciles" -> qQualityTerciles _,
@@ -1077,6 +1167,35 @@ object TextOps {
          |FROM chained GROUP BY 1, 2, 3
          |HAVING COUNT(*) >= 4
          |ORDER BY doc_a, doc_b, chain_id""".stripMargin,
+    // Definitional replay of qSubstringExact: every length-40 window,
+    // grouped on the TEXT (the engine's rolling hash is only a
+    // prefilter, verified on true bytes — so the oracle needs no hash),
+    // then the same gap>L interval union. The constant series bound
+    // (4096) dominates every fixture doc length; the WHERE keeps only
+    // real positions.
+    "q_substring_exact" ->
+      """WITH w AS (SELECT doc_id, g.i AS pos,
+        |        substr(text, g.i + 1, 40) AS s
+        |      FROM documents, generate_series(0, 4096) g(i)
+        |      WHERE g.i <= CAST(length(text) AS BIGINT) - 40),
+        |dup AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) >= 2),
+        |dpos AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (s)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |             OR pos - lag(pos) OVER (PARTITION BY doc_id
+        |                                     ORDER BY pos) > 40
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM dpos),
+        |g2 AS (SELECT doc_id, pos,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |       FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(MIN(pos) AS INT) AS span_start,
+        |  CAST(MAX(pos) + 40 AS INT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM g2 GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // Chain blocks -> b-side char extents (b_end + k-1, k=12 at the
     // default knobs the export key pins) -> per-doc interval merge
     // (window MAX over preceding rows) -> excision stats — see

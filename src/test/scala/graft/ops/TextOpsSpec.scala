@@ -180,4 +180,51 @@ class TextOpsSpec extends SparkSpec {
       ((nn, nn * sxy - sx * sy, nn * sxx - sx * sx)))
     assert(den > 0 && num <= 0, s"slope $num/$den not non-positive")
   }
+
+  test("exact substring dedup finds planted sub-guarantee duplicates the winnow path provably misses") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // registered winnow knobs: k=12, w=8 → detection GUARANTEED only for
+    // shared substrings of length >= k+w-1 = 19 (Schleimer'03 §3), and
+    // winnowChainBlocks additionally requires >= 4 matched fingerprints
+    // per chain. An 18-char duplicate carries only 7 shared k-grams, of
+    // which the REAL selection kernel (executed here) picks exactly 3 in
+    // both hosts — strictly below the chain threshold, so
+    // qSubstringDedup provably reports NOTHING for the pair, while the
+    // exact operator must report the span definitionally.
+    val (k, w) = (12, 8)
+    val chainMin = 4 // winnowChainBlocks' n_matches >= 4 filter
+    val dup = "THE-PLANTED-SPAN18"
+    assert(dup.length === 18 && 18 < k + w - 1)
+    def ctx(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var z = seed * 0x9E3779B97F4A7C15L + 0x94D049BB133111EBL
+      for (_ <- 0 until n) {
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        sb += ('a' + ((z >>> 33) % 26).toInt).toChar
+      }
+      sb.toString
+    }
+    def fps(s: String): Set[Long] =
+      graft.functions.Winnow.fingerprints(UTF8String.fromString(s), k, w)
+        .toLongArray().toSet
+    val found = (0 until 200).iterator.map { seed =>
+      (ctx(seed, 120) + dup + ctx(seed + 1000, 120),
+        ctx(seed + 2000, 120) + dup + ctx(seed + 3000, 120))
+    }.find { case (a, b) => (fps(a) intersect fps(b)).size < chainMin }
+    assert(found.isDefined,
+      "no seed yielded a sub-chain-threshold duplicate — selection " +
+        "density changed; re-derive the guarantee floor")
+    val (a, b) = found.get
+    val df = spark.createDataFrame(Seq((1L, a), (2L, b)))
+      .toDF("doc_id", "text")
+    val spans = TextOps.exactDupSpans(df, 16).collect()
+    // exactly the planted block in BOTH docs: L=16 windows at positions
+    // 120..122 → merged span [120, 138), nothing from the unique context
+    assert(spans.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    spans.foreach { r =>
+      assert(r.getInt(1) === 120 && r.getInt(2) === 138 &&
+        r.getLong(3) === 3L, r.toString)
+    }
+  }
 }
