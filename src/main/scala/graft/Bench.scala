@@ -175,12 +175,13 @@ object Bench {
     "q_hamming_rerank",
     // r14: 21s cold vs ~4s warm — the 128-expression ADC lookup-table
     // projection is the biggest single generated method in the repo
-    "q_ivfadc", "q_pq_recall",
-    // r16: 17.8s cold vs 1.2s warm (the 1024-literal recon projection
-    // compiles per-session; the planted chain prewarm covers training);
-    // q_opq_recall 29.5s cold vs 2.6s warm (two 64×64 rotation
-    // projections = the biggest generated methods in the repo)
-    "q_pq_planted", "q_opq_recall")
+    "q_ivfadc", "q_pq_recall")
+    // (q_pq_planted/q_opq_recall deliberately NOT here: their decode is
+    // driver-side (r16) and their sim expressions are literal-free
+    // MixedDots shared with the ANN family's generated classes — the
+    // first r16 cut decoded them distributed, which put two
+    // ~17-29s-compile warmups in the background pool and poisoned the
+    // early pass-1 weather window into a false escalation)
 
   /** Constant-work contention canaries with their quiet warm anchors
     * (BASELINE.md adjudicates machine weather with them); pinned LAST
@@ -287,9 +288,30 @@ object Bench {
         |""".stripMargin)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // sf-appropriate shuffle sizing (SCALE.md's maxPartitionBytes
+      // rule applied to the bench): sf0.1 is ~100 MB, so 32 shuffle
+      // partitions means sub-MB tasks whose scheduling overhead
+      // dominates — env-tunable for A/Bs
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", cpus))
+      // shuffle/broadcast bytes live on /dev/shm (tmpfs) in this image:
+      // lz4 is pure CPU tax with RAM-speed "disk" — env-tunable (static
+      // confs, so they must be set at session build)
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUF_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUF_COMPRESS", "true"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON: a 5-query confab sample suggested 10-20% warm
+      // overhead, but the full-registry A/B (r16, BENCH_RUNS history)
+      // showed the OPPOSITE in aggregate — iterative/multi-stage
+      // queries depend on AQE's partition coalescing (q_kcore 3.0→10.2s,
+      // q_ppr_seeds 4.2→6.4s, q_bfs 1.9→4.1s without it; Σ regression
+      // +60s vs −3s improvements). Moral: never conclude from a
+      // single-join sample what a 32-partition fixed-shuffle plan does
+      // to a 6-round graph loop. Env-tunable for future A/Bs only.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.scheduler.allocation.file", fairXml.toString)

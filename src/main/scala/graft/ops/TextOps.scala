@@ -973,6 +973,9 @@ object TextOps {
     import spark.implicits._
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
+    // (an explode + per-window xxhash64(substring) SQL variant was
+    // A/B'd slower — O(n·L) hashing plus per-row text duplication loses
+    // to the O(n) rolling pass even counting the Dataset encoder)
     val win = base.as[(Long, String)].mapPartitions { it =>
       it.flatMap { case (id, text) =>
         val cps = text.codePoints().toArray
@@ -998,9 +1001,16 @@ object TextOps {
         }
       }
     }.toDF("h", "doc_id", "pos")
-    val hot = win.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("h")
-    val cand = win.join(hot, "h")
+    // ONE shuffle of the window tuples: positions group per hash, and
+    // only hash-hot groups (size >= 2 — true-duplicate multiplicity
+    // plus rare collisions, so the collected lists are tiny; a
+    // pathological all-equal corpus makes one genuinely hot group,
+    // which no exact method escapes) survive to verification
+    val cand = win.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .filter(size(col("occ")) >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
       .join(base, "doc_id")
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $L)").as("s"))

@@ -1549,10 +1549,20 @@ object Vectors {
     val wp = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("nid"))
     val truth3 = exact.withColumn("rk", row_number().over(wp))
       .filter(col("rk") <= 3).select("qid", "nid")
-    val decoded = broadcast(
-      codes.withColumn("recon", pqReconExpr(books, cents))
-        .select(col("vec_id").as("nid"), col("recon"),
-          md(col("recon"), col("recon")).as("rn2")))
+    // decode driver-side: the fixture is constant-size, and the
+    // 1024-literal distributed recon projection costs a ~17 s Janino
+    // compile for 2048 rows of work (see qOpqRecall's decode note; the
+    // distributed path stays gated by q_pq_recall). Arithmetic is the
+    // oracle's recon CTE verbatim: cent[d] + codeword[d] double adds.
+    val decoded = broadcast(spark.createDataFrame(
+      codes.collect().toIndexedSeq.map { r =>
+        val cid = r.getInt(1)
+        val recon = Array.tabulate(64) { d =>
+          cents(cid)(d) + books(d / 8)(r.getInt(2 + d / 8))(d % 8)
+        }
+        (r.getLong(0), recon.toSeq)
+      }).toDF("nid", "recon")
+      .withColumn("rn2", md(col("recon"), col("recon"))))
     val adc = queries.crossJoin(decoded)
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim",
@@ -1709,24 +1719,32 @@ object Vectors {
       best
     }
 
-  private val opqCache =
-    new graft.Tables.KeyedOnce[(Array[Array[Double]], Array[Array[Array[Double]]])]
+  /** The full OPQ artifact: rotation, rotated-space books, and the
+    * per-vector (vec_id, cid, codes) assignments — everything driver-
+    * side downstream needs, trained once and disk-cached (the bench
+    * prewarm cache skips retraining entirely). */
+  private[graft] final case class OpqModel(
+      rot: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      rows: Array[(Long, Int, Array[Int])])
 
-  /** OPQ-NP alternation over the bounded residual sample: returns
-    * (R, books) where books quantize R·r. 3 outer rounds (Ge: a handful
-    * suffice; distortion decreases monotonically). */
-  private[graft] def opqTrain(spark: SparkSession,
-      dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    opqCache(s"$dir#${pqKey(spark)}") {
-      val xs = trainSample(pqResiduals(spark, dir), trainMaxN(spark))
-        .select(col("vec_id"), col("res")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2)
+  private val opqCache = new graft.Tables.KeyedOnce[OpqModel]
+
+  /** OPQ-NP alternation over the bounded residual sample: books
+    * quantize R·r. 3 outer rounds (Ge: a handful suffice; distortion
+    * decreases monotonically). */
+  private[graft] def opqTrain(spark: SparkSession, dir: String): OpqModel = {
+    val cacheKey = s"$dir#${pqKey(spark)}"
+    opqCache(cacheKey)(Tables.diskCached(spark, "opqmodel", cacheKey) {
+      val collected = trainSample(pqResiduals(spark, dir), trainMaxN(spark))
+        .select(col("vec_id"), col("cid"), col("res")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1)
+      val xs = collected.map(_._3)
       var rot = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
-      var books: Array[Array[Array[Double]]] = null
       for (_ <- 1 to 3) {
         val y = xs.map(rotApply(rot, _))
-        books = lloydBooksLocal(y)
+        val books = lloydBooksLocal(y)
         val yhat = y.map(r => decodeLocal(books, assignAll(books, r)))
         // Procrustes: minimize ‖R·x − ŷ‖² → R = VUᵀ = polar(M)ᵀ where
         // M = Σ x ŷᵀ
@@ -1735,9 +1753,14 @@ object Vectors {
           m(i)(j) += x(i) * yh(j)
         rot = matT(polarOrthogonal(m))
       }
-      // final books for the final rotation
-      (rot, lloydBooksLocal(xs.map(rotApply(rot, _))))
-    }
+      // final books + assignments for the final rotation
+      val books = lloydBooksLocal(xs.map(rotApply(rot, _)))
+      val rows = collected.map { case (id, cid, res) =>
+        (id, cid, assignAll(books, rotApply(rot, res)))
+      }
+      OpqModel(rot, books, rows)
+    })
+  }
 
   private def rotDf(spark: SparkSession, r: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
@@ -1747,26 +1770,31 @@ object Vectors {
 
   /** OPQ-vs-PQ recall on the low-rank fixture: one row with both
     * compressed rankings' recall@3 against the exact brute-force truth.
-    * Plain side reuses the standard residual-PQ pipeline; OPQ side
-    * encodes R·r distributed (the rotation is a 64-dot array projection
-    * on the broadcast build side) and decodes centroid + Rᵀ·ŷ. */
+    * Plain side reuses the standard residual-PQ pipeline's codes/books;
+    * OPQ codes quantize R·r and decode as centroid + Rᵀ·ŷ.
+    *
+    * DECODE RUNS DRIVER-SIDE on this query (r16): the fixture is a
+    * CONSTANT 2048 rows, and the distributed decode alternative — a
+    * 64×64 rotation as an array-of-dots projection, the annTable
+    * plane-dot shape — costs a ~29 s Janino compile of the largest
+    * generated method in the repo for 2048 rows of work; it poisoned
+    * the bench's early pass-1 window badly enough to trip the weather
+    * escalator. The distributed decode path stays gated at corpus
+    * scale by q_pq_recall/q_ivfadc; here the decoded table is a
+    * bounded-scalar driver artifact (IVF-centroid pattern) with
+    * arithmetic identical to the oracle's (elementwise adds and
+    * ascending-index dot folds over the same exported doubles). */
   def qOpqRecall(spark: SparkSession, dir: String): DataFrame = {
     val p = OpqDir
     val emb = sharedEmb(spark, p)
     val cents = ivfCentroids(spark, p)
     val plainBooks = pqBooks(spark, p)
     val plainCodes = pqCodes(spark, p)
-    val (rot, obooks) = opqTrain(spark, p)
-    // distributed OPQ encode: rotate the residual, assign per subspace
-    val rotExpr = array((0 until 64).map(j =>
-      graft.functions.MixedDotProduct.mixedDot(col("res0"),
-        array(rot(j).toIndexedSeq.map(lit): _*))): _*)
-    val ocodes = Tables.materializeShared(
-      pqResiduals(spark, p).withColumnRenamed("res", "res0")
-        .withColumn("res", rotExpr)
-        .select(col("vec_id") +: col("cid") +:
-          (0 until PqSubs).map(s => pqAssignExpr(s, obooks(s)).as(s"c$s")): _*),
-      "opqcodes", s"$p#${pqKey(spark)}")
+    val model = opqTrain(spark, p)
+    import spark.implicits._
+    val ocodes = model.rows.toIndexedSeq.map { case (id, cid, cs) =>
+      (id, cid, cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6), cs(7))
+    }.toDF("vec_id", "cid", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
     graft.OracleExport.export(emb.select("vec_id", "embedding"),
       "opqemb", dir)
     graft.OracleExport.export(plainCodes, "pqcodesq", dir, pqKey(spark))
@@ -1775,9 +1803,10 @@ object Vectors {
     graft.OracleExport.export(centsDf(spark, cents), "ivfcentq", dir,
       pqKey(spark))
     graft.OracleExport.export(ocodes, "opqcodes", dir, pqKey(spark))
-    graft.OracleExport.export(pqBooksDf(spark, obooks), "opqbooks", dir,
+    graft.OracleExport.export(pqBooksDf(spark, model.books), "opqbooks", dir,
       pqKey(spark))
-    graft.OracleExport.export(rotDf(spark, rot), "opqrot", dir, pqKey(spark))
+    graft.OracleExport.export(rotDf(spark, model.rot), "opqrot", dir,
+      pqKey(spark))
     val md = graft.functions.MixedDotProduct.mixedDot _
     val queries = emb.filter(col("vec_id") % 8 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -1799,23 +1828,30 @@ object Vectors {
         .withColumn("rk", row_number().over(wp))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("nid"), lit(1).as(hitName))
-    val plainDecoded = plainCodes
-      .withColumn("recon", pqReconExpr(plainBooks, cents))
-      .select(col("vec_id").as("nid"), col("recon"),
-        md(col("recon"), col("recon")).as("rn2"))
-    // OPQ decode: ŷ from the rotated-space books, back-rotated by Rᵀ
-    // (64 dots against R's columns), plus the coarse centroid
-    val yhatExpr = pqResReconExpr(obooks)
-    val backExpr = array((0 until 64).map(j =>
-      graft.functions.MixedDotProduct.mixedDot(col("yhat"),
-        array((0 until 64).map(i => lit(rot(i)(j))): _*))): _*)
-    val opqDecoded = ocodes.withColumn("yhat", yhatExpr)
-      .withColumn("rr", backExpr)
-      .withColumn("recon",
-        zip_with(element_at(centArrLit(cents), col("cid") + 1), col("rr"),
-          (a, b) => a + b))
-      .select(col("vec_id").as("nid"), col("recon"),
-        md(col("recon"), col("recon")).as("rn2"))
+    // plain decode: x̂ = centroid(cid) + codeword concat — same
+    // elementwise double adds as the oracle's recon CTE
+    val plainDecoded = spark.createDataFrame(
+      plainCodes.collect().toIndexedSeq.map { r =>
+        val cid = r.getInt(1)
+        val recon = Array.tabulate(64) { d =>
+          cents(cid)(d) + plainBooks(d / 8)(r.getInt(2 + d / 8))(d % 8)
+        }
+        (r.getLong(0), recon.toSeq)
+      }).toDF("nid", "recon")
+      .withColumn("rn2", md(col("recon"), col("recon")))
+    // OPQ decode: x̂ = centroid(cid) + Rᵀ·ŷ, rr[j] = Σᵢ R[i][j]·ŷ[i]
+    // ascending i — the oracle's orr fold order exactly
+    val opqDecoded = spark.createDataFrame(
+      model.rows.toIndexedSeq.map { case (id, cid, cs) =>
+        val yhat = decodeLocal(model.books, cs)
+        val recon = Array.tabulate(64) { j =>
+          var s = 0.0; var i = 0
+          while (i < 64) { s += model.rot(i)(j) * yhat(i); i += 1 }
+          cents(cid)(j) + s
+        }
+        (id, recon.toSeq)
+      }).toDF("nid", "recon")
+      .withColumn("rn2", md(col("recon"), col("recon")))
     val pq3 = top3Of(plainDecoded, "pq_hit")
     val opq3 = top3Of(opqDecoded, "opq_hit")
     truth3.join(pq3, Seq("qid", "nid"), "left")
