@@ -1014,9 +1014,13 @@ object TextOps {
       .join(base, "doc_id")
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $L)").as("s"))
-    val true2 = cand.groupBy("s").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("s")
-    val dpos = cand.join(true2, "s").select("doc_id", "pos")
+    // same collect-and-explode shape for the byte-exact verification:
+    // one shuffle on the candidate substrings, no join back
+    val dpos = cand.groupBy("s")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .filter(size(col("occ")) >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dpos.withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("brk",

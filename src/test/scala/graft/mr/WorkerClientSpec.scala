@@ -220,6 +220,81 @@ class WorkerClientSpec extends SparkSpec {
     }
   }
 
+  test("MIXED fleet: a reference python worker and a WorkerClient serve side by side under the reference manager") {
+    // the strongest interop witness there is: the unmodified reference
+    // manager drives a heterogeneous fleet — its own worker binary on
+    // one port, the rebuild's WorkerClient on another — through a
+    // 2-mapper/2-reducer word count, and the merged output is
+    // byte-identical to Submit.run. Every wire message, file format,
+    // sort order, and shared-dir convention has to line up across
+    // implementations for this to hold.
+    assume(pyOk && new java.io.File(refRoot,
+      "mapreduce/manager/__main__.py").exists)
+    val mapSh = stageExecutable("/mr/exec/wc_map.sh")
+    val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
+    val in = tmpDir("wkr-mix-in")
+    Files.writeString(Paths.get(in, "a.txt"), "to be or not to be\n")
+    Files.writeString(Paths.get(in, "b.txt"), "be the change\n")
+    Files.writeString(Paths.get(in, "c.txt"), "or not or else\n")
+    Files.writeString(Paths.get(in, "d.txt"), "to the lighthouse\n")
+    val expectOut = tmpDir("wkr-mix-exp") + "/exp"
+    Submit.run(spark, Seq("-i", in, "-o", expectOut, "-m", mapSh,
+      "-r", reduceSh, "--nmappers", "2", "--nreducers", "2"))
+    val out = tmpDir("wkr-mix-out") + "/got"
+    Files.createDirectories(Paths.get(out))
+
+    val mPort = freePort()
+    val (mgr, log) = bootRefManager(mPort)
+    // reference python worker first (it gets task 0)
+    val refPort = freePort()
+    val refLog = Files.createTempFile("ref-worker-mix", ".log")
+    val pb = new ProcessBuilder("python3", "-m", "mapreduce.worker",
+      "--port", refPort.toString, "--manager-port", mPort.toString)
+    pb.environment().put("PYTHONPATH", refRoot.getAbsolutePath)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(refLog.toFile)
+    val refProc = pb.start()
+    Thread.sleep(1500) // let the python worker register first
+    val mine = new WorkerClient(port = 0, managerPort = mPort).start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (!mine.heartbeating &&
+        System.currentTimeMillis() - t0 < 20000) Thread.sleep(100)
+      assert(mine.heartbeating, "WorkerClient never got register_ack; " +
+        "manager log:\n" + Files.readString(log))
+      send(mPort, s"""{"message_type": "new_manager_job",
+        "input_directory": "$in", "output_directory": "$out",
+        "mapper_executable": "$mapSh", "reducer_executable": "$reduceSh",
+        "num_mappers": 2, "num_reducers": 2}""")
+      val expect = (0 to 1).map { i =>
+        Files.readAllBytes(Paths.get(expectOut, f"part-$i%05d")).toSeq
+      }
+      def gotEqual: Boolean = (0 to 1).forall { i =>
+        val p = Paths.get(out, f"part-$i%05d")
+        Files.exists(p) && Files.readAllBytes(p).toSeq == expect(i)
+      }
+      val t1 = System.currentTimeMillis()
+      while (!gotEqual && System.currentTimeMillis() - t1 < 90000)
+        Thread.sleep(200)
+      assert(gotEqual,
+        "mixed-fleet output never matched Submit's bytes; manager log:\n" +
+          Files.readString(log) + "\nref worker log:\n" +
+          Files.readString(refLog))
+      // the WorkerClient actually participated (one map + one reduce
+      // went to the second registrant)
+      assert(mine.completedTasks >= 1,
+        "the WorkerClient was never dispatched a task")
+    } finally {
+      try send(mPort, """{"message_type": "shutdown"}""")
+      catch { case _: Exception => () }
+      if (!refProc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+        refProc.destroyForcibly()
+      if (!mgr.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+        mgr.destroyForcibly()
+      mine.kill()
+    }
+  }
+
   test("bidirectional drop-in: our manager dispatches to our WorkerClients, byte-identical to Submit") {
     val mapSh = stageExecutable("/mr/exec/wc_map.sh")
     val reduceSh = stageExecutable("/mr/exec/wc_reduce.sh")
