@@ -180,7 +180,65 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** DSIR-style importance selection (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much more likely its hashed-n-gram bag
+    * is under a TARGET domain's bucket distribution than under the raw
+    * corpus's, and keep the top scorers — the standard recipe for
+    * carving a domain-matched training subset out of a web-scale crawl
+    * without training a classifier. Features are Xie'23 §3's hashed
+    * bigrams (md5 prefix → 4096 buckets, the q_feature_hash idiom);
+    * target = the English slice of the corpus, raw = everything; bucket
+    * weights are Laplace-smoothed (+1) counts.
+    *
+    * Cross-engine exactness: the true DSIR weight
+    * Σ_b c_b·(log p̂_b − log q̂_b) is libm-bound, so the score uses the
+    * repo's integer log₂ surrogate (length(bin(x))−1, the q_zipf_fit
+    * idiom) over the EXACT integer cross-products —
+    * lb(p_b·Q) − lb(q_b·P) with P = 4096 + |target grams| and
+    * Q = 4096 + |raw grams| — a monotone quantization of the same
+    * log-ratio, fully hash-gatable. Scale shape: one tokenize pass
+    * explodes (doc, bucket) counts, the bucket table is ≤4096 rows
+    * broadcast back, the score is one doc-keyed aggregation, and the
+    * selection is a global TOP-K (TakeOrdered — no window, no full
+    * sort). */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+          |  (x, i) -> concat(x, ' ', element_at(toks, i + 2)))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substring(md5(g), 1, 4), 16, 10) AS BIGINT) % 4096")
+          .as("b"))
+    val perDoc = grams.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val buckets = grams
+      .groupBy("b")
+      .agg((count(lit(1)) + 1L).as("q"),
+        (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 1L).as("p"))
+    // P/Q include the +1 smoothing mass of ALL 4096 buckets, present or
+    // not — scalars derived from the same gram counts
+    val totals = grams.agg(
+      (count(lit(1)) + 4096L).as("qt"),
+      (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 4096L).as("pt"))
+    val lb = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    perDoc.join(broadcast(buckets), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("w", lb(col("p") * col("qt")) - lb(col("q") * col("pt")))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).cast("bigint").as("n_grams"),
+        sum(col("c") * col("w")).cast("bigint").as("score"))
+      .orderBy(desc("score"), desc("n_grams"), asc("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> qDsirSelect _,
     "q_token_budget" -> qTokenBudget _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sample_bernoulli" -> qSampleBernoulli _,
@@ -189,6 +247,42 @@ object Sampling {
     "q_sample_pps" -> qSamplePps _)
 
   val oracles: Map[String, String] = Map(
+    // Full DSIR replay: same tokens/bigrams/md5 buckets, same
+    // Laplace-smoothed counts, same integer-log2 cross-product weights,
+    // same top-20 — see qDsirSelect. DuckDB SUM/COUNT widen to
+    // HUGEINT, so every aggregate is cast BIGINT before the products.
+    "q_dsir_select" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(gg), 1, 4) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang,
+        |      unnest(list_transform(
+        |        list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |        z -> z[1] || ' ' || z[2])) AS gg
+        |    FROM d WHERE len(toks) >= 2) z),
+        |pd AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2, 3),
+        |bk AS (SELECT b, CAST(COUNT(*) + 1 AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS p
+        |  FROM g GROUP BY b),
+        |tt AS (SELECT CAST(COUNT(*) + 4096 AS BIGINT) AS qt,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 4096
+        |      AS BIGINT) AS pt
+        |  FROM g),
+        |s AS (SELECT pd.doc_id, pd.lang,
+        |    CAST(SUM(pd.c) AS BIGINT) AS n_grams,
+        |    CAST(SUM(pd.c * (
+        |      (LENGTH(bin(CAST(bk.p * tt.qt AS BIGINT))) - 1) -
+        |      (LENGTH(bin(CAST(bk.q * tt.pt AS BIGINT))) - 1)))
+        |      AS BIGINT) AS score
+        |  FROM pd JOIN bk USING (b), tt
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_grams, score
+        |FROM s ORDER BY score DESC, n_grams DESC, doc_id LIMIT 20""".stripMargin,
     "q_token_budget" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_tokens FROM (

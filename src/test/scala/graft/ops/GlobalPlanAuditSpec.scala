@@ -43,6 +43,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
     // pushed into the scalar join as an equi-condition → BroadcastHashJoin)
     "q_constraints", // 1-row n_checked scalar beside the FK violation count
     "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
+    "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
+                     // 256-row broadcast bucket table
     "q_temperature_sample", // 1-row min-language count the rates derive from
     "q_triangles", // three 1-row census scalars (node/edge/wedge/triangle
                    // counts) cross-joined into the single stats row

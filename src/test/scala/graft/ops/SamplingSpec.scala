@@ -111,4 +111,18 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(alloc - exact) <= 1.0, s"$lang: $alloc vs exact $exact")
     }
   }
+
+  test("DSIR selection actually selects the target domain") {
+    // the integer-log2 surrogate must still RANK like the true DSIR
+    // weight: with target = the English slice (~44% of docs), the
+    // top-20 must be clearly en-enriched over the base rate (measured
+    // 17/20 at sf0.001/sf0.01), and deterministic across runs
+    val dir = sf("sf0.001")
+    val a = Sampling.qDsirSelect(spark, dir).collect()
+    assert(a.length === 20)
+    val en = a.count(_.getString(1) == "en")
+    assert(en >= 12, s"top-20 only $en/20 en — selection lost its signal")
+    val b = Sampling.qDsirSelect(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }
