@@ -125,7 +125,11 @@ object Bench {
     "q_url", "q_robots", "q_split", "q_source_overlap", "q_bfs",
     "q_label_prop", "q_ppr", "q_hamming", "q_modularity", "q_pq",
     "q_ivfadc", "q_image", "q_substring", "q_bitext", "q_exif", "q_mmr",
-    "q_rank_corr", "q_knn_classify")
+    "q_rank_corr", "q_knn_classify",
+    // r16: both planted-fixture queries consume the "planted" prewarm
+    // chain (quantizers + codebooks + OPQ model); q_pq_planted rides
+    // the "q_pq" prefix, q_opq needs its own
+    "q_opq")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -538,10 +538,19 @@ object ManagerServer {
     * topology) — so this warns rather than refuses. */
   private[mr] def crossDeviceWarning(sharedDir: String,
       localTmp: String): Option[String] = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
+    // a not-yet-created dir still gets checked: walk up to the nearest
+    // EXISTING ancestor (its filesystem is where mkdirs will land) —
+    // otherwise the operator about to create the dir on the wrong
+    // device is exactly the one who gets no warning
+    def existing(p: Path): Path = {
+      var cur = p.toAbsolutePath
+      while (cur != null && !Files.exists(cur)) cur = cur.getParent
+      if (cur == null) p.toAbsolutePath else cur
+    }
     try {
-      val a = Files.getFileStore(Paths.get(sharedDir).toRealPath())
-      val b = Files.getFileStore(Paths.get(localTmp).toRealPath())
+      val a = Files.getFileStore(existing(Paths.get(sharedDir)).toRealPath())
+      val b = Files.getFileStore(existing(Paths.get(localTmp)).toRealPath())
       if (a != b) Some(
         s"--shared-dir '$sharedDir' (fs $a) is on a different filesystem " +
           s"than the local tempdir '$localTmp' (fs $b): the reference " +

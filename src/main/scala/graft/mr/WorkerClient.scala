@@ -195,24 +195,26 @@ final class WorkerClient(host: String = "localhost", port: Int = 0,
 
   /** heapq.merge over the sorted inputs: a k-entry heap ordered by
     * (code-point line order, input index) — the index is exactly
-    * CPython merge's stability tiebreak. */
+    * CPython merge's stability tiebreak. Lines are stored
+    * newline-TERMINATED in the heap (the form the reference compares),
+    * so the hot loop does zero per-comparison allocation. */
   private def mergeInto(readers: Seq[BufferedReader],
       out: BufferedWriter): Unit = {
     val heap = new java.util.PriorityQueue[(String, Int)](
       math.max(1, readers.size),
       (a: (String, Int), b: (String, Int)) => {
-        val c = WorkerClient.codePointOrder.compare(a._1 + "\n", b._1 + "\n")
+        val c = WorkerClient.codePointOrder.compare(a._1, b._1)
         if (c != 0) c else Integer.compare(a._2, b._2)
       })
     for ((r, i) <- readers.zipWithIndex) {
       val l = r.readLine()
-      if (l != null) heap.add((l, i))
+      if (l != null) heap.add((l + "\n", i))
     }
     while (!heap.isEmpty) {
       val (line, i) = heap.poll()
-      out.write(line); out.write("\n")
+      out.write(line)
       val next = readers(i).readLine()
-      if (next != null) heap.add((next, i))
+      if (next != null) heap.add((next + "\n", i))
     }
   }
 

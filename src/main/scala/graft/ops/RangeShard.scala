@@ -42,9 +42,17 @@ object RangeShard {
 
   private val K = 16
 
+  /** Gate-default sample target — interpolated into the oracle SQL
+    * below, so engine and oracle derive the SAME threshold at default
+    * knobs. Setting the conf to a non-default value desyncs the gate
+    * (the sketch-knob convention: knobs stay fixed for a gate JVM;
+    * RangeShardSpec's tiny-target test restores the default in a
+    * finally). */
+  private val GateSampleTarget = 4096L
+
   private def sampleTarget(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.rangeshard.sampleTarget")
-      .map(_.toLong).getOrElse(4096L)
+      .map(_.toLong).getOrElse(GateSampleTarget)
 
   /** Count-scaled md5 threshold over the first 8 hex digits (uniform in
     * [0, 2³²−1]): keep rows with hexval <= thr where
@@ -104,12 +112,12 @@ object RangeShard {
     * CAST('0x'||… AS BIGINT) == Spark conv(…,16,10).) */
   val oracles: Map[String, String] = Map(
     "q_range_shard" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CAST(n_chars AS BIGINT) * 4294967296 + doc_id AS rkey
         |  FROM documents),
         |t AS (SELECT LEAST(CAST(4294967295 AS BIGINT),
-        |        (CAST(4294967296 AS BIGINT) * 4096)
+        |        (CAST(4294967296 AS BIGINT) * $GateSampleTarget)
         |          // GREATEST(COUNT(*), 1)) AS thr FROM d),
         |s AS (SELECT rkey FROM d, t
         |      WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || ':rs'), 1, 8)

@@ -214,17 +214,30 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         expr("CAST(conv(substring(md5(g), 1, 4), 16, 10) AS BIGINT) % 4096")
           .as("b"))
-    val perDoc = grams.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("c"))
-    val buckets = grams
+    // ONE tokenize pass: the (doc, bucket) count table materializes
+    // once and every downstream aggregate reads IT — bucket weights
+    // and the smoothing totals are second/third-level rollups, so the
+    // corpus is scanned exactly once however many times the small
+    // frames appear in the final plan (without the materialize, the
+    // perDoc subtree re-ran the tokenize+md5 scan per consumer)
+    val perDoc = Tables.materialize(
+      grams.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c")),
+      s"dsirpd:$dir")
+    val buckets = perDoc
       .groupBy("b")
-      .agg((count(lit(1)) + 1L).as("q"),
-        (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 1L).as("p"))
+      .agg((sum(col("c")) + 1L).cast("long").as("q"),
+        (sum(when(col("lang") === "en", col("c")).otherwise(0L)) + 1L)
+          .cast("long").as("p"))
     // P/Q include the +1 smoothing mass of ALL 4096 buckets, present or
-    // not — scalars derived from the same gram counts
-    val totals = grams.agg(
-      (count(lit(1)) + 4096L).as("qt"),
-      (sum(when(col("lang") === "en", 1L).otherwise(0L)) + 4096L).as("pt"))
+    // not: Σ_present(q−1) = total grams, so qt = grams + 4096
+    val totals = buckets.agg(
+      (sum(col("q") - 1L) + 4096L).cast("long").as("qt"),
+      (sum(col("p") - 1L) + 4096L).cast("long").as("pt"))
+    // Exactness bound: the cross-products p·Q and q·P are BIGINTs —
+    // exact up to ~3e9 grams per side (beyond 2⁶³ Spark would wrap
+    // silently where DuckDB errors); past that, re-bucket or rescale
+    // the smoothed counts before the lb — the RANKING only needs the
+    // ratio, which survives a common power-of-two rescale exactly.
     val lb = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
     perDoc.join(broadcast(buckets), "b")
       .crossJoin(broadcast(totals))

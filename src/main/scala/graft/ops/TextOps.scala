@@ -1184,13 +1184,16 @@ object TextOps {
     // Definitional replay of qSubstringExact: every length-40 window,
     // grouped on the TEXT (the engine's rolling hash is only a
     // prefilter, verified on true bytes — so the oracle needs no hash),
-    // then the same gap>L interval union. The constant series bound
-    // (4096) dominates every fixture doc length; the WHERE keeps only
-    // real positions.
+    // then the same gap>L interval union. SERIES BOUND CAVEAT: the
+    // engine's rolling pass is unbounded; the oracle's constant series
+    // cap (16384, ~28× the fixture's 577-char max) must dominate every
+    // doc length or the gate hash-fails with windows the oracle
+    // silently dropped — raise it if the fixture ever grows longer
+    // documents (the r14 q_audio_features silent-cap lesson).
     "q_substring_exact" ->
       """WITH w AS (SELECT doc_id, g.i AS pos,
         |        substr(text, g.i + 1, 40) AS s
-        |      FROM documents, generate_series(0, 4096) g(i)
+        |      FROM documents, generate_series(0, 16384) g(i)
         |      WHERE g.i <= CAST(length(text) AS BIGINT) - 40),
         |dup AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) >= 2),
         |dpos AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (s)),
