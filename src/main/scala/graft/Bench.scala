@@ -527,6 +527,27 @@ object Bench {
     @volatile var stop = false
 
     type Fn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+    // Session-conf scope fence (found by the r16 2.9× burner drill):
+    // q_autosalt_agg/avg enable an OPTIMIZER RULE session-wide for
+    // their scope. laneSolo keeps them out of lane concurrency, but
+    // the EARLY-LAUNCHED stream-gate thread still overlapped them — a
+    // gate stream whose run 1 PLANNED inside the AutoSalt scope
+    // checkpointed a salted TWO-stage aggregate, and its restart
+    // (outside the scope) planned one stage: Spark 4 fails the restart
+    // with STREAMING_STATEFUL_OPERATOR_NOT_MATCH_IN_STATE_METADATA.
+    // (Batch queries are safe — AutoSalt is result-identical — only
+    // cross-restart streaming plans are scope-sensitive.) Fence:
+    // conf-toggling queries take the WRITE lock, stream gates the READ
+    // lock (gates stay mutually concurrent under escalation).
+    val confScope = new java.util.concurrent.locks.ReentrantReadWriteLock()
+    def withConfScope[A](name: String)(body: => A): A = {
+      val l: java.util.concurrent.locks.Lock =
+        if (laneSolo(name)) confScope.writeLock()
+        else if (streamGates(name)) confScope.readLock()
+        else null
+      if (l == null) body
+      else { l.lock(); try body finally l.unlock() }
+    }
     // inflation samples and escalation decisions only count once the
     // background chains are DONE: while they run, the cheap pure prefix
     // is self-contended ~2x its committed anchors (measured: a quiet run
@@ -548,14 +569,16 @@ object Bench {
       }
       val cleanSample = chainsDone
       var ok = true
-      val sec = timed {
+      // the scope fence is taken OUTSIDE the timer so a gate that waits
+      // out an in-flight autosalt scope isn't charged the wait
+      val sec = withConfScope(name) { timed {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           lock.synchronized { failed += name }
           ok = false
           System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
         }
-      }
+      } }
       // A failed run's duration is the time-to-crash, not the query's
       // cost — letting it into samples deflates the median AND the
       // pass-2+ budget estimate (1.5× of ~0 never triggers the stop).
