@@ -349,6 +349,17 @@ object Bench {
       val hb = new java.io.File(root, ".heartbeat")
       hb.createNewFile()
       hb.setLastModified(System.currentTimeMillis())
+      // refresh the heartbeat for the life of the run (r16 ADVICE): a
+      // bench exceeding the 30-min staleness window must not have its
+      // LIVE cache swept by a concurrent bench on another fingerprint
+      val hbT = new Thread(() => {
+        while (true) {
+          Thread.sleep(5 * 60 * 1000L)
+          hb.setLastModified(System.currentTimeMillis())
+        }
+      }, "prewarm-cache-heartbeat")
+      hbT.setDaemon(true)
+      hbT.start()
       Option(new java.io.File(cacheBase).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName != fp)
         .filter { f =>

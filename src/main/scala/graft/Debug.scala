@@ -20,6 +20,11 @@ object Debug {
       println(f"PREWARM: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       spark.stop(); return
     }
+    if (args.headOption.contains("sql")) {
+      // ad-hoc parity probe: Debug sql "<statement>"
+      spark.sql(args(1)).show(200, truncate = false)
+      spark.stop(); return
+    }
     if (args.headOption.contains("docgen")) {
       val df = spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", 2000).option("numPartitions", 8).load()

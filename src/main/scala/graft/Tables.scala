@@ -250,7 +250,18 @@ object Tables {
                 if (new java.io.File(tmp).renameTo(new java.io.File(cdir)))
                   cdir
                 else if (successExists(cdir)) { deleteDir(tmp); cdir }
-                else { matDirs.put(s"shared:$tag:$key", tmp); tmp }
+                else {
+                  // rename lost to a WEDGED target (exists, no _SUCCESS
+                  // — e.g. a killed JVM's half-publish): repair it once
+                  // (r16 ADVICE) so later JVMs stop rebuilding forever;
+                  // if the retry still loses (a live racer re-wedged or
+                  // published mid-delete), serve the private build dir
+                  deleteDir(cdir)
+                  if (new java.io.File(tmp).renameTo(new java.io.File(cdir)))
+                    cdir
+                  else if (successExists(cdir)) { deleteDir(tmp); cdir }
+                  else { matDirs.put(s"shared:$tag:$key", tmp); tmp }
+                }
               }
             case None =>
               val dd = writeMat(build(), tag)

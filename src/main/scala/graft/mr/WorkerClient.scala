@@ -133,11 +133,16 @@ final class WorkerClient(host: String = "localhost", port: Int = 0,
       val writers = partFiles.map(f => new BufferedWriter(
         new OutputStreamWriter(new java.io.FileOutputStream(f, true), UTF_8)))
       try for (ip <- inputs) {
+        // kill() may fire BETWEEN input files (inflight momentarily
+        // null): check the flag before every launch, and re-check after
+        // publishing so a racing kill() always has a process to destroy
+        checkKilled()
         val pb = new ProcessBuilder(exe)
         pb.redirectInput(new File(ip))
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         inflight.set(p)
+        if (killed) p.destroyForcibly()
         val br = new BufferedReader(new InputStreamReader(p.getInputStream, UTF_8))
         var line = br.readLine()
         while (line != null) {
@@ -175,11 +180,13 @@ final class WorkerClient(host: String = "localhost", port: Int = 0,
       val readers = inputs.map(ip => new BufferedReader(
         new InputStreamReader(new java.io.FileInputStream(ip), UTF_8)))
       try {
+        checkKilled()
         val pb = new ProcessBuilder(exe)
         pb.redirectOutput(outFile)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         inflight.set(p)
+        if (killed) p.destroyForcibly()
         val stdin = new BufferedWriter(
           new OutputStreamWriter(p.getOutputStream, UTF_8))
         try mergeInto(readers, stdin) finally stdin.close()

@@ -202,6 +202,29 @@ object Sampling {
     * broadcast back, the score is one doc-keyed aggregation, and the
     * selection is a global TOP-K (TakeOrdered — no window, no full
     * sort). */
+  /** Integer log₂ of the EXACT wide cross-product `a·b`, for `b` any
+    * BIGINT and `a < 10¹⁸`: DECIMAL(18,0)×DECIMAL(19,0) multiplies to
+    * DECIMAL(38,0) without rounding (precision 18+19+1 = 38 exactly),
+    * and lb splits on 2⁶³ — below it the product casts to BIGINT and
+    * the usual length(bin(x))−1 applies; at/above it
+    * lb(v) = 63 + lb(v div 2⁶³), exact because range partitioning by
+    * the high word is order-disjoint: v ∈ [hi·2⁶³, (hi+1)·2⁶³) ⊂
+    * [2^(63+lb(hi)), 2^(63+lb(hi)+1)). Values below 2⁶³ are
+    * bit-identical to the narrow BIGINT form, so gate hashes are
+    * unchanged; SamplingSpec pins the wide regime against BigInt. */
+  private[graft] def lbProdSql(a: String, b: String): String = {
+    val prod = s"(CAST($a AS DECIMAL(18,0)) * CAST($b AS DECIMAL(19,0)))"
+    s"""(CASE WHEN $prod <= 9223372036854775807
+       |  THEN length(bin(CAST($prod AS BIGINT))) - 1
+       |  ELSE 63 + length(bin($prod div 9223372036854775808)) - 1
+       |  END)""".stripMargin
+  }
+
+  /** The q_dsir_select per-bucket weight lb(p·Q) − lb(q·P) over the
+    * wide products — see [[lbProdSql]]. */
+  private[graft] val dsirWeightSql: String =
+    s"${lbProdSql("p", "qt")} - ${lbProdSql("q", "pt")}"
+
   def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
@@ -233,15 +256,18 @@ object Sampling {
     val totals = buckets.agg(
       (sum(col("q") - 1L) + 4096L).cast("long").as("qt"),
       (sum(col("p") - 1L) + 4096L).cast("long").as("pt"))
-    // Exactness bound: the cross-products p·Q and q·P are BIGINTs —
-    // exact up to ~3e9 grams per side (beyond 2⁶³ Spark would wrap
-    // silently where DuckDB errors); past that, re-bucket or rescale
-    // the smoothed counts before the lb — the RANKING only needs the
-    // ratio, which survives a common power-of-two rescale exactly.
-    val lb = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    // Exactness at scale (r16 verdict fix): the cross-products p·Q and
+    // q·P run in DECIMAL(18,0)×DECIMAL(19,0) → DECIMAL(38,0) — EXACT
+    // at any corpus size up to 10¹⁸ grams per side (≈ an exabyte of
+    // text; the BIGINT count sums themselves saturate just past it),
+    // where the old BIGINT products wrapped silently past ~3e9 grams.
+    // Past 10¹⁸ the DECIMAL(18,0) cast errors LOUDLY under ANSI
+    // (NUMERIC_VALUE_OUT_OF_RANGE), never a silent wrong ranking. The
+    // integer-log₂ of the wide product splits on 2⁶³ (see dsirWeightSql)
+    // and is bit-identical to the narrow form below it.
     perDoc.join(broadcast(buckets), "b")
       .crossJoin(broadcast(totals))
-      .withColumn("w", lb(col("p") * col("qt")) - lb(col("q") * col("pt")))
+      .withColumn("w", expr(dsirWeightSql))
       .groupBy("doc_id", "lang")
       .agg(sum(col("c")).cast("bigint").as("n_grams"),
         sum(col("c") * col("w")).cast("bigint").as("score"))
@@ -289,8 +315,14 @@ object Sampling {
         |s AS (SELECT pd.doc_id, pd.lang,
         |    CAST(SUM(pd.c) AS BIGINT) AS n_grams,
         |    CAST(SUM(pd.c * (
-        |      (LENGTH(bin(CAST(bk.p * tt.qt AS BIGINT))) - 1) -
-        |      (LENGTH(bin(CAST(bk.q * tt.pt AS BIGINT))) - 1)))
+        |      (CASE WHEN CAST(bk.p AS HUGEINT) * tt.qt <= 9223372036854775807
+        |        THEN LENGTH(bin(CAST(CAST(bk.p AS HUGEINT) * tt.qt AS BIGINT))) - 1
+        |        ELSE 63 + LENGTH(bin(CAST((CAST(bk.p AS HUGEINT) * tt.qt)
+        |          // CAST('9223372036854775808' AS HUGEINT) AS BIGINT))) - 1 END) -
+        |      (CASE WHEN CAST(bk.q AS HUGEINT) * tt.pt <= 9223372036854775807
+        |        THEN LENGTH(bin(CAST(CAST(bk.q AS HUGEINT) * tt.pt AS BIGINT))) - 1
+        |        ELSE 63 + LENGTH(bin(CAST((CAST(bk.q AS HUGEINT) * tt.pt)
+        |          // CAST('9223372036854775808' AS HUGEINT) AS BIGINT))) - 1 END)))
         |      AS BIGINT) AS score
         |  FROM pd JOIN bk USING (b), tt
         |  GROUP BY 1, 2)

@@ -44,7 +44,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_constraints", // 1-row n_checked scalar beside the FK violation count
     "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
     "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
-                     // 256-row broadcast bucket table
+                     // <=4096-row broadcast bucket table (md5 % 4096)
     "q_temperature_sample", // 1-row min-language count the rates derive from
     "q_triangles", // three 1-row census scalars (node/edge/wedge/triangle
                    // counts) cross-joined into the single stats row

@@ -112,6 +112,49 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dsir weight: wide cross-products exact past 2^63, order survives forced-large totals") {
+    import spark.implicits._
+    // the r16 verdict item: past ~3e9 grams per side the old BIGINT
+    // products wrapped silently. The wide DECIMAL(38,0) form must equal
+    // the BigInt ground truth lb(p·qt) − lb(q·pt) bit-for-bit across
+    // the 2^63 boundary and deep into the wide regime (~2^123)
+    val base = Seq(
+      (3L, 5L, 7L, 11L),
+      (1L, 1L, 1L, 1L),
+      (2L, 3L, 4611686018427387904L, 3074457345618258602L), // p·qt = 2^63 exactly
+      (3L, 2L, 3074457345618258602L, 4611686018427387904L), // just below / above
+      (3000000000L, 2999999999L, 4000000000000000000L, 4000000000000000001L),
+      (999999999999999999L, 999999999999999998L,
+        9223372036854775807L, 9223372036854775806L), // ~2^122, the decimal ceiling
+      (12345L, 678L, 987654321987654321L, 123456789123456789L))
+    // forced-large totals: the same bucket profile scaled 2^20× (a
+    // corpus ~10^12 grams — the 100 TB design point) must keep the
+    // SAME score order as the unscaled profile computes exactly
+    val scaled = base.collect { case (p, q, qt, pt)
+      if p < (1L << 40) && q < (1L << 40) =>
+      (p << 20, q << 20, math.min(qt, 1L << 42) << 20, math.min(pt, 1L << 42) << 20)
+    }
+    val got = (base ++ scaled).toDF("p", "q", "qt", "pt")
+      .withColumn("w", expr(Sampling.dsirWeightSql))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    got.foreach { case (p, q, qt, pt, w) =>
+      val exact = (BigInt(p) * BigInt(qt)).bitLength - 1 -
+        ((BigInt(q) * BigInt(pt)).bitLength - 1)
+      assert(w === exact, s"wide lb diverged from BigInt at ($p,$q,$qt,$pt)")
+    }
+    // ranking: engine order by w == BigInt-computed order (ties broken
+    // identically by the tuple itself)
+    val key = (t: (Long, Long, Long, Long, Int)) => (t._1, t._2, t._3, t._4)
+    val engineOrder = got.sortBy(t => (-t._5, t._1, t._2, t._3, t._4)).map(key)
+    val truthOrder = got.map { case (p, q, qt, pt, _) =>
+      val exact = (BigInt(p) * BigInt(qt)).bitLength - 1 -
+        ((BigInt(q) * BigInt(pt)).bitLength - 1)
+      (p, q, qt, pt, exact)
+    }.sortBy(t => (-t._5, t._1, t._2, t._3, t._4)).map(key)
+    assert(engineOrder.toSeq === truthOrder.toSeq)
+  }
+
   test("DSIR selection actually selects the target domain") {
     // the integer-log2 surrogate must still RANK like the true DSIR
     // weight: with target = the English slice (~44% of docs), the
