@@ -1002,25 +1002,29 @@ object TextOps {
       }
     }.toDF("h", "doc_id", "pos")
     // ONE shuffle of the window tuples: positions group per hash, and
-    // only hash-hot groups (size >= 2 — true-duplicate multiplicity
-    // plus rare collisions, so the collected lists are tiny; a
-    // pathological all-equal corpus makes one genuinely hot group,
-    // which no exact method escapes) survive to verification
-    val cand = win.groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
-      .filter(size(col("occ")) >= 2)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    // only hash-hot groups (size >= 2) survive to verification. The
+    // count is a PARTITIONED WINDOW, not collect_list (r16 verdict):
+    // a crawl-scale corpus has pathological hot windows (license
+    // headers repeated 10⁷-10⁹×) whose occurrence list would
+    // materialize in ONE aggregation buffer; WindowExec's per-group
+    // buffer spills to disk past the spill threshold, so the hot tail
+    // is disk-bounded while the plan keeps the single exchange per
+    // stage that beat count+join-back in the r16 A/B
+    val cand = win
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("m") >= 2)
+      .select("doc_id", "pos")
       .join(base, "doc_id")
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $L)").as("s"))
-    // same collect-and-explode shape for the byte-exact verification:
-    // one shuffle on the candidate substrings, no join back
-    val dpos = cand.groupBy("s")
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
-      .filter(size(col("occ")) >= 2)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    // same windowed shape for the byte-exact verification: one shuffle
+    // on the candidate substrings, no join back, no list
+    val dpos = cand
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("m") >= 2)
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dpos.withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("brk",

@@ -227,4 +227,36 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(3) === 3L, r.toString)
     }
   }
+
+  test("exact substring dedup: a ~10^4x-hot window group stays bounded (r16 verdict)") {
+    // license-header pathology in miniature: one 16-char block repeated
+    // back-to-back 10^4 times makes every window string ~10^4-hot (16
+    // distinct window strings by offset mod 16, ~10^4 occurrences
+    // each). The old collect_list materialized each group as ONE
+    // aggregation-buffer list; the windowed count must produce the
+    // identical definitional answer — the whole doc is one covered
+    // span — through the spill-safe path, and a unique-context doc
+    // beside it must report nothing
+    val reps = 10000
+    val block = "abcdefghijklmnop"
+    assert(block.length === 16)
+    val hot = block * reps
+    val unique = {
+      val sb = new StringBuilder
+      var z = 0x51AB17C9L
+      for (_ <- 0 until 4096) {
+        z = z * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((z >>> 35) % 26).toInt).toChar
+      }
+      sb.toString
+    }
+    val df = spark.createDataFrame(Seq((1L, hot), (2L, unique)))
+      .toDF("doc_id", "text")
+    val spans = TextOps.exactDupSpans(df, 16).collect()
+    assert(spans.length === 1, spans.mkString("; "))
+    val r = spans.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getInt(1) === 0 && r.getInt(2) === hot.length, r.toString)
+    assert(r.getLong(3) === (hot.length - 16 + 1).toLong)
+  }
 }
