@@ -129,7 +129,9 @@ object Bench {
     // r16: both planted-fixture queries consume the "planted" prewarm
     // chain (quantizers + codebooks + OPQ model); q_pq_planted rides
     // the "q_pq" prefix, q_opq needs its own
-    "q_opq")
+    "q_opq",
+    // r17: filtered ANN rides the shared IVF artifacts
+    "q_ann_filtered")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -552,6 +552,109 @@ object Vectors {
         .orderBy("qid", "rank")
   }
 
+  /** Filtered ANN — the production retrieval shape (the FAISS
+    * IDSelector / Milvus metadata-filter trade-off): cosine top-k under
+    * a metadata predicate (label = 3, ~10% of the corpus), comparing
+    * the two standard plans over the SAME coarse IVF search:
+    *
+    *  - PRE-filter: probe the query's nprobe inverted lists and rank
+    *    only the qualifying entries — equivalent to scanning deeper
+    *    into each probed list, so a selective predicate cannot starve
+    *    the result set (FAISS IDSelector, Milvus bitset filtering);
+    *  - POST-filter: take the unfiltered top-10 and THEN apply the
+    *    predicate — cheaper per query, but a selectivity-s predicate
+    *    leaves ~10·s expected survivors and recall collapses. That
+    *    failure mode is what this query MEASURES.
+    *
+    * Both recalls are exact basis points against the exact filtered
+    * cosine top-3 (brute force over the qualifying corpus), evaluated
+    * on a bounded 64-query slice — the q_cosine_topk bounded-broadcast
+    * idiom; the truth pass is the one deliberate broadcast nested loop
+    * (allowlisted by name in GlobalPlanAuditSpec). Scale shape:
+    * candidates ride the shared [[ivfAssigned]] lists via derived-key
+    * joins; the predicate joins the candidate set on nid (equi,
+    * broadcastable — the label table is two columns); the truth pass
+    * streams the filtered corpus past 64 broadcast query rows. The
+    * oracle replays the whole comparison (both plans AND the brute
+    * truth) from the exported eval-slice candidate pairs plus the raw
+    * embeddings table. SimilaritySpec pins pre ≥ post and the collapse
+    * mechanism on a label-correlated candidate fixture. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val dot2 = graft.functions.FloatDotProduct.floatDot _
+    val (k, overK, predLabel, nEval) = (3, 10, 3, 64L)
+    val emb = sharedEmb(spark, dir)
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"))
+    val assigned = ivfAssigned(spark, dir)
+    val cands = ivfProbes(spark, dir).filter(col("qid") < nEval)
+      .join(assigned.select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("norm2").as("nn")), "cid")
+      .filter(col("qid") =!= col("nid"))
+    graft.OracleExport.export(cands.select("qid", "nid"), "ivffiltcand",
+      dir, ivfKey(spark))
+    val sims = cands
+      .select(col("qid"), col("nid"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+      .join(labels, "nid")
+    val (pre, post) = prePostFromSims(sims, k, overK, predLabel)
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val qset = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm2").as("qn"))
+    val pool = emb
+      .join(labels.filter(col("nlabel") === predLabel)
+        .select(col("nid").as("vec_id")), "vec_id")
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("norm2").as("nn"))
+    val truth = broadcast(qset).join(pool, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    filteredRecallRow(truth, pre, post)
+  }
+
+  /** The two filtered-retrieval plans over one scored candidate set
+    * (qid, nid, sim, nlabel) — shared by [[qAnnFiltered]] and the
+    * SimilaritySpec label-correlated fixture. PRE ranks only qualifying
+    * candidates; POST truncates to the unfiltered top-overK first (the
+    * recall-collapse mechanism), then filters, then keeps k. */
+  private[graft] def prePostFromSims(sims: DataFrame, k: Int, overK: Int,
+      predLabel: Int): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val pre = sims.filter(col("nlabel") === predLabel)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    val post = sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= overK)
+      .filter(col("nlabel") === predLabel)
+      .withColumn("rk2", row_number().over(w)).filter(col("rk2") <= k)
+      .select(col("qid"), col("nid"))
+    (pre, post)
+  }
+
+  /** Shared eval core for [[qAnnFiltered]] (and its SimilaritySpec
+    * fixture): truth/pre/post are (qid, nid[, *_hit]) pair sets; output
+    * is the one-row exact-basis-point comparison. */
+  private[graft] def filteredRecallRow(truth: DataFrame, pre: DataFrame,
+      post: DataFrame): DataFrame =
+    truth
+      .join(pre.select(col("qid"), col("nid"), lit(1).as("pre_hit")),
+        Seq("qid", "nid"), "left")
+      .join(post.select(col("qid"), col("nid"), lit(1).as("post_hit")),
+        Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).cast("bigint").as("n_truth"),
+        sum(coalesce(col("pre_hit"), lit(0))).cast("bigint").as("pre_hits"),
+        sum(coalesce(col("post_hit"), lit(0))).cast("bigint")
+          .as("post_hits"))
+      .select(col("n_queries"), col("n_truth"), col("pre_hits"),
+        col("post_hits"),
+        expr("(pre_hits * 10000L) div n_truth").as("recall_pre_bp"),
+        expr("(post_hits * 10000L) div n_truth").as("recall_post_bp"))
+
   /** Per-vector int8 scalar quantization audit — the storage/ANN
     * compression pass (4× smaller vectors): min-max scale each vector to
     * 0..255 codes, reconstruct, and report the quantization error. A pure
@@ -1881,6 +1984,7 @@ object Vectors {
     "q_semantic_dedup" -> qSemanticDedup _,
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
+    "q_ann_filtered" -> qAnnFiltered _,
     "q_cosine_neardup" -> qCosineNeardup _,
     "q_emb_norms" -> qEmbNorms _,
     "q_cosine_topk" -> qCosineTopk _,
@@ -2510,6 +2614,60 @@ object Vectors {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
     // Re-rank + top-3 window over the exported IVF probe candidate set
     // (already directed: every qid probes distinct lists) — see qCosineIvf
+    // Filtered-ANN comparison replayed end to end: pre/post-filter
+    // rankings from the exported eval-slice candidate pairs, truth from
+    // the brute-force filtered cosine over the raw embeddings (bounded:
+    // 64 queries x |label=3| pool) — see qAnnFiltered. Norms via the
+    // decimal-exact dotSql twin; pair sims via the proven sequential
+    // list_sum double fold.
+    "q_ann_filtered" ->
+      s"""WITH c AS (SELECT qid, nid FROM '${graft.OracleExport.oraclePath("ivffiltcand")}'),
+         |e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM e),
+         |sims AS MATERIALIZED (
+         |  SELECT c.qid, c.nid,
+         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |      / (sqrt(na.norm2) * sqrt(nb.norm2)) AS sim,
+         |    b.label AS nlabel
+         |  FROM c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.nid
+         |  JOIN n na ON na.vec_id = c.qid JOIN n nb ON nb.vec_id = c.nid),
+         |pre AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM sims WHERE nlabel = 3) z WHERE rk <= 3),
+         |p10 AS (SELECT qid, nid, sim, nlabel FROM (
+         |    SELECT qid, nid, sim, nlabel, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM sims) z WHERE rk <= 10),
+         |post AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM p10 WHERE nlabel = 3) z WHERE rk <= 3),
+         |ts AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |      / (sqrt(na.norm2) * sqrt(nb.norm2)) AS sim
+         |  FROM e a JOIN e b ON b.label = 3 AND b.vec_id <> a.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE a.vec_id < 64),
+         |truth AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+         |    FROM ts) z WHERE rk <= 3),
+         |j AS (SELECT t.qid,
+         |    CASE WHEN pr.qid IS NULL THEN 0 ELSE 1 END AS pre_hit,
+         |    CASE WHEN po.qid IS NULL THEN 0 ELSE 1 END AS post_hit
+         |  FROM truth t
+         |  LEFT JOIN pre pr ON pr.qid = t.qid AND pr.nid = t.nid
+         |  LEFT JOIN post po ON po.qid = t.qid AND po.nid = t.nid)
+         |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(pre_hit) AS BIGINT) AS pre_hits,
+         |  CAST(SUM(post_hit) AS BIGINT) AS post_hits,
+         |  CAST((SUM(pre_hit) * 10000) // COUNT(*) AS BIGINT) AS recall_pre_bp,
+         |  CAST((SUM(post_hit) * 10000) // COUNT(*) AS BIGINT) AS recall_post_bp
+         |FROM j""".stripMargin,
     "q_cosine_ivf" -> simOracle(
       s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("ivfcand")}'",
       "qid", "nid",

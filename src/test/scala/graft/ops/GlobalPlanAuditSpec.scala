@@ -36,6 +36,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
     "q_neardup_incremental", // same 1-row cut, minhash-index sibling
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
+    "q_ann_filtered", // bounded 64-query broadcast truth pass of the
+                      // pre/post-filter recall comparison (the exact
+                      // filtered ground truth IS the point)
     "q_range_band", // the band table IS the bounded broadcast side of a
                     // non-equi range join — the operator's semantics
     "q_zorder_layout", // 1-row corpus min/max quantization bounds

@@ -371,4 +371,44 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr3.exists { case (q, picks) => top3.get(q).exists(_ != picks) },
       "MMR never diverged from plain top-3 — penalty inert")
   }
+
+  test("filtered ANN: post-filter collapses on a label-correlated fixture, pre-filter doesn't") {
+    import spark.implicits._
+    // the collapse mechanism, isolated: each query's unfiltered top-12
+    // are all label-0 near-twins (sims .99 down to .88), and the three
+    // qualifying label-3 candidates sit below them (.50/.49/.48). The
+    // post-filter plan truncates at overK=10 BEFORE filtering — zero
+    // qualifying survivors; the pre-filter plan ranks only qualifying
+    // candidates and recovers all three
+    val sims = (0L until 4L).flatMap { q =>
+      val dominant = (0 until 12).map(i =>
+        (q, 100L + q * 100 + i, 0.99 - 0.01 * i, 0))
+      val qualifying = (0 until 3).map(i =>
+        (q, 200L + q * 100 + i, 0.50 - 0.01 * i, 3))
+      dominant ++ qualifying
+    }.toDF("qid", "nid", "sim", "nlabel")
+    val truth = sims.filter(col("nlabel") === 3).select("qid", "nid")
+    val (pre, post) = Vectors.prePostFromSims(sims, k = 3, overK = 10,
+      predLabel = 3)
+    val row = Vectors.filteredRecallRow(truth, pre, post).collect().head
+    assert(row.getLong(0) === 4L && row.getLong(1) === 12L, row.toString)
+    assert(row.getLong(4) === 10000L,
+      s"pre-filter should recover every qualifying neighbor: $row")
+    assert(row.getLong(5) === 0L,
+      s"post-filter should collapse to zero under the dominant block: $row")
+  }
+
+  test("filtered ANN on the fixture: pre-filter recall >= post-filter recall, both sane") {
+    val row = Vectors.qAnnFiltered(spark, dir).collect().head
+    val (nq, nt) = (row.getLong(0), row.getLong(1))
+    val (preBp, postBp) = (row.getLong(4), row.getLong(5))
+    assert(nq === 64L && nt === 192L, row.toString)
+    assert(preBp >= postBp,
+      s"pre-filter must dominate post-filter at equal probes: $row")
+    assert(preBp >= 1500L,
+      s"pre-filter recall collapsed below the measured floor: $row")
+    // determinism across runs
+    val again = Vectors.qAnnFiltered(spark, dir).collect().head
+    assert(row.toSeq === again.toSeq)
+  }
 }
