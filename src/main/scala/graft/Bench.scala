@@ -130,8 +130,9 @@ object Bench {
     // chain (quantizers + codebooks + OPQ model); q_pq_planted rides
     // the "q_pq" prefix, q_opq needs its own
     "q_opq",
-    // r17: filtered ANN rides the shared IVF artifacts
-    "q_ann_filtered")
+    // r17: filtered ANN rides the shared IVF artifacts; the unigram-LM
+    // pair rides the bpe chain's shared segmentation
+    "q_ann_filtered", "q_unigram")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -21,8 +21,13 @@ object Debug {
       spark.stop(); return
     }
     if (args.headOption.contains("sql")) {
-      // ad-hoc parity probe: Debug sql "<statement>"
-      spark.sql(args(1)).show(200, truncate = false)
+      // ad-hoc parity probe: Debug sql "<statement>" | Debug sql @file
+      val stmt =
+        if (args(1).startsWith("@"))
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(args(1).drop(1))), "UTF-8")
+        else args(1)
+      spark.sql(stmt).show(200, truncate = false)
       spark.stop(); return
     }
     if (args.headOption.contains("docgen")) {
