@@ -71,8 +71,43 @@ class ShardSinkSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(out, "_staging")),
       "loser attempt's staging survived commit")
     val shards = new java.io.File(out).listFiles()
-      .map(_.getName).filter(_.startsWith("shard-")).sorted
+      .map(_.getName).filter(_.startsWith("v00001-shard-")).sorted
     assert(shards.length === 3, s"expected 3 shards, got ${shards.toSeq}")
+  }
+
+  test("time travel: old snapshot byte-stable after a second commit") {
+    val out = freshDir()
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    evens.repartition(3, col("doc_id")).write
+      .format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    def v1Bytes(): Map[String, Seq[Byte]] =
+      new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("v00001-") ||
+          f.getName == "manifest-v00001.json")
+        .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = v1Bytes()
+    assert(before.keySet.exists(_.endsWith(".json")), "no v1 manifest")
+    docs.repartition(3, col("doc_id")).write
+      .format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    // the second commit touched NOTHING of version 1
+    assert(v1Bytes() === before, "v1 files changed under the v2 commit")
+    // AS OF 1 returns exactly the first snapshot; latest = snapshot 2
+    val asOf1 = ShardStoreSink.readAsOf(spark, out, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val wantEvens = evens.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(asOf1.toSeq === wantEvens.toSeq)
+    val latest = ShardStoreSink.read(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val wantAll = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(latest.toSeq === wantAll.toSeq)
+    // a pinned read of a never-committed version refuses loudly
+    intercept[IllegalArgumentException] {
+      ShardStoreSink.readAsOf(spark, out, 3)
+    }
   }
 
   test("a failed job publishes NOTHING (no manifest)") {
@@ -84,8 +119,11 @@ class ShardSinkSpec extends SparkSpec {
       alwaysFail.write.format("graft.sources.ShardStoreSink")
         .option("path", out).mode("overwrite").save()
     }
-    assert(!Files.exists(Paths.get(out, "manifest.json")),
-      "manifest published despite job failure")
+    val manifests = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.startsWith("manifest-v") && n.endsWith(".json"))
+    assert(manifests.isEmpty,
+      s"manifest published despite job failure: ${manifests.toSeq}")
   }
 }
 
