@@ -50,7 +50,27 @@ import org.apache.spark.sql.SparkSession
   *     per-query wall times (slightly self-contended — flagged via
   *     lanes_n / stream_par in the JSON) — a less precise sample beats
   *     an absent one. The 95%-budget emergency cutoff remains the last
-  *     resort. */
+  *     resort.
+  *
+  * WEATHER-HONEST RECORD Σ (VERDICT r16 item 1): lane co-scheduling
+  * inflates the RECORDED per-query times — the r16 driver run's raw Σ
+  * read 2.06× the anchor under a 2.1× window purely from 178 lane-timed
+  * samples. Two mechanisms fix the record without touching clean-run
+  * (anchor) behavior:
+  *  1. every sample is tagged SOLO (sequential, anchor-comparable
+  *     conditions) or CONTENDED (taken inside the lane pool, the
+  *     parallel gate group, or concurrent with the early gate thread);
+  *     the record's per-query value prefers the median of SOLO samples
+  *     and falls back to contended ones only when no solo sample exists;
+  *  2. after an escalated pass 1, the later passes re-sample queries
+  *     WORST sample/prior ratio first (triage-ordered, not
+  *     cheapest-first) on the main thread — solo by construction — with
+  *     a per-query fit check that SKIPS what doesn't fit instead of
+  *     stopping, so the remaining budget converts into accurate
+  *     re-measurements of exactly the queries the lane window distorted
+  *     most. More accurate measurement, not gaming: a contended sample
+  *     never replaces a solo one, and escalated runs still route to
+  *     .flagged, never the anchor. */
 object Bench {
 
   /** Full JSON string escaping: Spark exception messages routinely span
@@ -516,6 +536,12 @@ object Bench {
     // so its total covers only a prefix of the query list
     val passPartial = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // SOLO samples only (sequential, anchor-comparable conditions): the
+    // record's per-query value prefers these — see the scaladoc's
+    // weather-honest-Σ section. On a clean run this map equals `samples`.
+    val soloSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // queries re-sampled solo by the post-escalation triage pass
+    val resampledSolo = scala.collection.mutable.ArrayBuffer.empty[String]
     // per-query pass-1 sample, persisted in the anchor as the inflation
     // base for future runs (see anchorP1)
     val pass1Samples = scala.collection.mutable.Map.empty[String, Double]
@@ -570,7 +596,11 @@ object Bench {
     // anchor for nothing. Under real weather the chains finish ~45 s in,
     // leaving ample budget for the decision.
     def chainsDone: Boolean = chainFs.forall(_._2.isCompleted)
-    def runOne(name: String, fn: Fn, p: Int): Unit = {
+    // `contended` = the sample is lane- or gate-group-co-scheduled (or
+    // concurrent with the early gate thread) — real wall time, but not
+    // anchor-comparable; it never enters soloSamples
+    def runOne(name: String, fn: Fn, p: Int,
+        contended: Boolean = false): Unit = {
       // precision barrier: if this query's codegen warmup is still in
       // flight, wait it out (normally long finished — the warmups total
       // ~10 s of background work and their targets run late in pass 1).
@@ -600,6 +630,8 @@ object Bench {
       lock.synchronized {
         if (ok) {
           samples(name) = sec :: samples.getOrElse(name, Nil)
+          if (!contended)
+            soloSamples(name) = sec :: soloSamples.getOrElse(name, Nil)
           if (p == 0) {
             pass1Samples(name) = sec
             if (cleanSample) anchorP1.get(name).foreach { pr =>
@@ -612,10 +644,23 @@ object Bench {
     }
 
     // projected pass-1 finish: elapsed + inflation-scaled remaining work
-    // (both sides of the ratio in pass-1 terms — see anchorP1)
+    // (both sides of the ratio in pass-1 terms — see anchorP1). The
+    // PROJECTION uses a SHRUNK inflation estimate — (actual+λ)/(prior+λ)
+    // with λ = 30 s of phantom mass at ratio 1.0 — because at 238
+    // registered queries the quiet pass-1 Σ (~230 s of priors) sits
+    // close enough to the 0.90-budget line that an ordinary-spread 1.16
+    // read over ~15 s of cheap-prefix evidence tripped escalation on a
+    // QUIET machine (canary 0.95, r17 measurement): 40 + 1.16×213 ≥ 270.
+    // Shrunk, the same spread reads 1.05 and projects under; real 1.4×+
+    // weather still reads ≥1.13 at the same mass and projects over (and
+    // the time path backstops a crush where evidence can't accumulate).
+    // The REPORTED inflation and the lane-count thresholds stay raw.
+    def inflationShrunk: Double = lock.synchronized {
+      math.max(1.0, (inflSumActual + 30.0) / (inflSumPrior + 30.0))
+    }
     def projectedOver(remaining: Seq[(String, Fn)], gatesLeft: Seq[(String, Fn)],
         frac: Double): Boolean = {
-      val inf = inflation
+      val inf = inflationShrunk
       val rem = remaining.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
       val gates = gatesLeft.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
       elapsedSec + inf * (rem + gates) >= frac * budgetSec
@@ -636,7 +681,7 @@ object Bench {
             stop = true // catastrophic fuse only — see hardFuseSec
             next = null
           } else {
-            runOne(next._1, next._2, p)
+            runOne(next._1, next._2, p, contended = true)
             lock.synchronized { lanesN += 1 }
             next = it.poll()
           }
@@ -672,8 +717,12 @@ object Bench {
         // solo, before the concurrent rest
         val providerSolo = Set("q_stream_tws", "q_stream_state_metrics")
         try {
+          // the whole parallel group runs under the group-scoped conf
+          // (and possibly concurrent with the lane tail) — every sample
+          // in it is contended, including the provider-solo prefix
           gates.filter(g => providerSolo(g._1)).foreach { case (n, fn) =>
-            if (!stop && elapsedSec < hardFuseSec) runOne(n, fn, p)
+            if (!stop && elapsedSec < hardFuseSec)
+              runOne(n, fn, p, contended = true)
           }
           val rest = gates.filterNot(g => providerSolo(g._1))
           val gatePool = Executors.newFixedThreadPool(4)
@@ -682,7 +731,8 @@ object Bench {
               def run(): Unit = {
                 spark.sparkContext.setLocalProperty(
                   "spark.scheduler.pool", "bench")
-                if (!stop && elapsedSec < hardFuseSec) runOne(n, fn, p)
+                if (!stop && elapsedSec < hardFuseSec)
+                  runOne(n, fn, p, contended = true)
                 else stop = true
               }
             })
@@ -782,7 +832,10 @@ object Bench {
         }
         if (!stop && escalated && queue.nonEmpty) {
           val (solo, laned) = queue.partition(q => laneSolo(q._1))
-          solo.foreach { case (n, fn) => if (!stop) runOne(n, fn, p) }
+          solo.foreach { case (n, fn) =>
+            // sequential, but possibly concurrent with the early gate
+            // thread — contended whenever that thread is live
+            if (!stop) runOne(n, fn, p, contended = gatesLaunched.get) }
           runLanes(laned, p)
         }
         // --- chain barrier (the only time pass 1 waits on prewarm) ---
@@ -807,7 +860,10 @@ object Bench {
           }
           if (!stop && escalated && queue.nonEmpty) {
             val (solo, laned) = queue.partition(q => laneSolo(q._1))
-            solo.foreach { case (n, fn) => if (!stop) runOne(n, fn, p) }
+            solo.foreach { case (n, fn) =>
+            // sequential, but possibly concurrent with the early gate
+            // thread — contended whenever that thread is live
+            if (!stop) runOne(n, fn, p, contended = gatesLaunched.get) }
             runLanes(laned, p)
           }
         }
@@ -830,6 +886,39 @@ object Bench {
             f"[bench] pass 1 shed ${skipped.size} queries at " +
               f"$elapsedSec%.1f s of $budgetSec%.1f s")
         }
+      } else if (lanesN > 0 || streamPar) {
+        // ESCALATED run (VERDICT r16 item 1): the later passes are the
+        // record's chance to replace lane-contended samples with
+        // anchor-comparable ones. Re-sample WORST pass-1 sample/prior
+        // ratio first (triage order — exactly the queries the lane
+        // window distorted most), solo on this thread, and SKIP a query
+        // whose estimate no longer fits instead of stopping: cheaper
+        // re-samples further down the triage list still convert budget
+        // into accuracy. Estimates use the (contended) sample median,
+        // which over-states solo cost — conservatively under-schedules,
+        // never overshoots.
+        def ratio(n: String): Double =
+          (for { s <- pass1Samples.get(n); pr <- anchorP1.get(n) }
+            yield s / pr).getOrElse(1.0)
+        val passOrder = names.sortBy { case (n, _) => (-ratio(n), n) }
+        var skippedHere = 0
+        for ((name, fn) <- passOrder if !stop) {
+          val est = 1.5 * median(samples.getOrElse(name, Nil))
+          if (elapsedSec >= 0.95 * budgetSec) {
+            stop = true; partial = true
+            System.err.println(
+              f"[bench] triage re-sampling stopped in pass ${p + 1}: " +
+                f"elapsed $elapsedSec%.1f s of $budgetSec%.1f s, " +
+                s"$skippedHere skipped for fit")
+          } else if (elapsedSec + est < budgetSec) {
+            runOne(name, fn, p)
+            lock.synchronized { resampledSolo += name }
+          } else { skippedHere += 1; partial = true }
+        }
+        if (skippedHere > 0)
+          System.err.println(
+            f"[bench] pass ${p + 1} re-sampled ${passOrder.size - skippedHere}" +
+              f" solo (triage-ordered), $skippedHere did not fit")
       } else {
         // later passes: cheapest-first by sample median with a per-query
         // deadline check — leftover budget converts into extra samples
@@ -871,9 +960,14 @@ object Bench {
       f"[bench] prewarm ${prewarmSec}%.1fs (background), barrier " +
         f"$barrierSec%.1fs, warmups ${warmFailed.get} failed, " +
         f"inflation ${inflation}%.2f, lanes_n $lanesN, stream_par $streamPar")
-    // queries the emergency cutoff never timed are absent from the map
+    // queries the emergency cutoff never timed are absent from the map.
+    // Per-query value = median of SOLO samples when any exist (on a
+    // clean run that IS all of them); lane/gate-contended samples only
+    // stand in when a query never got a solo one — see the scaladoc's
+    // weather-honest-Σ section
     val results = names.filter(n => samples.contains(n._1))
-      .map { case (name, _) => name -> median(samples(name)) }
+      .map { case (name, _) =>
+        name -> median(soloSamples.getOrElse(name, samples(name))) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // pass-1 samples persisted for the next run's inflation base
@@ -933,7 +1027,10 @@ object Bench {
               s""""prior":${num("%.3f", pr)},"ratio":${num("%.2f", r)}}"""
           }.mkString("[", ",", "]")
       } else "[]"
-    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1Json,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"triage":$triageJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
+    val soloResampledJson = resampledSolo.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val soloOnlyN = names.count(n => soloSamples.contains(n._1))
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":$p1Json,"solo_n":$soloOnlyN,"solo_resampled":$soloResampledJson,"failed":$failedJson,"min_total":$minTotal,"skipped":$skippedJson,"multi_sampled_n":$multiSampledN,"passes":$passes,"passes_completed":$passesCompleted,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"pass_totals":$passJson,"pass_partial":${passPartial.map(_.toString).mkString("[", ",", "]")},"prewarm_sec":$prewarmSec,"prewarm_ok":$prewarmOk,"prewarm_err":$prewarmErrJson,"barrier_sec":$barrierSec,"inflation":$inflFinal,"lanes_n":$lanesN,"stream_par":$streamPar,"triage":$triageJson,"canaries":$canaryJson,"canary_factor":$factor,"io_canary_sec":$ioSec,"io_canary_factor":${ioSec / ioWarm},"canary_norm_total":${total / factor},"sf":"$sfDir"}"""
     println(fullRecord)
     // Persist the full record to a file too: the driver's artifact keeps
     // only a 2 KB stdout tail, which loses the per-query medians for names
