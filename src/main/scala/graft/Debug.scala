@@ -274,6 +274,35 @@ object Debug {
         .collect().foreach(println)
       spark.stop(); return
     }
+    if (args.headOption.contains("streamfloor")) {
+      // irreducible micro-batch machinery floor: a MINIMAL AvailableNow
+      // stream (one tiny parquet file -> stateless projection -> memory
+      // sink; and a stateful variant) timed warm N times. Whatever this
+      // reads is the per-gate cost no gate rewrite can remove.
+      import org.apache.spark.sql.functions._
+      val n = args.lift(1).map(_.toInt).getOrElse(5)
+      val dir = java.nio.file.Files.createTempDirectory("floor-in")
+      spark.range(100).select(col("id"),
+        (col("id") % 7).as("k")).write.parquet(dir.resolve("t").toString)
+      val sch = spark.read.parquet(dir.resolve("t").toString).schema
+      for (i <- 1 to n; stateful <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val src = spark.readStream.schema(sch)
+          .parquet(dir.resolve("t").toString)
+        val q0 = if (stateful) src.groupBy("k").count() else src
+        val q = q0.writeStream
+          .format("memory").queryName(s"floor_${i}_$stateful")
+          .outputMode(if (stateful) "complete" else "append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("floor-ck").toString)
+          .start()
+        q.awaitTermination()
+        println(f"streamfloor stateful=$stateful run $i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("explain")) {
       val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
       args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("q1_pricing"))
