@@ -151,8 +151,9 @@ object Bench {
     // the "q_pq" prefix, q_opq needs its own
     "q_opq",
     // r17: filtered ANN rides the shared IVF artifacts; the unigram-LM
-    // pair rides the bpe chain's shared segmentation
-    "q_ann_filtered", "q_unigram")
+    // pair rides the bpe chain's shared segmentation; retrieval-mrr
+    // rides the shared annSims
+    "q_ann_filtered", "q_unigram", "q_retrieval_mrr")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -655,6 +655,50 @@ object Vectors {
         expr("(pre_hits * 10000L) div n_truth").as("recall_pre_bp"),
         expr("(post_hits * 10000L) div n_truth").as("recall_post_bp"))
 
+  /** Retrieval-quality eval (MRR@10 / hit-rate@1 / hit-rate@10) of the
+    * ANN ranking against label relevance — the metric loop every
+    * retrieval deployment runs beside its recall floors. Relevance =
+    * same-label neighbor (the fixture's 10 classes); the ranking is the
+    * session-shared exact-reranked [[annSims]] (symmetrized, the
+    * q_cosine_ann order). Exactness: reciprocal ranks are scaled by
+    * lcm(1..10) = 2520, so MRR is an exact BIGINT numerator over
+    * 2520·n_queries and the mean surfaces as exact basis points — no
+    * float summation order anywhere. Scale shape: one windowed top-10
+    * over the shared candidate sims + two label equi-joins + one global
+    * agg; the oracle replays the whole metric from the anncand export. */
+  def qRetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val (k, lcm) = (10, 2520L)
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val pairs = annSims(spark, dir)
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val top = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val hit = top
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")),
+        "qid")
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nlab")),
+        "nid")
+      .filter(col("qlab") === col("nlab"))
+      .groupBy("qid").agg(min(col("rk")).as("r"))
+    top.select("qid").distinct()
+      .join(hit, Seq("qid"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_queries"),
+        sum(when(col("r") === 1, 1).otherwise(0)).cast("bigint")
+          .as("hits_at_1"),
+        sum(when(col("r").isNotNull, 1).otherwise(0)).cast("bigint")
+          .as("hits_at_k"),
+        sum(coalesce(expr(s"${lcm}L div r"), lit(0L))).cast("bigint")
+          .as("mrr_num"))
+      .select(col("n_queries"), col("hits_at_1"), col("hits_at_k"),
+        col("mrr_num"),
+        expr(s"(mrr_num * 10000L) div (n_queries * ${lcm}L)").as("mrr_bp"))
+  }
+
   /** Per-vector int8 scalar quantization audit — the storage/ANN
     * compression pass (4× smaller vectors): min-max scale each vector to
     * 0..255 codes, reconstruct, and report the quantization error. A pure
@@ -1985,6 +2029,7 @@ object Vectors {
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
     "q_ann_filtered" -> qAnnFiltered _,
+    "q_retrieval_mrr" -> qRetrievalMrr _,
     "q_cosine_neardup" -> qCosineNeardup _,
     "q_emb_norms" -> qEmbNorms _,
     "q_cosine_topk" -> qCosineTopk _,
@@ -2614,6 +2659,35 @@ object Vectors {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
     // Re-rank + top-3 window over the exported IVF probe candidate set
     // (already directed: every qid probes distinct lists) — see qCosineIvf
+    // MRR@10 metric replayed from the anncand export: symmetrized
+    // rerank, top-10 window, first same-label rank, lcm(1..10)-scaled
+    // reciprocal ranks — see qRetrievalMrr. 2520 // r is exact for
+    // every r in 1..10.
+    "q_retrieval_mrr" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |          UNION ALL SELECT nid, qid, sim FROM sims),
+        |top AS MATERIALIZED (SELECT qid, nid, rk FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        |    FROM sym) z WHERE rk <= 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |hit AS (SELECT t.qid, MIN(t.rk) AS r
+        |  FROM top t JOIN lab a ON a.vec_id = t.qid
+        |  JOIN lab b ON b.vec_id = t.nid AND b.label = a.label
+        |  GROUP BY t.qid),
+        |qs AS (SELECT DISTINCT qid FROM top),
+        |j AS (SELECT qs.qid, h.r FROM qs LEFT JOIN hit h USING (qid))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits_at_1,
+        |  CAST(SUM(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits_at_k,
+        |  CAST(SUM(COALESCE(2520 // r, 0)) AS BIGINT) AS mrr_num,
+        |  CAST((SUM(COALESCE(2520 // r, 0)) * 10000)
+        |    // (COUNT(*) * 2520) AS BIGINT) AS mrr_bp
+        |FROM j""".stripMargin),
     // Filtered-ANN comparison replayed end to end: pre/post-filter
     // rankings from the exported eval-slice candidate pairs, truth from
     // the brute-force filtered cosine over the raw embeddings (bounded:

@@ -190,6 +190,29 @@ object ShardStoreSink {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Retention vacuum — the lifecycle counterpart of [[readAsOf]]:
+    * delete every snapshot older than the newest `keep` versions
+    * (manifest FIRST, then its data files, so a concurrent reader that
+    * resolved a manifest before the vacuum either reads whole files or
+    * fails loudly on a missing file — never a silently truncated
+    * snapshot; the lakehouse VACUUM ordering). Kept snapshots are
+    * untouched byte-for-byte. Returns the dropped version numbers. */
+  def vacuum(path: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuum must keep at least 1 snapshot, got $keep")
+    val base = Paths.get(path)
+    val latest = latestVersion(base).getOrElse(return Seq.empty)
+    val dropped = (1 to latest - keep).filter { v =>
+      Files.exists(base.resolve(f"manifest-v$v%05d.json"))
+    }
+    dropped.foreach { v =>
+      Files.deleteIfExists(base.resolve(f"manifest-v$v%05d.json"))
+      Option(base.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(f"v$v%05d-shard-"))
+        .foreach(f => { Files.deleteIfExists(f.toPath); () })
+    }
+    dropped
+  }
+
   /** Read a published store back through its LATEST manifest. */
   def read(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.spark.sql.DataFrame = {
@@ -280,11 +303,61 @@ object ShardSinkQueries {
     wit(1).unionByName(wit(2)).orderBy("version")
   }
 
+  /** Snapshot retention, gated: commit three snapshots (evens, odds,
+    * full), vacuum keeping the newest two, then read BOTH survivors
+    * `AS OF` their manifests. A vacuum that touched a kept snapshot's
+    * bytes, dropped the wrong version, or double-counted breaks a
+    * witness; ShardSinkSpec pins the physical-deletion side (v1 files
+    * gone, pinned read refuses loudly). */
+  def qShardVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-shardvac").toString
+    graft.Tables.registerTempDir(s"shardvac:$out", out)
+    val base = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("payload"))
+    for (slice <- Seq(base.filter(col("doc_id") % 2 === 0),
+        base.filter(col("doc_id") % 2 === 1), base))
+      slice.repartition(4, col("doc_id"))
+        .write.format("graft.sources.ShardStoreSink")
+        .option("path", out).mode("overwrite").save()
+    val dropped = ShardStoreSink.vacuum(out, keep = 2)
+    def wit(v: Int): DataFrame = ShardStoreSink.readAsOf(spark, out, v)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("n_ids"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"),
+        sum(length(col("payload"))).cast("bigint").as("char_sum"),
+        sum(conv(substring(md5(col("payload")), 1, 8), 16, 10)
+          .cast("long")).cast("bigint").as("md5_sum"))
+      .select(lit(v).as("version"), lit(dropped.size).as("n_dropped"),
+        col("n_rows"), col("n_ids"), col("id_sum"), col("char_sum"),
+        col("md5_sum"))
+    wit(2).unionByName(wit(3)).orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_shard_sink" -> qShardSink _,
-      "q_shard_timetravel" -> qShardTimetravel _)
+      "q_shard_timetravel" -> qShardTimetravel _,
+      "q_shard_vacuum" -> qShardVacuum _)
 
   val oracles: Map[String, String] = Map(
+    // surviving snapshots after vacuum keep-2 over (evens, odds, full):
+    // v2 = odds, v3 = everything, exactly one version dropped
+    "q_shard_vacuum" ->
+      """SELECT 2 AS version, 1 AS n_dropped, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT doc_id) AS n_ids,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS md5_sum
+        |FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT 3 AS version, 1 AS n_dropped, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT doc_id) AS n_ids,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS md5_sum
+        |FROM documents
+        |ORDER BY version""".stripMargin,
     // the two snapshots' witnesses straight from the documents table:
     // v1 = the even half, v2 = everything — see qShardTimetravel
     "q_shard_timetravel" ->

@@ -398,6 +398,19 @@ class SimilaritySpec extends SparkSpec {
       s"post-filter should collapse to zero under the dominant block: $row")
   }
 
+  test("retrieval MRR: exact-fraction invariants hold and the metric is deterministic") {
+    val r = Vectors.qRetrievalMrr(spark, dir).collect().head
+    val (n, h1, hk, num, bp) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(n > 0 && h1 <= hk && hk <= n, r.toString)
+    // each top-10 hit contributes between 2520/10 and 2520/1 to the
+    // lcm-scaled numerator — the exact-arithmetic envelope
+    assert(num >= 252 * hk && num <= 2520 * hk, r.toString)
+    assert(bp === num * 10000 / (n * 2520))
+    val again = Vectors.qRetrievalMrr(spark, dir).collect().head
+    assert(r.toSeq === again.toSeq)
+  }
+
   test("filtered ANN on the fixture: pre-filter recall >= post-filter recall, both sane") {
     val row = Vectors.qAnnFiltered(spark, dir).collect().head
     val (nq, nt) = (row.getLong(0), row.getLong(1))

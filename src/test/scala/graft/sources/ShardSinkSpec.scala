@@ -110,6 +110,38 @@ class ShardSinkSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops old snapshots physically, keeps the rest byte-stable") {
+    val out = freshDir()
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    for (s <- Seq(evens, odds, docs))
+      s.repartition(2, col("doc_id")).write
+        .format("graft.sources.ShardStoreSink")
+        .option("path", out).mode("overwrite").save()
+    def files(prefix: String): Seq[String] =
+      new java.io.File(out).listFiles().map(_.getName)
+        .filter(_.startsWith(prefix)).toSeq
+    val keptBefore = (files("v00002-") ++ files("v00003-") ++
+      files("manifest-v00002") ++ files("manifest-v00003"))
+      .map(n => n -> Files.readAllBytes(Paths.get(out, n)).toSeq).toMap
+    assert(ShardStoreSink.vacuum(out, keep = 2) === Seq(1))
+    assert(files("v00001-").isEmpty && files("manifest-v00001").isEmpty,
+      "v1 survived the vacuum")
+    val keptAfter = keptBefore.keySet
+      .map(n => n -> Files.readAllBytes(Paths.get(out, n)).toSeq).toMap
+    assert(keptAfter === keptBefore, "vacuum touched a kept snapshot")
+    intercept[IllegalArgumentException] {
+      ShardStoreSink.readAsOf(spark, out, 1)
+    }
+    val back = ShardStoreSink.readAsOf(spark, out, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq === odds.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    // idempotent / bounded
+    assert(ShardStoreSink.vacuum(out, keep = 2) === Seq.empty)
+    intercept[IllegalArgumentException] { ShardStoreSink.vacuum(out, 0) }
+  }
+
   test("a failed job publishes NOTHING (no manifest)") {
     val out = freshDir()
     val alwaysFail = docs.map { r =>
