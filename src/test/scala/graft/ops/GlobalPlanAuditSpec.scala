@@ -54,6 +54,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_sketch_setops", // non-equi pair expansion of the 5-ROW cohort
                        // sketch table (one sketch per event type)
     "q_cms_freq", // 5-row sketch table × 5-row broadcast probe list
+    "q_nb_classify", // 5-row broadcast class table × test grams (the
+                     // NB scoring fan-out; the model join is equi)
     "q_pq_planted", // CONSTANT-SIZE planted calibration fixture: 256
                     // queries × 2048-row broadcast decode/exact sides
                     // (the ground-truth brute force is the point)
