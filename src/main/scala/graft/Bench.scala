@@ -153,7 +153,7 @@ object Bench {
     // r17: filtered ANN rides the shared IVF artifacts; the unigram-LM
     // pair rides the bpe chain's shared segmentation; retrieval-mrr
     // rides the shared annSims
-    "q_ann_filtered", "q_unigram", "q_retrieval_mrr")
+    "q_ann_filtered", "q_unigram", "q_retrieval_mrr", "q_ktruss")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -288,6 +288,65 @@ object Graph {
   def qKcore(spark: SparkSession, dir: String): DataFrame =
     kcorePeelCanon(knnCanonEdges(spark, dir), k = 2, rounds = 6)
 
+  /** 4-truss decomposition trajectory (Cohen 2008 — "Trusses: cohesive
+    * subgraphs for social network analysis"): iteratively delete every
+    * edge supporting fewer than k−2 triangles until the remaining
+    * subgraph is the k-truss (registered at k = 3 — the
+    * triangle-supported subgraph; the sparse top-3 k-NN graph's 4-truss
+    * is empty by round 2, GraphSpec pins k = 4 on hand graphs) — the standard cohesion notion STRICTER
+    * than the degree-based k-core (q_kcore's sibling: a truss edge's
+    * endpoints share ≥ k−2 common neighbors, so trusses are immune to
+    * the star/hub artifacts that survive core peeling). Runs on the
+    * session-shared bounded-degree k-NN graph (the q_triangles lesson —
+    * never the near-clique LSH candidate set). Per round: one
+    * self-join triangle enumeration over the canonical edge set (each
+    * triangle found once via the a<b<c ordering), per-edge support
+    * counts, and an edge semi-join — two keyed shuffles plus the
+    * wedge join, with the per-round survivor set materialized (the
+    * k-core discipline). Integer trajectory = hash-gatable; the oracle
+    * unrolls the rounds as MATERIALIZED CTEs from the anncand export. */
+  def qKtruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussPeel(knnCanonEdges(spark, dir), k = 3, rounds = 4)
+
+  /** Peel core over an ALREADY canonical (a < b, distinct) edge table —
+    * see [[qKtruss]]. Emits per round: the input edge set's triangle
+    * count (Σ support / 3 — exact) and the surviving edge count. */
+  private[ops] def ktrussPeel(canon: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val spark = canon.sparkSession
+    var e = canon
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      // each triangle x<y<z enumerated exactly once off the canonical
+      // ordering; support = triangle incidences per canonical edge.
+      // sup is materialized (per-round tag, single registered consumer
+      // — lane-safe) because THREE union branches and the Σ/3 census
+      // all read the expensive wedge join
+      val t = e.as("e1")
+        .join(e.as("e2"),
+          col("e2.a") === col("e1.a") && col("e1.b") < col("e2.b"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val sup = Tables.materialize(
+        t.select(col("x").as("a"), col("y").as("b"))
+          .unionByName(t.select(col("x").as("a"), col("z").as("b")))
+          .unionByName(t.select(col("y").as("a"), col("z").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup")),
+        s"ktruss_s$r")
+      val nTri = sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s"))
+        .collect().head.getLong(0) / 3
+      e = Tables.materialize(
+        e.join(sup.filter(col("sup") >= k - 2), Seq("a", "b"),
+          "left_semi"),
+        s"ktruss_e$r")
+      rows += ((r, nTri, e.count()))
+    }
+    import spark.implicits._
+    rows.result().toDF("round", "n_triangles", "n_edges")
+  }
+
   private[ops] def kcorePeel(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     val cols = edges.columns
@@ -571,7 +630,8 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> qPagerank _, "q_triangles" -> qTriangles _,
-      "q_kcore" -> qKcore _, "q_bfs_distance" -> qBfsDistance _,
+      "q_kcore" -> qKcore _, "q_ktruss" -> qKtruss _,
+      "q_bfs_distance" -> qBfsDistance _,
       "q_label_prop" -> qLabelProp _, "q_ppr_seeds" -> qPprSeeds _,
       "q_modularity" -> qModularity _)
 
@@ -693,6 +753,47 @@ object Graph {
           (1 to 6).map { r =>
             s"  SELECT $r AS round, (SELECT COUNT(*) FROM keep$r) AS n_nodes, " +
               s"(SELECT COUNT(*) FROM e$r) AS n_edges"
+          }.mkString("\n  UNION ALL\n") +
+          "\n) rounds ORDER BY round"),
+      // same rerank + canonical edge CTEs as q_kcore, then four unrolled
+      // TRUSS rounds: triangle enumeration off the canonical a<b<c
+      // ordering, per-edge support, sup >= 2 semi-join; the census is
+      // Σ support / 3 (exact). MATERIALIZED per round as usual.
+      "q_ktruss" -> Vectors.simOracle(
+        s"SELECT qid, nid FROM '$cand'", "qid", "nid",
+        """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |ce AS MATERIALIZED (
+          |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+          |  FROM top3 WHERE qid <> nid),
+          |""".stripMargin +
+          (1 to 4).map { r =>
+            val prev = if (r == 1) "ce" else s"te${r - 1}"
+            s"""tt$r AS MATERIALIZED (
+               |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               |  FROM $prev e1
+               |  JOIN $prev e2 ON e2.a = e1.a AND e1.b < e2.b
+               |  JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+               |ts$r AS MATERIALIZED (
+               |  SELECT a, b, COUNT(*) AS sup FROM (
+               |    SELECT x AS a, y AS b FROM tt$r
+               |    UNION ALL SELECT x AS a, z AS b FROM tt$r
+               |    UNION ALL SELECT y AS a, z AS b FROM tt$r) u$r
+               |  GROUP BY 1, 2),
+               |te$r AS MATERIALIZED (
+               |  SELECT e.a, e.b FROM $prev e
+               |  JOIN ts$r s ON s.a = e.a AND s.b = e.b AND s.sup >= 1)"""
+              .stripMargin
+          }.mkString(",\n") + "\n" +
+          "SELECT * FROM (\n" +
+          (1 to 4).map { r =>
+            s"  SELECT $r AS round, (SELECT COALESCE(CAST(SUM(sup) AS " +
+              s"BIGINT), 0) // 3 FROM ts$r) AS n_triangles, " +
+              s"(SELECT COUNT(*) FROM te$r) AS n_edges"
           }.mkString("\n  UNION ALL\n") +
           "\n) rounds ORDER BY round"),
       // same rerank + canonical edge CTEs as q_kcore, then four unrolled

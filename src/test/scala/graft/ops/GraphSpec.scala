@@ -221,6 +221,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("k-truss peel: hand graph trajectory and random-graph brute force") {
+    import spark.implicits._
+    // K4 on {1..4} (every edge supports 2 triangles — the stable
+    // 4-truss) + a lone triangle {10,11,12} (sup 1, peeled in round 1)
+    // + a pendant edge (20,21) (sup 0, peeled in round 1)
+    val hand = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+      Seq((20L, 21L))).toDF("a", "b")
+    val traj = Graph.ktrussPeel(hand, k = 4, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(traj === Seq((1, 5L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+
+    // random graphs vs a driver-side support-peel recompute
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(70)((rng.nextInt(14).toLong, rng.nextInt(14).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      def peel(es0: Set[(Long, Long)]): Seq[(Long, Long)] = {
+        var cur = es0
+        (1 to 3).map { _ =>
+          val nodes = cur.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+          val tris = for {
+            x <- nodes; y <- nodes if x < y && cur((x, y))
+            z <- nodes if y < z && cur((x, z)) && cur((y, z))
+          } yield (x, y, z)
+          val sup = tris.flatMap { case (x, y, z) =>
+            Seq((x, y), (x, z), (y, z)) }
+            .groupBy(identity).map { case (e, v) => e -> v.size }
+          cur = cur.filter(e => sup.getOrElse(e, 0) >= 2)
+          (tris.size.toLong, cur.size.toLong)
+        }
+      }
+      val want = peel(edges.toSet).zipWithIndex
+        .map { case ((t, e), i) => (i + 1, t, e) }
+      val got = Graph.ktrussPeel(edges.toDF("a", "b"), k = 4, rounds = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want, s"trial $trial: $edges")
+    }
+  }
+
   test("bfs distance: hand graph histogram and random-graph brute force") {
     import spark.implicits._
     def bfsOf(edges: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
