@@ -306,7 +306,7 @@ object Graph {
     * k-core discipline). Integer trajectory = hash-gatable; the oracle
     * unrolls the rounds as MATERIALIZED CTEs from the anncand export. */
   def qKtruss(spark: SparkSession, dir: String): DataFrame =
-    ktrussPeel(knnCanonEdges(spark, dir), k = 3, rounds = 4)
+    ktrussPeel(knnCanonEdges(spark, dir), k = 3, rounds = 3)
 
   /** Peel core over an ALREADY canonical (a < b, distinct) edge table —
     * see [[qKtruss]]. Emits per round: the input edge set's triangle
@@ -771,7 +771,7 @@ object Graph {
           |  SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
           |  FROM top3 WHERE qid <> nid),
           |""".stripMargin +
-          (1 to 4).map { r =>
+          (1 to 3).map { r =>
             val prev = if (r == 1) "ce" else s"te${r - 1}"
             s"""tt$r AS MATERIALIZED (
                |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -790,7 +790,7 @@ object Graph {
               .stripMargin
           }.mkString(",\n") + "\n" +
           "SELECT * FROM (\n" +
-          (1 to 4).map { r =>
+          (1 to 3).map { r =>
             s"  SELECT $r AS round, (SELECT COALESCE(CAST(SUM(sup) AS " +
               s"BIGINT), 0) // 3 FROM ts$r) AS n_triangles, " +
               s"(SELECT COUNT(*) FROM te$r) AS n_edges"
