@@ -17,13 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Tpch.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Curation.queries ++ ops.Bpe.queries ++ ops.Unigram.queries ++ ops.Classify.queries ++ ops.Typed.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries ++ streaming.EventsStream.queries ++ sources.DocGenQueries.queries ++ sources.CorpusExport.queries ++ sources.ShardSinkQueries.queries ++ sources.JsonlIngest.queries ++ sources.CsvIngest.queries ++ sources.OrcIngest.queries ++ sources.AvroIngest.queries ++ sources.SchemaEvolution.queries ++ sources.ParquetMeta.queries ++ ops.Bucketed.queries ++ ops.Skew.queries ++ ops.Sketches.queries ++ ops.Partitioned.queries ++ ops.Compact.queries ++ ops.Graph.queries ++ ops.BloomJoin.queries ++ ops.Scd.queries ++ ops.ZOrder.queries ++ ops.Sampling.queries ++ ops.TimeSeries.queries ++ ops.Observe.queries ++ ops.Fuzzy.queries ++ ops.Delta.queries ++ ops.Erasure.queries ++ ops.Cdc.queries ++ ops.Urls.queries ++ ops.RangeShard.queries
+    ops.Relational.queries ++ ops.Tpch.queries ++ mr.MrQueries.queries ++ ops.TextOps.queries ++ ops.Curation.queries ++ ops.Bpe.queries ++ ops.Unigram.queries ++ ops.Classify.queries ++ ops.Typed.queries ++ ops.Similarity.queries ++ ops.Vectors.queries ++ ops.Multimodal.queries ++ ops.Temporal.queries ++ streaming.EventsStream.queries ++ streaming.UpsertStream.queries ++ sources.DocGenQueries.queries ++ sources.CorpusExport.queries ++ sources.ShardSinkQueries.queries ++ sources.JsonlIngest.queries ++ sources.CsvIngest.queries ++ sources.OrcIngest.queries ++ sources.AvroIngest.queries ++ sources.SchemaEvolution.queries ++ sources.ParquetMeta.queries ++ ops.Bucketed.queries ++ ops.Skew.queries ++ ops.Sketches.queries ++ ops.Partitioned.queries ++ ops.Compact.queries ++ ops.Graph.queries ++ ops.BloomJoin.queries ++ ops.Scd.queries ++ ops.ZOrder.queries ++ ops.Sampling.queries ++ ops.TimeSeries.queries ++ ops.Observe.queries ++ ops.Fuzzy.queries ++ ops.Delta.queries ++ ops.Erasure.queries ++ ops.Cdc.queries ++ ops.Urls.queries ++ ops.RangeShard.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (reserved for genuinely non-SQL-expressible ops). */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Tpch.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Curation.oracles ++ ops.Bpe.oracles ++ ops.Unigram.oracles ++ ops.Classify.oracles ++ ops.Typed.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ streaming.EventsStream.oracles ++ sources.DocGenQueries.oracles ++ sources.CorpusExport.oracles ++ sources.ShardSinkQueries.oracles ++ sources.JsonlIngest.oracles ++ sources.CsvIngest.oracles ++ sources.OrcIngest.oracles ++ sources.AvroIngest.oracles ++ sources.SchemaEvolution.oracles ++ sources.ParquetMeta.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles ++ ops.Sketches.oracles ++ ops.Partitioned.oracles ++ ops.Compact.oracles ++ ops.Graph.oracles ++ ops.BloomJoin.oracles ++ ops.Scd.oracles ++ ops.ZOrder.oracles ++ ops.Sampling.oracles ++ ops.TimeSeries.oracles ++ ops.Observe.oracles ++ ops.Fuzzy.oracles ++ ops.Delta.oracles ++ ops.Erasure.oracles ++ ops.Cdc.oracles ++ ops.Urls.oracles ++ ops.RangeShard.oracles
+    ops.Relational.oracles ++ ops.Tpch.oracles ++ mr.MrQueries.oracles ++ ops.TextOps.oracles ++ ops.Curation.oracles ++ ops.Bpe.oracles ++ ops.Unigram.oracles ++ ops.Classify.oracles ++ ops.Typed.oracles ++ ops.Similarity.oracles ++ ops.Vectors.oracles ++ ops.Multimodal.oracles ++ ops.Temporal.oracles ++ streaming.EventsStream.oracles ++ streaming.UpsertStream.oracles ++ sources.DocGenQueries.oracles ++ sources.CorpusExport.oracles ++ sources.ShardSinkQueries.oracles ++ sources.JsonlIngest.oracles ++ sources.CsvIngest.oracles ++ sources.OrcIngest.oracles ++ sources.AvroIngest.oracles ++ sources.SchemaEvolution.oracles ++ sources.ParquetMeta.oracles ++ ops.Bucketed.oracles ++ ops.Skew.oracles ++ ops.Sketches.oracles ++ ops.Partitioned.oracles ++ ops.Compact.oracles ++ ops.Graph.oracles ++ ops.BloomJoin.oracles ++ ops.Scd.oracles ++ ops.ZOrder.oracles ++ ops.Sampling.oracles ++ ops.TimeSeries.oracles ++ ops.Observe.oracles ++ ops.Fuzzy.oracles ++ ops.Delta.oracles ++ ops.Erasure.oracles ++ ops.Cdc.oracles ++ ops.Urls.oracles ++ ops.RangeShard.oracles
 
   /** Build the session-shared derived tables (embedding projection, LSH
     * bucket table, survivor shingles, verified survivor pairs) up front.
@@ -143,6 +143,7 @@ object SparkEntry {
         // EventsStream.prewarmStaging) — per-JVM artifacts the stream
         // gates otherwise build inside their first timed run
         streaming.EventsStream.prewarmStaging(spark, dir)
+        streaming.UpsertStream.stagedCdcDir(spark, dir); ()
       }),
       "media" -> (() => { // encoded image + audio + video containers,
         // plus the synthetic crawl-log url table (same generator pattern)
