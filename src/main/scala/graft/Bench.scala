@@ -153,7 +153,12 @@ object Bench {
     // r17: filtered ANN rides the shared IVF artifacts; the unigram-LM
     // pair rides the bpe chain's shared segmentation; retrieval-mrr
     // rides the shared annSims
-    "q_ann_filtered", "q_unigram", "q_retrieval_mrr", "q_ktruss")
+    "q_ann_filtered", "q_unigram", "q_retrieval_mrr", "q_ktruss",
+    // r17 wave 2: RRF fuses the shared annSims + sign codes; SQ8 ranks
+    // the shared candidate set against the shared kNN truth;
+    // containment rides the shared corpus shingle table; hard-negative
+    // mining rides the shared annSims
+    "q_rrf", "q_sq8", "q_containment", "q_hard_negatives")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

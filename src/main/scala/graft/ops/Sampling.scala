@@ -180,6 +180,57 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Token-budget WATERFILLING under availability caps — the mix planner
+    * [[qTokenBudget]]'s proportional apportionment can't express: spread
+    * budget B as evenly as possible across languages, but a language can
+    * contribute at most what it HAS (the low-resource-language reality:
+    * proportional allocation starves them further; waterfilling tops
+    * every source up to a common level λ, capping the small ones at
+    * their availability). Exact integer algorithm on the per-lang
+    * aggregate: sort by availability ascending with prefix sums; source
+    * at rank k is CAPPED iff a_k·(n−k+1) + p_{k−1} ≤ B (the "used if
+    * the level reaches a_k" test — nondecreasing in k, so capping is a
+    * prefix property); λ = (B − Σ_capped a) div uncapped, with the
+    * remainder distributed +1 to the first uncapped languages by name
+    * (largest-remainder determinism, the qTokenBudget discipline).
+    * Σ alloc = min(B, Σ a) exactly. Like qTokenBudget, the
+    * empty-partition windows run over the per-lang AGGREGATE (single
+    * digits at any corpus size), never data-sized input; the corpus
+    * pays one tokenize pass. */
+  def qMixWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 120000L
+    val counts = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+    val all = Window.partitionBy()
+    val byAvail = Window.partitionBy().orderBy(asc("n_tokens"), asc("lang"))
+    val ranked = counts
+      .withColumn("k", row_number().over(byAvail).cast("long"))
+      .withColumn("pre", sum(col("n_tokens")).over(
+        byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("capped",
+        when(col("n_tokens") * (col("n") - col("k") + 1)
+          + (col("pre") - col("n_tokens")) <= budget, 1).otherwise(0))
+    val stats = ranked.agg(
+      sum(col("capped")).cast("long").as("kk"),
+      sum(when(col("capped") === 1, col("n_tokens")).otherwise(0L))
+        .cast("long").as("pf"),
+      count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(stats))
+      .withColumn("rk_unc", row_number().over(
+        Window.partitionBy("capped").orderBy("lang")).cast("long"))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("n_tokens")).otherwise(
+          expr(s"($budget - pf) div (nn - kk)")
+            + when(col("rk_unc") <= expr(s"($budget - pf) % (nn - kk)"),
+              1L).otherwise(0L)))
+      .select(col("lang"), col("n_tokens"), col("capped"),
+        col("alloc_tokens").cast("bigint").as("alloc_tokens"))
+      .orderBy("lang")
+  }
+
   /** DSIR-style importance selection (Xie et al., NeurIPS 2023 — "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw document by how much more likely its hashed-n-gram bag
@@ -279,6 +330,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_select" -> qDsirSelect _,
     "q_token_budget" -> qTokenBudget _,
+    "q_mix_waterfill" -> qMixWaterfill _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_sample_bernoulli" -> qSampleBernoulli _,
     "q_sample_stratified" -> qSampleStratified _,
@@ -348,6 +400,39 @@ object Sampling {
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc_tokens
         |FROM r ORDER BY lang""".stripMargin,
+    // Waterfilling replay: same sort/prefix capping test, same λ and
+    // largest-remainder distribution — see qMixWaterfill. All divisions
+    // on non-negative integers (div == //).
+    "q_mix_waterfill" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_tokens FROM (
+        |    SELECT lang,
+        |      unnest(list_filter(string_split_regex(text, '\s+'),
+        |        t -> t <> '')) AS t
+        |    FROM documents) GROUP BY lang),
+        |r AS (SELECT lang, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) k,
+        |    SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) pre,
+        |    COUNT(*) OVER () n
+        |  FROM c),
+        |cp AS (SELECT *,
+        |    CASE WHEN n_tokens * (n - k + 1) + (pre - n_tokens) <= 120000
+        |      THEN 1 ELSE 0 END capped
+        |  FROM r),
+        |s AS (SELECT CAST(SUM(capped) AS BIGINT) kk,
+        |    CAST(SUM(CASE WHEN capped = 1 THEN n_tokens ELSE 0 END)
+        |      AS BIGINT) pf,
+        |    CAST(COUNT(*) AS BIGINT) nn
+        |  FROM cp)
+        |SELECT lang, n_tokens, CAST(capped AS INT) capped,
+        |  CAST(CASE WHEN capped = 1 THEN n_tokens
+        |    ELSE (120000 - s.pf) // (s.nn - s.kk)
+        |      + CASE WHEN ROW_NUMBER() OVER (PARTITION BY capped
+        |          ORDER BY lang) <= (120000 - s.pf) % (s.nn - s.kk)
+        |        THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS alloc_tokens
+        |FROM cp, s ORDER BY lang""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id, epoch,

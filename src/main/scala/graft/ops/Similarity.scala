@@ -286,6 +286,60 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Rare-shingle df cap for [[qContainment]]'s candidate generation —
+    * a fixed constant (not a conf) because the oracle hardcodes it. */
+  private val ContainDfMax = 8
+
+  /** DIRECTIONAL near-containment detection — the doc-in-doc shape
+    * Jaccard misses entirely: an excerpt quoted inside a much larger
+    * host has C(excerpt→host) = |Sh(a)∩Sh(b)|/|Sh(a)| ≈ 1 while
+    * J(a,b) ≈ |a|/|b| ≈ 0, so the LSH/PPJoin dedup family never pairs
+    * them. Candidates come from RARE shingles (2 ≤ df ≤ 8): a contained
+    * excerpt shares ALL its shingles with its host, so the pair is
+    * found iff ANY of the excerpt's shingles is globally rare — content
+    * prose almost always is, while boilerplate-hot shingles (high df,
+    * the candidate-explosion risk) are excluded by the cap, bounding
+    * every shingle's pair fan-out at df² ≤ 64. Emitted: both
+    * directional containments + the small-side containment (the
+    * detection signal), exact integers in basis points → hash-gated.
+    *
+    * Scale shape: df aggregate on the shingle key → self-join on the
+    * rare-shingle key (never all-pairs) → intersection counts via one
+    * (doc, shingle) equi-join per side — every stage shuffles on a
+    * derived key; the shingle table is the session-shared corpus
+    * artifact the whole dedup family rides. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = corpusShingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainDfMax)
+      .select("shingle")
+    val cs = sh.join(rare, "shingle").select("doc_id", "shingle")
+    val cand = cs.as("a").join(cs.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingle")),
+        Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("size_a")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("size_b")), "db")
+      .withColumn("cont_small_bp",
+        expr("cast((inter * 10000L) div least(size_a, size_b) as bigint)"))
+      .filter(col("cont_small_bp") >= 5000)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter").cast("bigint").as("inter"),
+        col("size_a").cast("bigint").as("size_a"),
+        col("size_b").cast("bigint").as("size_b"),
+        expr("cast((inter * 10000L) div size_a as bigint)").as("cont_a_bp"),
+        expr("cast((inter * 10000L) div size_b as bigint)").as("cont_b_bp"),
+        col("cont_small_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** MinHash scale knobs, settable per session via spark conf (defaults
     * match the shipped behavior; SCALE.md documents the 100 TB settings):
@@ -690,6 +744,7 @@ object Similarity {
     "q_dedup_keepbest" -> qDedupKeepbest _,
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
+    "q_containment" -> qContainment _,
     "q_minhash_lsh" -> qMinhashLsh _,
     "q_lsh_quality" -> qLshQuality _,
     "q_neardup_incremental" -> qNeardupIncremental _,
@@ -928,6 +983,39 @@ object Similarity {
         |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jac
         |FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Full containment replay: same shingles, same rare-shingle (df in
+    // [2, 8]) candidate generation, exact intersection counts, integer
+    // basis points — see qContainment.
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        |  FROM toks, UNNEST(range(1, len(l) - 1)) u(i)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM sh GROUP BY 1),
+        |rare AS (SELECT shingle FROM (
+        |    SELECT shingle, COUNT(*) df FROM sh GROUP BY 1) d
+        |  WHERE df BETWEEN 2 AND 8),
+        |cs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM cs a JOIN cs b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |i AS (
+        |  SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) inter
+        |  FROM cand c JOIN sh x ON x.doc_id = c.da
+        |    JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, inter,
+        |  x.n AS size_a, y.n AS size_b,
+        |  CAST((inter * 10000) // x.n AS BIGINT) AS cont_a_bp,
+        |  CAST((inter * 10000) // y.n AS BIGINT) AS cont_b_bp,
+        |  CAST((inter * 10000) // LEAST(x.n, y.n) AS BIGINT)
+        |    AS cont_small_bp
+        |FROM i JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |WHERE (inter * 10000) // LEAST(x.n, y.n) >= 5000
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Recomputes 4×16-bit chunk banding + Hamming filter from the
     // exported per-doc simhashes with integer bit ops (see

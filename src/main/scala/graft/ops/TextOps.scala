@@ -272,6 +272,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-MIXING audit — the per-doc refinement of [[qLangId]]: a
+    * whole-doc label hides a document whose halves are in different
+    * languages (concatenated boilerplate, mid-document language switch —
+    * poison for monolingual training slices). Each doc's token list is
+    * split at the midpoint, each half labeled independently with the
+    * same stopword-hits argmax (same tie priority, same >0 evidence
+    * floor; an empty/evidence-less half reads 'und'), and the corpus
+    * rolls up to (labeled lang, first-half pred, second-half pred)
+    * counts with an is_mixed flag (halves disagree with evidence on
+    * both sides). One narrow map + one hash agg — the qLangId shape with
+    * two slices. */
+  def qLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("l"))
+      .withColumn("n", size(col("l")))
+      .withColumn("fh", expr("slice(l, 1, n div 2)"))
+      .withColumn("sh", expr("slice(l, n div 2 + 1, n - n div 2)"))
+    def predOf(half: String): Column = {
+      val hits = langStops.map { case (lang, stops) =>
+        lang -> size(array_intersect(array_distinct(col(half)),
+          array(stops.map(lit): _*)))
+      }
+      val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+      hits.foldRight(lit("und"): Column) { case ((lang, h), elsE) =>
+        when(h === best && best > 0, lit(lang)).otherwise(elsE)
+      }
+    }
+    base
+      .withColumn("first_pred", predOf("fh"))
+      .withColumn("second_pred", predOf("sh"))
+      .groupBy("lang", "first_pred", "second_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_mixed",
+        (col("first_pred") =!= col("second_pred")
+          && col("first_pred") =!= "und"
+          && col("second_pred") =!= "und").cast("int"))
+      .select(col("lang"), col("first_pred"), col("second_pred"),
+        col("n_docs"), col("is_mixed"))
+      .orderBy("lang", "first_pred", "second_pred")
+  }
+
   /** Corpus Zipf-law fit — the power-law health check (natural-language
     * token frequencies follow f ∝ r^(-s), s ≈ 1; a synthetic or
     * boilerplate-heavy corpus bends the line): exact-integer OLS of
@@ -368,6 +409,56 @@ object TextOps {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(100)
+
+  /** Top-20 bigram collocations by pointwise mutual information — the
+    * corpus-linguistics pass that surfaces multi-word units ("natural
+    * language", "machine learning") for tokenizer/phrase-vocab curation.
+    * PMI = ln(p(x,y)/(p(x)p(y))); since ln is monotone the query ranks
+    * by the RATIO itself, score = (c_xy·T²)/(T_big·c_x·c_y) — a chain of
+    * IEEE double ops from exact integer counts, bit-identical across
+    * engines in the engine's parenthesization (the q_tfidf_keywords
+    * discipline: no transcendental ever crosses the oracle boundary;
+    * PMI itself = ln(score) client-side if wanted). c_xy ≥ 5 is the
+    * standard sparse-pair filter. Exact to the last bit while every
+    * intermediate stays under 2⁵³ (~10¹⁵ tokens — beyond 100 TB of
+    * text); past that both engines degrade IDENTICALLY (same double
+    * chain), so the gate never desyncs.
+    *
+    * Scale shape: one tokenize pass feeds the unigram and bigram count
+    * aggregates (map-side combine on the token/pair keys), two equi-
+    * joins back on the unigram key, two 1-row broadcast scalars
+    * (allowlisted BNLJ), global top-20 via TakeOrdered — no window, no
+    * all-pairs. */
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // size >= 2 guard: Spark's sequence(0, -1) is the DESCENDING
+    // [0, -1], not empty — a 1-token doc would fabricate a bigram
+    val big = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] as w1, toks[i+1] as w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cxy = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val scal = uni.agg(sum(col("c")).cast("bigint").as("t_tok"))
+      .crossJoin(cxy.agg(sum(col("c_xy")).cast("bigint").as("t_big")))
+    cxy.filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(scal))
+      .withColumn("score",
+        (col("c_xy").cast("double") * col("t_tok") * col("t_tok"))
+          / (col("t_big").cast("double") * col("c_x") * col("c_y")))
+      .select(col("w1"), col("w2"), col("c_xy").cast("bigint").as("c_xy"),
+        col("c_x").cast("bigint").as("c_x"),
+        col("c_y").cast("bigint").as("c_y"),
+        col("t_tok"), col("t_big"), col("score"))
+      .orderBy(desc("score"), asc("w1"), asc("w2"))
+      .limit(20)
+  }
 
   /** Inverted-index phrase search: find every document containing the
     * two-word phrase "table hash" by joining the two terms' POSTING LISTS
@@ -541,6 +632,84 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("token"), col("score"),
         col("tf"), col("df"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** BM25 lexical retrieval (Robertson-Walker, k1=1.2 b=0.75) — the
+    * sparse half of every hybrid retrieval stack. Query set is
+    * self-contained and deterministic: the 8 docs with the lowest
+    * md5(doc_id) are the query docs, each contributing its top-3
+    * linear-tf-idf keywords (the q_tfidf_keywords score) as query terms;
+    * every doc containing a query term is scored
+    * Σ_t idf(t) · tf(t,d)·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) and the
+    * top-5 per query surface. idf is the LINEAR Robertson-Sparck-Jones
+    * surrogate (N−df+0.5)/(df+0.5) — same reason as q_tfidf_keywords:
+    * ln() hangs cross-engine parity on two libm implementations, while
+    * the surrogate is a chain of exact-int-input IEEE ops both engines
+    * evaluate bit-identically (it compresses the idf range vs the log
+    * form — fine for a fixed-k1 ranking gate; the tf saturation term is
+    * untouched BM25). The per-(query, doc) SUM folds over
+    * array_sort(collect_list(struct(token, score))) — the q_bitext
+    * lesson: a plain double SUM is partition-order-dependent, the
+    * token-ordered fold is sequential left-to-right on both engines.
+    *
+    * Scale shape: one tokenize pass feeds tf/dl/df aggregates (map-side
+    * combine); the query-term table is ≤24 rows broadcast into the tf
+    * join, so scoring touches only postings of query terms (the inverted
+    * -index walk, never the corpus); the two corpus scalars ride one
+    * 1-row broadcast (allowlisted BNLJ). At 100 TB tf/df/dl are
+    * corpus-version artifacts built once and shared by every query
+    * batch — exactly how this composes here (one derived-frame chain). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("bigint").as("tot"))
+    val qdocs = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id").limit(8)
+      .select(col("doc_id"))
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(desc("kw_score"), asc("token"))
+    val qterms = tf.join(broadcast(qdocs), "doc_id")
+      .join(dfT, "token")
+      .crossJoin(broadcast(scal.select(col("n_docs"))))
+      .withColumn("kw_score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id").as("qid"), col("token"))
+    val t = col("tf").cast("double")
+    val scored = tf.join(broadcast(qterms), "token")
+      .join(dfT, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+      .withColumn("idf_lin",
+        (col("n_docs").cast("double") - col("df") + lit(0.5d))
+          / (col("df").cast("double") + lit(0.5d)))
+      .withColumn("tf_norm",
+        (t * lit(2.2d)) / (t + lit(1.2d)
+          * (lit(0.25d) + lit(0.75d)
+            * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("ts", col("idf_lin") * col("tf_norm"))
+    val agg = scored
+      .select(col("qid"), col("doc_id").as("did"), col("token"), col("ts"))
+      .groupBy("qid", "did")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(token, ts))),
+          |  s -> s.ts), cast(0.0 as double), (a, v) -> a + v)"""
+          .stripMargin).as("score"),
+        count(lit(1)).cast("bigint").as("n_terms"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("did"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("did"), col("score"),
+        col("n_terms"))
+      .orderBy("qid", "rank")
   }
 
   /** Per-language corpus report — the summary a curation run prints:
@@ -1102,6 +1271,9 @@ object TextOps {
     "q_hash_split" -> qHashSplit _,
     "q_text_repetition" -> qTextRepetition _,
     "q_tfidf_keywords" -> qTfidfKeywords _,
+    "q_bm25" -> qBm25 _,
+    "q_pmi_collocations" -> qPmiCollocations _,
+    "q_lang_mix" -> qLangMix _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_corpus_stats" -> qCorpusStats _,
     "q_source_report" -> qSourceReport _,
@@ -1136,7 +1308,53 @@ object TextOps {
         |    ELSE 'und' END = lang AS INT) AS is_match
         |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Generated per-language hit/argmax SQL arms for the q_lang_mix
+    * oracle — same stoplists, same tie priority as [[langIdSql]], over a
+    * half-list column. */
+  private def halfHitsSql(half: String): String =
+    langStops.map { case (lang, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString("[", ",", "]")
+      s"len(list_intersect(list_distinct($half), $lst)) AS ${half}_$lang"
+    }.mkString(",\n    ")
+  private def halfPredSql(half: String): String = {
+    val gr = langStops.map { case (l, _) => s"${half}_$l" }
+      .mkString("GREATEST(", ", ", ")")
+    val arms = langStops.map { case (l, _) =>
+      s"WHEN ${half}_$l = $gr AND $gr > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"CASE\n    $arms\n    ELSE 'und' END"
+  }
+
   val oracles: Map[String, String] = Map(
+    // Half-split language-mixing replay: same slices, same stoplists,
+    // same argmax tie priority — see qLangMix
+    "q_lang_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') l
+         |  FROM documents),
+         |halves AS (
+         |  SELECT doc_id, lang,
+         |    l[1 : len(l) // 2] AS fh,
+         |    l[len(l) // 2 + 1 : len(l)] AS sh
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    ${halfHitsSql("fh")},
+         |    ${halfHitsSql("sh")}
+         |  FROM halves),
+         |p AS (
+         |  SELECT doc_id, lang,
+         |    ${halfPredSql("fh")} AS first_pred,
+         |    ${halfPredSql("sh")} AS second_pred
+         |  FROM h)
+         |SELECT lang, first_pred, second_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN first_pred <> second_pred
+         |    AND first_pred <> 'und' AND second_pred <> 'und'
+         |    THEN 1 ELSE 0 END AS INT) AS is_mixed
+         |FROM p GROUP BY 1, 2, 3
+         |ORDER BY lang, first_pred, second_pred""".stripMargin,
     // Same md5-prefix bucket/sign hashes, same signed-count folds — see
     // qFeatureHash (Spark conv(hex,16,10) == DuckDB '0x'||hex CAST)
     "q_feature_hash" ->
@@ -1565,6 +1783,75 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
         |  FROM s) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Full BM25 replay — same tokenize/tf/dl/df CTEs, the same
+    // md5-lowest-8 query docs + top-3 linear-tf-idf terms, every double
+    // op in the engine's order, and the per-(qid, did) sum as a
+    // token-ordered sequential list_sum (see qBm25).
+    "q_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl FROM tk GROUP BY 1),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |scal AS (SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+        |    CAST(SUM(dl) AS BIGINT) tot FROM dl),
+        |qdocs AS (SELECT doc_id FROM (
+        |    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) h FROM documents
+        |    ORDER BY h, doc_id LIMIT 8) z),
+        |qt AS (SELECT qid, token FROM (
+        |    SELECT q.doc_id AS qid, tf.token,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY q.doc_id
+        |        ORDER BY CAST(tf.tf AS DOUBLE) * s.n_docs / df.df DESC,
+        |          tf.token) AS INT) AS rk
+        |    FROM qdocs q JOIN tf ON tf.doc_id = q.doc_id
+        |      JOIN df ON df.token = tf.token, scal s) z
+        |  WHERE rk <= 3),
+        |sc AS (
+        |  SELECT qt.qid, tf.doc_id AS did, tf.token,
+        |    ((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+        |      / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |          / (CAST(s.tot AS DOUBLE) / s.n_docs))))) AS ts
+        |  FROM qt JOIN tf ON tf.token = qt.token
+        |    JOIN df ON df.token = qt.token
+        |    JOIN dl ON dl.doc_id = tf.doc_id, scal s),
+        |agg AS (
+        |  SELECT qid, did, list_sum(list(ts ORDER BY token)) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT qid, rank, did, score, n_terms FROM (
+        |  SELECT qid, did, score, n_terms,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, did) AS INT) AS rank
+        |  FROM agg) z
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // PMI-ratio replay: same unigram/bigram counts, the identical
+    // double chain (c_xy·T·T)/(T_big·c_x·c_y), same c_xy >= 5 filter
+    // and (score DESC, w1, w2) top-20 — see qPmiCollocations.
+    "q_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') l
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) c FROM (
+        |    SELECT unnest(l) w FROM toks) z GROUP BY 1),
+        |big AS (
+        |  SELECT l[i] w1, l[i+1] w2
+        |  FROM toks, UNNEST(range(1, len(l))) u(i) WHERE len(l) >= 2),
+        |cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) c_xy
+        |  FROM big GROUP BY 1, 2),
+        |scal AS (SELECT
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM uni) t_tok,
+        |    (SELECT CAST(SUM(c_xy) AS BIGINT) FROM cxy) t_big)
+        |SELECT x.w1, x.w2, x.c_xy, a.c AS c_x, b.c AS c_y,
+        |  sc.t_tok, sc.t_big,
+        |  (CAST(x.c_xy AS DOUBLE) * sc.t_tok * sc.t_tok)
+        |    / (CAST(sc.t_big AS DOUBLE) * a.c * b.c) AS score
+        |FROM cxy x JOIN uni a ON a.w = x.w1 JOIN uni b ON b.w = x.w2,
+        |  scal sc
+        |WHERE x.c_xy >= 5
+        |ORDER BY score DESC, x.w1, x.w2 LIMIT 20""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') l

@@ -53,6 +53,51 @@ object TimeSeries {
         col("r.cents").as("cents"), col("r.ewma_c").as("ewma_c"))
       .orderBy("event_type", "h")
 
+  /** Holt double-exponential smoothing (level + trend, α = β = 1/2) per
+    * type over the hourly cents series — the next step up from
+    * [[qEwmaHourly]]'s flat EWMA: the one-step-ahead forecast l + b
+    * tracks a drifting series instead of lagging it. Exact-integer like
+    * the EWMA, with one extra care: the TREND can be negative, and
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * so every halving is `shiftright(x, 1)` (arithmetic shift = floor
+    * division by 2 on BOTH engines, the q_simhash sign-extension fact),
+    * negative-safe bit-for-bit. Recursion:
+    *   l₁ = x₁, b₁ = 0;
+    *   lₜ = (xₜ + lₜ₋₁ + bₜ₋₁) >> 1
+    *   bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) >> 1
+    * (α = 1/2 of observation vs previous forecast; β = 1/2 of level
+    * delta vs previous trend — the standard Holt update at power-of-two
+    * gains.) Scale shape identical to the EWMA: one map-side-combining
+    * hourly shuffle, then a row-local fold per type over its sorted
+    * bounded series; the oracle replays the recursion as a recursive
+    * CTE carrying (lev, tr). */
+  def qHoltLinear(spark: SparkSession, dir: String): DataFrame =
+    hourlyCents(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h"), col("cents"))))
+        .as("series"))
+      .select(col("event_type"), expr(
+        """explode(zip_with(series,
+          |  aggregate(series,
+          |    CAST(array() AS ARRAY<STRUCT<lev: BIGINT, tr: BIGINT>>),
+          |    (acc, e) -> acc || array(CASE WHEN size(acc) = 0
+          |      THEN named_struct('lev', e.cents, 'tr', 0L)
+          |      ELSE named_struct(
+          |        'lev', shiftright(e.cents + element_at(acc, -1).lev
+          |          + element_at(acc, -1).tr, 1),
+          |        'tr', shiftright(shiftright(e.cents
+          |            + element_at(acc, -1).lev + element_at(acc, -1).tr, 1)
+          |          - element_at(acc, -1).lev + element_at(acc, -1).tr, 1))
+          |      END)),
+          |  (s, w) -> named_struct('h', s.h, 'cents', s.cents,
+          |    'lev_c', w.lev, 'trend_c', w.tr,
+          |    'forecast_c', w.lev + w.tr))) AS r""".stripMargin))
+      .select(col("event_type"), col("r.h").as("h"),
+        col("r.cents").as("cents"), col("r.lev_c").as("lev_c"),
+        col("r.trend_c").as("trend_c"),
+        col("r.forecast_c").as("forecast_c"))
+      .orderBy("event_type", "h")
+
   /** Hours whose revenue sits more than 2σ from the type's mean, with
     * zero floating point: in whole currency units, x is anomalous iff
     * (n·x − S)² > 4·(n·Q − S²)  —  the 2σ test cleared of divisions and
@@ -79,6 +124,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ewma_hourly" -> qEwmaHourly _,
+    "q_holt_linear" -> qHoltLinear _,
     "q_anomaly_hours" -> qAnomalyHours _)
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +144,29 @@ object TimeSeries {
         |  FROM seq s JOIN rec r
         |    ON s.event_type = r.event_type AND s.rn = r.rn + 1)
         |SELECT event_type, h, cents, CAST(ewma_c AS BIGINT) AS ewma_c
+        |FROM rec ORDER BY event_type, h""".stripMargin,
+    // Holt recursion replay carrying (lev, tr); >> is arithmetic on
+    // both engines (negative trends floor identically) — see qHoltLinear
+    "q_holt_linear" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY h) AS rn FROM hourly),
+        |rec AS (
+        |  SELECT event_type, h, rn, cents,
+        |    cents AS lev, CAST(0 AS BIGINT) AS tr
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.h, s.rn, s.cents,
+        |    (s.cents + r.lev + r.tr) >> 1,
+        |    ((((s.cents + r.lev + r.tr) >> 1) - r.lev) + r.tr) >> 1
+        |  FROM seq s JOIN rec r
+        |    ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT event_type, h, cents, CAST(lev AS BIGINT) AS lev_c,
+        |  CAST(tr AS BIGINT) AS trend_c,
+        |  CAST(lev + tr AS BIGINT) AS forecast_c
         |FROM rec ORDER BY event_type, h""".stripMargin,
     "q_anomaly_hours" ->
       """WITH hourly AS (

@@ -1031,6 +1031,202 @@ object Vectors {
         expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of two rankers
+    * over the shared LSH candidate set — the hybrid-retrieval combiner
+    * every production search stack runs when it has more than one signal:
+    * ranker A = exact float cosine (the session-shared [[annSims]]),
+    * ranker B = 64-bit sign-code hamming (the [[signCodes]] compact
+    * ranking). RRF(d) = Σᵣ 1/(60 + rankᵣ(d)); here each reciprocal is the
+    * INTEGER surrogate 10¹² div (60 + rank) — exact in BIGINT on both
+    * engines (the q_retrieval_mrr lcm idiom generalized: 10¹² preserves
+    * the full order of 1/(60+r) for every rank the candidate fan-in can
+    * produce, since consecutive reciprocals differ by ≥ 10¹²/(60+n)² ≫ 1
+    * for n ≪ 10⁵ — and per-query candidate counts are LSH-bucket-bounded
+    * by construction), so the fused score hash-gates with no float
+    * summation anywhere. Both rankers cover the identical symmetrized
+    * candidate set, so every pair has both ranks (inner join loses
+    * nothing). Scale shape: two windowed ranks + one equi-join + one
+    * windowed top-3 over the shared candidate sims — no new shuffle key,
+    * no fan-out beyond the candidate set. Oracle: full replay from the
+    * anncand export (sims via the proven float-dot CTE, hamming via the
+    * per-dimension sign-mismatch count). */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val k = 60
+    val cand = annCandidatesExported(spark, dir)
+    val pairs = annSims(spark, dir)
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val codes = signCodes(spark, dir)
+    val symc = cand.select(col("qid"), col("nid"))
+      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val ham = symc
+      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
+        "qid")
+      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
+        "nid")
+      .withColumn("ham", expr("bit_count(cq ^ cn)"))
+    val wA = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val wB = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val rkA = sym.withColumn("rk_cos", row_number().over(wA))
+      .select(col("qid"), col("nid"), col("rk_cos"))
+    val rkB = ham.withColumn("rk_ham", row_number().over(wB))
+      .select(col("qid"), col("nid"), col("rk_ham"))
+    val fused = rkA.join(rkB, Seq("qid", "nid"))
+      .withColumn("rrf", expr(
+        s"cast(1000000000000L div (${k}L + rk_cos) " +
+          s"+ 1000000000000L div (${k}L + rk_ham) as bigint)"))
+    val wF = Window.partitionBy("qid").orderBy(desc("rrf"), asc("nid"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf"),
+        col("rk_cos"), col("rk_ham"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Hard-negative mining for retrieval-model training (the in-batch /
+    * ANCE-style pair generator): for every query vector, the top-2
+    * SAME-label candidates by exact cosine are its positives and the
+    * top-2 DIFFERENT-label candidates are its hard negatives — the
+    * near-misses a contrastive loss learns the most from (a random
+    * negative is trivially far; the hard ones sit just across the
+    * decision boundary, which is exactly where the shared LSH candidate
+    * set concentrates). Rides the session-shared [[annSims]] + label
+    * table; scale shape is two label equi-joins and two windowed top-2s
+    * over the candidate set — the mining pass costs no more than the
+    * ANN queries it shares artifacts with. Oracle: full replay from the
+    * anncand export via the proven sim CTE. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val pairs = annSims(spark, dir)
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+    val lab = sym
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")),
+        "qid")
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nlab")),
+        "nid")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val pos = lab.filter(col("qlab") === col("nlab"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .withColumn("kind", lit("pos"))
+    val neg = lab.filter(col("qlab") =!= col("nlab"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .withColumn("kind", lit("hardneg"))
+    pos.unionByName(neg)
+      .select(col("qid"), col("kind"), col("rank"), col("nid"),
+        col("sim"), col("qlab"), col("nlab"))
+      .orderBy("qid", "kind", "rank")
+  }
+
+  /** Per-dimension scalar-quantization (SQ8) retrieval audit — the FAISS
+    * SQ path: one GLOBAL (min, max) per dimension over the whole corpus
+    * (unlike [[qEmbQuantize]]'s per-vector scaling — per-dim stats are
+    * what make codes comparable ACROSS vectors), each vector compresses
+    * to 64 uint8 codes (4× smaller than float32), and the query gates
+    * BOTH scoring disciplines against the exact float-cosine k-NN truth:
+    *  - the NAIVE integer code dot Σ cᵢdᵢ (the tempting pure-int8 SIMD
+    *    loop) — measured recall ~0.07 here, because min-max coding is
+    *    AFFINE: dot(c_a, c_b) picks up −mnᵢ·Σ cross terms that swamp the
+    *    near-zero true cosines. The number is the evidence for why no
+    *    production engine ranks on raw asymmetric codes;
+    *  - the DEQUANTIZED cosine (decode x̂ᵢ = mnᵢ + cᵢ·sᵢ, then the normal
+    *    normalized dot) — what FAISS's scalar-quantizer distance computer
+    *    actually evaluates; recall recovers to the quantization-noise
+    *    floor and the gap between the two columns IS the affine
+    *    correction, measured.
+    *
+    * Scale shape: the stats pass is one 64-group aggregate (posexplode →
+    * groupBy dim — constant output); codes + dequantized vectors attach
+    * via one broadcast join of the 64-row stats table and collapse back
+    * to one array row per vector (array_sort(collect_list(struct)) —
+    * deterministic under any partitioning); scoring is row-local
+    * zip_with folds over the shared candidate pairs. All-integer output
+    * → hash-gated; the oracle replays stats, codes, both dots, and all
+    * top-3 windows from the embeddings table + anncand export. floor is
+    * spelled out (not round: Spark HALF_UP vs DuckDB half-away differ on
+    * negatives); every double op appears in the identical order both
+    * sides (((x−mn)·255)/(mx−mn); mn + c·((mx−mn)/255); ascending-index
+    * folds) — IEEE ops on identical inputs are bit-equal. */
+  def qSq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val codes = sq8Codes(spark, dir)
+    val cand = annCandidatesExported(spark, dir)
+    val sym = cand.select(col("qid"), col("nid"))
+      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val scored = sym
+      .join(codes.select(col("vec_id").as("qid"), col("codes").as("ca"),
+        col("recon").as("ra"), col("rn2").as("na")), "qid")
+      .join(codes.select(col("vec_id").as("nid"), col("codes").as("cb"),
+        col("recon").as("rb"), col("rn2").as("nb")), "nid")
+      .withColumn("idot", expr(
+        "aggregate(zip_with(ca, cb, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
+      .withColumn("dsim", expr(
+        """aggregate(zip_with(ra, rb, (a, b) -> a * b),
+          |  cast(0.0 as double), (s, v) -> s + v)""".stripMargin)
+        / (sqrt(col("na")) * sqrt(col("nb"))))
+    val wi = Window.partitionBy("qid").orderBy(desc("idot"), asc("nid"))
+    val wd = Window.partitionBy("qid").orderBy(desc("dsim"), asc("nid"))
+    val int3 = scored.withColumn("rk", row_number().over(wi))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("int_hit"))
+    val deq3 = scored.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("deq_hit"))
+    Graph.knnEdges(spark, dir)
+      .join(int3, Seq("qid", "nid"), "left")
+      .join(deq3, Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("int_hit"), lit(0))).cast("bigint").as("int_hits"),
+        sum(coalesce(col("deq_hit"), lit(0))).cast("bigint").as("deq_hits"))
+      .select(col("n_queries"), col("n_pairs"), col("int_hits"),
+        col("deq_hits"),
+        expr("(int_hits * 10000L) div n_pairs").as("recall_int_bp"),
+        expr("(deq_hits * 10000L) div n_pairs").as("recall_deq_bp"))
+  }
+
+  /** (vec_id, codes: array<bigint>, recon: array<double>, rn2: double)
+    * SQ8 code + dequantization table — session-shared. The per-dim
+    * (mn, mx) stats stay a 64-row DataFrame joined broadcast (no literal
+    * inlining: a 128-literal projection is a Janino compile tax the
+    * stats join avoids entirely, and the join IS the 100 TB shape —
+    * stats are a constant-size build side however large the corpus).
+    * Code: 0 where the dimension is constant, else
+    * least(255, floor(((x−mn)·255)/(mx−mn))) — x=mn gives 0, x=mx gives
+    * 255 up to one final-division ulp (clamped), monotone in between.
+    * Dequant x̂ = mn + c·((mx−mn)/255); rn2 = Σ x̂² as an ascending-index
+    * fold (matches DuckDB's sequential list_sum — a plain SUM group
+    * aggregate would be partition-order-dependent). */
+  private[graft] def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "sq8codes", dir) {
+      val stats = sharedEmb(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+      sharedEmb(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .join(broadcast(stats), "i")
+        .withColumn("c",
+          when(col("mx") === col("mn"), lit(0L)).otherwise(
+            least(lit(255L), floor(
+              ((col("x").cast("double") - col("mn")) * lit(255.0d))
+                / (col("mx") - col("mn"))).cast("long"))))
+        .withColumn("r",
+          col("mn") + col("c").cast("double")
+            * ((col("mx") - col("mn")) / lit(255.0d)))
+        .groupBy("vec_id")
+        .agg(expr("array_sort(collect_list(struct(i, c, r)))").as("scr"))
+        .select(col("vec_id"),
+          expr("transform(scr, s -> s.c)").as("codes"),
+          expr("transform(scr, s -> s.r)").as("recon"))
+        .withColumn("rn2", expr(
+          """aggregate(transform(recon, x -> x * x),
+            |  cast(0.0 as double), (s, v) -> s + v)""".stripMargin))
+    }
+
   // ---- Product quantization (Jégou et al. TPAMI 2011) ----------------
   // m=8 subspaces × 8 dims, k=16 codewords each: every vector compresses
   // to 8 nibbles (4 bytes — 64× smaller than float32). RESIDUAL
@@ -2023,6 +2219,9 @@ object Vectors {
     "q_bitext_mining" -> qBitextMining _,
     "q_pq_recall" -> qPqRecall _,
     "q_hamming_rerank" -> qHammingRerank _,
+    "q_rrf_fusion" -> qRrfFusion _,
+    "q_sq8_recall" -> qSq8Recall _,
+    "q_hard_negatives" -> qHardNegatives _,
     "q_centroid_shift" -> qCentroidShift _,
     "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
@@ -2644,6 +2843,138 @@ object Vectors {
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
         |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
+        |FROM j""".stripMargin),
+    // Positive/hard-negative mining replay over the exported candidate
+    // set: symmetrized sims, label joins, two windowed top-2s — see
+    // qHardNegatives
+    "q_hard_negatives" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |         UNION ALL SELECT nid, qid, sim FROM sims),
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |lab AS (SELECT s.qid, s.nid, s.sim,
+        |    la.label AS qlab, lbn.label AS nlab
+        |  FROM sym s JOIN lb la ON la.vec_id = s.qid
+        |    JOIN lb lbn ON lbn.vec_id = s.nid),
+        |pos AS (SELECT qid, 'pos' AS kind, rank, nid, sim, qlab, nlab
+        |  FROM (SELECT qid, nid, sim, qlab, nlab,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS INT) AS rank
+        |    FROM lab WHERE qlab = nlab) z WHERE rank <= 2),
+        |neg AS (SELECT qid, 'hardneg' AS kind, rank, nid, sim, qlab, nlab
+        |  FROM (SELECT qid, nid, sim, qlab, nlab,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS INT) AS rank
+        |    FROM lab WHERE qlab <> nlab) z WHERE rank <= 2)
+        |SELECT qid, kind, rank, nid, sim, qlab, nlab FROM (
+        |  SELECT * FROM pos UNION ALL SELECT * FROM neg) u
+        |ORDER BY qid, kind, rank""".stripMargin),
+    // RRF replay over the exported candidate set: cosine rank from the
+    // proven sim CTE, hamming rank from the per-dimension sign-mismatch
+    // count, integer reciprocal surrogates, fused top-3 — see qRrfFusion
+    "q_rrf_fusion" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, sym AS (SELECT qid, nid, sim FROM sims
+        |         UNION ALL SELECT nid, qid, sim FROM sims),
+        |rka AS (SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, nid) AS INT) AS rk_cos
+        |  FROM sym),
+        |bits AS MATERIALIZED (SELECT vec_id, gs.i AS i,
+        |    CAST(embedding[gs.i + 1] AS DOUBLE) >= 0 AS s
+        |  FROM e, generate_series(0, 63) gs(i)),
+        |symc AS (SELECT qid, nid FROM c
+        |         UNION ALL SELECT nid AS qid, qid AS nid FROM c),
+        |ham AS MATERIALIZED (SELECT sc.qid, sc.nid,
+        |    SUM(CASE WHEN ba.s <> bb.s THEN 1 ELSE 0 END) AS ham
+        |  FROM symc sc JOIN bits ba ON ba.vec_id = sc.qid
+        |    JOIN bits bb ON bb.vec_id = sc.nid AND bb.i = ba.i
+        |  GROUP BY sc.qid, sc.nid),
+        |rkb AS (SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ham, nid) AS INT) AS rk_ham
+        |  FROM ham),
+        |fused AS (SELECT a.qid, a.nid, a.rk_cos, b.rk_ham,
+        |    CAST(1000000000000 // (60 + a.rk_cos)
+        |      + 1000000000000 // (60 + b.rk_ham) AS BIGINT) AS rrf
+        |  FROM rka a JOIN rkb b ON b.qid = a.qid AND b.nid = a.nid)
+        |SELECT qid, rank, nid, rrf, rk_cos, rk_ham FROM (
+        |  SELECT qid, nid, rrf, rk_cos, rk_ham,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, nid) AS INT) AS rank
+        |  FROM fused) z
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+    // SQ8 replay: per-dim global (mn, mx), integer codes, dequantized
+    // vectors, both dots over the exported candidate set, both top-3
+    // rankings vs the exact-cosine top-3 truth — see qSq8Recall. Every
+    // double op appears in the engine's order (((x−mn)*255.0)/(mx−mn);
+    // mn + cd*((mx−mn)/255.0)); the recon/rn2/ddot folds run over
+    // ascending-index lists (list(… ORDER BY i) → sequential list_sum =
+    // the engine's ascending-index aggregate folds).
+    "q_sq8_recall" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      """, top3 AS MATERIALIZED (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM (SELECT qid, nid, sim FROM sims
+        |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+        |  WHERE rank <= 3),
+        |el AS MATERIALIZED (SELECT vec_id, u.i AS i,
+        |    CAST(embedding[u.i + 1] AS DOUBLE) AS x
+        |  FROM e, generate_series(0, 63) u(i)),
+        |stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY 1),
+        |codes AS MATERIALIZED (SELECT el.vec_id, el.i,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE CAST(LEAST(255, FLOOR(((el.x - s.mn) * 255.0)
+        |           / (s.mx - s.mn))) AS BIGINT) END AS cd,
+        |    s.mn + (CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE CAST(LEAST(255, FLOOR(((el.x - s.mn) * 255.0)
+        |           / (s.mx - s.mn))) AS BIGINT) END)
+        |      * ((s.mx - s.mn) / 255.0) AS r
+        |  FROM el JOIN stats s ON s.i = el.i),
+        |cl AS MATERIALIZED (SELECT vec_id,
+        |    list(r ORDER BY i) AS recon,
+        |    list_sum(list_transform(list(r ORDER BY i), x -> x * x)) AS rn2
+        |  FROM codes GROUP BY 1),
+        |symc AS (SELECT qid, nid FROM c
+        |         UNION ALL SELECT nid AS qid, qid AS nid FROM c),
+        |idots AS MATERIALIZED (SELECT sc.qid, sc.nid,
+        |    SUM(a.cd * b.cd) AS idot
+        |  FROM symc sc JOIN codes a ON a.vec_id = sc.qid
+        |    JOIN codes b ON b.vec_id = sc.nid AND b.i = a.i
+        |  GROUP BY sc.qid, sc.nid),
+        |ddots AS MATERIALIZED (SELECT sc.qid, sc.nid,
+        |    list_sum(list_transform(list_zip(a.recon, b.recon),
+        |      z -> z[1] * z[2])) / (sqrt(a.rn2) * sqrt(b.rn2)) AS dsim
+        |  FROM symc sc JOIN cl a ON a.vec_id = sc.qid
+        |    JOIN cl b ON b.vec_id = sc.nid),
+        |int3 AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY idot DESC, nid) AS rk
+        |    FROM idots) z WHERE rk <= 3),
+        |deq3 AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY dsim DESC, nid) AS rk
+        |    FROM ddots) z WHERE rk <= 3),
+        |j AS (SELECT t.qid, t.nid,
+        |        CASE WHEN ih.qid IS NULL THEN 0 ELSE 1 END AS int_hit,
+        |        CASE WHEN dh.qid IS NULL THEN 0 ELSE 1 END AS deq_hit
+        |      FROM top3 t
+        |        LEFT JOIN int3 ih ON ih.qid = t.qid AND ih.nid = t.nid
+        |        LEFT JOIN deq3 dh ON dh.qid = t.qid AND dh.nid = t.nid)
+        |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(int_hit) AS BIGINT) AS int_hits,
+        |  CAST(SUM(deq_hit) AS BIGINT) AS deq_hits,
+        |  CAST((SUM(int_hit) * 10000) // COUNT(*) AS BIGINT)
+        |    AS recall_int_bp,
+        |  CAST((SUM(deq_hit) * 10000) // COUNT(*) AS BIGINT)
+        |    AS recall_deq_bp
         |FROM j""".stripMargin),
     // Symmetrized re-rank + top-3 window over the exported LSH candidate
     // set — see qCosineAnn

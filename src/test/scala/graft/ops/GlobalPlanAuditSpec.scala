@@ -46,6 +46,12 @@ class GlobalPlanAuditSpec extends SparkSpec {
     // pushed into the scalar join as an equi-condition → BroadcastHashJoin)
     "q_constraints", // 1-row n_checked scalar beside the FK violation count
     "q_tfidf_keywords", // 1-row corpus doc count N in the tf·N/df score
+    "q_bm25", // two 1-row corpus scalars (N, total length) in the
+              // keyword pass and the idf/avgdl normalizers
+    "q_pmi_collocations", // 1-row (t_tok, t_big) corpus scalars in the
+                          // PMI ratio
+    "q_mix_waterfill", // 1-row (capped count, capped mass, n) scalars
+                       // beside the per-lang allocation rows
     "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
                      // <=4096-row broadcast bucket table (md5 % 4096)
     "q_temperature_sample", // 1-row min-language count the rates derive from

@@ -424,4 +424,31 @@ class SimilaritySpec extends SparkSpec {
     val again = Vectors.qAnnFiltered(spark, dir).collect().head
     assert(row.toSeq === again.toSeq)
   }
+
+  test("SQ8 recall: dequantized scoring recovers what the naive integer dot loses") {
+    val row = Vectors.qSq8Recall(spark, sf("sf0.01")).collect().head
+    val (intBp, deqBp) = (row.getLong(4), row.getLong(5))
+    info(s"SQ8 recall: int=$intBp bp, dequantized=$deqBp bp")
+    // dequantized 8-bit codes lose almost nothing (measured 9800 bp at
+    // sf0.01); the naive affine-code dot is structurally broken on
+    // near-zero cosines (measured 660 bp) — the floor and the gap pin
+    // both claims against knob/fixture drift
+    assert(deqBp >= 9000L, s"dequantized SQ8 recall collapsed: $row")
+    assert(deqBp >= intBp + 2000L,
+      s"the affine-correction gap vanished — scoring change?: $row")
+  }
+
+  test("RRF fusion: integer reciprocal surrogate invariants hold per row") {
+    val rows = Vectors.qRrfFusion(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rrf, rkCos, rkHam) =
+        (r.getLong(3), r.getInt(4), r.getInt(5))
+      assert(rrf === 1000000000000L / (60 + rkCos)
+        + 1000000000000L / (60 + rkHam), r.toString)
+    }
+    // every query contributes exactly 3 fused results
+    val perQ = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQ === Set(3), s"per-query fused counts: $perQ")
+  }
 }
