@@ -158,7 +158,9 @@ object Bench {
     // the shared candidate set against the shared kNN truth;
     // containment rides the shared corpus shingle table; hard-negative
     // mining rides the shared annSims
-    "q_rrf", "q_sq8", "q_containment", "q_hard_negatives")
+    "q_rrf", "q_sq8", "q_containment", "q_hard_negatives",
+    // whitening trains on the prewarmed sharedEmb moments
+    "q_emb_whitening")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -401,6 +401,39 @@ object Curation {
         when(count(lit(1)) < 5, 1).otherwise(0).cast("int").as("at_risk"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** Differentially-private count release — the two-sided geometric
+    * mechanism (Ghosh-Roughgarden-Sundararajan STOC'09: the UNIVERSALLY
+    * optimal discrete noise for count queries): noise = G₁ − G₂ with
+    * G ~ Geometric(1/2), giving ε = ln 2 per released count at
+    * sensitivity 1. The geometric samples are drawn WITHOUT floats or
+    * RNG state: a uniform 60-bit md5 integer's TRAILING-ZERO count is
+    * exactly Geometric(1/2) (P(tz=k) = 2^-(k+1)), computed by the
+    * bin-string idiom length(bin(v & −v)) − 1 on both engines. The
+    * seed is a fixed release string — deterministic noise is the gate
+    * artifact and the reproducible-release discipline (a production
+    * pipeline rotates the seed per release; re-running one release must
+    * reproduce its published numbers, which is exactly what the oracle
+    * asserts). One hash agg + a narrow map over |langs| rows. */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("h1",
+        expr("conv(substr(md5(concat('dp1:', lang)), 1, 15), 16, 10)")
+          .cast("long"))
+      .withColumn("h2",
+        expr("conv(substr(md5(concat('dp2:', lang)), 1, 15), 16, 10)")
+          .cast("long"))
+      .withColumn("g1", expr(
+        "CASE WHEN h1 = 0 THEN 60 ELSE length(bin(h1 & -h1)) - 1 END")
+        .cast("int"))
+      .withColumn("g2", expr(
+        "CASE WHEN h2 = 0 THEN 60 ELSE length(bin(h2 & -h2)) - 1 END")
+        .cast("int"))
+      .withColumn("noise", (col("g1") - col("g2")).cast("bigint"))
+      .select(col("lang"), col("n_docs"), col("noise"),
+        (col("n_docs") + col("noise")).cast("bigint").as("noisy_docs"))
+      .orderBy("lang")
+
   /** l-diversity audit (Machanavajjhala et al. ICDE 2006/TKDD 2007) —
     * the attribute-disclosure complement of [[qKanon]]: k-anonymity
     * bounds re-identification but a class whose members all share one
@@ -435,6 +468,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon" -> qKanon _,
     "q_ldiversity" -> qLDiversity _,
+    "q_dp_counts" -> qDpCounts _,
     "q_source_cap" -> qSourceCap _,
     "q_curation_pipeline" -> qCurationPipeline _,
     "q_hash_split_content" -> qHashSplitContent _,
@@ -469,6 +503,26 @@ object Curation {
         |  CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
         |FROM documents GROUP BY 1, 2, 3
         |ORDER BY lang, source, len_bucket""".stripMargin,
+    // Same md5-seeded trailing-zero geometric noise — see qDpCounts
+    // (Spark conv(hex,16,10) == DuckDB '0x'||hex CAST; bin unpadded on
+    // both engines; & and unary minus need parens in DuckDB)
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs
+        |  FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n_docs,
+        |    CAST('0x' || substr(md5('dp1:' || lang), 1, 15) AS BIGINT) h1,
+        |    CAST('0x' || substr(md5('dp2:' || lang), 1, 15) AS BIGINT) h2
+        |  FROM c),
+        |g AS (SELECT lang, n_docs,
+        |    CAST(CASE WHEN h1 = 0 THEN 60
+        |      ELSE length(bin(h1 & (-h1))) - 1 END AS INT) g1,
+        |    CAST(CASE WHEN h2 = 0 THEN 60
+        |      ELSE length(bin(h2 & (-h2))) - 1 END AS INT) g2
+        |  FROM h)
+        |SELECT lang, n_docs, CAST(g1 - g2 AS BIGINT) AS noise,
+        |  CAST(n_docs + g1 - g2 AS BIGINT) AS noisy_docs
+        |FROM g ORDER BY lang""".stripMargin,
     "q_source_cap" ->
       """SELECT source, doc_id, h FROM (
         |  SELECT source, doc_id, md5(text) AS h,

@@ -2111,6 +2111,172 @@ object Vectors {
     (0 until 64).map(j => (j, (0 until 64).map(i => r(i)(j)))).toDF("j", "vals")
   }
 
+  // ---- Embedding whitening (Su et al. 2021, "Whitening Sentence
+  // Representations"; ZCA form) ---------------------------------------
+  // Retrieval post-processing: anisotropic embedding spaces concentrate
+  // mass in a few directions, which flattens cosine contrast; whitening
+  // maps the corpus covariance to the identity (x̂ = W(x − μ) with
+  // W = QΛ^(−1/2)Qᵀ), restoring isotropy. Training state is BOUNDED at
+  // any corpus size — unlike the quantizer trainers (which sample rows),
+  // the moments are a DISTRIBUTED exact-decimal aggregate whose output
+  // is 64 + 2080 rows regardless of N, so the model trains on the full
+  // corpus with a constant driver-side collect.
+
+  private[graft] final case class WhitenModel(
+      mu: Array[Double], w: Array[Array[Double]], n: Long)
+
+  private val whitenCache = new graft.Tables.KeyedOnce[WhitenModel]
+
+  /** Cyclic-by-rows Jacobi eigendecomposition of a symmetric matrix —
+    * fixed sweep count, fixed rotation order, every step deterministic
+    * (the [[polarOrthogonal]] discipline). Returns (eigenvalues on the
+    * final diagonal, V with eigenvectors as COLUMNS). */
+  private def jacobiEigen(a0: Array[Array[Double]],
+      sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Train μ and the ZCA whitening matrix from exact-decimal corpus
+    * moments (one narrow pass + one (i,j)-keyed map-side-combining
+    * shuffle; 2144 collected rows at ANY scale), eigensolve driver-side
+    * (12 Jacobi sweeps on 64×64 — ~10⁻¹⁵ off-diagonal residual),
+    * Λ^(−1/2) with a 1e−9 floor against degenerate directions. */
+  private[graft] def whitenTrain(spark: SparkSession,
+      dir: String): WhitenModel = {
+    whitenCache(dir)(Tables.diskCached(spark, "whitenmodel", dir) {
+      val emb = sharedEmb(spark, dir)
+      val el = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i"),
+          col("x").cast("double").cast(DecimalType(18, 9)).as("xd"))
+      val mrows = el.groupBy("i")
+        .agg(sum(col("xd")).as("m"), count(lit(1)).as("cnt"))
+        .orderBy("i").collect()
+      val n = mrows.head.getLong(2)
+      val mu = mrows.map(r => r.getDecimal(1).doubleValue() / n)
+      val prows = emb.select(posexplode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j -> named_struct('i', i, 'j', j,
+          |    'p', CAST(CAST(element_at(embedding, i + 1) AS DOUBLE)
+          |           AS DECIMAL(18,9))
+          |       * CAST(CAST(element_at(embedding, j + 1) AS DOUBLE)
+          |           AS DECIMAL(18,9))))))""".stripMargin))
+        .as(Seq("pos", "s")))
+        .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+        .groupBy("i", "j").agg(sum(col("p")).as("sp"))
+        .collect()
+      val cov = Array.fill(64, 64)(0.0)
+      prows.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val c = r.getDecimal(2).doubleValue() / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val (lam, v) = jacobiEigen(cov, 12)
+      val inv = lam.map(l => 1.0 / math.sqrt(math.max(l, 1e-9)))
+      val w = Array.tabulate(64, 64) { (r, c) =>
+        var s = 0.0; var k = 0
+        while (k < 64) { s += v(r)(k) * inv(k) * v(c)(k); k += 1 }
+        s
+      }
+      WhitenModel(mu, w, n)
+    })
+  }
+
+  /** Whitening audit — trains the ZCA transform, applies it
+    * DISTRIBUTED (the broadcast-build-side application, never a
+    * 4096-literal projection — the r14 Janino lesson), and gates that
+    * the corpus covariance actually became the identity: the
+    * off-diagonal/diagonal mass ratio of the second-moment matrix,
+    * before vs after, as exact basis points. Determinism/parity: the
+    * whitened doubles quantize as floor(x̂ · 2²⁰) (a double times a
+    * power of two is exact and floor is exact — the q_emb_label_stats
+    * idiom), so all downstream moments are exact BIGINT sums under any
+    * partitioning, bit-identical in DuckDB (which replays application
+    * + moments from the exported μ/W and the embeddings table).
+    * Integer bounds: |x̂| ≲ 10 ⇒ per-pair products < 2⁴⁵; BIGINT holds
+    * to ~10⁵ × this fixture — a larger corpus widens the moment sums to
+    * DECIMAL(38,0) (same loud-overflow discipline as q_dsir_select). */
+  def qEmbWhitening(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = whitenTrain(spark, dir)
+    graft.OracleExport.export(
+      (0 until 64).map(j =>
+        (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu"),
+      "whitenw", dir)
+    val wRows = broadcast(
+      (0 until 64).map(j =>
+        (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu"))
+    val emb = sharedEmb(spark, dir)
+    // centered-raw and whitened per-(vec, j) quantized values
+    val qb = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .join(broadcast(
+        (0 until 64).map(i => (i, model.mu(i))).toDF("j", "muj")), "j")
+      .select(col("vec_id"), col("j"),
+        floor((col("x").cast("double") - col("muj")) * lit(1048576.0d))
+          .cast("long").as("q"))
+    val qa = emb.crossJoin(wRows)
+      .withColumn("xh", expr(
+        """aggregate(zip_with(embedding,
+          |    zip_with(warr, mu, (wi, mi) -> struct(wi AS w, mi AS m)),
+          |    (x, wm) -> (CAST(x AS DOUBLE) - wm.m) * wm.w),
+          |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .select(col("vec_id"), col("j"),
+        floor(col("xh") * lit(1048576.0d)).cast("long").as("q"))
+    def masses(qdf: DataFrame, tag: String): DataFrame =
+      qdf.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(j, q))), s -> s.q)")
+          .as("qarr"))
+        .select(posexplode(expr(
+          """flatten(transform(sequence(0, 63), j ->
+            |  transform(sequence(j, 63), k -> named_struct('j', j, 'k', k,
+            |    'p', element_at(qarr, j + 1) * element_at(qarr, k + 1)))))"""
+            .stripMargin)).as(Seq("pos", "s")))
+        .select(col("s.j").as("j"), col("s.k").as("k"), col("s.p").as("p"))
+        .groupBy("j", "k").agg(sum(col("p")).cast("bigint").as("c"))
+        .agg(
+          sum(when(col("j") === col("k"), col("c")).otherwise(0L))
+            .cast("bigint").as(s"diag_$tag"),
+          sum(when(col("j") =!= col("k"), abs(col("c"))).otherwise(0L))
+            .cast("bigint").as(s"offdiag_$tag"))
+    masses(qb, "before").crossJoin(masses(qa, "after"))
+      .select(lit(model.n).as("n_vectors"),
+        col("diag_before"), col("offdiag_before"),
+        expr("(offdiag_before * 10000L) div diag_before")
+          .as("ratio_before_bp"),
+        col("diag_after"), col("offdiag_after"),
+        expr("(offdiag_after * 10000L) div diag_after")
+          .as("ratio_after_bp"))
+  }
+
   /** OPQ-vs-PQ recall on the low-rank fixture: one row with both
     * compressed rankings' recall@3 against the exact brute-force truth.
     * Plain side reuses the standard residual-PQ pipeline's codes/books;
@@ -2222,6 +2388,7 @@ object Vectors {
     "q_rrf_fusion" -> qRrfFusion _,
     "q_sq8_recall" -> qSq8Recall _,
     "q_hard_negatives" -> qHardNegatives _,
+    "q_emb_whitening" -> qEmbWhitening _,
     "q_centroid_shift" -> qCentroidShift _,
     "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
@@ -2844,6 +3011,55 @@ object Vectors {
         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
         |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
         |FROM j""".stripMargin),
+    // Whitening-audit replay from the exported (μ, W): same quantized
+    // centered-raw and whitened values (floor(x·2²⁰) exact both
+    // engines; the whitened fold is list_sum over the 3-way zip =
+    // the engine's ascending-index aggregate), same upper-triangle
+    // BIGINT moments and mass ratios — see qEmbWhitening
+    "q_emb_whitening" -> {
+      val wPath = graft.OracleExport.oraclePath("whitenw")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |w AS (SELECT j, warr, mu FROM '$wPath'),
+         |el AS (SELECT vec_id, gs.j AS j,
+         |    CAST(embedding[gs.j + 1] AS DOUBLE) AS x
+         |  FROM e, generate_series(0, 63) gs(j)),
+         |mus AS (SELECT j, mu[j + 1] AS m FROM w),
+         |qb AS (SELECT el.vec_id, el.j,
+         |    CAST(FLOOR((el.x - mus.m) * 1048576.0) AS BIGINT) AS q
+         |  FROM el JOIN mus ON mus.j = el.j),
+         |xh AS (SELECT e.vec_id, w.j,
+         |    list_sum(list_transform(list_zip(e.embedding, w.warr, w.mu),
+         |      z -> (CAST(z[1] AS DOUBLE) - z[3]) * z[2])) AS xh
+         |  FROM e, w),
+         |qa AS (SELECT vec_id, j,
+         |    CAST(FLOOR(xh * 1048576.0) AS BIGINT) AS q FROM xh),
+         |mb AS (SELECT a.j AS j, b.j AS k, SUM(a.q * b.q) AS c
+         |  FROM qb a JOIN qb b ON b.vec_id = a.vec_id AND b.j >= a.j
+         |  GROUP BY 1, 2),
+         |ma AS (SELECT a.j AS j, b.j AS k, SUM(a.q * b.q) AS c
+         |  FROM qa a JOIN qa b ON b.vec_id = a.vec_id AND b.j >= a.j
+         |  GROUP BY 1, 2),
+         |sb AS (SELECT
+         |    CAST(SUM(CASE WHEN j = k THEN c ELSE 0 END) AS BIGINT)
+         |      AS diag_before,
+         |    CAST(SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS BIGINT)
+         |      AS offdiag_before
+         |  FROM mb),
+         |sa AS (SELECT
+         |    CAST(SUM(CASE WHEN j = k THEN c ELSE 0 END) AS BIGINT)
+         |      AS diag_after,
+         |    CAST(SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS BIGINT)
+         |      AS offdiag_after
+         |  FROM ma)
+         |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
+         |  diag_before, offdiag_before,
+         |  CAST((offdiag_before * 10000) // diag_before AS BIGINT)
+         |    AS ratio_before_bp,
+         |  diag_after, offdiag_after,
+         |  CAST((offdiag_after * 10000) // diag_after AS BIGINT)
+         |    AS ratio_after_bp
+         |FROM sb, sa""".stripMargin
+    },
     // Positive/hard-negative mining replay over the exported candidate
     // set: symmetrized sims, label joins, two windowed top-2s — see
     // qHardNegatives

@@ -52,6 +52,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
                           // PMI ratio
     "q_mix_waterfill", // 1-row (capped count, capped mass, n) scalars
                        // beside the per-lang allocation rows
+    "q_emb_whitening", // 64-row broadcast W table applied per vector
+                       // (the LUT build-side pattern) + the 1-row
+                       // before×after mass join
     "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
                      // <=4096-row broadcast bucket table (md5 % 4096)
     "q_temperature_sample", // 1-row min-language count the rates derive from

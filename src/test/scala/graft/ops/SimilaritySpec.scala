@@ -438,6 +438,16 @@ class SimilaritySpec extends SparkSpec {
       s"the affine-correction gap vanished — scoring change?: $row")
   }
 
+  test("whitening flattens the covariance: after-ratio collapses vs before") {
+    val row = Vectors.qEmbWhitening(spark, sf("sf0.01")).collect().head
+    val (before, after) = (row.getLong(3), row.getLong(6))
+    info(s"off/diag mass ratio: before=$before bp, after=$after bp")
+    // measured 11300 bp -> 0 bp on the fixture; the floors pin that the
+    // trained transform actually whitens, not just that it runs
+    assert(before >= 1000L, s"fixture lost its anisotropy: $row")
+    assert(after <= 100L, s"whitening failed to flatten covariance: $row")
+  }
+
   test("RRF fusion: integer reciprocal surrogate invariants hold per row") {
     val rows = Vectors.qRrfFusion(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty)
