@@ -159,8 +159,9 @@ object Bench {
     // containment rides the shared corpus shingle table; hard-negative
     // mining rides the shared annSims
     "q_rrf", "q_sq8", "q_containment", "q_hard_negatives",
-    // whitening trains on the prewarmed sharedEmb moments
-    "q_emb_whitening")
+    // whitening trains on the prewarmed sharedEmb moments; the recall
+    // curve rides the shared annSims
+    "q_emb_whitening", "q_ann_recall_curve")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -76,6 +76,8 @@ object SparkEntry {
         ops.Vectors.ivfAssigned(spark, dir)
         ops.Vectors.semanticComponents(spark, dir)
         ops.Vectors.pqCodes(spark, dir) // PQ codebooks + nibble codes
+        ops.Vectors.sq8Codes(spark, dir) // SQ8 codes + dequant + norms
+        ops.Vectors.whitenTrain(spark, dir) // ZCA moments + eigensolve
         ()
       }),
       // the planted calibration fixtures' quantizers/codebooks/rotation
@@ -107,6 +109,9 @@ object SparkEntry {
         ops.Similarity.corpusShingles(spark, dir)
         ops.Similarity.minhashSignatures(spark, dir)
         ops.Similarity.lshCandidates(spark, dir)
+        // containment's rare-shingle pair/intersection table rides the
+        // same shingle artifact
+        ops.Similarity.containmentInter(spark, dir)
         ()
       }),
       "contamination" -> (() => { // 13-gram decontamination index

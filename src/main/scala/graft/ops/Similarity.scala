@@ -308,23 +308,36 @@ object Similarity {
     * (doc, shingle) equi-join per side — every stage shuffles on a
     * derived key; the shingle table is the session-shared corpus
     * artifact the whole dedup family rides. */
+  /** (da, db, inter) exact shared-shingle counts over the rare-shingle
+    * candidate pairs — the expensive half of [[qContainment]], session-
+    * shared + prewarmed like every corpus-version derived table (the
+    * candidate self-join and the per-pair intersection scan build once,
+    * the query pays only the size joins and the threshold filter). */
+  private[graft] def containmentInter(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "containint",
+      s"$dir#df$ContainDfMax") {
+      val sh = corpusShingles(spark, dir)
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= ContainDfMax)
+        .select("shingle")
+      val cs = sh.join(rare, "shingle").select("doc_id", "shingle")
+      val cand = cs.as("a").join(cs.as("b"),
+          col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("shingle")),
+          Seq("db", "shingle"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    }
+
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
     val sh = corpusShingles(spark, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= ContainDfMax)
-      .select("shingle")
-    val cs = sh.join(rare, "shingle").select("doc_id", "shingle")
-    val cand = cs.as("a").join(cs.as("b"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("shingle")),
-        Seq("db", "shingle"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val inter = containmentInter(spark, dir)
     inter
       .join(sz.select(col("doc_id").as("da"), col("n").as("size_a")), "da")
       .join(sz.select(col("doc_id").as("db"), col("n").as("size_b")), "db")

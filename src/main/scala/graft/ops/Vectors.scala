@@ -1083,6 +1083,48 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
+  /** Recall CURVE of the LSH ANN ranking against the exact brute-force
+    * truth at k = 1, 3, 5 — the knob-evidence table a deployment reads
+    * before choosing its shortlist depth (a single recall@3 hides
+    * whether losses are at the top of the ranking or the tail). Truth is
+    * the decimal-exact brute force for the 20-query audit slice (the
+    * q_cosine_topk shape — a bounded broadcast, the one deliberate
+    * quadratic in the family); the ANN side is the shared candidate
+    * ranking. Output is 3 exact-bp rows. */
+  def qAnnRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
+      annKey(spark))
+    val emb = sharedEmb(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm2").as("qn"))
+    val truthPairs = broadcast(queries)
+      .join(emb, col("qid") =!= col("vec_id"))
+      .withColumn("sim", dotD(col("qemb"), col("embedding"))
+        / (sqrt(col("qn")) * sqrt(col("norm2"))))
+    val wt = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    val truth = truthPairs.withColumn("trk", row_number().over(wt))
+      .filter(col("trk") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("trk"))
+    val pairs = annSims(spark, dir)
+    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("sim")))
+      .filter(col("qid") < 20)
+    val wa = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val ann = sym.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= 5)
+      .select(col("qid"), col("nid"), col("ark"))
+    val joined = truth.join(ann, Seq("qid", "nid"), "left")
+    Seq(1, 3, 5).map { k =>
+      joined.filter(col("trk") <= k)
+        .agg(count(lit(1)).cast("bigint").as("n_truth"),
+          sum(when(col("ark").isNotNull && col("ark") <= k, 1).otherwise(0))
+            .cast("bigint").as("n_hits"))
+        .select(lit(k).as("k"), col("n_truth"), col("n_hits"),
+          expr("(n_hits * 10000L) div n_truth").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** Hard-negative mining for retrieval-model training (the in-batch /
     * ANCE-style pair generator): for every query vector, the top-2
     * SAME-label candidates by exact cosine are its positives and the
@@ -1155,17 +1197,24 @@ object Vectors {
     val cand = annCandidatesExported(spark, dir)
     val sym = cand.select(col("qid"), col("nid"))
       .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    // both dots run as fused codegen loops, not interpreted HOF folds
+    // (the MixedDotProduct lesson — q_pq_recall halved): the integer dot
+    // rides FloatDotProduct on a float view of the codes, EXACT because
+    // codes ≤ 255 ⇒ products ≤ 65025 and the sum ≤ 64·65025 ≪ 2⁵³ in
+    // the double accumulator; the dequantized dot is the same
+    // ascending-index double fold the oracle's list_sum replays
+    val dotF = graft.functions.FloatDotProduct.floatDot _
+    val dotM = graft.functions.MixedDotProduct.mixedDot _
     val scored = sym
-      .join(codes.select(col("vec_id").as("qid"), col("codes").as("ca"),
+      .join(codes.select(col("vec_id").as("qid"),
+        col("codes").cast("array<float>").as("ca"),
         col("recon").as("ra"), col("rn2").as("na")), "qid")
-      .join(codes.select(col("vec_id").as("nid"), col("codes").as("cb"),
+      .join(codes.select(col("vec_id").as("nid"),
+        col("codes").cast("array<float>").as("cb"),
         col("recon").as("rb"), col("rn2").as("nb")), "nid")
-      .withColumn("idot", expr(
-        "aggregate(zip_with(ca, cb, (a, b) -> a * b), 0L, (s, v) -> s + v)"))
-      .withColumn("dsim", expr(
-        """aggregate(zip_with(ra, rb, (a, b) -> a * b),
-          |  cast(0.0 as double), (s, v) -> s + v)""".stripMargin)
-        / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("idot", dotF(col("ca"), col("cb")).cast("long"))
+      .withColumn("dsim",
+        dotM(col("ra"), col("rb")) / (sqrt(col("na")) * sqrt(col("nb"))))
     val wi = Window.partitionBy("qid").orderBy(desc("idot"), asc("nid"))
     val wd = Window.partitionBy("qid").orderBy(desc("dsim"), asc("nid"))
     val int3 = scored.withColumn("rk", row_number().over(wi))
@@ -2218,12 +2267,13 @@ object Vectors {
     * before vs after, as exact basis points. Determinism/parity: the
     * whitened doubles quantize as floor(x̂ · 2²⁰) (a double times a
     * power of two is exact and floor is exact — the q_emb_label_stats
-    * idiom), so all downstream moments are exact BIGINT sums under any
-    * partitioning, bit-identical in DuckDB (which replays application
-    * + moments from the exported μ/W and the embeddings table).
-    * Integer bounds: |x̂| ≲ 10 ⇒ per-pair products < 2⁴⁵; BIGINT holds
-    * to ~10⁵ × this fixture — a larger corpus widens the moment sums to
-    * DECIMAL(38,0) (same loud-overflow discipline as q_dsir_select). */
+    * idiom), per-pair products stay BIGINT (< 2⁴⁵), and every SUM runs
+    * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact under any
+    * partitioning to ~10³⁸, the q_dsir_select wide-arithmetic
+    * discipline (the first cut summed in BIGINT; sf0.1's offdiag mass
+    * × 10⁴ overflowed 2⁶³ and ANSI caught it loudly). The oracle
+    * replays application + moments from the exported μ/W and the
+    * embeddings table. */
   def qEmbWhitening(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val model = whitenTrain(spark, dir)
@@ -2234,7 +2284,20 @@ object Vectors {
     val wRows = broadcast(
       (0 until 64).map(j =>
         (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu"))
-    val emb = sharedEmb(spark, dir)
+    // the AUDIT runs on an md5-capped stratum (the trainSample idiom —
+    // identity below the cap, so gate-SF hashes are unchanged; isotropy
+    // of a 1024-vector uniform stratum measures the transform as well
+    // as the full corpus and keeps the 2080-cell fan-out bounded);
+    // the oracle mirrors the exact threshold from its own COUNT(*)
+    val auditMax = 1024
+    val emb =
+      if (model.n <= auditMax) sharedEmb(spark, dir)
+      else {
+        val thr = ((BigInt(1) << 60) * auditMax / model.n).toLong
+        sharedEmb(spark, dir).filter(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") < lit(thr))
+      }
     // centered-raw and whitened per-(vec, j) quantized values
     val qb = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
@@ -2251,29 +2314,55 @@ object Vectors {
           |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
       .select(col("vec_id"), col("j"),
         floor(col("xh") * lit(1048576.0d)).cast("long").as("q"))
-    def masses(qdf: DataFrame, tag: String): DataFrame =
-      qdf.groupBy("vec_id")
-        .agg(expr("transform(array_sort(collect_list(struct(j, q))), s -> s.q)")
-          .as("qarr"))
-        .select(posexplode(expr(
-          """flatten(transform(sequence(0, 63), j ->
-            |  transform(sequence(j, 63), k -> named_struct('j', j, 'k', k,
-            |    'p', element_at(qarr, j + 1) * element_at(qarr, k + 1)))))"""
-            .stripMargin)).as(Seq("pos", "s")))
-        .select(col("s.j").as("j"), col("s.k").as("k"), col("s.p").as("p"))
-        .groupBy("j", "k").agg(sum(col("p")).cast("bigint").as("c"))
-        .agg(
-          sum(when(col("j") === col("k"), col("c")).otherwise(0L))
-            .cast("bigint").as(s"diag_$tag"),
-          sum(when(col("j") =!= col("k"), abs(col("c"))).otherwise(0L))
-            .cast("bigint").as(s"offdiag_$tag"))
-    masses(qb, "before").crossJoin(masses(qa, "after"))
+    // ONE upper-triangle explode carries BOTH moment sets (before + after
+    // products side by side — halves the 2080-per-vector fan-out and
+    // collapses the final plan to a single aggregate row, no scalar
+    // cross-join). Per-pair products fit BIGINT (< 2⁴⁵ per row); the
+    // SUMS widen to DECIMAL(38,0) immediately — at sf0.1 the offdiag
+    // mass already clears 2.5e15 and mass·10⁴ blows past 2⁶³ (ANSI
+    // caught it loudly; the decimal/HUGEINT pipeline is exact to 38
+    // digits on both engines, the q_dsir_select discipline)
+    val dec0 = DecimalType(38, 0)
+    qb.join(qa.select(col("vec_id"), col("j"), col("q").as("qa")),
+        Seq("vec_id", "j"))
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(j, q))), s -> s.q)")
+          .as("barr"),
+        expr("transform(array_sort(collect_list(struct(j, qa))), s -> s.qa)")
+          .as("aarr"))
+      .select(posexplode(expr(
+        """flatten(transform(sequence(0, 63), j ->
+          |  transform(sequence(j, 63), k -> named_struct('j', j, 'k', k,
+          |    'pb', element_at(barr, j + 1) * element_at(barr, k + 1),
+          |    'pa', element_at(aarr, j + 1) * element_at(aarr, k + 1)))))"""
+          .stripMargin)).as(Seq("pos", "s")))
+      .select(col("s.j").as("j"), col("s.k").as("k"),
+        col("s.pb").as("pb"), col("s.pa").as("pa"))
+      // the per-(j,k) sums stay LONG: the audit cap BOUNDS them at
+      // ≤ auditMax·2⁴⁵ < 2⁵⁶ at ANY corpus size (this is what makes the
+      // data-sized aggregation cheap); only the 2080-row mass rollup
+      // widens to decimal, where mass·10⁴ would overflow 2⁶³
+      .groupBy("j", "k")
+      .agg(sum(col("pb")).cast("long").as("cb"),
+        sum(col("pa")).cast("long").as("ca"))
+      .agg(
+        sum(when(col("j") === col("k"), col("cb").cast(dec0))
+          .otherwise(lit(0).cast(dec0))).cast(dec0).as("diag_before"),
+        sum(when(col("j") =!= col("k"), abs(col("cb")).cast(dec0))
+          .otherwise(lit(0).cast(dec0))).cast(dec0).as("offdiag_before"),
+        sum(when(col("j") === col("k"), col("ca").cast(dec0))
+          .otherwise(lit(0).cast(dec0))).cast(dec0).as("diag_after"),
+        sum(when(col("j") =!= col("k"), abs(col("ca")).cast(dec0))
+          .otherwise(lit(0).cast(dec0))).cast(dec0).as("offdiag_after"))
       .select(lit(model.n).as("n_vectors"),
-        col("diag_before"), col("offdiag_before"),
-        expr("(offdiag_before * 10000L) div diag_before")
+        col("diag_before").cast("bigint").as("diag_before"),
+        col("offdiag_before").cast("bigint").as("offdiag_before"),
+        expr("cast((offdiag_before * 10000) div diag_before as bigint)")
           .as("ratio_before_bp"),
-        col("diag_after"), col("offdiag_after"),
-        expr("(offdiag_after * 10000L) div diag_after")
+        col("diag_after").cast("bigint").as("diag_after"),
+        col("offdiag_after").cast("bigint").as("offdiag_after"),
+        expr("cast((offdiag_after * 10000) div diag_after as bigint)")
           .as("ratio_after_bp"))
   }
 
@@ -2389,6 +2478,7 @@ object Vectors {
     "q_sq8_recall" -> qSq8Recall _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_emb_whitening" -> qEmbWhitening _,
+    "q_ann_recall_curve" -> qAnnRecallCurve _,
     "q_centroid_shift" -> qCentroidShift _,
     "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
@@ -3011,6 +3101,39 @@ object Vectors {
         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
         |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
         |FROM j""".stripMargin),
+    // Recall-curve replay: decimal brute-force truth (the q_cosine_topk
+    // shape) vs the float ANN ranking from the anncand export, hit
+    // counts per k — see qAnnRecallCurve
+    "q_ann_recall_curve" -> simOracle(
+      s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+      "qid", "nid",
+      s""", sym AS (SELECT qid, nid, sim FROM sims
+         |         UNION ALL SELECT nid, qid, sim FROM sims),
+         |ann AS (SELECT qid, nid, rk AS ark FROM (
+         |    SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nid) AS INT) rk
+         |    FROM sym WHERE qid < 20) z WHERE rk <= 5),
+         |tp AS (SELECT q.vec_id qid, n2.vec_id nid,
+         |    ${dotSql("q.embedding", "n2.embedding")}
+         |      / (sqrt(nq.norm2) * sqrt(nn.norm2)) AS tsim
+         |  FROM e q JOIN e n2 ON q.vec_id < 20 AND n2.vec_id <> q.vec_id
+         |    JOIN n nq ON nq.vec_id = q.vec_id
+         |    JOIN n nn ON nn.vec_id = n2.vec_id),
+         |truth AS (SELECT qid, nid, rk AS trk FROM (
+         |    SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY tsim DESC, nid) AS INT) rk FROM tp) z
+         |  WHERE rk <= 5),
+         |j AS (SELECT t.qid, t.nid, t.trk, a.ark
+         |  FROM truth t LEFT JOIN ann a
+         |    ON a.qid = t.qid AND a.nid = t.nid),
+         |ks AS (SELECT CAST(UNNEST([1, 3, 5]) AS INT) AS k)
+         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN ark IS NOT NULL AND ark <= k
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST((SUM(CASE WHEN ark IS NOT NULL AND ark <= k
+         |    THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT)
+         |    AS recall_bp
+         |FROM ks, j WHERE j.trk <= k GROUP BY k ORDER BY k""".stripMargin),
     // Whitening-audit replay from the exported (μ, W): same quantized
     // centered-raw and whitened values (floor(x·2²⁰) exact both
     // engines; the whitened fold is list_sum over the 3-way zip =
@@ -3020,17 +3143,23 @@ object Vectors {
       val wPath = graft.OracleExport.oraclePath("whitenw")
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |w AS (SELECT j, warr, mu FROM '$wPath'),
+         |aud AS (SELECT vec_id, embedding FROM e
+         |  WHERE (SELECT COUNT(*) FROM e) <= 1024
+         |     OR CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |          AS BIGINT)
+         |        < (CAST(1152921504606846976 AS HUGEINT) * 1024)
+         |          // (SELECT COUNT(*) FROM e)),
          |el AS (SELECT vec_id, gs.j AS j,
          |    CAST(embedding[gs.j + 1] AS DOUBLE) AS x
-         |  FROM e, generate_series(0, 63) gs(j)),
+         |  FROM aud, generate_series(0, 63) gs(j)),
          |mus AS (SELECT j, mu[j + 1] AS m FROM w),
          |qb AS (SELECT el.vec_id, el.j,
          |    CAST(FLOOR((el.x - mus.m) * 1048576.0) AS BIGINT) AS q
          |  FROM el JOIN mus ON mus.j = el.j),
-         |xh AS (SELECT e.vec_id, w.j,
-         |    list_sum(list_transform(list_zip(e.embedding, w.warr, w.mu),
+         |xh AS (SELECT aud.vec_id, w.j,
+         |    list_sum(list_transform(list_zip(aud.embedding, w.warr, w.mu),
          |      z -> (CAST(z[1] AS DOUBLE) - z[3]) * z[2])) AS xh
-         |  FROM e, w),
+         |  FROM aud, w),
          |qa AS (SELECT vec_id, j,
          |    CAST(FLOOR(xh * 1048576.0) AS BIGINT) AS q FROM xh),
          |mb AS (SELECT a.j AS j, b.j AS k, SUM(a.q * b.q) AS c
@@ -3040,22 +3169,20 @@ object Vectors {
          |  FROM qa a JOIN qa b ON b.vec_id = a.vec_id AND b.j >= a.j
          |  GROUP BY 1, 2),
          |sb AS (SELECT
-         |    CAST(SUM(CASE WHEN j = k THEN c ELSE 0 END) AS BIGINT)
-         |      AS diag_before,
-         |    CAST(SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS BIGINT)
-         |      AS offdiag_before
+         |    SUM(CASE WHEN j = k THEN c ELSE 0 END) AS diag_before,
+         |    SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS offdiag_before
          |  FROM mb),
          |sa AS (SELECT
-         |    CAST(SUM(CASE WHEN j = k THEN c ELSE 0 END) AS BIGINT)
-         |      AS diag_after,
-         |    CAST(SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS BIGINT)
-         |      AS offdiag_after
+         |    SUM(CASE WHEN j = k THEN c ELSE 0 END) AS diag_after,
+         |    SUM(CASE WHEN j <> k THEN ABS(c) ELSE 0 END) AS offdiag_after
          |  FROM ma)
          |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_vectors,
-         |  diag_before, offdiag_before,
+         |  CAST(diag_before AS BIGINT) AS diag_before,
+         |  CAST(offdiag_before AS BIGINT) AS offdiag_before,
          |  CAST((offdiag_before * 10000) // diag_before AS BIGINT)
          |    AS ratio_before_bp,
-         |  diag_after, offdiag_after,
+         |  CAST(diag_after AS BIGINT) AS diag_after,
+         |  CAST(offdiag_after AS BIGINT) AS offdiag_after,
          |  CAST((offdiag_after * 10000) // diag_after AS BIGINT)
          |    AS ratio_after_bp
          |FROM sb, sa""".stripMargin

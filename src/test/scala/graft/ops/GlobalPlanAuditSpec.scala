@@ -36,6 +36,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
     "q_neardup_incremental", // same 1-row cut, minhash-index sibling
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
+    "q_ann_recall_curve", // same bounded 20-query brute-force truth side
     "q_ann_filtered", // bounded 64-query broadcast truth pass of the
                       // pre/post-filter recall comparison (the exact
                       // filtered ground truth IS the point)
@@ -53,8 +54,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_mix_waterfill", // 1-row (capped count, capped mass, n) scalars
                        // beside the per-lang allocation rows
     "q_emb_whitening", // 64-row broadcast W table applied per vector
-                       // (the LUT build-side pattern) + the 1-row
-                       // before×after mass join
+                       // (the LUT build-side pattern)
     "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
                      // <=4096-row broadcast bucket table (md5 % 4096)
     "q_temperature_sample", // 1-row min-language count the rates derive from
