@@ -76,9 +76,20 @@ object SparkEntry {
         ops.Vectors.ivfAssigned(spark, dir)
         ops.Vectors.semanticComponents(spark, dir)
         ops.Vectors.pqCodes(spark, dir) // PQ codebooks + nibble codes
+        ()
+      }),
+      // SQ8 + whitening share nothing with the IVF chain beyond the
+      // cheap emb projection — their own chain keeps the "ivf" pole
+      // short (adding them to it inflated q_ivfadc's pass-1 sample)
+      "sq8whiten" -> (() => {
         ops.Vectors.sq8Codes(spark, dir) // SQ8 codes + dequant + norms
         ops.Vectors.whitenTrain(spark, dir) // ZCA moments + eigensolve
         ()
+      }),
+      // whole-corpus tf postings (doc, token, tf) — the lexical-index
+      // artifact q_bm25 + q_tfidf_keywords both ride
+      "postings" -> (() => {
+        ops.TextOps.tfPostings(spark, dir); ()
       }),
       // the planted calibration fixtures' quantizers/codebooks/rotation
       // are corpus-independent but share nothing with the "ivf" chain —

@@ -603,6 +603,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Whole-corpus tf postings (doc_id, token, tf) — the lexical-index
+    * artifact [[qTfidfKeywords]] and [[qBm25]] both ride, session-shared
+    * + prewarmed like every corpus-version derived table: the tokenize
+    * pass and the (doc, token) aggregate run once per corpus version;
+    * df/dl/avgdl all derive from it with token- or doc-keyed aggregates
+    * (dl = Σ tf per doc — duplicates included exactly). */
+  private[graft] def tfPostings(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
+      "tfpost", dir)
+
   /** Top-3 keywords per doc by a rational tf-idf score: tf × N / df
     * (linear inverse document frequency instead of log(N/df) — ln differs
     * in the last ulp across libm implementations, while (tf·N)/df is two
@@ -612,9 +625,7 @@ object TextOps {
     * (doc_id, token) counts, then a per-doc top-3 window: the classic
     * two-pass distributed tf-idf, no driver-side state. */
   def qTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = tfPostings(spark, dir)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // N as a lazy one-row cross join (the oracle's scalar-subquery shape):
     // a driver-side .count() here would launch a separate job at
@@ -661,10 +672,11 @@ object TextOps {
     * batch — exactly how this composes here (one derived-frame chain). */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tfPostings(spark, dir)
+    // dl = Σ tf per doc: exactly the raw token count, without a second
+    // tokenize pass over the corpus
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("dl"))
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).cast("bigint").as("tot"))
