@@ -160,8 +160,9 @@ object Bench {
     // mining rides the shared annSims
     "q_rrf", "q_sq8", "q_containment", "q_hard_negatives",
     // whitening trains on the prewarmed sharedEmb moments; the recall
-    // curve rides the shared annSims
-    "q_emb_whitening", "q_ann_recall_curve")
+    // curve rides the shared annSims; maxsim rides the shared slices +
+    // kNN truth
+    "q_emb_whitening", "q_ann_recall_curve", "q_colbert_maxsim")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -1083,6 +1083,69 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
+  /** Multi-vector LATE-INTERACTION scoring (ColBERT's MaxSim,
+    * Khattab & Zaharia SIGIR'20): score(q, d) = Σ_s max_t cos(q_s, d_t)
+    * over the two sides' sub-vector sets — the retrieval shape where a
+    * query TERM matches its best-aligned document term instead of one
+    * pooled vector. The fixture has one vector per doc, so the
+    * sub-vector view derives deterministically: 4 × 16-dim slices per
+    * embedding (the machinery — slice tables, 16 per-pair alignment
+    * cosines, row-local max/Σ, rerank — is identical under a real
+    * per-token embedder; what changes is only the slice table's
+    * provenance). Gated like the other compressed rankings: top-3
+    * MaxSim recall vs the exact full-vector k-NN truth, exact bp.
+    * Parity: each alignment cosine is one float-dot chain (bit-equal
+    * cross-engine), GREATEST of 4 is order-free, the outer Σ is a
+    * fixed 4-term left fold. Scale shape: slices are a narrow derived
+    * projection (session-shared); scoring is row-local over the shared
+    * candidate pairs. */
+  def qColbertMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val slices = colbertSlices(spark, dir)
+    val cand = annCandidatesExported(spark, dir)
+    val sym = cand.select(col("qid"), col("nid"))
+      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val dotF = graft.functions.FloatDotProduct.floatDot _
+    val scored = sym
+      .join(slices.toDF(slices.columns.map(c =>
+        if (c == "vec_id") "qid" else s"q_$c"): _*), "qid")
+      .join(slices.toDF(slices.columns.map(c =>
+        if (c == "vec_id") "nid" else s"n_$c"): _*), "nid")
+      .withColumn("maxsim",
+        (0 until 4).map { s =>
+          greatest((0 until 4).map { t =>
+            (dotF(col(s"q_s$s"), col(s"n_s$t"))
+              / (sqrt(col(s"q_n$s")) * sqrt(col(s"n_n$t")))): Column
+          }: _*)
+        }.reduce(_ + _))
+    val w = Window.partitionBy("qid").orderBy(desc("maxsim"), asc("nid"))
+    val top3 = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    Graph.knnEdges(spark, dir)
+      .join(top3, Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("n_queries"), col("n_pairs"), col("n_hits"),
+        expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
+  }
+
+  /** (vec_id, s0..s3: array<float>, n0..n3: double) — the 4 × 16-dim
+    * sub-vector view + per-slice squared norms, session-shared. Slice
+    * norms ride the decimal-exact [[dotD]] like the full-vector norm2
+    * (a zero slice would make the cosine 0/0 = NaN on both engines
+    * identically, but the fixture has none). */
+  private[graft] def colbertSlices(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.materializeShared(
+      sharedEmb(spark, dir).select(
+        col("vec_id") +:
+          (0 until 4).flatMap { s =>
+            val sl = slice(col("embedding"), s * 16 + 1, 16)
+            Seq(sl.as(s"s$s"), dotD(sl, sl).as(s"n$s"))
+          }: _*),
+      "colslices", dir)
+
   /** Recall CURVE of the LSH ANN ranking against the exact brute-force
     * truth at k = 1, 3, 5 — the knob-evidence table a deployment reads
     * before choosing its shortlist depth (a single recall@3 hides
@@ -2479,6 +2542,7 @@ object Vectors {
     "q_hard_negatives" -> qHardNegatives _,
     "q_emb_whitening" -> qEmbWhitening _,
     "q_ann_recall_curve" -> qAnnRecallCurve _,
+    "q_colbert_maxsim" -> qColbertMaxsim _,
     "q_centroid_shift" -> qCentroidShift _,
     "q_jl_distortion" -> qJlDistortion _,
     "q_semantic_dedup" -> qSemanticDedup _,
@@ -3101,6 +3165,57 @@ object Vectors {
         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
         |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
         |FROM j""".stripMargin),
+    // MaxSim replay over the exported candidate set: 4×16 slices, the
+    // 16 alignment cosines (float-dot folds / decimal slice norms),
+    // GREATEST per query slice, fixed 4-term sum, top-3 vs the exact
+    // full-vector truth — see qColbertMaxsim
+    "q_colbert_maxsim" -> {
+      def slE(side: String, i: Int) =
+        s"$side.embedding[${i * 16 + 1}:${i * 16 + 16}]"
+      val snCols = (0 until 4).map(i =>
+        s"${dotSql(slE("e", i), slE("e", i))} AS n$i").mkString(",\n        |    ")
+      def cosArm(s: Int, t: Int) =
+        s"list_sum(list_transform(list_zip(${slE("a", s)}, ${slE("b", t)}), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) " +
+          s"/ (sqrt(sa.n$s) * sqrt(sb.n$t))"
+      val maxsimSql = (0 until 4).map(s =>
+        "GREATEST(" + (0 until 4).map(t => cosArm(s, t)).mkString(",\n        |      ") + ")")
+        .mkString("(", "\n        |     + ", ")")
+      simOracle(
+        s"SELECT qid, nid FROM '${graft.OracleExport.oraclePath("anncand")}'",
+        "qid", "nid",
+        s""", top3 AS MATERIALIZED (SELECT qid, nid FROM (
+          |  SELECT qid, nid,
+          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+          |  FROM (SELECT qid, nid, sim FROM sims
+          |        UNION ALL SELECT nid, qid, sim FROM sims) sym) r
+          |  WHERE rank <= 3),
+          |sn AS MATERIALIZED (SELECT vec_id,
+          |    $snCols
+          |  FROM e),
+          |symc AS (SELECT qid, nid FROM c
+          |         UNION ALL SELECT nid AS qid, qid AS nid FROM c),
+          |ms AS MATERIALIZED (SELECT sc.qid, sc.nid,
+          |    $maxsimSql AS maxsim
+          |  FROM symc sc JOIN e a ON a.vec_id = sc.qid
+          |    JOIN e b ON b.vec_id = sc.nid
+          |    JOIN sn sa ON sa.vec_id = sc.qid
+          |    JOIN sn sb ON sb.vec_id = sc.nid),
+          |m3 AS (SELECT qid, nid FROM (
+          |    SELECT qid, nid,
+          |      ROW_NUMBER() OVER (PARTITION BY qid
+          |        ORDER BY maxsim DESC, nid) AS rk
+          |    FROM ms) z WHERE rk <= 3),
+          |j AS (SELECT t.qid, t.nid,
+          |        CASE WHEN h.qid IS NULL THEN 0 ELSE 1 END AS hit
+          |      FROM top3 t LEFT JOIN m3 h
+          |        ON h.qid = t.qid AND h.nid = t.nid)
+          |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+          |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+          |  CAST((SUM(hit) * 10000) // COUNT(*) AS BIGINT) AS recall_bp
+          |FROM j""".stripMargin)
+    },
     // Recall-curve replay: decimal brute-force truth (the q_cosine_topk
     // shape) vs the float ANN ranking from the anncand export, hit
     // counts per k — see qAnnRecallCurve
