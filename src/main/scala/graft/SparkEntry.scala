@@ -84,6 +84,7 @@ object SparkEntry {
       "sq8whiten" -> (() => {
         ops.Vectors.sq8Codes(spark, dir) // SQ8 codes + dequant + norms
         ops.Vectors.whitenTrain(spark, dir) // ZCA moments + eigensolve
+        ops.Vectors.colbertSlices(spark, dir) // 4×16 MaxSim slice view
         ()
       }),
       // whole-corpus tf postings (doc, token, tf) — the lexical-index
