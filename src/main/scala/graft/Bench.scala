@@ -162,7 +162,10 @@ object Bench {
     // whitening trains on the prewarmed sharedEmb moments; the recall
     // curve rides the shared annSims; maxsim rides the shared slices +
     // kNN truth
-    "q_emb_whitening", "q_ann_recall_curve", "q_colbert_maxsim")
+    "q_emb_whitening", "q_ann_recall_curve", "q_colbert_maxsim",
+    // lexical cosine rides the shared tf postings + LSH candidates;
+    // token entropy rides the shared tf postings
+    "q_lex_cosine", "q_token_entropy")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

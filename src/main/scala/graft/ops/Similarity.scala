@@ -354,6 +354,53 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sparse LEXICAL cosine — tf-idf-weighted vector similarity over the
+    * LSH candidate pairs: the classic IR duplicate signal that sits
+    * between exact Jaccard (set overlap, weight-blind) and dense
+    * embedding cosine (needs an encoder). Weights are the linear-idf
+    * w = tf·N/df (the q_tfidf_keywords surrogate — no ln crosses the
+    * oracle); the pair numerator and per-doc norms both fold over
+    * token-ORDERED lists (a plain double SUM is partition-order-
+    * dependent — the q_bitext lesson), so every value is bit-identical
+    * across engines and partitionings. Scale shape: weights derive from
+    * the shared [[TextOps.tfPostings]] index; the numerator join
+    * touches only candidate pairs' postings (token-keyed equi-joins,
+    * never all-pairs); output is pairs with cosine ≥ 0.5. */
+  def qLexCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = TextOps.tfPostings(spark, dir)
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfT, "token").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(token, w))),
+          |  s -> s.w * s.w), cast(0.0 as double), (a, v) -> a + v)"""
+          .stripMargin).as("nrm2"))
+    val num = lshCandidates(spark, dir)
+      .join(w.select(col("doc_id").as("doc_a"), col("token"),
+        col("w").as("wa")), "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("token"),
+        col("w").as("wb")), Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(token, wa, wb))),
+          |  s -> s.wa * s.wb), cast(0.0 as double), (a, v) -> a + v)"""
+          .stripMargin).as("num"),
+        count(lit(1)).cast("bigint").as("n_common"))
+    num
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm2").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm2").as("nb")),
+        "doc_b")
+      .withColumn("lexcos", col("num") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("lexcos") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("lexcos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash scale knobs, settable per session via spark conf (defaults
     * match the shipped behavior; SCALE.md documents the 100 TB settings):
     * spark.graft.minhash.k (signature length) / .bands (band count; must
@@ -758,6 +805,7 @@ object Similarity {
     "q_dedup_pipeline" -> qDedupPipeline _,
     "q_jaccard_pairs" -> qJaccardPairs _,
     "q_containment" -> qContainment _,
+    "q_lex_cosine" -> qLexCosine _,
     "q_minhash_lsh" -> qMinhashLsh _,
     "q_lsh_quality" -> qLshQuality _,
     "q_neardup_incremental" -> qNeardupIncremental _,
@@ -1030,6 +1078,49 @@ object Similarity {
         |FROM i JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         |WHERE (inter * 10000) // LEAST(x.n, y.n) >= 5000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Lexical-cosine replay: candidates re-banded from the minhsig
+    // export (the q_neardup_incremental band-arm generator), tf-idf
+    // weights re-derived from documents, numerator/norms as
+    // token-ordered sequential list_sums — see qLexCosine
+    "q_lex_cosine" -> {
+      val bandArms = (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS sig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sig AS (SELECT * FROM '${graft.OracleExport.oraclePath("minhsig")}'),
+         |banded AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tk AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
+         |  FROM tk GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df.df AS w
+         |  FROM tf JOIN df ON df.token = tf.token),
+         |norms AS (SELECT doc_id,
+         |    list_sum(list_transform(list(w ORDER BY token), x -> x * x)) nrm2
+         |  FROM w GROUP BY 1),
+         |num AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    list_sum(list(a.w * b.w ORDER BY a.token)) num,
+         |    CAST(COUNT(*) AS BIGINT) n_common
+         |  FROM cand c JOIN w a ON a.doc_id = c.doc_a
+         |    JOIN w b ON b.doc_id = c.doc_b AND b.token = a.token
+         |  GROUP BY 1, 2)
+         |SELECT n.doc_a, n.doc_b, n.n_common,
+         |  n.num / (sqrt(x.nrm2) * sqrt(y.nrm2)) AS lexcos
+         |FROM num n JOIN norms x ON x.doc_id = n.doc_a
+         |  JOIN norms y ON y.doc_id = n.doc_b
+         |WHERE n.num / (sqrt(x.nrm2) * sqrt(y.nrm2)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // Recomputes 4×16-bit chunk banding + Hamming filter from the
     // exported per-doc simhashes with integer bit ops (see
     // qSimhashNeardup). Spark's shiftright is arithmetic like DuckDB's

@@ -272,6 +272,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc unigram-entropy quality signal — the distribution-shape
+    * complement of q_text_repetition's dup fractions and q_lm_surprisal's
+    * bigram LM: a doc whose token distribution has LOW entropy is
+    * keyword-stuffed or template spam even when no n-gram literally
+    * repeats. Exact-integer formulation (the lb bin-string idiom):
+    * bits = Σ_t c_t · (lb(n) − lb(c_t)) — the floor-log₂ surrogate of
+    * n·H(doc) in bits. Also emits the exact max token share in basis
+    * points (the dominance signal entropy summarizes). Rides the shared
+    * [[tfPostings]] lexical index: one doc-keyed aggregate, one join
+    * back, one doc-keyed rollup. */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tfPostings(spark, dir)
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("n"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        max(col("tf")).cast("bigint").as("max_tf"))
+    tf.join(dl, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(col("tf") * ((length(bin(col("n"))) - 1)
+          - (length(bin(col("tf"))) - 1))).cast("bigint").as("bits"),
+        expr("(first(max_tf) * 10000L) div first(n)").cast("bigint")
+          .as("top_share_bp"))
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_distinct"), col("bits"), col("top_share_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Language-MIXING audit — the per-doc refinement of [[qLangId]]: a
     * whole-doc label hides a document whose halves are in different
     * languages (concatenated boilerplate, mid-document language switch —
@@ -1286,6 +1318,7 @@ object TextOps {
     "q_bm25" -> qBm25 _,
     "q_pmi_collocations" -> qPmiCollocations _,
     "q_lang_mix" -> qLangMix _,
+    "q_token_entropy" -> qTokenEntropy _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_corpus_stats" -> qCorpusStats _,
     "q_source_report" -> qSourceReport _,
@@ -1367,6 +1400,29 @@ object TextOps {
          |    THEN 1 ELSE 0 END AS INT) AS is_mixed
          |FROM p GROUP BY 1, 2, 3
          |ORDER BY lang, first_pred, second_pred""".stripMargin,
+    // Unigram-entropy replay: same tf counts, same lb bin-string
+    // arithmetic, same max-share basis points — see qTokenEntropy
+    "q_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) tf
+        |  FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) n,
+        |    CAST(COUNT(*) AS BIGINT) n_distinct,
+        |    CAST(MAX(tf) AS BIGINT) max_tf
+        |  FROM tf GROUP BY 1)
+        |SELECT t.doc_id, d.lang,
+        |  ANY_VALUE(dl.n) AS n_tokens,
+        |  ANY_VALUE(dl.n_distinct) AS n_distinct,
+        |  CAST(SUM(t.tf * ((length(bin(dl.n)) - 1)
+        |    - (length(bin(t.tf)) - 1))) AS BIGINT) AS bits,
+        |  CAST((ANY_VALUE(dl.max_tf) * 10000) // ANY_VALUE(dl.n)
+        |    AS BIGINT) AS top_share_bp
+        |FROM tf t JOIN dl ON dl.doc_id = t.doc_id
+        |  JOIN documents d ON d.doc_id = t.doc_id
+        |GROUP BY t.doc_id, d.lang
+        |ORDER BY t.doc_id""".stripMargin,
     // Same md5-prefix bucket/sign hashes, same signed-count folds — see
     // qFeatureHash (Spark conv(hex,16,10) == DuckDB '0x'||hex CAST)
     "q_feature_hash" ->
