@@ -168,4 +168,25 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.qDsirSelect(spark, dir).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("waterfill: exact budget conservation and the level property") {
+    val budget = 120000L
+    val rows = Sampling.qMixWaterfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val avail = rows.map(_._2).sum
+    val alloc = rows.map(_._4).sum
+    // Σ alloc = min(B, Σ avail) EXACTLY (largest-remainder distribution)
+    assert(alloc === math.min(budget, avail), rows.mkString(", "))
+    // capped languages contribute exactly their availability; uncapped
+    // ones sit at a common level ±1 (the remainder) and at or above
+    // every capped language's availability (the waterfill invariant)
+    val (capped, uncapped) = rows.partition(_._3 == 1)
+    capped.foreach { case (l, a, _, al) => assert(al === a, l) }
+    if (uncapped.nonEmpty) {
+      val lvls = uncapped.map(_._4)
+      assert(lvls.max - lvls.min <= 1, rows.mkString(", "))
+      if (capped.nonEmpty)
+        assert(lvls.min >= capped.map(_._2).max, rows.mkString(", "))
+    }
+  }
 }

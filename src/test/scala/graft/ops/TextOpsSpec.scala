@@ -259,4 +259,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(1) === 0 && r.getInt(2) === hot.length, r.toString)
     assert(r.getLong(3) === (hot.length - 16 + 1).toLong)
   }
+
+  test("BM25: 8 query docs, each retrieved inside its own top-5") {
+    val rows = TextOps.qBm25(spark, sf("sf0.01")).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 8, s"expected 8 query docs, got ${byQ.size}")
+    byQ.foreach { case (qid, rs) =>
+      // every query's own doc must appear in its top-5 (its terms came
+      // from that doc; only near-duplicates can outrank it, measured
+      // self-ranks 1..3 on the fixture)
+      assert(rs.exists(r => r.getLong(2) == qid),
+        s"query doc $qid missing from its own top-5")
+      // ranks are 1..k with scores non-increasing
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length).toSeq)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not non-increasing for $qid")
+      // term evidence is 1..3 terms by construction
+      assert(rs.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 3))
+    }
+  }
+
+  test("token entropy: zero bits iff a single distinct token") {
+    val rows = TextOps.qTokenEntropy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, bits, share) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bits >= 0L, r.toString)
+      assert(share >= 0L && share <= 10000L, r.toString)
+      if (nd == 1L) assert(bits === 0L && share === 10000L, r.toString)
+      else assert(bits > 0L || share < 10000L, r.toString)
+    }
+  }
 }
