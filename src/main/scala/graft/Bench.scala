@@ -163,9 +163,9 @@ object Bench {
     // curve rides the shared annSims; maxsim rides the shared slices +
     // kNN truth
     "q_emb_whitening", "q_ann_recall_curve", "q_colbert_maxsim",
-    // lexical cosine rides the shared tf postings + LSH candidates;
-    // token entropy rides the shared tf postings
-    "q_lex_cosine", "q_token_entropy")
+    // the tf-postings chain consumers: lexical cosine (also LSH
+    // candidates), token entropy, BM25, and tf-idf keywords
+    "q_lex_cosine", "q_token_entropy", "q_bm25", "q_tfidf")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -371,7 +371,16 @@ object Similarity {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nd = Tables(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfT, "token").crossJoin(broadcast(nd))
+    val cand = lshCandidates(spark, dir)
+    // only candidate docs are ever scored — restrict the weighted
+    // postings BEFORE the norm folds (df stays corpus-wide: idf is a
+    // corpus statistic), so the per-doc collect_list+sort folds run
+    // over candidate docs, not the whole corpus
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val w = tf.join(candDocs, "doc_id")
+      .join(dfT, "token").crossJoin(broadcast(nd))
       .select(col("doc_id"), col("token"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
     val norms = w.groupBy("doc_id")
@@ -379,7 +388,7 @@ object Similarity {
         """aggregate(transform(array_sort(collect_list(struct(token, w))),
           |  s -> s.w * s.w), cast(0.0 as double), (a, v) -> a + v)"""
           .stripMargin).as("nrm2"))
-    val num = lshCandidates(spark, dir)
+    val num = cand
       .join(w.select(col("doc_id").as("doc_a"), col("token"),
         col("w").as("wa")), "doc_a")
       .join(w.select(col("doc_id").as("doc_b"), col("token"),

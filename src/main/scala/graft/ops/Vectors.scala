@@ -962,6 +962,31 @@ object Vectors {
       .orderBy("bucket")
   }
 
+  /** Symmetrized (qid, nid) view of an undirected candidate pair set —
+    * the shared first step of every compressed-ranking query. */
+  private def symPairs(p: DataFrame): DataFrame =
+    p.select(col("qid"), col("nid"))
+      .unionByName(p.select(col("nid").as("qid"), col("qid").as("nid")))
+
+  /** Symmetrized (qid, nid, sim) view of the undirected sims table. */
+  private def symSims(p: DataFrame): DataFrame =
+    p.unionByName(p.select(col("nid").as("qid"), col("qid").as("nid"),
+      col("sim")))
+
+  /** Top-3 recall rollup vs the exact float-cosine k-NN truth — shared
+    * by every compressed-ranking audit (hamming, SQ8, MaxSim): `top3`
+    * is (qid, nid, hit=1); one left join + one global aggregate, single
+    * final aggregation (no scalar cross-join). */
+  private def recallVsKnn(spark: SparkSession, dir: String,
+      top3: DataFrame): DataFrame =
+    Graph.knnEdges(spark, dir)
+      .join(top3, Seq("qid", "nid"), "left")
+      .agg(count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("n_queries"), col("n_pairs"), col("n_hits"),
+        expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
+
   /** Binary-code TWO-STAGE retrieval — the compact-vector production
     * pattern: pack each embedding's SIGN BITS into one BIGINT (64 dims
     * → 8 bytes, 32× smaller than float32), SHORTLIST the LSH candidate
@@ -997,9 +1022,7 @@ object Vectors {
   def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
     val codes = signCodes(spark, dir)
-    val cand = annCandidatesExported(spark, dir)
-    val sym = cand.select(col("qid"), col("nid"))
-      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val sym = symPairs(annCandidatesExported(spark, dir))
     val scored = sym
       .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
         "qid")
@@ -1022,13 +1045,7 @@ object Vectors {
     val ham3 = reranked.withColumn("rk", row_number().over(ws))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("nid"), lit(1).as("hit"))
-    Graph.knnEdges(spark, dir)
-      .join(ham3, Seq("qid", "nid"), "left")
-      .agg(count_distinct(col("qid")).as("n_queries"),
-        count(lit(1)).as("n_pairs"),
-        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-      .select(col("n_queries"), col("n_pairs"), col("n_hits"),
-        expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
+    recallVsKnn(spark, dir, ham3)
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of two rankers
@@ -1053,13 +1070,9 @@ object Vectors {
   def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val k = 60
     val cand = annCandidatesExported(spark, dir)
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
+    val sym = symSims(annSims(spark, dir))
     val codes = signCodes(spark, dir)
-    val symc = cand.select(col("qid"), col("nid"))
-      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
-    val ham = symc
+    val ham = symPairs(cand)
       .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
         "qid")
       .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
@@ -1101,9 +1114,7 @@ object Vectors {
     * candidate pairs. */
   def qColbertMaxsim(spark: SparkSession, dir: String): DataFrame = {
     val slices = colbertSlices(spark, dir)
-    val cand = annCandidatesExported(spark, dir)
-    val sym = cand.select(col("qid"), col("nid"))
-      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val sym = symPairs(annCandidatesExported(spark, dir))
     val dotF = graft.functions.FloatDotProduct.floatDot _
     val scored = sym
       .join(slices.toDF(slices.columns.map(c =>
@@ -1121,13 +1132,7 @@ object Vectors {
     val top3 = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("nid"), lit(1).as("hit"))
-    Graph.knnEdges(spark, dir)
-      .join(top3, Seq("qid", "nid"), "left")
-      .agg(count_distinct(col("qid")).as("n_queries"),
-        count(lit(1)).as("n_pairs"),
-        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-      .select(col("n_queries"), col("n_pairs"), col("n_hits"),
-        expr("(n_hits * 10000L) div n_pairs").as("recall_bp"))
+    recallVsKnn(spark, dir, top3)
   }
 
   /** (vec_id, s0..s3: array<float>, n0..n3: double) — the 4 × 16-dim
@@ -1155,8 +1160,7 @@ object Vectors {
     * quadratic in the family); the ANN side is the shared candidate
     * ranking. Output is 3 exact-bp rows. */
   def qAnnRecallCurve(spark: SparkSession, dir: String): DataFrame = {
-    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
-      annKey(spark))
+    annCandidatesExported(spark, dir)
     val emb = sharedEmb(spark, dir)
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -1169,23 +1173,33 @@ object Vectors {
     val truth = truthPairs.withColumn("trk", row_number().over(wt))
       .filter(col("trk") <= 5)
       .select(col("qid"), col("vec_id").as("nid"), col("trk"))
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
-      .filter(col("qid") < 20)
+    val sym = symSims(annSims(spark, dir)).filter(col("qid") < 20)
     val wa = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
     val ann = sym.withColumn("ark", row_number().over(wa))
       .filter(col("ark") <= 5)
       .select(col("qid"), col("nid"), col("ark"))
+    // ONE pass with conditional sums (the oracle's ks-cross-join shape)
+    // — three aggregate branches would re-execute the brute-force truth
+    // join and both ranking windows once per k
     val joined = truth.join(ann, Seq("qid", "nid"), "left")
-    Seq(1, 3, 5).map { k =>
-      joined.filter(col("trk") <= k)
-        .agg(count(lit(1)).cast("bigint").as("n_truth"),
-          sum(when(col("ark").isNotNull && col("ark") <= k, 1).otherwise(0))
-            .cast("bigint").as("n_hits"))
-        .select(lit(k).as("k"), col("n_truth"), col("n_hits"),
-          expr("(n_hits * 10000L) div n_truth").as("recall_bp"))
-    }.reduce(_ unionByName _).orderBy("k")
+    val aggs = Seq(1, 3, 5).flatMap { k =>
+      Seq(
+        sum(when(col("trk") <= k, 1).otherwise(0)).cast("bigint")
+          .as(s"nt$k"),
+        sum(when(col("trk") <= k
+          && col("ark").isNotNull && col("ark") <= k, 1).otherwise(0))
+          .cast("bigint").as(s"nh$k"))
+    }
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(explode(expr(
+        """array(named_struct('k', 1, 'n_truth', nt1, 'n_hits', nh1),
+          |      named_struct('k', 3, 'n_truth', nt3, 'n_hits', nh3),
+          |      named_struct('k', 5, 'n_truth', nt5, 'n_hits', nh5))"""
+          .stripMargin)).as("s"))
+      .select(col("s.k").as("k"), col("s.n_truth").as("n_truth"),
+        col("s.n_hits").as("n_hits"),
+        expr("(s.n_hits * 10000L) div s.n_truth").as("recall_bp"))
+      .orderBy("k")
   }
 
   /** Hard-negative mining for retrieval-model training (the in-batch /
@@ -1203,11 +1217,8 @@ object Vectors {
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
-    graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
-      annKey(spark))
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
+    annCandidatesExported(spark, dir)
+    val sym = symSims(annSims(spark, dir))
     val lab = sym
       .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")),
         "qid")
@@ -1257,9 +1268,7 @@ object Vectors {
     * folds) — IEEE ops on identical inputs are bit-equal. */
   def qSq8Recall(spark: SparkSession, dir: String): DataFrame = {
     val codes = sq8Codes(spark, dir)
-    val cand = annCandidatesExported(spark, dir)
-    val sym = cand.select(col("qid"), col("nid"))
-      .unionByName(cand.select(col("nid").as("qid"), col("qid").as("nid")))
+    val sym = symPairs(annCandidatesExported(spark, dir))
     // both dots run as fused codegen loops, not interpreted HOF folds
     // (the MixedDotProduct lesson — q_pq_recall halved): the integer dot
     // rides FloatDotProduct on a float view of the codes, EXACT because
@@ -2340,13 +2349,12 @@ object Vectors {
   def qEmbWhitening(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val model = whitenTrain(spark, dir)
-    graft.OracleExport.export(
-      (0 until 64).map(j =>
-        (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu"),
-      "whitenw", dir)
-    val wRows = broadcast(
-      (0 until 64).map(j =>
-        (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu"))
+    // ONE (j, warr, mu) frame serves both the export and the broadcast
+    // build side — the exported table can never drift from the applied one
+    val wTable = (0 until 64).map(j =>
+      (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu")
+    graft.OracleExport.export(wTable, "whitenw", dir)
+    val wRows = broadcast(wTable)
     // the AUDIT runs on an md5-capped stratum (the trainSample idiom —
     // identity below the cap, so gate-SF hashes are unchanged; isotropy
     // of a 1024-vector uniform stratum measures the transform as well
