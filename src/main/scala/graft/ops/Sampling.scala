@@ -200,9 +200,14 @@ object Sampling {
   def qMixWaterfill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 120000L
-    val counts = Tables(spark, dir, "documents")
-      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
-      .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+    // the per-lang counts are consumed twice (stats scalar + the
+    // allocation rows) — materialize the |langs|-row aggregate so the
+    // corpus tokenize pass runs once, not per consumer
+    val counts = Tables.materialize(
+      Tables(spark, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("lang").agg(count(lit(1)).as("n_tokens")),
+      s"wfcounts:$dir")
     val all = Window.partitionBy()
     val byAvail = Window.partitionBy().orderBy(asc("n_tokens"), asc("lang"))
     val ranked = counts

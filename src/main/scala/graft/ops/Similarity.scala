@@ -379,10 +379,16 @@ object Similarity {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    val w = tf.join(candDocs, "doc_id")
-      .join(dfT, "token").crossJoin(broadcast(nd))
-      .select(col("doc_id"), col("token"),
-        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    // w is consumed FOUR times (both norm sides + both numerator
+    // sides) — materialize it or every consumer re-runs the whole
+    // postings/df/semi-join pipeline (4 BNLJ instances in the
+    // unmaterialized plan; the CLAUDE multi-consumer rule)
+    val w = Tables.materialize(
+      tf.join(candDocs, "doc_id")
+        .join(dfT, "token").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * col("n_docs") / col("df")).as("w")),
+      s"lexw:$dir")
     val norms = w.groupBy("doc_id")
       .agg(expr(
         """aggregate(transform(array_sort(collect_list(struct(token, w))),
