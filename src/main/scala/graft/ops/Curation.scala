@@ -413,7 +413,14 @@ object Curation {
     * artifact and the reproducible-release discipline (a production
     * pipeline rotates the seed per release; re-running one release must
     * reproduce its published numbers, which is exactly what the oracle
-    * asserts). One hash agg + a narrow map over |langs| rows. */
+    * asserts).
+    *
+    * DEMO/GATE-ONLY — NOT a working privacy mechanism as registered:
+    * the seed string here is PUBLIC ('dp1:'||lang), so every released
+    * count is exactly invertible by anyone who can read this code. A
+    * real release MUST draw the seed from a secret per-release value
+    * (and keep it secret); do not copy this query as-is for privacy.
+    * One hash agg + a narrow map over |langs| rows. */
   def qDpCounts(spark: SparkSession, dir: String): DataFrame =
     graft.Tables(spark, dir, "documents")
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))

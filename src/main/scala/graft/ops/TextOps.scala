@@ -451,10 +451,12 @@ object TextOps {
     * engines in the engine's parenthesization (the q_tfidf_keywords
     * discipline: no transcendental ever crosses the oracle boundary;
     * PMI itself = ln(score) client-side if wanted). c_xy ≥ 5 is the
-    * standard sparse-pair filter. Exact to the last bit while every
-    * intermediate stays under 2⁵³ (~10¹⁵ tokens — beyond 100 TB of
-    * text); past that both engines degrade IDENTICALLY (same double
-    * chain), so the gate never desyncs.
+    * standard sparse-pair filter. Exact to the last bit while the FULL
+    * product chain stays under 2⁵³ — the binding term is c_xy·T², so
+    * e.g. T ≈ 10⁸ tokens already exceeds it for any c_xy ≥ 10³; past
+    * that both engines degrade IDENTICALLY (same double chain in the
+    * same parenthesization), so the gate never desyncs even when the
+    * doubles round.
     *
     * Scale shape: one tokenize pass feeds the unigram and bigram count
     * aggregates (map-side combine on the token/pair keys), two equi-

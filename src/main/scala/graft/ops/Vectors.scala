@@ -2339,7 +2339,11 @@ object Vectors {
     * before vs after, as exact basis points. Determinism/parity: the
     * whitened doubles quantize as floor(x̂ · 2²⁰) (a double times a
     * power of two is exact and floor is exact — the q_emb_label_stats
-    * idiom), per-pair products stay BIGINT (< 2⁴⁵), and every SUM runs
+    * idiom), per-pair products stay BIGINT (typical |q| ≈ 2²⁰ from unit
+    * post-whitening variance; a named raise_error guard enforces
+    * |q| < 2²⁶ — products < 2⁵², 1024-row sums < 2⁶² — so a degenerate
+    * direction fails loudly by name, not as an ANSI overflow), and
+    * every SUM runs
     * in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact under any
     * partitioning to ~10³⁸, the q_dsir_select wide-arithmetic
     * discipline (the first cut summed in BIGINT; sf0.1's offdiag mass
@@ -2370,13 +2374,27 @@ object Vectors {
             .cast("long") < lit(thr))
       }
     // centered-raw and whitened per-(vec, j) quantized values
+    // |q| < 2²⁶ guard — the bound that actually protects the LONG sums:
+    // per-pair products then stay < 2⁵², so even auditMax=1024 rows sum
+    // to < 2⁶² < 2⁶³. (Typical values are q ≈ 2²⁰ from unit
+    // post-whitening variance, but the fixture's tails already clear
+    // 2²² — measured when a tighter guard fired — so the guard sits at
+    // the overflow-safety line, not the typical-value line.) A
+    // degenerate future fixture (eigenvalue at the 1e-9 floor plus
+    // outliers) fails here with a named error instead of a cryptic
+    // downstream ANSI overflow.
+    val bounded: Column = expr(
+      "IF(abs(q_) < 67108864, q_, " +
+        "CAST(raise_error('whitening quantized value out of the 2^26 " +
+        "bound - degenerate whitening direction') AS BIGINT))")
     val qb = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
       .join(broadcast(
         (0 until 64).map(i => (i, model.mu(i))).toDF("j", "muj")), "j")
       .select(col("vec_id"), col("j"),
         floor((col("x").cast("double") - col("muj")) * lit(1048576.0d))
-          .cast("long").as("q"))
+          .cast("long").as("q_"))
+      .select(col("vec_id"), col("j"), bounded.as("q"))
     val qa = emb.crossJoin(wRows)
       .withColumn("xh", expr(
         """aggregate(zip_with(embedding,
@@ -2384,7 +2402,8 @@ object Vectors {
           |    (x, wm) -> (CAST(x AS DOUBLE) - wm.m) * wm.w),
           |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
       .select(col("vec_id"), col("j"),
-        floor(col("xh") * lit(1048576.0d)).cast("long").as("q"))
+        floor(col("xh") * lit(1048576.0d)).cast("long").as("q_"))
+      .select(col("vec_id"), col("j"), bounded.as("q"))
     // ONE upper-triangle explode carries BOTH moment sets (before + after
     // products side by side — halves the 2080-per-vector fan-out and
     // collapses the final plan to a single aggregate row, no scalar
@@ -2410,8 +2429,9 @@ object Vectors {
           .stripMargin)).as(Seq("pos", "s")))
       .select(col("s.j").as("j"), col("s.k").as("k"),
         col("s.pb").as("pb"), col("s.pa").as("pa"))
-      // the per-(j,k) sums stay LONG: the audit cap BOUNDS them at
-      // ≤ auditMax·2⁴⁵ < 2⁵⁶ at ANY corpus size (this is what makes the
+      // the per-(j,k) sums stay LONG: the audit cap + the 2²⁶ quantize
+      // guard BOUND them at ≤ auditMax·2⁵² < 2⁶² at ANY corpus size
+      // (this is what makes the
       // data-sized aggregation cheap); only the 2080-row mass rollup
       // widens to decimal, where mass·10⁴ would overflow 2⁶³
       .groupBy("j", "k")

@@ -53,7 +53,11 @@ class GlobalPlanAuditSpec extends SparkSpec {
                           // PMI ratio
     "q_mix_waterfill", // 1-row (capped count, capped mass, n) scalars
                        // beside the per-lang allocation rows
-    "q_lex_cosine", // 1-row corpus doc count N in the tf·N/df weight
+    // (q_lex_cosine needs no entry since r17's materialize: the weight
+    // frame with its scalar-N broadcast is written to parquet once, so
+    // the consumer plan reads a scan — materializing a frame REMOVES its
+    // build-side BNLJ from the audited plan; shrink this list in the
+    // same commit as any such materialize)
     "q_emb_whitening", // 64-row broadcast W table applied per vector
                        // (the LUT build-side pattern)
     "q_dsir_select", // 1-row smoothing-total scalar (P, Q) beside the
