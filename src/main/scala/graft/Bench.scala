@@ -165,7 +165,9 @@ object Bench {
     "q_emb_whitening", "q_ann_recall_curve", "q_colbert_maxsim",
     // the tf-postings chain consumers: lexical cosine (also LSH
     // candidates), token entropy, BM25, and tf-idf keywords
-    "q_lex_cosine", "q_token_entropy", "q_bm25", "q_tfidf")
+    "q_lex_cosine", "q_token_entropy", "q_bm25", "q_tfidf",
+    // r18: incremental IVF rides the shared centroids + ivfassign table
+    "q_ivf_incremental")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -538,6 +538,83 @@ object Vectors {
     * set, where the window's WindowGroupLimit partial pruning already
     * bounds the shuffle, so the LSH path keeps the simpler plan
     * (interleaved A/B, result-identical — the per-key order is total). */
+  /** Incremental IVF index maintenance — the production "when do we
+    * re-train the quantizer?" signal. A NEW document batch (content-keyed
+    * md5 class, ~20% of the corpus — the arriving-data stand-in) is
+    * assigned to the EXISTING frozen centroids ([[ivfCentroids]], the
+    * index as built), and the audit reports per inverted list: base
+    * population, batch arrivals, list growth in basis points, and the
+    * QUANTIZATION-ERROR DRIFT — mean squared L2 residual of the batch
+    * vs the base population (quantized at 2²⁰, exact integers end to
+    * end). Rising drift in a cell means the frozen centroid no longer
+    * represents arriving data (distribution shift — the re-train
+    * trigger); growth skew flags hot lists that need splitting.
+    * Completes the incremental family: exact (q_dedup_incremental) →
+    * near-dup (q_neardup_incremental) → vector index (this).
+    *
+    * Scale shape: the batch side runs the [[withCid]] assignment over
+    * |batch| rows only (batch-probes-index — cost ∝ arrival rate, never
+    * the corpus); the base side re-reads the session-shared
+    * [[ivfAssigned]] table. One tagged union → ONE hash aggregate on the
+    * nlist cids; per-vector residuals are a broadcast-equi-join narrow
+    * map (cid → centroid row). Per-vector quantized residuals are
+    * CLAMPED at ≥ 0 (floor of a ~−1e-9 rounding artifact would be −1,
+    * and negative integer division truncates in Spark but floors in
+    * DuckDB — the q_zipf_fit trap); data-sized error sums run in
+    * DECIMAL(38,0) (the q_dsir_select discipline); drift/growth ratios
+    * are exact decimal cross-products, integer-divided then cast.
+    *
+    * Parity: residual d2 = (norm2 + ‖c‖²) − 2·float_dot(e, c_float) is
+    * the exact [[l2ToCentroidCol]] chain, and the oracle replays the
+    * ARGMIN itself from the ivfcent export (row_number over (d2, cid)
+    * ascending = the struct ordering's tie-break), so assignment,
+    * residuals, and rollup are all independently re-derived — no
+    * assignment export. */
+  def qIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
+      pqKey(spark))
+    val emb = sharedEmb(spark, dir)
+    val isBatch =
+      conv(substring(md5(concat(lit("ivfinc:"), col("vec_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 5 === 0
+    val cdf = broadcast(centroidDf(spark, cents))
+    val base = ivfAssigned(spark, dir).filter(!isBatch)
+      .select(col("cid"), col("embedding"), col("norm2"), lit(0L).as("isb"))
+    val batch = withCid(emb.filter(isBatch), cents)
+      .select(col("cid"), col("embedding"), col("norm2"), lit(1L).as("isb"))
+    val dec0 = DecimalType(38, 0)
+    val qe2 = greatest(
+      floor(l2ToCentroidCol * lit(1048576.0d)).cast("long"), lit(0L))
+    base.unionByName(batch).join(cdf, "cid")
+      .select(col("cid"), col("isb"), qe2.as("qe2"))
+      .groupBy("cid")
+      .agg(
+        sum(when(col("isb") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("isb") === 1, 1L).otherwise(0L)).as("n_batch"),
+        sum(when(col("isb") === 0, col("qe2")).otherwise(0L).cast(dec0))
+          .as("se_base"),
+        sum(when(col("isb") === 1, col("qe2")).otherwise(0L).cast(dec0))
+          .as("se_batch"))
+      .select(
+        col("cid"), col("n_base"), col("n_batch"),
+        when(col("n_base") === 0, -1L)
+          .otherwise(expr("CAST((10000 * n_batch) div n_base AS BIGINT)"))
+          .as("growth_bp"),
+        when(col("n_base") === 0, -1L)
+          .otherwise(expr("CAST(se_base div n_base AS BIGINT)"))
+          .as("err_base_q"),
+        when(col("n_batch") === 0, -1L)
+          .otherwise(expr("CAST(se_batch div n_batch AS BIGINT)"))
+          .as("err_batch_q"),
+        when(col("n_base") === 0 || col("n_batch") === 0 ||
+            col("se_base") === 0, -1L)
+          .otherwise(expr("CAST((10000 * se_batch * n_base) div " +
+            "(se_base * n_batch) AS BIGINT)"))
+          .as("drift_bp"))
+      .orderBy("cid")
+  }
+
   private[graft] def rankTop3(cands: DataFrame, native: Boolean): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
     if (native) {
@@ -2576,6 +2653,7 @@ object Vectors {
     "q_semantic_dedup" -> qSemanticDedup _,
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
+    "q_ivf_incremental" -> qIvfIncremental _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_retrieval_mrr" -> qRetrievalMrr _,
     "q_cosine_neardup" -> qCosineNeardup _,
@@ -2643,6 +2721,56 @@ object Vectors {
   }.mkString("(", "\n         |     + ", ")")
 
   val oracles: Map[String, String] = Map(
+    // Full independent replay of the incremental-IVF audit: the argmin
+    // assignment itself re-derives from the ivfcent export (row_number
+    // over (d2, cid) = the engine's struct-min tie-break), residuals
+    // clamp at >= 0 like the engine, error sums ride HUGEINT (the
+    // DECIMAL(38,0) twin), and the ratio columns are // (positive
+    // operands, so floor == Spark's truncating div).
+    "q_ivf_incremental" ->
+      s"""WITH cent AS (SELECT cid, vals
+         |  FROM '${graft.OracleExport.oraclePath("ivfcent")}'),
+         |cfl AS (SELECT cid,
+         |    list_transform(vals, v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS cf,
+         |    list_sum(list_transform(vals, v -> v * v)) AS cnorm2
+         |  FROM cent),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2
+         |  FROM e),
+         |d AS (SELECT e.vec_id, c.cid,
+         |    (n.norm2 + c.cnorm2) - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c.cf),
+         |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS d2
+         |  FROM e JOIN n ON n.vec_id = e.vec_id CROSS JOIN cfl c),
+         |best AS (SELECT vec_id, cid, d2, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+         |a AS (SELECT vec_id, cid,
+         |    GREATEST(CAST(floor(d2 * 1048576.0) AS BIGINT), 0) AS qe2,
+         |    CASE WHEN CAST('0x' || substr(md5('ivfinc:' ||
+         |        CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 0
+         |      THEN 1 ELSE 0 END AS isb
+         |  FROM best WHERE rk = 1),
+         |g AS (SELECT cid,
+         |    SUM(CASE WHEN isb = 0 THEN 1 ELSE 0 END) AS n_base,
+         |    SUM(CASE WHEN isb = 1 THEN 1 ELSE 0 END) AS n_batch,
+         |    SUM(CASE WHEN isb = 0 THEN qe2 ELSE 0 END) AS se_base,
+         |    SUM(CASE WHEN isb = 1 THEN qe2 ELSE 0 END) AS se_batch
+         |  FROM a GROUP BY cid)
+         |SELECT CAST(cid AS INT) AS cid,
+         |  CAST(n_base AS BIGINT) AS n_base,
+         |  CAST(n_batch AS BIGINT) AS n_batch,
+         |  CASE WHEN n_base = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST((10000 * n_batch) // n_base AS BIGINT) END
+         |    AS growth_bp,
+         |  CASE WHEN n_base = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(se_base // n_base AS BIGINT) END AS err_base_q,
+         |  CASE WHEN n_batch = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(se_batch // n_batch AS BIGINT) END AS err_batch_q,
+         |  CASE WHEN n_base = 0 OR n_batch = 0 OR se_base = 0
+         |    THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST((10000 * se_batch * n_base) //
+         |      (se_base * n_batch) AS BIGINT) END AS drift_bp
+         |FROM g ORDER BY cid""".stripMargin,
     // Margin replay over the exported LSH candidate set — see
     // qBitextMining: top-3 neighborhood means via list_sum(list_sort(...))
     // (sequential fold over the sorted doubles = Spark's

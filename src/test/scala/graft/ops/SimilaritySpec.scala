@@ -115,6 +115,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7)
   }
 
+  test("incremental IVF: batch split sane, no-shift fixture reads drift ~10000bp") {
+    val dir = sf("sf0.01")
+    val rows = Vectors.qIvfIncremental(spark, dir).collect()
+    assert(rows.length == 16, s"expected all 16 cells, got ${rows.length}")
+    val nBase = rows.map(_.getLong(1)).sum
+    val nBatch = rows.map(_.getLong(2)).sum
+    val total = Vectors.ivfAssigned(spark, dir).count()
+    assert(nBase + nBatch == total,
+      s"cells must partition the corpus: $nBase+$nBatch != $total")
+    // md5 class targets ~20%; loose band so fixture drift can't flake
+    val frac = nBatch.toDouble / total
+    assert(frac > 0.10 && frac < 0.35, s"batch fraction $frac out of band")
+    // the synthetic fixture has NO distribution shift, so every cell's
+    // batch-vs-base quantization error ratio must sit near 10000 bp —
+    // a frozen-centroid mis-assignment or a residual-formula bug reads
+    // as a large systematic drift
+    rows.foreach { r =>
+      val drift = r.getLong(6)
+      assert(drift > 8000 && drift < 12000,
+        s"cell ${r.getInt(0)}: drift $drift bp outside the no-shift band")
+    }
+  }
+
   test("IVF assignment at nlist=64 is exact argmin (chunked literal expression)") {
     // 64 centroids = 4 expression chunks + a least() combine: pins that
     // the chunked codegen path (Vectors.ivfAssignExpr) still computes the
