@@ -65,6 +65,23 @@ object Multimodal {
       case _ => "baseline"
     }
 
+    /** r18 planted image near-duplicates (the q_pq_planted discipline
+      * applied to media): an ELIGIBLE BMP id whose id div 364 is odd
+      * renders its BASE sibling's pixel pattern (id − 364 — identical
+      * format and dims, since every generator residue has period
+      * dividing 364 = 4·7·13) with ONE pixel perturbed (R bit 4 of
+      * (0,0) XOR'd). The corpus then contains REAL image near-dups that
+      * exact/byte dedup cannot see but q_image_phash must find.
+      * Eligibility w ≥ 9 matches the dHash rule (full horizontal grid
+      * resolution); h ≥ 3 bounds the grid rows sampling source row 0 by
+      * 3, so a twin's dHash hamming vs its base is ≤ 3 by construction.
+      * Bases have even id div 364, so twin pairs are disjoint and no
+      * twin is another twin's base. */
+    def phashTwinBase(id: Long): Option[Long] =
+      if (fmtFor(id) == "bmp" && id % 13 >= 8 && id % 7 >= 2 &&
+          (id / 364) % 2 == 1) Some(id - 364)
+      else None
+
     /** r14: EXIF orientation per doc (TIFF tag 274, values 1..8). */
     def orientationFor(id: Long): Int = 1 + ((id / 12) % 8).toInt
     /** r14: TIFF byte order alternates per doc — a parser that assumes
@@ -105,13 +122,18 @@ object Multimodal {
 
     def encode(id: Long): Array[Byte] = {
       val (w, h) = dimsFor(id)
+      // planted twins render the BASE id's pattern + a 1-pixel tweak
+      val seed = phashTwinBase(id).getOrElse(id)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, ((id * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt)
+          val v = ((seed * 2654435761L + x * 131 + y * 31) & 0xFFFFFF).toInt
+          val tweaked =
+            if (x == 0 && y == 0 && seed != id) v ^ 0x100000 else v
+          img.setRGB(x, y, tweaked)
           x += 1
         }
         y += 1
@@ -228,8 +250,23 @@ object Multimodal {
     def channelsFor(id: Long): Int = 1 + (id % 2).toInt
     def rateFor(id: Long): Int = Rates((id % 4).toInt)
     def nSamplesFor(id: Long): Int = 40 + (id % 50).toInt
-    def sampleAt(id: Long, i: Int): Short =
-      (((id * 31 + i.toLong * i * 7) % 65536L) - 32768L).toShort
+    /** r18: splitmix-mixed samples (was a shared slow quadratic ramp —
+      * every doc was GENUINELY near-identical perceptually: the
+      * fingerprint audit measured a 91-doc identical-code clique and
+      * ~14k hamming-≤3 pairs from 500 docs, drowning the planted twins.
+      * Real recordings are content-diverse; the hash mix stands in for
+      * that diversity, so unrelated docs land far apart in fingerprint
+      * space and the planted [[fpTwinBase]] pairs are the true
+      * positives). Pure byte arithmetic — every audio oracle reads the
+      * BLOB, so no SQL mirror of this formula exists anywhere. */
+    def sampleAt(id: Long, i: Int): Short = {
+      var z = id * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L +
+        0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z & 0xFFFFL).toShort
+    }
 
     /** Container variant: most docs are canonical 16-bit PCM; two residue
       * classes carry REAL but NON-PCM containers the audit must REFUSE to
@@ -241,6 +278,36 @@ object Multimodal {
       * sample width. */
     def variantFor(id: Long): String =
       if (id % 11 == 5) "float" else if (id % 11 == 7) "adpcm" else "pcm"
+
+    /** r18 planted audio near-duplicates (the image-twin discipline,
+      * [[ImageCodec.phashTwinBase]]): a PCM id in an odd id div 100
+      * block (thinned by id % 7 == 3) re-renders its base sibling's
+      * samples (id − 100 — identical channels/rate/length since every
+      * layout residue divides 100) with interleaved sample 1 bumped by
+      * one LSB. The energy contour moves by at most one quantization
+      * step in the first two analysis windows, so the fingerprint
+      * hamming vs the base is ≤ 2 by construction (0 for stereo, where
+      * index 1 is channel 1 and the fingerprint reads channel 0) — a
+      * REAL re-encoded-copy stand-in that byte dedup cannot see. Both
+      * endpoints must be PCM (variant classes shift by one per 100
+      * block, so the twin rule checks both). */
+    def fpTwinBase(id: Long): Option[Long] =
+      if (id >= 100 && (id / 100) % 2 == 1 && id % 7 == 3 &&
+          variantFor(id) == "pcm" && variantFor(id - 100) == "pcm")
+        Some(id - 100)
+      else None
+
+    /** The sample ACTUALLY stored for doc `id` at interleaved index `i`
+      * — twin-aware ([[fpTwinBase]]: base pattern + one-LSB bump at
+      * index 1). Specs recompute content witnesses through THIS, never
+      * raw [[sampleAt]], or every planted twin fails the recompute. */
+    def encodedSampleAt(id: Long, i: Int): Short = {
+      val src = fpTwinBase(id).getOrElse(id)
+      val v = sampleAt(src, i)
+      if (i == 1 && src != id)
+        (if (v == Short.MaxValue) v - 1 else v + 1).toShort
+      else v
+    }
 
     def encode(id: Long): Array[Byte] = {
       val ch = channelsFor(id); val rate = rateFor(id)
@@ -263,12 +330,13 @@ object Multimodal {
         .putShort(bits.toShort)
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
+      // planted twins render the BASE id's samples + a one-LSB tweak
       if (variantFor(id) == "float")
         while (i < n * ch) {
-          bb.putFloat(sampleAt(id, i).toFloat / 32768.0f); i += 1
+          bb.putFloat(encodedSampleAt(id, i).toFloat / 32768.0f); i += 1
         }
       else
-        while (i < n * ch) { bb.putShort(sampleAt(id, i)); i += 1 }
+        while (i < n * ch) { bb.putShort(encodedSampleAt(id, i)); i += 1 }
       bb.array()
     }
   }
@@ -771,6 +839,98 @@ object Multimodal {
       .orderBy("doc_id", "channel")
   }
 
+  /** 32-bit audio fingerprint of a PCM container, as four 8-bit chunks
+    * (c0 = lowest): channel-0 samples resampled to fixed anchor grids
+    * (the [[BmpPixels.thumb]] nearest-neighbor discipline applied to
+    * time), then two 16-bit planes —
+    *
+    *  - bits 0..15: ENERGY-DELTA code over 17 anchor windows
+    *    (a_f = f·(n−4) div 16, window energy E_f = Σ_{j<4} s(a_f+j)²
+    *    exact in LONG ≤ 4·2³⁰; bit f set iff E_{f+1} > E_f) — the
+    *    Haitsma-Kalker-style contour sign that survives small
+    *    per-sample perturbations;
+    *  - bits 16..31: anchor-sample SIGN code (a_f = f·(n−1) div 15,
+    *    bit set iff s(a_f) ≥ 0) — the waveform-polarity plane.
+    *
+    * The sign plane exists because a contour-only code is DEGENERATE on
+    * strongly-trending material: measured on this fixture, every doc's
+    * energy rises with the shared quadratic drive, the delta bits
+    * collapsed to near-constants, and a delta-only 32-bit code emitted
+    * ~15k clique pairs from 500 docs. Polarity at fixed anchors is
+    * id-diverse (wrap phase differs per doc), so unrelated docs land
+    * ~8+ bits apart while a one-LSB twin still flips ≤ 2 bits total.
+    * Refusals: non-PCM containers (pcmSamples' format-tag rule) and
+    * n < 8 per-channel samples (grid undefined — the tiny-image rule's
+    * audio twin). */
+  private[ops] def audioFpChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    WavHeader.pcmSamples(b).flatMap { case (ch, xs) =>
+      val n = xs.length / ch
+      if (n < 8) None
+      else {
+        val e = Array.tabulate(17) { f =>
+          val a = f * (n - 4) / 16
+          var acc = 0L; var j = 0
+          while (j < 4) { val v = xs((a + j) * ch).toLong; acc += v * v; j += 1 }
+          acc
+        }
+        var bits = 0
+        var f = 0
+        while (f < 16) { if (e(f + 1) > e(f)) bits |= 1 << f; f += 1 }
+        f = 0
+        while (f < 16) {
+          if (xs((f * (n - 1) / 15) * ch) >= 0) bits |= 1 << (16 + f)
+          f += 1
+        }
+        Some((bits & 0xFF, (bits >>> 8) & 0xFF,
+          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF))
+      }
+    }
+
+  /** Audio near-duplicate pairs by acoustic fingerprint — the audio
+    * member of the perceptual-dedup family ([[qImagePhash]]'s twin):
+    * re-encoded or one-LSB-perturbed copies of a recording share no
+    * bytes, but their energy contours — and so their
+    * [[audioFpChunks]] sign-of-delta codes — agree within a few bits.
+    * Candidates by 4×8-bit chunk equality (pigeonhole-exact for the ≤3
+    * threshold), verified by full 32-bit Hamming distance. The fixture
+    * plants real twins ([[WavCodec.fpTwinBase]]); MultimodalSpec pins
+    * that every planted pair surfaces with hamming ≤ 2.
+    *
+    * Scale shape: fingerprinting is a narrow map over the binary column
+    * (5 bytes of fingerprint per asset leave the scan); the band
+    * self-join is key-partitioned on (band, chunk) with ~n/256 bucket
+    * occupancy per band. Hash-gated: the oracle re-derives the
+    * fingerprint independently from the exported blobs (RIFF chunk
+    * walk → channel-0 de-interleave → anchor energies → LEAD bits) and
+    * replays the band join. */
+  def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = audioTable(spark, dir)
+    graft.OracleExport.export(audio, "audio", dir)
+    val hashed = audio.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          audioFpChunks(bytes).map(c => (id, c._1, c._2, c._3, c._4))
+        }
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+    val bands = hashed.select(col("doc_id"), col("c0"), col("c1"),
+      col("c2"), col("c3"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        col(s"c$c").as("chunk"))): _*)).as("b"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("b.c").as("c"), col("b.chunk").as("chunk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Typed EXIF metadata over the media table — the camera-layout JPEGs
     * carry a REAL TIFF IFD0 (alternating II/MM byte order) and this
     * pass extracts its typed fields through [[ExifMeta]]'s marker walk
@@ -917,6 +1077,48 @@ object Multimodal {
       }
     }
 
+    /** 64-bit dHash (difference hash — the standard perceptual image
+      * fingerprint) of an accepted BMP, as four 16-bit chunks (c0 =
+      * lowest bits): grayscale at the 9×8 nearest-neighbor grid
+      * (g(x, y) = r+g+b of source pixel (x·W div 9, y·H div 8) — the
+      * [[thumb]] sampling kernel, integer-exact), bit (y·8 + x) set
+      * iff g(x+1, y) > g(x, y). Eligibility adds w ≥ 9 on top of
+      * [[accepts]]: below full horizontal grid resolution adjacent grid
+      * cells sample the SAME source column, the strict > reads 0, and
+      * structurally-zero bit planes would glue unrelated tiny images
+      * into a near-clique hot bucket (fingerprints are undefined below
+      * grid resolution — tiny assets belong to exact dedup). Heights
+      * below 8 sample rows with repetition like any dHash downscale —
+      * harmless, since bits compare horizontally within a row. */
+    def dhashChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (!accepts(b)) None
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w < 9) None
+        else {
+          var bits = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            var prev = 0
+            while (x < 9) {
+              val v = img.getRGB(x * w / 9, sy)
+              val g = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+              if (x > 0 && g > prev) bits |= 1L << (y * 8 + (x - 1))
+              prev = g
+              x += 1
+            }
+            y += 1
+          }
+          Some(((bits & 0xFFFF).toInt, ((bits >>> 16) & 0xFFFF).toInt,
+            ((bits >>> 32) & 0xFFFF).toInt, ((bits >>> 48) & 0xFFFF).toInt))
+        }
+      }
+    }
+
     /** 4×4 nearest-neighbor thumbnail of an accepted BMP:
       * (width, height, t_sum_r, t_sum_g, t_sum_b, t_checksum) where
       * thumbnail pixel (x, y) = source (x·W div 4, y·H div 4) and the
@@ -972,6 +1174,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image near-duplicate pairs — the image-level dedup a
+    * multimodal training pipeline needs beside the six text dedup
+    * operators (re-encoded, re-compressed, or slightly-retouched copies
+    * share NO bytes, so exact dedup is blind to them; a perceptual hash
+    * over decoded pixels is the standard detector). Each eligible BMP
+    * gets the 64-bit dHash of [[BmpPixels.dhashChunks]]; candidate
+    * generation is 4×16-bit chunk equality (exact for the ≤3 Hamming
+    * threshold by pigeonhole — the q_simhash_neardup machinery applied
+    * to pixels), verified by the full 64-bit Hamming distance. The
+    * fixture plants REAL near-dup twins ([[ImageCodec.phashTwinBase]]:
+    * base pattern + one perturbed pixel ⇒ hamming ≤ 3 by construction)
+    * so the operator has true positives to find, not just random chunk
+    * collisions; MultimodalSpec pins that every planted pair surfaces.
+    *
+    * Scale shape: decode + hash is a narrow map over the binary column
+    * (pixels never shuffle — 13 bytes of fingerprint per asset leave
+    * the scan); the band self-join is key-partitioned on (band, chunk)
+    * with bounded buckets (16-bit chunks spread uniformly unless images
+    * genuinely collide), the q_minhash_lsh candidate discipline.
+    * Hash-gated end to end: the DuckDB oracle re-derives the dHash
+    * INDEPENDENTLY from the exported blobs' pixel arrays (9×8 grid
+    * sampling, LEAD over grid columns, bit assembly) and replays the
+    * band join — no hash export, no circularity. */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    graft.OracleExport.export(media, "media", dir)
+    val hashed = media.as[ImgRow].mapPartitions { rows =>
+      rows.flatMap(r => BmpPixels.dhashChunks(r.payload).map { c =>
+        (r.doc_id, c._1, c._2, c._3, c._4)
+      })
+    }.toDF("doc_id", "c0", "c1", "c2", "c3")
+    val bands = hashed.select(col("doc_id") +: col("c0") +: col("c1") +:
+      col("c2") +: col("c3") +:
+      Seq(explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        col(s"c$c").as("chunk"))): _*)).as("b")): _*)
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("b.c").as("c"), col("b.chunk").as("chunk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** documents.text as binary payloads (media stand-in). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -1020,9 +1271,11 @@ object Multimodal {
     "q_multimodal_dims" -> qMultimodalDims _,
     "q_image_pixels" -> qImagePixels _,
     "q_image_resize" -> qImageResize _,
+    "q_image_phash" -> qImagePhash _,
     "q_exif_meta" -> qExifMeta _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
+    "q_audio_fingerprint" -> qAudioFingerprint _,
     "q_video_meta" -> qVideoMeta _,
     "q_video_frames" -> qVideoFrames _)
 
@@ -1078,6 +1331,81 @@ object Multimodal {
     // (bottom-up vs top-down row order by the SIGNED height, rows padded
     // to 4 bytes, BGR order) and the channel sums / peak / position-
     // weighted checksum re-derive what the JDK decoder produced.
+    // Independent dHash re-derivation: the 9×8 grid samples straight
+    // from the BMP pixel array (same bottom-up/stride/BGR walk as
+    // q_image_pixels), bits assemble via LEAD over grid columns, and
+    // the band join + Hamming filter replay in plain integer SQL — the
+    // engine's ImageIO decode and the oracle's byte walk must agree on
+    // all 64 bits of every eligible image or the pair set drifts.
+    "q_image_phash" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len
+         |  FROM '${graft.OracleExport.oraclePath("media")}'
+         |  WHERE octet_length(payload) >= 54
+         |    AND substr(hex(payload), 1, 4) = '424D'),
+         |hdr AS (
+         |  SELECT doc_id, h, len,
+         |    ${pxLe32("h", "10")} AS boff, ${pxLe32("h", "18")} AS w,
+         |    (${pxLe32("h", "22")} - CASE WHEN ${pxLe32("h", "22")}
+         |       > 2147483647 THEN 4294967296 ELSE 0 END) AS hs,
+         |    ${pxLe16("h", "28")} AS bits, ${pxLe32("h", "30")} AS comp
+         |  FROM m),
+         |acc AS (
+         |  SELECT doc_id, h, boff, w, hs AS habs,
+         |    ((3 * w + 3) // 4) * 4 AS stride
+         |  FROM hdr
+         |  WHERE bits = 24 AND comp = 0 AND w >= 9 AND w <= 64
+         |    AND hs >= 1 AND hs <= 64
+         |    AND boff + ((3 * w + 3) // 4) * 4 * hs <= len),
+         |grid AS (
+         |  SELECT a.doc_id, gy.y AS gy, gx.x AS gx,
+         |    a.boff + (a.habs - 1 - ((gy.y * a.habs) // 8)) * a.stride
+         |      + 3 * ((gx.x * a.w) // 9) AS p, a.h
+         |  FROM acc a
+         |  CROSS JOIN generate_series(0, 7) gy(y)
+         |  CROSS JOIN generate_series(0, 8) gx(x)),
+         |g AS (
+         |  SELECT doc_id, gy, gx,
+         |    ${pxU8("h", "p + 2")} + ${pxU8("h", "p + 1")} +
+         |      ${pxU8("h", "p")} AS gray
+         |  FROM grid),
+         |bt AS (
+         |  SELECT doc_id, gy * 8 + gx AS idx,
+         |    CASE WHEN LEAD(gray) OVER (PARTITION BY doc_id, gy
+         |      ORDER BY gx) > gray THEN 1 ELSE 0 END AS bit
+         |  FROM g QUALIFY gx < 8),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN idx < 16
+         |      THEN bit * (1 << idx) ELSE 0 END) AS INT) AS c0,
+         |    CAST(SUM(CASE WHEN idx >= 16 AND idx < 32
+         |      THEN bit * (1 << (idx - 16)) ELSE 0 END) AS INT) AS c1,
+         |    CAST(SUM(CASE WHEN idx >= 32 AND idx < 48
+         |      THEN bit * (1 << (idx - 32)) ELSE 0 END) AS INT) AS c2,
+         |    CAST(SUM(CASE WHEN idx >= 48
+         |      THEN bit * (1 << (idx - 48)) ELSE 0 END) AS INT) AS c3
+         |  FROM bt GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS c, c0 AS chunk FROM hsh UNION ALL
+         |  SELECT doc_id, 1, c1 FROM hsh UNION ALL
+         |  SELECT doc_id, 2, c2 FROM hsh UNION ALL
+         |  SELECT doc_id, 3, c3 FROM hsh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(CAST(x.c0 AS BIGINT), CAST(y.c0 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c1 AS BIGINT), CAST(y.c1 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c2 AS BIGINT), CAST(y.c2 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c3 AS BIGINT), CAST(y.c3 AS BIGINT)))
+         |      AS INT) AS hamming
+         |  FROM cand c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_image_pixels" ->
       s"""WITH m AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len
@@ -1440,6 +1768,107 @@ object Multimodal {
     // of a doc is the list [x(t*ch + c)] and every feature is a list
     // fold: frames are 1-based in the zc window (fr[t] vs fr[t+1] =
     // consecutive frames), energy/Σ|x| plain transforms.
+    // Independent fingerprint re-derivation: same RIFF walk + refusal
+    // rules as q_audio_features, then channel-0 de-interleave, the 33
+    // anchor-window energies as exact BIGINTs, LEAD sign bits, and the
+    // band-join/Hamming replay in integer SQL.
+    "q_audio_fingerprint" ->
+      s"""WITH RECURSIVE a AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("audio")}'),
+         |awalk(doc_id, pos) AS (
+         |  SELECT doc_id, 12 FROM a
+         |  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(w.pos + 8 + ${le32S("w.pos + 4")}
+         |         + (${le32S("w.pos + 4")} % 2) AS INT)
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 + ${le32S("w.pos + 4")}
+         |        + (${le32S("w.pos + 4")} % 2) + 8 <= a.n),
+         |arefused AS (
+         |  SELECT DISTINCT w.doc_id
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= a.n
+         |    AND w.pos + 8 + ${le32S("w.pos + 4")} > a.n),
+         |fmtc AS (
+         |  SELECT w.doc_id, ${le16S("w.pos + 10")} AS channels
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '666D7420'
+         |    AND ${le32S("w.pos + 4")} >= 16
+         |    AND ${le16S("w.pos + 8")} = 1
+         |    AND ${le16S("w.pos + 10")} > 0
+         |    AND ${le16S("w.pos + 22")} = 16
+         |    AND ${le32S("w.pos + 12")} BETWEEN 1 AND 2147483647
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)),
+         |datac AS (
+         |  SELECT w.doc_id, w.pos + 8 AS off, ${le32S("w.pos + 4")} AS nbytes
+         |  FROM awalk w JOIN a ON a.doc_id = w.doc_id
+         |  WHERE substr(a.h, CAST(2 * w.pos + 1 AS INT), 8) = '64617461'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM arefused)
+         |    AND w.doc_id NOT IN (
+         |      SELECT w2.doc_id FROM awalk w2
+         |      JOIN a a2 ON a2.doc_id = w2.doc_id
+         |      WHERE substr(a2.h, CAST(2 * w2.pos + 1 AS INT), 8)
+         |            = '64617461'
+         |      GROUP BY w2.doc_id HAVING count(*) > 1)),
+         |s0 AS (
+         |  SELECT f.doc_id, d.nbytes // (2 * f.channels) AS n,
+         |    list_transform(range(d.nbytes // (2 * f.channels)),
+         |      t -> ${signed16S("d.off + 2 * (t * f.channels)")}) AS s
+         |  FROM fmtc f JOIN datac d USING (doc_id)
+         |    JOIN a ON a.doc_id = f.doc_id
+         |  WHERE d.nbytes // (2 * f.channels) >= 8),
+         |anch AS (
+         |  SELECT doc_id, g.f AS f, n, s, (g.f * (n - 4)) // 16 AS ap
+         |  FROM s0 CROSS JOIN generate_series(0, 16) g(f)),
+         |en AS (
+         |  SELECT doc_id, f,
+         |    s[ap + 1] * s[ap + 1] + s[ap + 2] * s[ap + 2]
+         |      + s[ap + 3] * s[ap + 3] + s[ap + 4] * s[ap + 4] AS e
+         |  FROM anch),
+         |bt AS (
+         |  SELECT doc_id, f AS idx,
+         |    CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM en QUALIFY f < 16
+         |  UNION ALL
+         |  SELECT s0.doc_id, 16 + g.f AS idx,
+         |    CASE WHEN s[(g.f * (n - 1)) // 15 + 1] >= 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM s0 CROSS JOIN generate_series(0, 15) g(f)),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN idx < 8
+         |      THEN bit * (1 << idx) ELSE 0 END) AS INT) AS c0,
+         |    CAST(SUM(CASE WHEN idx >= 8 AND idx < 16
+         |      THEN bit * (1 << (idx - 8)) ELSE 0 END) AS INT) AS c1,
+         |    CAST(SUM(CASE WHEN idx >= 16 AND idx < 24
+         |      THEN bit * (1 << (idx - 16)) ELSE 0 END) AS INT) AS c2,
+         |    CAST(SUM(CASE WHEN idx >= 24
+         |      THEN bit * (1 << (idx - 24)) ELSE 0 END) AS INT) AS c3
+         |  FROM bt GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS c, c0 AS chunk FROM hsh UNION ALL
+         |  SELECT doc_id, 1, c1 FROM hsh UNION ALL
+         |  SELECT doc_id, 2, c2 FROM hsh UNION ALL
+         |  SELECT doc_id, 3, c3 FROM hsh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(CAST(x.c0 AS BIGINT), CAST(y.c0 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c1 AS BIGINT), CAST(y.c1 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c2 AS BIGINT), CAST(y.c2 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c3 AS BIGINT), CAST(y.c3 AS BIGINT)))
+         |      AS INT) AS hamming
+         |  FROM cand c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_audio_features" ->
       s"""WITH RECURSIVE a AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n

@@ -187,7 +187,7 @@ class MultimodalSpec extends SparkSpec {
       assert(durMs === n * 1000L / rate)
       // content witness: re-sum the samples from the construction formula
       val expSum = (0 until Multimodal.WavCodec.nSamplesFor(id) * ch)
-        .map(i => Multimodal.WavCodec.sampleAt(id, i).toLong).sum
+        .map(i => Multimodal.WavCodec.encodedSampleAt(id, i).toLong).sum
       assert(sum === expSum, s"id=$id sample sum")
       ais.close()
     }
@@ -485,7 +485,7 @@ class MultimodalSpec extends SparkSpec {
       else {
         val ch = Multimodal.WavCodec.channelsFor(id)
         val n = Multimodal.WavCodec.nSamplesFor(id)
-        val want = Array.tabulate(n * ch)(i => Multimodal.WavCodec.sampleAt(id, i))
+        val want = Array.tabulate(n * ch)(i => Multimodal.WavCodec.encodedSampleAt(id, i))
         assert(got.map(_._1) === Some(ch), s"channels id=$id")
         assert(got.get._2.toSeq === want.toSeq, s"samples id=$id")
       }
@@ -505,7 +505,7 @@ class MultimodalSpec extends SparkSpec {
       var peak = 0L; var zc = 0L; var sumAbs = 0L; var energy = 0L
       var prev = false
       for (t <- 0 until n) {
-        val x = Multimodal.WavCodec.sampleAt(id, t * ch + c).toLong
+        val x = Multimodal.WavCodec.encodedSampleAt(id, t * ch + c).toLong
         peak = math.max(peak, math.abs(x))
         sumAbs += math.abs(x); energy += x * x
         val nn = x >= 0
@@ -530,5 +530,65 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // nibble_hist is always 16 comma-joined counts
     rows.foreach(r => assert(r.getAs[String]("nibble_hist").split(",", -1).length === 16))
+  }
+
+  test("dhashChunks: 9x8 grid == raster recompute; sub-grid widths refused") {
+    val bmpIds = (0L until 500L)
+      .filter(id => Multimodal.ImageCodec.fmtFor(id) == "bmp")
+      .filter(id => Multimodal.ImageCodec.phashTwinBase(id).isEmpty)
+    assert(bmpIds.nonEmpty)
+    bmpIds.foreach { id =>
+      val got = Multimodal.BmpPixels.dhashChunks(Multimodal.ImageCodec.encode(id))
+      val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+      if (w < 9) assert(got.isEmpty, s"id=$id w=$w must refuse")
+      else {
+        var bits = 0L
+        for (y <- 0 until 8; x <- 0 until 8) {
+          def gray(gx: Int): Int = {
+            val v = ((id * 2654435761L + (gx * w / 9) * 131 +
+              (y * h / 8) * 31) & 0xFFFFFF).toInt
+            ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+          }
+          if (gray(x + 1) > gray(x)) bits |= 1L << (y * 8 + x)
+        }
+        assert(got === Some(((bits & 0xFFFF).toInt,
+          ((bits >>> 16) & 0xFFFF).toInt, ((bits >>> 32) & 0xFFFF).toInt,
+          ((bits >>> 48) & 0xFFFF).toInt)), s"id=$id")
+      }
+    }
+  }
+
+  test("q_image_phash finds every planted twin pair within hamming 3") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.01")
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap(id =>
+      Multimodal.ImageCodec.phashTwinBase(id).map(b => (b, id))).toSet
+    assert(expected.nonEmpty, "fixture must contain planted image twins")
+    val out = Multimodal.qImagePhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    expected.foreach { case (a, b) =>
+      val h = out.get((a, b))
+      assert(h.isDefined, s"planted twin pair ($a,$b) missing from output")
+      assert(h.get <= 3, s"planted twin pair ($a,$b) hamming ${h.get} > 3")
+    }
+  }
+
+  test("q_audio_fingerprint finds every planted twin pair within hamming 2") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.01")
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap(id =>
+      Multimodal.WavCodec.fpTwinBase(id).map(b => (b, id))).toSet
+    assert(expected.size >= 15, s"only ${expected.size} planted audio twins")
+    val out = Multimodal.qAudioFingerprint(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    expected.foreach { case (a, b) =>
+      val h = out.get((a, b))
+      assert(h.isDefined, s"planted twin pair ($a,$b) missing from output")
+      assert(h.get <= 2, s"planted twin pair ($a,$b) hamming ${h.get} > 2")
+    }
   }
 }
