@@ -166,8 +166,10 @@ object Bench {
     // the tf-postings chain consumers: lexical cosine (also LSH
     // candidates), token entropy, BM25, and tf-idf keywords
     "q_lex_cosine", "q_token_entropy", "q_bm25", "q_tfidf",
-    // r18: incremental IVF rides the shared centroids + ivfassign table
-    "q_ivf_incremental")
+    // r18: incremental IVF rides the shared centroids + ivfassign table;
+    // the terciles ride the shared surprisal table (q_lm_surprisal's
+    // prefix is already present)
+    "q_ivf_incremental", "q_quality_terciles")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -92,6 +92,11 @@ object SparkEntry {
       "postings" -> (() => {
         ops.TextOps.tfPostings(spark, dir); ()
       }),
+      // surprisal score table (q_lm_surprisal + the terciles' double
+      // read) — its own chain per the r17 chain-hygiene rule
+      "surprisal" -> (() => {
+        ops.TextOps.surprisalScores(spark, dir); ()
+      }),
       // the planted calibration fixtures' quantizers/codebooks/rotation
       // are corpus-independent but share nothing with the "ivf" chain —
       // built here so q_pq_planted/q_opq_recall's timed runs pay

@@ -40,7 +40,18 @@ object TextOps {
     * all-pairs. In production the count tables are a corpus-version
     * artifact (built once, joined by every scoring batch). */
   def qLmSurprisal(spark: SparkSession, dir: String): DataFrame =
-    surprisal(Tables(spark, dir, "documents"))
+    surprisalScores(spark, dir).orderBy("doc_id")
+
+  /** Session-shared materialized surprisal score table (doc_id,
+    * n_bigrams, total_bits, avg_centibits) — q_lm_surprisal reads it
+    * once and q_quality_terciles reads it TWICE (histogram build +
+    * assignment join-back), so the tokenize → bigram-count → join-back
+    * pipeline runs once per corpus version (prewarmed; was recomputed
+    * three times across the two queries — the multi-consumer rule). */
+  private[graft] def surprisalScores(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "surprisal", dir)(
+      surprisal(Tables(spark, dir, "documents")))
 
   /** [[qLmSurprisal]] core over any (doc_id, text) frame — split out so
     * the spec can pin the bits arithmetic on a hand-computable corpus. */
@@ -85,7 +96,7 @@ object TextOps {
     * bucket table; everything downstream is one hash aggregation. */
   def qQualityTerciles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val scores = surprisal(docs)
+    val scores = surprisalScores(spark, dir)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
     val hist = scores.groupBy(col("lang"), col("avg_centibits"))
       .agg(count(lit(1)).as("c"))

@@ -2432,8 +2432,17 @@ object Vectors {
     val model = whitenTrain(spark, dir)
     // ONE (j, warr, mu) frame serves both the export and the broadcast
     // build side — the exported table can never drift from the applied one
-    val wTable = (0 until 64).map(j =>
-      (j, model.w(j).toSeq, model.mu.toSeq)).toDF("j", "warr", "mu")
+    // mw = Σ μ_i·w_j_i, a sequential driver fold — the centering term of
+    // the FUSED application below (xh = dot(x, w_j) − mw: two codegen
+    // dots instead of a per-(vec, j) interpreted 64-element zip_with
+    // fold — the q_sq8_recall lesson; the oracle re-derives mw with the
+    // same left-to-right list fold, so the export needs no mw column)
+    val wTable = (0 until 64).map { j =>
+      var mw = 0.0
+      var i = 0
+      while (i < 64) { mw += model.mu(i) * model.w(j)(i); i += 1 }
+      (j, model.w(j).toSeq, model.mu.toSeq, mw)
+    }.toDF("j", "warr", "mu", "mw")
     graft.OracleExport.export(wTable, "whitenw", dir)
     val wRows = broadcast(wTable)
     // the AUDIT runs on an md5-capped stratum (the trainSample idiom —
@@ -2473,11 +2482,9 @@ object Vectors {
           .cast("long").as("q_"))
       .select(col("vec_id"), col("j"), bounded.as("q"))
     val qa = emb.crossJoin(wRows)
-      .withColumn("xh", expr(
-        """aggregate(zip_with(embedding,
-          |    zip_with(warr, mu, (wi, mi) -> struct(wi AS w, mi AS m)),
-          |    (x, wm) -> (CAST(x AS DOUBLE) - wm.m) * wm.w),
-          |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .withColumn("xh",
+        graft.functions.MixedDotProduct.mixedDot(
+          col("embedding"), col("warr")) - col("mw"))
       .select(col("vec_id"), col("j"),
         floor(col("xh") * lit(1048576.0d)).cast("long").as("q_"))
       .select(col("vec_id"), col("j"), bounded.as("q"))
@@ -3428,8 +3435,10 @@ object Vectors {
          |    CAST(FLOOR((el.x - mus.m) * 1048576.0) AS BIGINT) AS q
          |  FROM el JOIN mus ON mus.j = el.j),
          |xh AS (SELECT aud.vec_id, w.j,
-         |    list_sum(list_transform(list_zip(aud.embedding, w.warr, w.mu),
-         |      z -> (CAST(z[1] AS DOUBLE) - z[3]) * z[2])) AS xh
+         |    list_sum(list_transform(list_zip(aud.embedding, w.warr),
+         |      z -> CAST(z[1] AS DOUBLE) * z[2]))
+         |    - list_sum(list_transform(list_zip(w.mu, w.warr),
+         |      z -> z[1] * z[2])) AS xh
          |  FROM aud, w),
          |qa AS (SELECT vec_id, j,
          |    CAST(FLOOR(xh * 1048576.0) AS BIGINT) AS q FROM xh),
