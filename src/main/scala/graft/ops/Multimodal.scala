@@ -527,11 +527,52 @@ object Multimodal {
       3 + ((id * 13 + f.toLong * 7) % 14L).toInt
     def mdatLenFor(id: Long): Int =
       (0 until nFramesFor(id)).map(frameSizeFor(id, _)).sum
-    def mdatByteAt(id: Long, i: Int): Byte = ((id * 131 + i * 17) & 0xFF).toByte
+    /** r18: splitmix-mixed mdat bytes (was linear `id·131 + 17i` —
+      * ids at arithmetic deltas like 252 shared identical frame-size
+      * tables AND near-identical bytes, so the fingerprint audit read
+      * ~530 structural collision pairs beside the 25 planted twins;
+      * the mix makes content id-diverse the way real encoded frames
+      * are). Pure byte arithmetic — every video oracle reads the
+      * BLOB, so no SQL mirror of this formula exists. */
+    def mdatByteAt(id: Long, i: Int): Byte = {
+      var z = id * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L +
+        0xD1B54A32D192ED03L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toByte
+    }
+
+    /** r18 planted video near-duplicates (the [[WavCodec.fpTwinBase]]
+      * discipline): a twin id's SAMPLE TABLE and mdat CONTENT derive
+      * from the base id (id − 64) with mdat byte 0 bumped one step,
+      * while the moov metadata (brand/timescale/duration) stays the
+      * twin's own — a re-muxed copy: same frames, different container
+      * metadata, no shared bytes at fixed offsets. The bump moves only
+      * frame 0's byte-sum and the p=0 polarity anchor, so the
+      * fingerprint hamming vs the base is ≤ 2 by construction (the
+      * anchor step function visits frame 0 in exactly one contour
+      * comparison). */
+    def fpTwinBase(id: Long): Option[Long] =
+      if (id >= 64 && (id / 64) % 2 == 1 && id % 10 == 2) Some(id - 64)
+      else None
+    private def contentSrc(id: Long): Long = fpTwinBase(id).getOrElse(id)
+    /** Content ACTUALLY stored for doc `id` — twin-aware; specs
+      * recompute witnesses through these, never the raw formulas. */
+    def encNFramesFor(id: Long): Int = nFramesFor(contentSrc(id))
+    def encFrameSizeFor(id: Long, f: Int): Int =
+      frameSizeFor(contentSrc(id), f)
+    def encMdatLenFor(id: Long): Int = mdatLenFor(contentSrc(id))
+    def encMdatByteAt(id: Long, i: Int): Byte = {
+      val src = contentSrc(id)
+      val v = mdatByteAt(src, i)
+      if (i == 0 && src != id)
+        (if ((v & 0xFF) == 0xFF) v - 1 else v + 1).toByte
+      else v
+    }
 
     def encode(id: Long): Array[Byte] = {
-      val n = nFramesFor(id)
-      val mdatLen = mdatLenFor(id)
+      val n = encNFramesFor(id)
+      val mdatLen = encMdatLenFor(id)
       val stszLen = 20 + 4 * n
       val stblLen = 8 + stszLen + 20
       val minfLen = 8 + stblLen
@@ -565,7 +606,7 @@ object Multimodal {
       bb.putInt(0) // version 0 + flags
       bb.putInt(0) // sample_size 0 = per-sample sizes follow
       bb.putInt(n)
-      (0 until n).foreach(f => bb.putInt(frameSizeFor(id, f)))
+      (0 until n).foreach(f => bb.putInt(encFrameSizeFor(id, f)))
       bb.putInt(20); fourcc("stco")
       bb.putInt(0) // version 0 + flags
       bb.putInt(1) // entry_count: single chunk
@@ -573,7 +614,7 @@ object Multimodal {
       bb.putInt(8); fourcc("free")
       bb.putInt(8 + mdatLen); fourcc("mdat")
       var i = 0
-      while (i < mdatLen) { bb.put(mdatByteAt(id, i)); i += 1 }
+      while (i < mdatLen) { bb.put(encMdatByteAt(id, i)); i += 1 }
       bb.array()
     }
   }
@@ -760,6 +801,93 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "f_bytes", "byte_sum",
         "first_byte", "last_byte")
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** 32-bit video fingerprint of a demuxable ISO-BMFF container, as
+    * four 8-bit chunks: the frame byte-sum contour from the REAL
+    * stsz/stco sample table ([[Mp4Header.sampleTable]] — same contract
+    * as q_video_frames), resampled to 17 anchor frames → 16
+    * sign-of-delta bits; plus 16 polarity bits of mdat bytes at fixed
+    * fractional positions (b(off0 + f·(L−1) div 15) ≥ 128) — the
+    * [[audioFpChunks]] two-plane design over demuxed frames instead of
+    * PCM windows. Containers whose sample table fails the demux
+    * contract, or with fewer than 2 frames, are refused (fingerprint
+    * undefined — the tiny-asset rule). */
+  private[ops] def videoFpChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    Mp4Header.sampleTable(b).flatMap { case (off0, sizes) =>
+      val nf = sizes.length
+      if (nf < 2) None
+      else {
+        val offs = sizes.scanLeft(off0)(_ + _)
+        val l = sizes.sum
+        val fsum = Array.tabulate(nf) { k =>
+          val o = offs(k).toInt
+          var s = 0L; var i = 0
+          while (i < sizes(k)) { s += (b(o + i) & 0xFF); i += 1 }
+          s
+        }
+        var bits = 0
+        var f = 0
+        while (f < 16) {
+          if (fsum((f + 1) * (nf - 1) / 16) > fsum(f * (nf - 1) / 16))
+            bits |= 1 << f
+          f += 1
+        }
+        f = 0
+        while (f < 16) {
+          if ((b(off0.toInt + f * (l - 1) / 15) & 0xFF) >= 128)
+            bits |= 1 << (16 + f)
+          f += 1
+        }
+        Some((bits & 0xFF, (bits >>> 8) & 0xFF,
+          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF))
+      }
+    }
+
+  /** Video near-duplicate pairs by frame-contour fingerprint — the
+    * third member of the perceptual-dedup family ([[qImagePhash]],
+    * [[qAudioFingerprint]]): a re-muxed clip (same frames, different
+    * container metadata) shares no bytes at fixed offsets, but its
+    * demuxed frame byte-sum contour — and so its [[videoFpChunks]]
+    * code — agrees within a couple of bits. Candidates by 4×8-bit
+    * chunk equality (pigeonhole-exact for ≤ 3), full-Hamming verify.
+    * The fixture plants real re-muxed twins ([[Mp4Codec.fpTwinBase]]:
+    * base sample table + mdat, own moov metadata, one byte bumped);
+    * MultimodalSpec pins every planted pair ≤ hamming 2.
+    *
+    * Scale shape: demux + fingerprint reads |frames| byte extents via
+    * the sample table (never scans past mdat), a narrow map over the
+    * binary column; banded self-join as in the siblings. Hash-gated:
+    * the oracle re-derives the fingerprint from the exported blobs —
+    * the proven q_video_frames box-walk CTEs, then ALL frames' sums,
+    * anchor joins, LEAD-free two-plane bit assembly, band-join
+    * replay. */
+  def qVideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val video = videoTable(spark, dir)
+    graft.OracleExport.export(video, "video", dir)
+    val hashed = video.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          videoFpChunks(bytes).map(c => (id, c._1, c._2, c._3, c._4))
+        }
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+    val bands = hashed.select(col("doc_id"), col("c0"), col("c1"),
+      col("c2"), col("c3"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        col(s"c$c").as("chunk"))): _*)).as("b"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("b.c").as("c"), col("b.chunk").as("chunk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** The session-shared audio table (doc_id, payload). */
@@ -1277,7 +1405,8 @@ object Multimodal {
     "q_audio_features" -> qAudioFeatures _,
     "q_audio_fingerprint" -> qAudioFingerprint _,
     "q_video_meta" -> qVideoMeta _,
-    "q_video_frames" -> qVideoFrames _)
+    "q_video_frames" -> qVideoFrames _,
+    "q_video_fingerprint" -> qVideoFingerprint _)
 
   // DuckDB hex arithmetic over the exported blob (byte offsets 0-based).
   // Every numeric read is zero-padded ('0x0' || hex) so it stays TOTAL: a
@@ -1680,6 +1809,136 @@ object Multimodal {
     // MIN(pos) (DFS pre-order is position-ordered); frame offsets are
     // stsz prefix sums over the single-chunk base, every sampled frame's
     // bytes re-summed from the blob.
+    // Independent video-fingerprint re-derivation: the proven
+    // q_video_frames box-walk/sample-table CTEs, then ALL frames' byte
+    // sums (prefix-sum offsets), the 17-anchor contour bits and 16
+    // polarity bits, and the band-join/Hamming replay.
+    "q_video_fingerprint" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+         |  FROM '${graft.OracleExport.oraclePath("video")}'),
+         |bwalk(doc_id, pos, lim) AS (
+         |  SELECT doc_id, 0, n FROM v WHERE substr(h, 9, 8) = '66747970'
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CAST(CASE g.k WHEN 0 THEN w.pos + ${be32S("w.pos")}
+         |         ELSE w.pos + 8 END AS INT),
+         |    CAST(CASE g.k WHEN 0 THEN w.lim
+         |         ELSE w.pos + ${be32S("w.pos")} END AS INT)
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  JOIN generate_series(0, 1) g(k) ON TRUE
+         |  WHERE w.pos + 8 <= w.lim
+         |    AND ${be32S("w.pos")} >= 8
+         |    AND w.pos + ${be32S("w.pos")} <= w.lim
+         |    AND ((g.k = 0 AND w.pos + ${be32S("w.pos")} + 8 <= w.lim)
+         |      OR (g.k = 1 AND ${fourccS("w.pos + 4")} IN
+         |          ('6D6F6F76', '7472616B', '6D646961',
+         |           '6D696E66', '7374626C')))),
+         |vrefused AS (
+         |  SELECT DISTINCT w.doc_id
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim
+         |    AND (${be32S("w.pos")} < 8
+         |      OR w.pos + ${be32S("w.pos")} > w.lim)),
+         |stszb AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '7374737A'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |stcob AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '7374636F'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |mdatb AS (
+         |  SELECT w.doc_id, MIN(w.pos) AS pos
+         |  FROM bwalk w JOIN v ON v.doc_id = w.doc_id
+         |  WHERE w.pos + 8 <= w.lim AND ${fourccS("w.pos + 4")} = '6D646174'
+         |    AND w.doc_id NOT IN (SELECT doc_id FROM vrefused)
+         |  GROUP BY 1),
+         |acc AS (
+         |  SELECT z.doc_id, z.pos AS zp, m.pos AS mp,
+         |    ${be32S("z.pos + 16")} AS n, ${be32S("c.pos + 16")} AS off0,
+         |    ${be32S("m.pos")} AS msz, v.h
+         |  FROM stszb z JOIN stcob c USING (doc_id)
+         |    JOIN mdatb m USING (doc_id) JOIN v ON v.doc_id = z.doc_id
+         |  WHERE ${be32S("z.pos + 8")} = 0 AND ${be32S("z.pos + 12")} = 0
+         |    AND ${be32S("z.pos + 16")} BETWEEN 1 AND 64
+         |    AND ${be32S("z.pos")} = 20 + 4 * ${be32S("z.pos + 16")}
+         |    AND ${be32S("c.pos + 8")} = 0 AND ${be32S("c.pos + 12")} = 1
+         |    AND ${be32S("c.pos")} = 20),
+         |accx AS (
+         |  SELECT doc_id, n, off0, mp, msz, h,
+         |    list_transform(range(CAST(n AS INT)), i ->
+         |      CAST('0x0' || substr(h, CAST(2 * (zp + 20 + 4 * i) + 1
+         |        AS INT), 8) AS BIGINT)) AS szs
+         |  FROM acc),
+         |okd AS (
+         |  SELECT * FROM accx
+         |  WHERE list_min(szs) >= 1 AND list_max(szs) <= 4096
+         |    AND off0 = mp + 8 AND off0 + list_sum(szs) = mp + msz
+         |    AND n >= 2),
+         |fsum AS (
+         |  SELECT o.doc_id, g.f AS f,
+         |    list_sum(list_transform(range(CAST(o.szs[g.f + 1] AS INT)),
+         |      i -> CAST('0x0' || substr(o.h, CAST(2 * (o.off0
+         |        + COALESCE(list_sum(list_transform(range(g.f),
+         |            j -> o.szs[j + 1])), 0) + i) + 1 AS INT), 2)
+         |        AS BIGINT))) AS s
+         |  FROM okd o
+         |  JOIN generate_series(0, 63) g(f) ON g.f < o.n),
+         |meta AS (
+         |  SELECT doc_id, n AS nf, off0, list_sum(szs) AS l, h
+         |  FROM okd),
+         |bt AS (
+         |  SELECT m.doc_id, g.f AS idx,
+         |    CASE WHEN a2.s > a1.s THEN 1 ELSE 0 END AS bit
+         |  FROM meta m
+         |  CROSS JOIN generate_series(0, 15) g(f)
+         |  JOIN fsum a1 ON a1.doc_id = m.doc_id
+         |    AND a1.f = (g.f * (m.nf - 1)) // 16
+         |  JOIN fsum a2 ON a2.doc_id = m.doc_id
+         |    AND a2.f = ((g.f + 1) * (m.nf - 1)) // 16
+         |  UNION ALL
+         |  SELECT m.doc_id, 16 + g.f AS idx,
+         |    CASE WHEN CAST('0x0' || substr(m.h, CAST(2 * (m.off0
+         |        + (g.f * (m.l - 1)) // 15) + 1 AS INT), 2) AS BIGINT)
+         |      >= 128 THEN 1 ELSE 0 END AS bit
+         |  FROM meta m CROSS JOIN generate_series(0, 15) g(f)),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN idx < 8
+         |      THEN bit * (1 << idx) ELSE 0 END) AS INT) AS c0,
+         |    CAST(SUM(CASE WHEN idx >= 8 AND idx < 16
+         |      THEN bit * (1 << (idx - 8)) ELSE 0 END) AS INT) AS c1,
+         |    CAST(SUM(CASE WHEN idx >= 16 AND idx < 24
+         |      THEN bit * (1 << (idx - 16)) ELSE 0 END) AS INT) AS c2,
+         |    CAST(SUM(CASE WHEN idx >= 24
+         |      THEN bit * (1 << (idx - 24)) ELSE 0 END) AS INT) AS c3
+         |  FROM bt GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS c, c0 AS chunk FROM hsh UNION ALL
+         |  SELECT doc_id, 1, c1 FROM hsh UNION ALL
+         |  SELECT doc_id, 2, c2 FROM hsh UNION ALL
+         |  SELECT doc_id, 3, c3 FROM hsh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(CAST(x.c0 AS BIGINT), CAST(y.c0 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c1 AS BIGINT), CAST(y.c1 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c2 AS BIGINT), CAST(y.c2 AS BIGINT)))
+         |     + bit_count(xor(CAST(x.c3 AS BIGINT), CAST(y.c3 AS BIGINT)))
+         |      AS INT) AS hamming
+         |  FROM cand c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_video_frames" ->
       s"""WITH RECURSIVE v AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n

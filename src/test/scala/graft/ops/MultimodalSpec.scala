@@ -319,20 +319,20 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       val (id, f) = (r.getLong(0), r.getInt(1))
       assert(f % 3 === 0)
-      val sizes = (0 until Multimodal.Mp4Codec.nFramesFor(id))
-        .map(Multimodal.Mp4Codec.frameSizeFor(id, _))
+      val sizes = (0 until Multimodal.Mp4Codec.encNFramesFor(id))
+        .map(Multimodal.Mp4Codec.encFrameSizeFor(id, _))
       val base = sizes.take(f).sum // offset within the mdat payload
       val sz = sizes(f)
       assert(r.getInt(2) === sz, s"id=$id f=$f size")
       val want = (0 until sz)
-        .map(i => (Multimodal.Mp4Codec.mdatByteAt(id, base + i) & 0xFF).toLong)
+        .map(i => (Multimodal.Mp4Codec.encMdatByteAt(id, base + i) & 0xFF).toLong)
       assert(r.getLong(3) === want.sum, s"id=$id f=$f sum")
       assert(r.getInt(4) === want.head.toInt, s"id=$id f=$f first")
       assert(r.getInt(5) === want.last.toInt, s"id=$id f=$f last")
     }
     // every doc contributes ceil(n/3) sampled frames
     rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
-      val n = Multimodal.Mp4Codec.nFramesFor(id)
+      val n = Multimodal.Mp4Codec.encNFramesFor(id)
       assert(rs.length === (n + 2) / 3, s"id=$id frames=${rs.length}")
     }
   }
@@ -573,6 +573,31 @@ class MultimodalSpec extends SparkSpec {
       assert(h.isDefined, s"planted twin pair ($a,$b) missing from output")
       assert(h.get <= 3, s"planted twin pair ($a,$b) hamming ${h.get} > 3")
     }
+  }
+
+  test("q_video_fingerprint finds every planted re-muxed twin within hamming 2") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.01")
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap(id =>
+      Multimodal.Mp4Codec.fpTwinBase(id).map(b => (b, id))).toSet
+    assert(expected.size >= 15, s"only ${expected.size} planted video twins")
+    val out = Multimodal.qVideoFingerprint(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    expected.foreach { case (a, b) =>
+      val h = out.get((a, b))
+      assert(h.isDefined, s"planted twin pair ($a,$b) missing from output")
+      assert(h.get <= 2, s"planted twin pair ($a,$b) hamming ${h.get} > 2")
+    }
+    // a twin's moov metadata stays its OWN (re-mux semantics): duration
+    // differs from the base even though the fingerprint matches
+    val (a0, b0) = expected.head
+    assert(Multimodal.Mp4Codec.durUnitsFor(a0) !=
+      Multimodal.Mp4Codec.durUnitsFor(b0) ||
+      Multimodal.Mp4Codec.timescaleFor(a0) !=
+        Multimodal.Mp4Codec.timescaleFor(b0) ||
+      Multimodal.Mp4Codec.brandFor(a0) != Multimodal.Mp4Codec.brandFor(b0))
   }
 
   test("q_audio_fingerprint finds every planted twin pair within hamming 2") {
