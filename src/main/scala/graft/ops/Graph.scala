@@ -371,14 +371,21 @@ object Graph {
       // keep is consumed three times per round but is a TINY frame:
       // materializing it was A/B'd at sf0.1 and LOST (~+0.5 s/round of
       // write/read against ~-0.2 s of saved recompute) — the
-      // cheap-frame materialization anti-pattern from the invariants
+      // cheap-frame materialization anti-pattern from the invariants.
+      // Its COUNT piggybacks on the materialize job via observe()
+      // (CollectMetrics) instead of a third standalone recompute of the
+      // degree shuffle per round — if the two semi-join branches don't
+      // reuse the exchange and the metric fires twice, both emissions
+      // carry the identical count, so the value is safe either way
+      val obs = org.apache.spark.sql.Observation(s"kcore_keep_$r")
       val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
+        .observe(obs, count(lit(1)).as("n"))
       e = Tables.materialize(
         e.join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
           .select("a", "b"), s"kcore_e$r")
-      rows += ((r, keep.count(), e.count()))
+      rows += ((r, obs.get("n").asInstanceOf[Long], e.count()))
     }
     import spark.implicits._
     rows.result().toDF("round", "n_nodes", "n_edges")
