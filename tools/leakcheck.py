@@ -27,7 +27,10 @@ PUBLIC_URL_OK = re.compile(
     r"maven\.apache\.org|docs\.oracle\.com|openjdk\.org|"
     r"en\.wikipedia\.org|cwiki\.apache\.org|issues\.apache\.org|"
     r"datatracker\.ietf\.org|tools\.ietf\.org|www\.ietf\.org|"
-    r"localhost|127\.0\.0\.1|example\.(com|org)"
+    # RFC 2606 reserves example.com/org INCLUDING subdomains — the
+    # UrlsSpec fixtures use site.example.com precisely because it can
+    # never name a real system
+    r"localhost|127\.0\.0\.1|([a-z0-9-]+\.)*example\.(com|org)"
     r")\b")
 PUBLIC_IMPORT_OK = re.compile(
     r"^(org\.apache\.|scala\b|scala\.|java\.|javax\.|graft\b|graft\.|"
