@@ -390,6 +390,11 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.WavHeader.parse(b)
       Multimodal.Mp4Header.parse(b)
       Cdc.chunks(b) // the chunker too: total, no crash, full coverage
+      // r18: the fingerprint kernels share the parsers' refusal paths
+      // but add grid/anchor arithmetic of their own — same contract
+      Multimodal.BmpPixels.dhashChunks(b)
+      Multimodal.audioFpChunks(b)
+      Multimodal.videoFpChunks(b)
     }
   }
 

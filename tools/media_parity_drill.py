@@ -282,6 +282,61 @@ def main(outdir):
         ("non-PCM tag", lambda b: patch(b, 20, [2, 0])),
     ], "audiofeat")
 
+    # ---- r18 PAIR queries (perceptual fingerprints): a corrupted doc
+    # must vanish from BOTH pair columns (it refuses fingerprinting, so
+    # it can't be a candidate), and pairs between untouched docs must be
+    # byte-identical. Victims are drawn from docs that PARTICIPATE in at
+    # least one baseline pair, so the drill proves disappearance rather
+    # than vacuous absence. ----
+    def drill_pairs(qname, corruptions, tmpname):
+        sql = oracles[qname]
+        g = export_glob(sql)
+        cols, rows = load(g)
+        pi = cols.index("payload")
+        con = duckdb.connect()
+        base_rows = con.execute(sql).fetchall()
+        con.close()
+        participants = ({r[0] for r in base_rows}
+                        | {r[1] for r in base_rows})
+        assert participants, f"{qname}: no baseline pairs to drill"
+        victims = {}
+        pool = [r for r in rows if r[0] in participants]
+        assert len(pool) >= len(corruptions), f"{qname}: no victims"
+        for (what, fn), r in zip(corruptions, pool):
+            r[pi] = fn(bytes(r[pi]))
+            victims[r[0]] = what
+        tmp = f"/tmp/graft-drill-{tmpname}.parquet"
+        write_blobs(tmp, cols, rows)
+        con = duckdb.connect()
+        new_rows = con.execute(rewrite(sql, g, tmp)).fetchall()
+        con.close()
+        for doc, what in victims.items():
+            for r in new_rows:
+                if r[0] == doc or r[1] == doc:
+                    failures.append(f"{qname} doc {doc} ({what}): "
+                                    f"corrupted blob still pairs: {r}")
+        ub = {tuple(r) for r in base_rows
+              if r[0] not in victims and r[1] not in victims}
+        un = {tuple(r) for r in new_rows
+              if r[0] not in victims and r[1] not in victims}
+        if ub != un:
+            failures.append(f"{qname}: untouched pairs changed under drill")
+
+    drill_pairs("q_image_phash", [
+        ("truncated pixel array", lambda b: b[:-1]),
+        ("32-bit pixels", lambda b: patch(b, 28, [32])),
+    ], "phash")
+    drill_pairs("q_audio_fingerprint", [
+        ("lying data-chunk size", lambda b: patch(b, data_at(b) + 7,
+                                                  [0x7F])),
+        ("non-PCM tag", lambda b: patch(b, 20, [2, 0])),
+    ], "audiofp")
+    drill_pairs("q_video_fingerprint", [
+        ("lying stsz count", lambda b: patch(b, stsz_at(b) + 19,
+                                             [b[stsz_at(b) + 19] + 1])),
+        ("truncated mdat", lambda b: b[:-3]),
+    ], "videofp")
+
     if failures:
         print("MEDIA PARITY DRILL FAILED:")
         for f in failures:
