@@ -169,7 +169,9 @@ object Bench {
     // r18: incremental IVF rides the shared centroids + ivfassign table;
     // the terciles ride the shared surprisal table (q_lm_surprisal's
     // prefix is already present)
-    "q_ivf_incremental", "q_quality_terciles")
+    "q_ivf_incremental", "q_quality_terciles",
+    // the phash cluster view rides the shared phashpairs table
+    "q_phash_clusters")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

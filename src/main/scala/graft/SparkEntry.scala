@@ -170,6 +170,7 @@ object SparkEntry {
       "media" -> (() => { // encoded image + audio + video containers,
         // plus the synthetic crawl-log url table (same generator pattern)
         ops.Multimodal.mediaTable(spark, dir)
+        ops.Multimodal.phashPairs(spark, dir) // extends the media line
         ops.Multimodal.audioTable(spark, dir)
         ops.Multimodal.videoTable(spark, dir)
         ops.Urls.urlTable(spark, dir); ()

@@ -1326,29 +1326,66 @@ object Multimodal {
     * sampling, LEAD over grid columns, bit assembly) and replays the
     * band join — no hash export, no circularity. */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, dir)
-    graft.OracleExport.export(media, "media", dir)
-    val hashed = media.as[ImgRow].mapPartitions { rows =>
-      rows.flatMap(r => BmpPixels.dhashChunks(r.payload).map { c =>
-        (r.doc_id, c._1, c._2, c._3, c._4)
-      })
-    }.toDF("doc_id", "c0", "c1", "c2", "c3")
-    val bands = hashed.select(col("doc_id") +: col("c0") +: col("c1") +:
-      col("c2") +: col("c3") +:
-      Seq(explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        col(s"c$c").as("chunk"))): _*)).as("b")): _*)
-      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        col("b.c").as("c"), col("b.chunk").as("chunk"))
-    bands.as("a").join(bands.as("b"),
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
-          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+    graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
+    phashPairs(spark, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Session-shared phash near-dup pair table (doc_a, doc_b, hamming) —
+    * the decode+hash+band-join pipeline of [[qImagePhash]], built once
+    * per corpus version (prewarmed on the media chain — it extends that
+    * chain's dependency line) and consumed by q_image_phash AND
+    * q_phash_clusters. */
+  private[graft] def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "phashpairs", dir) {
+      import spark.implicits._
+      val hashed = mediaTable(spark, dir).as[ImgRow].mapPartitions { rows =>
+        rows.flatMap(r => BmpPixels.dhashChunks(r.payload).map { c =>
+          (r.doc_id, c._1, c._2, c._3, c._4)
+        })
+      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+      val bands = hashed.select(col("doc_id") +: col("c0") +: col("c1") +:
+        col("c2") +: col("c3") +:
+        Seq(explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          col(s"c$c").as("chunk"))): _*)).as("b")): _*)
+        .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("b.c").as("c"), col("b.chunk").as("chunk"))
+      bands.as("a").join(bands.as("b"),
+          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+            "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }
+
+  /** Image duplicate-CLUSTER assignment — the transitive closure of the
+    * phash near-dup relation, the step between pair detection and a
+    * survivor policy that an asset-dedup pipeline cannot skip (near-dup
+    * is not transitive: "keep min of each pair" and "keep one per
+    * connected component" are different policies — text learned this as
+    * q_dup_clusters, this is the image twin). Components via the shared
+    * large-star/small-star contraction ([[Graph.connectedComponents]] —
+    * min-doc_id labels, per-round materialization, O(log n) rounds);
+    * output = every pair participant with its cluster id, cluster size,
+    * and the keep-min survivor flag. Hash-gated: the oracle re-derives
+    * the PAIRS independently (the full q_image_phash blob re-parse) and
+    * closes them with the recursive min-label CTE (the q_dup_clusters
+    * idiom), so the contraction loop is gated against a definitional
+    * closure. Scale shape: CC runs on pair-count rows, never corpus
+    * rows; the pair table is session-shared with q_image_phash. */
+  def qPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
+    val labels = Graph.connectedComponents(
+      phashPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      s"phash:$dir")
+    val sz = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sz, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("csize"),
+        when(col("node") === col("label"), 1).otherwise(0)
+          .cast("int").as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
   }
 
   /** documents.text as binary payloads (media stand-in). */
@@ -1400,6 +1437,7 @@ object Multimodal {
     "q_image_pixels" -> qImagePixels _,
     "q_image_resize" -> qImageResize _,
     "q_image_phash" -> qImagePhash _,
+    "q_phash_clusters" -> qPhashClusters _,
     "q_exif_meta" -> qExifMeta _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
@@ -1452,22 +1490,12 @@ object Multimodal {
   private def tf32(p: String) =
     s"(CASE WHEN big = 1 THEN ${pxBe32("h", p)} ELSE ${pxLe32("h", p)} END)"
 
-  val oracles: Map[String, String] = Map(
-    // Independent BMP pixel-array walk over the exported blobs — see
-    // qImagePixels: the inclusion predicate mirrors the engine's header
-    // rule exactly (24-bit BI_RGB, bounded dims, pixel array in-buffer),
-    // then every pixel byte is read at its computed file offset
-    // (bottom-up vs top-down row order by the SIGNED height, rows padded
-    // to 4 bytes, BGR order) and the channel sums / peak / position-
-    // weighted checksum re-derive what the JDK decoder produced.
-    // Independent dHash re-derivation: the 9×8 grid samples straight
-    // from the BMP pixel array (same bottom-up/stride/BGR walk as
-    // q_image_pixels), bits assemble via LEAD over grid columns, and
-    // the band join + Hamming filter replay in plain integer SQL — the
-    // engine's ImageIO decode and the oracle's byte walk must agree on
-    // all 64 bits of every eligible image or the pair set drifts.
-    "q_image_phash" ->
-      s"""WITH m AS (
+  // Shared CTE chain of the dHash re-derivation (blob walk -> grid
+  // grays -> bits -> chunk codes -> band join -> Hamming) - the
+  // q_image_phash oracle reads `ham` directly; q_phash_clusters closes
+  // the filtered pairs with the recursive min-label CTE.
+  private val phashOracleCtes: String =
+    s"""m AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len
          |  FROM '${graft.OracleExport.oraclePath("media")}'
          |  WHERE octet_length(payload) >= 54
@@ -1532,9 +1560,48 @@ object Multimodal {
          |      AS INT) AS hamming
          |  FROM cand c
          |  JOIN hsh x ON x.doc_id = c.doc_a
-         |  JOIN hsh y ON y.doc_id = c.doc_b)
+         |  JOIN hsh y ON y.doc_id = c.doc_b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Independent BMP pixel-array walk over the exported blobs — see
+    // qImagePixels: the inclusion predicate mirrors the engine's header
+    // rule exactly (24-bit BI_RGB, bounded dims, pixel array in-buffer),
+    // then every pixel byte is read at its computed file offset
+    // (bottom-up vs top-down row order by the SIGNED height, rows padded
+    // to 4 bytes, BGR order) and the channel sums / peak / position-
+    // weighted checksum re-derive what the JDK decoder produced.
+    // Independent dHash re-derivation: the 9×8 grid samples straight
+    // from the BMP pixel array (same bottom-up/stride/BGR walk as
+    // q_image_pixels), bits assemble via LEAD over grid columns, and
+    // the band join + Hamming filter replay in plain integer SQL — the
+    // engine's ImageIO decode and the oracle's byte walk must agree on
+    // all 64 bits of every eligible image or the pair set drifts.
+    "q_image_phash" ->
+      s"""WITH $phashOracleCtes
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // Definitional closure of the independently re-derived pair set:
+    // recursive min-label reach over the symmetrized edges (the
+    // q_dup_clusters idiom) gates the engine's star-contraction CC.
+    "q_phash_clusters" ->
+      s"""WITH RECURSIVE $phashOracleCtes,
+         |pr AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |sz AS (SELECT label, COUNT(*) AS csize FROM cc GROUP BY label)
+         |SELECT cc.node AS doc_id, CAST(cc.label AS BIGINT) AS cluster_id,
+         |  CAST(sz.csize AS BIGINT) AS csize,
+         |  CAST(CASE WHEN cc.node = cc.label THEN 1 ELSE 0 END AS INT)
+         |    AS is_survivor
+         |FROM cc JOIN sz ON sz.label = cc.label
+         |ORDER BY cluster_id, doc_id""".stripMargin,
     "q_image_pixels" ->
       s"""WITH m AS (
          |  SELECT doc_id, hex(payload) AS h, octet_length(payload) AS len

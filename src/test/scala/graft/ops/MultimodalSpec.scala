@@ -605,6 +605,34 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Mp4Codec.brandFor(a0) != Multimodal.Mp4Codec.brandFor(b0))
   }
 
+  test("q_phash_clusters: clusters are the pair closure, survivor = min doc") {
+    val dir = sf("sf0.01")
+    val pairs = Multimodal.qImagePhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Multimodal.qPhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // brute-force union-find closure of the pair set == the CC labeling
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(d => d -> find(d)).toMap
+    assert(rows.length == members.length,
+      s"${rows.length} rows vs ${members.length} pair participants")
+    rows.foreach { case (doc, label, csize, surv) =>
+      assert(label == expect(doc), s"doc $doc: label $label != closure")
+      assert(csize == expect.values.count(_ == label).toLong, s"doc $doc size")
+      assert((surv == 1) == (doc == label), s"doc $doc survivor flag")
+    }
+  }
+
   test("q_audio_fingerprint finds every planted twin pair within hamming 2") {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.01")
