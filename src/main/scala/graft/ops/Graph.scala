@@ -37,23 +37,38 @@ object Graph {
       maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     val cols = edges.columns
+    // per-round convergence checksums ride the materialize WRITE job via
+    // observe() (the q_kcore CollectMetrics trim: one action per round,
+    // not two — the metric may fire once per consuming action, but every
+    // emission carries the identical value, so reading any one is safe)
+    def matChecked(df: DataFrame, mtag: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = Tables.materialize(
+        df.observe(obs, count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(hi, lo))").as("h")), mtag)
+      (out, awaitMetrics(obs) match {
+        case Some(m) =>
+          (m("n").asInstanceOf[Long],
+            Option(m("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
+        case None => checksum(out)
+      })
+    }
     // canonical (hi, lo) pairs, lo < hi, dedup'd
-    var e = Tables.materialize(
+    var (e, prev) = matChecked(
       edges.select(
           greatest(col(cols(0)), col(cols(1))).as("hi"),
           least(col(cols(0)), col(cols(1))).as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct(),
       s"cc-$tag-0")
-    var prev = checksum(e)
     var it = 0
     var converged = prev._1 == 0L
     while (!converged) {
       it += 1
       if (it > maxIter) throw new IllegalStateException(
         s"connectedComponents($tag) did not converge in $maxIter rounds")
-      e = Tables.materialize(smallStar(largeStar(e)), s"cc-$tag-${it % 2}")
-      val cur = checksum(e)
+      val (e2, cur) = matChecked(smallStar(largeStar(e)), s"cc-$tag-${it % 2}")
+      e = e2
       converged = cur == prev
       prev = cur
     }
@@ -63,9 +78,32 @@ object Graph {
       .distinct()
   }
 
-  /** (count, order-independent hash) of the canonical edge set — one cheap
-    * action per round; equality with the previous round's pair means the
-    * star rounds changed nothing, i.e. fixpoint. */
+  /** Bounded wait for an [[org.apache.spark.sql.Observation]]'s metrics.
+    * The feeding action has ALWAYS completed before this is called, so
+    * the normal case returns in milliseconds (listener-bus delivery lag
+    * only); None means the metric will NEVER fire — AQE empty-relation
+    * propagation can prune or cancel a CollectMetrics subtree whose
+    * input is empty (r18 ADVICE: an unbounded Observation.get would
+    * hang Verify/Bench indefinitely there). Callers fall back to
+    * recomputing the value with a plain action. */
+  private def awaitMetrics(
+      obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] =
+    try {
+      // obs.future is the public completion handle (get/getOrEmpty are
+      // private[sql] on Spark 4.1); 10 s bounds listener-bus lag without
+      // risking a forever-hang on a pruned CollectMetrics
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(10, "s"))
+      Some(row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n -> row.get(i)
+      }.toMap)
+    } catch {
+      case _: java.util.concurrent.TimeoutException => None
+    }
+
+  /** (count, order-independent hash) of the canonical edge set — the
+    * FALLBACK recompute when the observed metrics never arrive; the hot
+    * path reads the same aggregates off the materialize job. */
   private def checksum(e: DataFrame): (Long, Long) = {
     // bit_xor, not sum: order-independent like sum but cannot overflow
     // (ANSI mode makes a long-sum of 2^63-scale hashes throw)
@@ -376,16 +414,23 @@ object Graph {
       // (CollectMetrics) instead of a third standalone recompute of the
       // degree shuffle per round — if the two semi-join branches don't
       // reuse the exchange and the metric fires twice, both emissions
-      // carry the identical count, so the value is safe either way
+      // carry the identical count, so the value is safe either way.
+      // The read is BOUNDED (awaitMetrics): on a degenerate empty round
+      // AQE can prune the observed subtree so the metric never fires —
+      // fall back to recomputing the count (r18 ADVICE item).
       val obs = org.apache.spark.sql.Observation(s"kcore_keep_$r")
       val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
-        .observe(obs, count(lit(1)).as("n"))
+      val observed = keep.observe(obs, count(lit(1)).as("n"))
       e = Tables.materialize(
-        e.join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+        e.join(observed.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+          .join(observed.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
           .select("a", "b"), s"kcore_e$r")
-      rows += ((r, obs.get("n").asInstanceOf[Long], e.count()))
+      val nKeep = awaitMetrics(obs) match {
+        case Some(m) => m("n").asInstanceOf[Long]
+        case None => keep.count()
+      }
+      rows += ((r, nKeep, e.count()))
     }
     import spark.implicits._
     rows.result().toDF("round", "n_nodes", "n_edges")

@@ -615,6 +615,69 @@ object Vectors {
       .orderBy("cid")
   }
 
+  /** Versioned PUBLICATION of the vector-index artifacts through the
+    * transactional shard store — the lakehouse index-lifecycle shape:
+    * snapshot v1 = the IVF quantizer as built (one row per centroid),
+    * snapshot v2 = the same centroids PLUS refreshed per-inverted-list
+    * population stats after assignment (the input to
+    * [[qIvfIncremental]]'s re-train decision, now versioned at a
+    * manifest publish point). Both snapshots are read back `AS OF`
+    * their manifests AFTER v2 exists, so v1's witnesses passing the
+    * oracle proves the pinned index version is byte-stable under later
+    * commits — exactly what an ANN serving tier pinned to index
+    * version N needs while version N+1 trains and publishes.
+    *
+    * Witness design: centroid payloads are comma-joined double strings
+    * (Spark's double→string cast is shortest-roundtrip, so the engine's
+    * parse-back is bit-exact), quantized per row to
+    * Σ_j floor(c_j · 2²⁰) so the oracle recomputes identical integers
+    * straight from the ivfcent export; stats rows (ids offset by 1000)
+    * witness as Σ doc_id · n — a count on the wrong list breaks it —
+    * with the assignment itself replayed by the oracle's argmin CTE
+    * (the q_ivf_incremental discipline; no assignment export). Scale
+    * shape: both snapshots are nlist-sized artifacts (bounded driver
+    * scalars), the stats aggregate is one nlist-keyed hash agg over the
+    * session-shared assignment table. */
+  def qIndexAsof(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
+      pqKey(spark))
+    val out =
+      java.nio.file.Files.createTempDirectory("graft-indexasof").toString
+    graft.Tables.registerTempDir(s"indexasof:$out", out)
+    val centRows = centsDf(spark, cents)
+      .select(col("cid").cast("long").as("doc_id"),
+        concat_ws(",", col("vals").cast("array<string>")).as("payload"))
+    // v1: the index structure as built
+    centRows.repartition(2, col("doc_id"))
+      .write.format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    // v2: structure + per-list population stats (single keyspace — the
+    // stats rows live at cid + 1000)
+    val stats = ivfAssigned(spark, dir).groupBy("cid")
+      .agg(count(lit(1)).as("n"))
+      .select((col("cid") + 1000L).cast("long").as("doc_id"),
+        col("n").cast("string").as("payload"))
+    centRows.unionByName(stats).repartition(2, col("doc_id"))
+      .write.format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    def wit(v: Int): DataFrame =
+      graft.sources.ShardStoreSink.readAsOf(spark, out, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          sum(when(col("doc_id") < 1000L,
+            expr("aggregate(transform(split(payload, ','), x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)), " +
+              "0L, (acc, x) -> acc + x)")).otherwise(0L))
+            .cast("bigint").as("cent_q"),
+          sum(when(col("doc_id") >= 1000L,
+            col("doc_id") * expr("CAST(payload AS BIGINT)")).otherwise(0L))
+            .cast("bigint").as("stat_wsum"))
+        .select(lit(v).as("version"), col("n_rows"), col("id_sum"),
+          col("cent_q"), col("stat_wsum"))
+    wit(1).unionByName(wit(2)).orderBy("version")
+  }
+
   private[graft] def rankTop3(cands: DataFrame, native: Boolean): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
     if (native) {
@@ -1088,13 +1151,18 @@ object Vectors {
     * packed-xor-popcount must equal it bit for bit) and both rerank
     * stages via the proven sim CTE. Single final aggregation (no
     * scalar cross-join, stays off the BNLJ list). */
-  /** 64 sign bits packed into one BIGINT per vector — shared by
-    * [[qHammingRerank]] and [[qRankCorr]]. */
-  private def signCodes(spark: SparkSession, dir: String): DataFrame =
-    sharedEmb(spark, dir).select(col("vec_id"), expr(
-      """aggregate(transform(sequence(0, 63), i ->
-        |  IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
-        |0L, (a, x) -> a + x)""".stripMargin).as("code"))
+  /** 64 sign bits packed into one BIGINT per vector — consumed by
+    * [[qHammingRerank]], [[qRrfFusion]] AND [[qRankCorr]]. Session-shared
+    * and prewarmed (r19 trim): the packing is an INTERPRETED HOF fold
+    * over every embedding (the r17 per-row-UDF cost class), so three
+    * queries re-deriving it per run paid it three times; as a
+    * corpus-version artifact it is one 9-byte row per vector. */
+  private[graft] def signCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "signcodes", dir)(
+      sharedEmb(spark, dir).select(col("vec_id"), expr(
+        """aggregate(transform(sequence(0, 63), i ->
+          |  IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
+          |0L, (a, x) -> a + x)""".stripMargin).as("code")))
 
   def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
@@ -2661,6 +2729,7 @@ object Vectors {
     "q_emb_quantize" -> qEmbQuantize _,
     "q_cosine_ivf" -> qCosineIvf _,
     "q_ivf_incremental" -> qIvfIncremental _,
+    "q_index_asof" -> qIndexAsof _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_retrieval_mrr" -> qRetrievalMrr _,
     "q_cosine_neardup" -> qCosineNeardup _,
@@ -2778,6 +2847,49 @@ object Vectors {
          |    ELSE CAST((10000 * se_batch * n_base) //
          |      (se_base * n_batch) AS BIGINT) END AS drift_bp
          |FROM g ORDER BY cid""".stripMargin,
+    // Snapshot witnesses re-derived from the ivfcent export: v1 = the
+    // centroid rows (count/id-sum/quantized component checksum), v2
+    // additionally replays the ARGMIN assignment (the q_ivf_incremental
+    // CTE) to rebuild the per-list population stats the second snapshot
+    // published — so both the pinned historical read AND the stats
+    // refresh are independently derived.
+    "q_index_asof" ->
+      s"""WITH cent AS (SELECT cid, vals
+         |  FROM '${graft.OracleExport.oraclePath("ivfcent")}'),
+         |cfl AS (SELECT cid,
+         |    list_transform(vals, v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS cf,
+         |    list_sum(list_transform(vals, v -> v * v)) AS cnorm2
+         |  FROM cent),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2
+         |  FROM e),
+         |d AS (SELECT e.vec_id, c.cid,
+         |    (n.norm2 + c.cnorm2) - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c.cf),
+         |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS d2
+         |  FROM e JOIN n ON n.vec_id = e.vec_id CROSS JOIN cfl c),
+         |best AS (SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+         |cnt AS (SELECT cid, COUNT(*) AS n FROM best WHERE rk = 1
+         |  GROUP BY cid),
+         |cq AS (SELECT CAST(SUM(q) AS BIGINT) AS cent_q FROM (
+         |  SELECT list_sum(list_transform(vals,
+         |    v -> CAST(floor(v * 1048576.0) AS BIGINT))) AS q FROM cent) z)
+         |SELECT 1 AS version,
+         |  (SELECT COUNT(*) FROM cent) AS n_rows,
+         |  (SELECT CAST(SUM(cid) AS BIGINT) FROM cent) AS id_sum,
+         |  (SELECT cent_q FROM cq) AS cent_q,
+         |  CAST(0 AS BIGINT) AS stat_wsum
+         |UNION ALL
+         |SELECT 2 AS version,
+         |  (SELECT COUNT(*) FROM cent) + (SELECT COUNT(*) FROM cnt)
+         |    AS n_rows,
+         |  (SELECT CAST(SUM(cid) AS BIGINT) FROM cent)
+         |    + (SELECT CAST(SUM(1000 + cid) AS BIGINT) FROM cnt) AS id_sum,
+         |  (SELECT cent_q FROM cq) AS cent_q,
+         |  (SELECT CAST(SUM((1000 + cid) * n) AS BIGINT) FROM cnt)
+         |    AS stat_wsum
+         |ORDER BY version""".stripMargin,
     // Margin replay over the exported LSH candidate set — see
     // qBitextMining: top-3 neighborhood means via list_sum(list_sort(...))
     // (sequential fold over the sorted doubles = Spark's

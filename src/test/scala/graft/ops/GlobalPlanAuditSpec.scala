@@ -35,6 +35,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
                            // scalar join can't become an equi hash join)
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
     "q_neardup_incremental", // same 1-row cut, minhash-index sibling
+    "q_phash_incremental", // same 1-row cut, perceptual-index sibling
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
     "q_ann_recall_curve", // same bounded 20-query brute-force truth side
     "q_ann_filtered", // bounded 64-query broadcast truth pass of the

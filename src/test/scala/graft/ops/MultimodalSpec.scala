@@ -649,4 +649,79 @@ class MultimodalSpec extends SparkSpec {
       assert(h.get <= 2, s"planted twin pair ($a,$b) hamming ${h.get} > 2")
     }
   }
+
+  test("q_phash_incremental: batch-vs-index probe finds straddling twins") {
+    val dir = sf("sf0.01")
+    // recompute the cut from the HASHED set, exactly as the query does
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val hashed = ids.filter(id =>
+      Multimodal.BmpPixels.dhashChunks(Multimodal.ImageCodec.encode(id)).isDefined)
+    val cut = hashed.max * 4 / 5
+    val rows = Multimodal.qPhashIncremental(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows.nonEmpty, "no batch-vs-index collisions at all")
+    rows.foreach { case ((b, i), h) =>
+      assert(b > cut && i <= cut, s"pair ($b,$i) violates the batch/index cut")
+      assert(h <= 3, s"pair ($b,$i) hamming $h > 3")
+    }
+    // every planted twin that STRADDLES the cut (twin arrives in the
+    // batch, base already indexed) must surface — the production case
+    val straddling = ids.flatMap(id =>
+      Multimodal.ImageCodec.phashTwinBase(id).map(b => (id, b)))
+      .filter { case (t, b) => t > cut && b <= cut }
+    assert(straddling.nonEmpty, "fixture has no cut-straddling image twins")
+    straddling.foreach { case (t, b) =>
+      assert(rows.contains((t, b)), s"straddling twin ($t,$b) missed")
+    }
+  }
+
+  test("q_media_keepbest: closure per modality, survivor = max quality") {
+    val dir = sf("sf0.01")
+    val rows = Multimodal.qMediaKeepbest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._1 == "audio") && rows.exists(_._1 == "video"),
+      "both modalities must contribute clusters")
+    for (mod <- Seq("audio", "video")) {
+      val pairs = (if (mod == "audio") Multimodal.qAudioFingerprint(spark, dir)
+        else Multimodal.qVideoFingerprint(spark, dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // brute-force union-find closure (the q_phash_clusters spec idiom)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = members.map(d => d -> find(d)).toMap
+      // independent quality recompute straight from the codecs
+      def quality(id: Long): Long =
+        if (mod == "audio") {
+          val (ch, xs) =
+            Multimodal.WavHeader.pcmSamples(Multimodal.WavCodec.encode(id)).get
+          (xs.length / ch).toLong
+        } else
+          Multimodal.Mp4Header.sampleTable(Multimodal.Mp4Codec.encode(id))
+            .get._2.length.toLong
+      val mrows = rows.filter(_._1 == mod)
+      assert(mrows.length == members.length,
+        s"$mod: ${mrows.length} rows vs ${members.length} pair participants")
+      mrows.foreach { case (_, doc, label, csize, q, best) =>
+        assert(label == expect(doc), s"$mod doc $doc: label != closure")
+        assert(csize == expect.values.count(_ == label).toLong,
+          s"$mod doc $doc csize")
+        assert(q == quality(doc), s"$mod doc $doc quality $q")
+        val cluster = members.filter(expect(_) == label)
+        val want = cluster.map(d => (-quality(d), d)).min._2
+        assert((best == 1) == (doc == want), s"$mod doc $doc survivor flag")
+      }
+    }
+  }
 }

@@ -142,6 +142,31 @@ class ShardSinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ShardStoreSink.vacuum(out, 0) }
   }
 
+  test("q_index_asof: pinned index snapshot is exact while v2 exists") {
+    val dir = sf("sf0.001")
+    val rows = graft.ops.Vectors.qIndexAsof(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2))
+    val Array(v1, v2) = rows
+    // the pinned v1 read returns exactly the quantizer as built: its
+    // quantized component checksum must equal a driver-side recompute
+    // straight from the trained centroid array
+    val cents = graft.ops.Vectors.ivfCentroids(spark, dir)
+    val wantQ = cents.map(_.map(v =>
+      math.floor(v * 1048576.0).toLong).sum).sum
+    assert(v1._2 === cents.length.toLong, "v1 row per centroid")
+    assert(v1._3 === (0 until cents.length).map(_.toLong).sum, "v1 id sum")
+    assert(v1._4 === wantQ, "v1 quantized centroid checksum")
+    assert(v1._5 === 0L, "v1 has no stats rows")
+    // v2 = same centroids + per-list stats: centroid checksum identical
+    // (the old snapshot's content is byte-stable), stats weighted sum
+    // covers every embedding exactly once
+    assert(v2._4 === wantQ, "v2 centroid rows drifted from v1")
+    assert(v2._2 > v1._2, "v2 must add stats rows")
+    assert(v2._5 > 0L, "v2 stats witness empty")
+  }
+
   test("a failed job publishes NOTHING (no manifest)") {
     val out = freshDir()
     val alwaysFail = docs.map { r =>
