@@ -100,6 +100,21 @@ object SparkEntry {
       "surprisal" -> (() => {
         ops.TextOps.surprisalScores(spark, dir); ()
       }),
+      // r19: corpus-stats artifacts that were per-invocation
+      // materializes (every bench pass re-paid a corpus tokenize):
+      // per-lang token counts (both budget planners), the DSIR
+      // (doc, bucket) bigram-count model, and the candidate-restricted
+      // tf-idf weight table (waits on the dedup chain's lshcand +
+      // postings' tfPostings through their shared holders)
+      "langstats" -> (() => {
+        ops.Sampling.langTokenCounts(spark, dir); ()
+      }),
+      "dsir" -> (() => {
+        ops.Sampling.dsirPerDoc(spark, dir); ()
+      }),
+      "lexw" -> (() => {
+        ops.Similarity.lexWeights(spark, dir); ()
+      }),
       // the planted calibration fixtures' quantizers/codebooks/rotation
       // are corpus-independent but share nothing with the "ivf" chain —
       // built here so q_pq_planted/q_opq_recall's timed runs pay

@@ -366,29 +366,33 @@ object Similarity {
     * the shared [[TextOps.tfPostings]] index; the numerator join
     * touches only candidate pairs' postings (token-keyed equi-joins,
     * never all-pairs); output is pairs with cosine ≥ 0.5. */
-  def qLexCosine(spark: SparkSession, dir: String): DataFrame = {
-    val tf = TextOps.tfPostings(spark, dir)
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nd = Tables(spark, dir, "documents")
-      .agg(count(lit(1)).as("n_docs"))
-    val cand = lshCandidates(spark, dir)
-    // only candidate docs are ever scored — restrict the weighted
-    // postings BEFORE the norm folds (df stays corpus-wide: idf is a
-    // corpus statistic), so the per-doc collect_list+sort folds run
-    // over candidate docs, not the whole corpus
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .unionByName(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    // w is consumed FOUR times (both norm sides + both numerator
-    // sides) — materialize it or every consumer re-runs the whole
-    // postings/df/semi-join pipeline (4 BNLJ instances in the
-    // unmaterialized plan; the CLAUDE multi-consumer rule)
-    val w = Tables.materialize(
+  /** tf-idf weighted postings restricted to LSH-candidate docs — a
+    * corpus-version artifact (r19: session-shared + prewarmed; it was a
+    * per-invocation materialize, so every run re-derived the
+    * postings/df/semi-join pipeline). Only candidate docs are ever
+    * scored — the weighted postings restrict BEFORE the norm folds (df
+    * stays corpus-wide: idf is a corpus statistic); the table is
+    * consumed FOUR times by q_lex_cosine (both norm sides + both
+    * numerator sides). */
+  private[graft] def lexWeights(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "lexw", dir) {
+      val tf = TextOps.tfPostings(spark, dir)
+      val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = Tables(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val cand = lshCandidates(spark, dir)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id")))
+        .distinct()
       tf.join(candDocs, "doc_id")
         .join(dfT, "token").crossJoin(broadcast(nd))
         .select(col("doc_id"), col("token"),
-          (col("tf").cast("double") * col("n_docs") / col("df")).as("w")),
-      s"lexw:$dir")
+          (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    }
+
+  def qLexCosine(spark: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(spark, dir)
+    val w = lexWeights(spark, dir)
     val norms = w.groupBy("doc_id")
       .agg(expr(
         """aggregate(transform(array_sort(collect_list(struct(token, w))),
