@@ -173,11 +173,13 @@ object Bench {
     // the phash cluster view rides the shared phashpairs table; r19:
     // the incremental probe rides the shared phashcodes index, and the
     // media keep-best rides the audio/video fingerprint pair+code tables
-    "q_phash", "q_media_keepbest", "q_index_asof",
+    "q_phash", "q_media_keepbest", "q_index_asof", "q_index_vacuum",
     // r19 corpus-stats shares: both budget planners ride langtok, the
-    // DSIR selector rides dsirpd (q_dsir_select's prefix is already
-    // present via q_dsir), waterfill rides langtok
-    "q_token_budget", "q_mix_waterfill", "q_dsir_select")
+    // DSIR selector rides dsirpd, waterfill rides langtok
+    "q_token_budget", "q_mix_waterfill", "q_dsir_select",
+    // r20: the incremental cluster merge rides phashcchist + phashpairs
+    // (q_image_keepbest is covered by the "q_image" prefix above)
+    "q_cc_incremental")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

@@ -201,6 +201,8 @@ object SparkEntry {
         // survivor joins
         ops.Multimodal.phashCcLabels(spark, dir)
         ops.Multimodal.mediaCcLabels(spark, dir)
+        // r20: the history-side labeling q_cc_incremental merges against
+        ops.Multimodal.phashCcHistLabels(spark, dir)
         ops.Urls.urlTable(spark, dir); ()
       }),
       "partitioned" -> (() => { // hive-partitioned documents layout

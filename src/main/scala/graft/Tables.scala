@@ -154,6 +154,25 @@ object Tables {
     matDirs.put(tag, dir); ()
   }
 
+  /** Like [[registerTempDir]] but with the materialize-style per-tag GC:
+    * re-registering the SAME tag deletes the previous invocation's dir
+    * immediately instead of leaking it until JVM exit. For per-invocation
+    * scratch stores rebuilt by repeated bench/verify passes (the
+    * q_index_asof snapshot dirs). Same concurrency contract as
+    * materialize: the tag must be dir-qualified and never shared across
+    * registered queries. */
+  private[graft] def registerReplacingTempDir(tag: String, dir: String): Unit = {
+    matCleanup
+    val prev = matDirs.put(tag, dir)
+    if (prev != null && prev != dir) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(prev)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, true); ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   // ---- prewarm disk cache (bench-only, see Bench.scala) --------------
   // Shared materializations and driver-held training arrays are
   // DETERMINISTIC per (builder code, fixture content, knob key) — the

@@ -812,8 +812,12 @@ object Multimodal {
     * [[audioFpChunks]] two-plane design over demuxed frames instead of
     * PCM windows. Containers whose sample table fails the demux
     * contract, or with fewer than 2 frames, are refused (fingerprint
-    * undefined — the tiny-asset rule). */
-  private[ops] def videoFpChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    * undefined — the tiny-asset rule). The fifth element is the demuxed
+    * frame count — the decoded-quality signal [[qMediaKeepbest]] ranks
+    * by, returned here so [[videoFpCodes]] never re-runs the sample
+    * table walk just to read it. */
+  private[ops] def videoFpChunks(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
     Mp4Header.sampleTable(b).flatMap { case (off0, sizes) =>
       val nf = sizes.length
       if (nf < 2) None
@@ -840,7 +844,7 @@ object Multimodal {
           f += 1
         }
         Some((bits & 0xFF, (bits >>> 8) & 0xFF,
-          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF))
+          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF, nf.toLong))
       }
     }
 
@@ -878,10 +882,7 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions { rows =>
           rows.flatMap { case (id, bytes) =>
-            videoFpChunks(bytes).map { c =>
-              val nf = Mp4Header.sampleTable(bytes).get._2.length.toLong
-              (id, c._1, c._2, c._3, c._4, nf)
-            }
+            videoFpChunks(bytes).map(c => (id, c._1, c._2, c._3, c._4, c._5))
           }
         }.toDF("doc_id", "c0", "c1", "c2", "c3", "quality")
     }
@@ -992,8 +993,12 @@ object Multimodal {
     * ~8+ bits apart while a one-LSB twin still flips ≤ 2 bits total.
     * Refusals: non-PCM containers (pcmSamples' format-tag rule) and
     * n < 8 per-channel samples (grid undefined — the tiny-image rule's
-    * audio twin). */
-  private[ops] def audioFpChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    * audio twin). The fifth element is the per-channel PCM frame count —
+    * the decoded-quality signal [[qMediaKeepbest]] ranks by, returned
+    * here so [[audioFpCodes]] never re-runs the PCM decode just to read
+    * it. */
+  private[ops] def audioFpChunks(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
     WavHeader.pcmSamples(b).flatMap { case (ch, xs) =>
       val n = xs.length / ch
       if (n < 8) None
@@ -1013,7 +1018,7 @@ object Multimodal {
           f += 1
         }
         Some((bits & 0xFF, (bits >>> 8) & 0xFF,
-          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF))
+          (bits >>> 16) & 0xFF, (bits >>> 24) & 0xFF, n.toLong))
       }
     }
 
@@ -1049,10 +1054,7 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions { rows =>
           rows.flatMap { case (id, bytes) =>
-            audioFpChunks(bytes).map { c =>
-              val (ch, xs) = WavHeader.pcmSamples(bytes).get
-              (id, c._1, c._2, c._3, c._4, (xs.length / ch).toLong)
-            }
+            audioFpChunks(bytes).map(c => (id, c._1, c._2, c._3, c._4, c._5))
           }
         }.toDF("doc_id", "c0", "c1", "c2", "c3", "quality")
     }
@@ -1253,8 +1255,13 @@ object Multimodal {
       * into a near-clique hot bucket (fingerprints are undefined below
       * grid resolution — tiny assets belong to exact dedup). Heights
       * below 8 sample rows with repetition like any dHash downscale —
-      * harmless, since bits compare horizontally within a row. */
-    def dhashChunks(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      * harmless, since bits compare horizontally within a row. The
+      * fifth element is the decoded pixel count W·H — the image
+      * quality signal [[qImageKeepbest]]'s survivor policy ranks by
+      * (same dims the header declares: [[accepts]] guarantees the JDK
+      * decode agrees), carried on the code so the shared
+      * [[phashCodes]] table is also the quality source. */
+    def dhashChunks(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
       if (!accepts(b)) None
       else {
         val img = javax.imageio.ImageIO.read(
@@ -1278,7 +1285,8 @@ object Multimodal {
             y += 1
           }
           Some(((bits & 0xFFFF).toInt, ((bits >>> 16) & 0xFFFF).toInt,
-            ((bits >>> 32) & 0xFFFF).toInt, ((bits >>> 48) & 0xFFFF).toInt))
+            ((bits >>> 32) & 0xFFFF).toInt, ((bits >>> 48) & 0xFFFF).toInt,
+            w.toLong * h))
         }
       }
     }
@@ -1375,18 +1383,19 @@ object Multimodal {
     Tables.materializeSharedBy(spark, "phashpairs", dir)(
       bandedHammingPairs(phashCodes(spark, dir), 3))
 
-  /** Session-shared dHash code table (doc_id, c0..c3; 4×16-bit chunks of
-    * the 64-bit code) — the fingerprint INDEX: built once per corpus
-    * version, consumed by [[phashPairs]]'s full self-join AND
-    * [[qPhashIncremental]]'s batch probe. */
+  /** Session-shared dHash code table (doc_id, c0..c3, quality; 4×16-bit
+    * chunks of the 64-bit code, quality = decoded pixel count W·H) —
+    * the fingerprint INDEX: built once per corpus version, consumed by
+    * [[phashPairs]]'s full self-join, [[qPhashIncremental]]'s batch
+    * probe, and [[qImageKeepbest]]'s survivor ranking. */
   private[graft] def phashCodes(spark: SparkSession, dir: String): DataFrame =
     Tables.materializeSharedBy(spark, "phashcodes", dir) {
       import spark.implicits._
       mediaTable(spark, dir).as[ImgRow].mapPartitions { rows =>
         rows.flatMap(r => BmpPixels.dhashChunks(r.payload).map { c =>
-          (r.doc_id, c._1, c._2, c._3, c._4)
+          (r.doc_id, c._1, c._2, c._3, c._4, c._5)
         })
-      }.toDF("doc_id", "c0", "c1", "c2", "c3")
+      }.toDF("doc_id", "c0", "c1", "c2", "c3", "quality")
     }
 
   /** Incremental PERCEPTUAL dedup — the media rung of the incremental
@@ -1525,6 +1534,94 @@ object Multimodal {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Image duplicate clusters with the KEEP-BEST survivor policy —
+    * [[qMediaKeepbest]]'s third modality (the asset pipeline keeps the
+    * highest-RESOLUTION member of each near-dup cluster, not an id
+    * accident): within each transitively-closed phash cluster, the
+    * survivor is the member with the largest decoded pixel count W·H
+    * (the quality column [[phashCodes]] carries from the accepted-BMP
+    * header, which [[BmpPixels.accepts]] guarantees equals the JDK
+    * decode's dims), ties to the smaller doc_id. Rides the prewarmed
+    * [[phashCcLabels]] closure + the shared code table, so the timed
+    * run pays one size join and one bounded per-cluster window.
+    * Hash-gated end to end: the oracle re-derives the pair set from
+    * the exported blobs (the full dHash re-derivation), closes it with
+    * the MATERIALIZED recursive min-label CTE, reads quality straight
+    * from the blobs' headers, and replays the argmax. */
+  def qImageKeepbest(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
+    val labels = phashCcLabels(spark, dir)
+    val sz = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    val qual = phashCodes(spark, dir)
+      .select(col("doc_id").as("node"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(desc("quality"), asc("node"))
+    labels.join(sz, "label").join(qual, "node")
+      .withColumn("rk", row_number().over(w))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("csize"), col("quality"),
+        when(col("rk") === 1, 1).otherwise(0).cast("int").as("is_best"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Session-shared HISTORY-side phash cluster labeling (node, label):
+    * the CC closure over only the pairs whose BOTH endpoints sit at or
+    * below the integer 4/5 id cut (the incremental family's batch
+    * boundary — [[qPhashIncremental]]). This is the index artifact
+    * [[qCcIncremental]] maintains against: at 100 TB the labeling of
+    * yesterday's corpus is a stored table, never recomputed per
+    * ingest. */
+  private[graft] def phashCcHistLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "phashcchist", dir) {
+      // bounded driver scalar (one max over the nlist-free code table)
+      val cut = phashCodes(spark, dir)
+        .agg(expr("max(doc_id) * 4 div 5").as("cut")).head.getLong(0)
+      Graph.connectedComponents(
+        phashPairs(spark, dir).filter(col("doc_b") <= cut)
+          .select(col("doc_a"), col("doc_b")),
+        s"phashhist:$dir")
+    }
+
+  /** Incremental CLUSTER maintenance — the last rung of the incremental
+    * dedup family (exact → minhash → vector → perceptual → this): a new
+    * ingest batch's edges are merged into the EXISTING cluster labeling
+    * without re-running the corpus-wide closure. The prewarmed history
+    * labeling ([[phashCcHistLabels]]) collapses every old component to
+    * a STAR (label → member edges, diameter 2 by construction), so the
+    * merge closure runs over |labels| + |batch| edges and converges in
+    * rounds bounded by the BATCH's diameter — never the corpus's. The
+    * star labels are genuine min-doc_ids of their history components,
+    * so min-label closure over star ∪ batch edges reproduces the full
+    * closure's labels EXACTLY — which is precisely what the oracle
+    * gates: the definitional recursive closure over the complete
+    * re-derived pair set (incremental maintenance must be
+    * indistinguishable from a full rerun). Batch edges = pairs whose
+    * LARGER endpoint exceeds the cut (batch-batch and batch-index
+    * collisions both; the latter are [[qPhashIncremental]]'s probe
+    * output). Scale shape: cost ∝ |batch edges| + |cluster count|, the
+    * production ingest shape at the cluster rung. */
+  def qCcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
+    val cutDf = phashCodes(spark, dir)
+      .agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val star = phashCcHistLabels(spark, dir)
+      .filter(col("node") =!= col("label"))
+      .select(col("label").as("doc_a"), col("node").as("doc_b"))
+    val batch = phashPairs(spark, dir).crossJoin(broadcast(cutDf))
+      .filter(col("doc_b") > col("cut"))
+      .select(col("doc_a"), col("doc_b"))
+    val merged = Graph.connectedComponents(
+      star.unionByName(batch), s"ccinc:$dir")
+    val sz = merged.groupBy("label").agg(count(lit(1)).as("csize"))
+    merged.join(sz, "label").crossJoin(broadcast(cutDf))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("csize"),
+        when(col("node") > col("cut"), 1).otherwise(0)
+          .cast("int").as("is_new"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** documents.text as binary payloads (media stand-in). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -1577,6 +1674,8 @@ object Multimodal {
     "q_phash_clusters" -> qPhashClusters _,
     "q_phash_incremental" -> qPhashIncremental _,
     "q_media_keepbest" -> qMediaKeepbest _,
+    "q_image_keepbest" -> qImageKeepbest _,
+    "q_cc_incremental" -> qCcIncremental _,
     "q_exif_meta" -> qExifMeta _,
     "q_audio_meta" -> qAudioMeta _,
     "q_audio_features" -> qAudioFeatures _,
@@ -2002,6 +2101,68 @@ object Multimodal {
          |  JOIN hsh y ON y.doc_id = c.index_doc)
          |SELECT batch_doc, index_doc, hamming FROM hami
          |WHERE hamming <= 3 ORDER BY batch_doc, index_doc""".stripMargin,
+    // Image keep-best replay: pairs re-derived from the blobs (the full
+    // dHash chain), closed with the recursive min-label CTE, quality =
+    // W·H straight from the accepted headers (acc), argmax replayed
+    // with the engine's exact window order (quality DESC, doc_id ASC).
+    // prk/edgk/qualk2/cck2 AS MATERIALIZED: the recursive reach CTE
+    // references edgk every iteration (the r19 13-minute lesson —
+    // un-materialized CTEs re-derive per closure round).
+    "q_image_keepbest" ->
+      s"""WITH RECURSIVE $phashOracleCtes,
+         |prk AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+         |edgk AS MATERIALIZED (
+         |  SELECT doc_a AS s, doc_b AS d FROM prk
+         |  UNION SELECT doc_b, doc_a FROM prk),
+         |ndk AS MATERIALIZED (SELECT DISTINCT s AS node FROM edgk),
+         |reach AS (
+         |  SELECT node, node AS label FROM ndk
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edgk e ON e.s = r.node),
+         |cck2 AS MATERIALIZED (
+         |  SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |szk2 AS (SELECT label, COUNT(*) AS csize FROM cck2 GROUP BY label),
+         |qualk2 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(w * habs AS BIGINT) AS quality FROM acc),
+         |jk2 AS (
+         |  SELECT c.node, c.label, z.csize, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY c.label
+         |      ORDER BY q.quality DESC, c.node) AS rk
+         |  FROM cck2 c JOIN szk2 z ON z.label = c.label
+         |  JOIN qualk2 q ON q.doc_id = c.node)
+         |SELECT node AS doc_id, CAST(label AS BIGINT) AS cluster_id,
+         |  CAST(csize AS BIGINT) AS csize, quality,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_best
+         |FROM jk2 ORDER BY cluster_id, doc_id""".stripMargin,
+    // Incremental-maintenance gate: the oracle is the DEFINITIONAL full
+    // closure over the complete re-derived pair set plus the 4/5 id cut
+    // — the engine's star-merge result must be indistinguishable from a
+    // full rerun (that equality is the incremental-maintenance
+    // contract; a merge that loses an edge, keeps a stale label, or
+    // mislabels a bridged component hash-fails here).
+    "q_cc_incremental" ->
+      s"""WITH RECURSIVE $phashOracleCtes,
+         |pri AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+         |edgi AS MATERIALIZED (
+         |  SELECT doc_a AS s, doc_b AS d FROM pri
+         |  UNION SELECT doc_b, doc_a FROM pri),
+         |ndi AS MATERIALIZED (SELECT DISTINCT s AS node FROM edgi),
+         |reach AS (
+         |  SELECT node, node AS label FROM ndi
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edgi e ON e.s = r.node),
+         |cci AS MATERIALIZED (
+         |  SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |szi AS (SELECT label, COUNT(*) AS csize FROM cci GROUP BY label),
+         |cutc AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM hsh)
+         |SELECT node AS doc_id, CAST(cci.label AS BIGINT) AS cluster_id,
+         |  CAST(szi.csize AS BIGINT) AS csize,
+         |  CAST(CASE WHEN node > cutc.cut THEN 1 ELSE 0 END AS INT)
+         |    AS is_new
+         |FROM cci JOIN szi ON szi.label = cci.label CROSS JOIN cutc
+         |ORDER BY cluster_id, doc_id""".stripMargin,
     // Both modalities' pair sets re-derived independently from the
     // exported blobs (the full fingerprint chains), closed per modality
     // with the recursive min-label CTE (the q_dup_clusters idiom), then

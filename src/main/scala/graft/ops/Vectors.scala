@@ -640,11 +640,18 @@ object Vectors {
     * session-shared assignment table. */
   def qIndexAsof(spark: SparkSession, dir: String): DataFrame = {
     val cents = ivfCentroids(spark, dir)
+    // the stats rows live at cid + 1000 in the same keyspace: a conf
+    // raising nlist to >= 1000 would silently collide centroid and
+    // stats ids and misclassify witness rows — fail loudly instead
+    require(cents.length < 1000,
+      s"q_index_asof keyspace split needs nlist < 1000, got ${cents.length}")
     graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
       pqKey(spark))
     val out =
       java.nio.file.Files.createTempDirectory("graft-indexasof").toString
-    graft.Tables.registerTempDir(s"indexasof:$out", out)
+    // stable tag + replace-GC: repeated bench/verify passes each build a
+    // fresh two-snapshot store and reclaim the previous invocation's
+    graft.Tables.registerReplacingTempDir(s"indexasof:$dir", out)
     val centRows = centsDf(spark, cents)
       .select(col("cid").cast("long").as("doc_id"),
         concat_ws(",", col("vals").cast("array<string>")).as("payload"))
@@ -661,21 +668,71 @@ object Vectors {
     centRows.unionByName(stats).repartition(2, col("doc_id"))
       .write.format("graft.sources.ShardStoreSink")
       .option("path", out).mode("overwrite").save()
-    def wit(v: Int): DataFrame =
-      graft.sources.ShardStoreSink.readAsOf(spark, out, v)
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("doc_id")).cast("bigint").as("id_sum"),
-          sum(when(col("doc_id") < 1000L,
-            expr("aggregate(transform(split(payload, ','), x -> " +
-              "CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)), " +
-              "0L, (acc, x) -> acc + x)")).otherwise(0L))
-            .cast("bigint").as("cent_q"),
-          sum(when(col("doc_id") >= 1000L,
-            col("doc_id") * expr("CAST(payload AS BIGINT)")).otherwise(0L))
-            .cast("bigint").as("stat_wsum"))
-        .select(lit(v).as("version"), col("n_rows"), col("id_sum"),
-          col("cent_q"), col("stat_wsum"))
+    def wit(v: Int): DataFrame = indexWitness(spark, out, v)
     wit(1).unionByName(wit(2)).orderBy("version")
+  }
+
+  /** Shared snapshot witness of the versioned index stores (see
+    * [[qIndexAsof]]'s witness design): row/id sums, the quantized
+    * centroid checksum, and the id-weighted stats sum. */
+  private def indexWitness(spark: SparkSession, out: String,
+      v: Int): DataFrame =
+    graft.sources.ShardStoreSink.readAsOf(spark, out, v)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"),
+        sum(when(col("doc_id") < 1000L,
+          expr("aggregate(transform(split(payload, ','), x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)), " +
+            "0L, (acc, x) -> acc + x)")).otherwise(0L))
+          .cast("bigint").as("cent_q"),
+        sum(when(col("doc_id") >= 1000L,
+          col("doc_id") * expr("CAST(payload AS BIGINT)")).otherwise(0L))
+          .cast("bigint").as("stat_wsum"))
+      .select(lit(v).as("version"), col("n_rows"), col("id_sum"),
+        col("cent_q"), col("stat_wsum"))
+
+  /** Index-lifecycle RETENTION — the witness [[qIndexAsof]] stops short
+    * of: once the serving tier has moved to index version 2, version 1's
+    * AS-OF window lapses and the vacuum reclaims it (the q_shard_vacuum
+    * retention policy applied to INDEX manifests). Publishes the same
+    * two snapshots as q_index_asof into its own store, vacuums keeping
+    * only the newest, and gates BOTH lifecycle facts: the v1 read now
+    * REFUSES loudly (manifest gone — never a silently truncated
+    * snapshot, the manifest-first deletion order), and v2's witnesses
+    * are byte-unchanged by the vacuum (re-derived independently by the
+    * oracle's argmin replay from the ivfcent export). Scale shape:
+    * vacuum is a driver-side manifest operation plus unlinks — it never
+    * reads data files; witnesses stay nlist-sized. */
+  def qIndexVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    require(cents.length < 1000,
+      s"q_index_vacuum keyspace split needs nlist < 1000, got ${cents.length}")
+    graft.OracleExport.export(centsDf(spark, cents), "ivfcent", dir,
+      pqKey(spark))
+    val out =
+      java.nio.file.Files.createTempDirectory("graft-indexvac").toString
+    graft.Tables.registerReplacingTempDir(s"indexvac:$dir", out)
+    val centRows = centsDf(spark, cents)
+      .select(col("cid").cast("long").as("doc_id"),
+        concat_ws(",", col("vals").cast("array<string>")).as("payload"))
+    centRows.repartition(2, col("doc_id"))
+      .write.format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    val stats = ivfAssigned(spark, dir).groupBy("cid")
+      .agg(count(lit(1)).as("n"))
+      .select((col("cid") + 1000L).cast("long").as("doc_id"),
+        col("n").cast("string").as("payload"))
+    centRows.unionByName(stats).repartition(2, col("doc_id"))
+      .write.format("graft.sources.ShardStoreSink")
+      .option("path", out).mode("overwrite").save()
+    val dropped = graft.sources.ShardStoreSink.vacuum(out, keep = 1)
+    val v1Refused =
+      try { graft.sources.ShardStoreSink.readAsOf(spark, out, 1); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    indexWitness(spark, out, 2)
+      .select(col("version"), lit(dropped.size).as("n_dropped"),
+        lit(v1Refused).cast("int").as("v1_refused"), col("n_rows"),
+        col("id_sum"), col("cent_q"), col("stat_wsum"))
   }
 
   private[graft] def rankTop3(cands: DataFrame, native: Boolean): DataFrame = {
@@ -2735,6 +2792,7 @@ object Vectors {
     "q_cosine_ivf" -> qCosineIvf _,
     "q_ivf_incremental" -> qIvfIncremental _,
     "q_index_asof" -> qIndexAsof _,
+    "q_index_vacuum" -> qIndexVacuum _,
     "q_ann_filtered" -> qAnnFiltered _,
     "q_retrieval_mrr" -> qRetrievalMrr _,
     "q_cosine_neardup" -> qCosineNeardup _,
@@ -2895,6 +2953,41 @@ object Vectors {
          |  (SELECT CAST(SUM((1000 + cid) * n) AS BIGINT) FROM cnt)
          |    AS stat_wsum
          |ORDER BY version""".stripMargin,
+    // Retention witness: the surviving v2 snapshot's content re-derives
+    // exactly as q_index_asof's version-2 branch (centroid checksum from
+    // the ivfcent export, stats from the replayed argmin assignment);
+    // the lifecycle facts are literals the engine must reproduce —
+    // exactly one version dropped, and the v1 AS-OF read REFUSED.
+    "q_index_vacuum" ->
+      s"""WITH cent AS (SELECT cid, vals
+         |  FROM '${graft.OracleExport.oraclePath("ivfcent")}'),
+         |cfl AS (SELECT cid,
+         |    list_transform(vals, v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS cf,
+         |    list_sum(list_transform(vals, v -> v * v)) AS cnorm2
+         |  FROM cent),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2
+         |  FROM e),
+         |d AS (SELECT e.vec_id, c.cid,
+         |    (n.norm2 + c.cnorm2) - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c.cf),
+         |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS d2
+         |  FROM e JOIN n ON n.vec_id = e.vec_id CROSS JOIN cfl c),
+         |best AS (SELECT vec_id, cid, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+         |cnt AS (SELECT cid, COUNT(*) AS n FROM best WHERE rk = 1
+         |  GROUP BY cid),
+         |cq AS (SELECT CAST(SUM(q) AS BIGINT) AS cent_q FROM (
+         |  SELECT list_sum(list_transform(vals,
+         |    v -> CAST(floor(v * 1048576.0) AS BIGINT))) AS q FROM cent) z)
+         |SELECT 2 AS version, 1 AS n_dropped, 1 AS v1_refused,
+         |  (SELECT COUNT(*) FROM cent) + (SELECT COUNT(*) FROM cnt)
+         |    AS n_rows,
+         |  (SELECT CAST(SUM(cid) AS BIGINT) FROM cent)
+         |    + (SELECT CAST(SUM(1000 + cid) AS BIGINT) FROM cnt) AS id_sum,
+         |  (SELECT cent_q FROM cq) AS cent_q,
+         |  (SELECT CAST(SUM((1000 + cid) * n) AS BIGINT) FROM cnt)
+         |    AS stat_wsum""".stripMargin,
     // Margin replay over the exported LSH candidate set — see
     // qBitextMining: top-3 neighborhood means via list_sum(list_sort(...))
     // (sequential fold over the sorted doubles = Spark's

@@ -558,7 +558,7 @@ class MultimodalSpec extends SparkSpec {
         }
         assert(got === Some(((bits & 0xFFFF).toInt,
           ((bits >>> 16) & 0xFFFF).toInt, ((bits >>> 32) & 0xFFFF).toInt,
-          ((bits >>> 48) & 0xFFFF).toInt)), s"id=$id")
+          ((bits >>> 48) & 0xFFFF).toInt, w.toLong * h)), s"id=$id")
       }
     }
   }
@@ -723,5 +723,78 @@ class MultimodalSpec extends SparkSpec {
         assert((best == 1) == (doc == want), s"$mod doc $doc survivor flag")
       }
     }
+  }
+
+  test("q_image_keepbest: phash closure, survivor = max W*H then min id") {
+    val dir = sf("sf0.01")
+    val pairs = Multimodal.qImagePhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.map(d => d -> find(d)).toMap
+    // independent quality recompute straight from the codec's dims
+    def quality(id: Long): Long = {
+      val (w, h) = Multimodal.ImageCodec.dimsFor(id)
+      w.toLong * h
+    }
+    val rows = Multimodal.qImageKeepbest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.length == members.length,
+      s"${rows.length} rows vs ${members.length} pair participants")
+    rows.foreach { case (doc, label, csize, q, best) =>
+      assert(label == expect(doc), s"doc $doc: label != closure")
+      assert(csize == expect.values.count(_ == label).toLong, s"doc $doc csize")
+      assert(q == quality(doc), s"doc $doc quality $q != ${quality(doc)}")
+      val cluster = members.filter(expect(_) == label)
+      val want = cluster.map(d => (-quality(d), d)).min._2
+      assert((best == 1) == (doc == want), s"doc $doc survivor flag")
+    }
+    // a planted one-pixel twin keeps its base's dims, so its cluster
+    // decides by the doc_id tie-break — the policy's tie arm is real
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val twinned = ids.flatMap(id =>
+      Multimodal.ImageCodec.phashTwinBase(id).map(b => (b, id)))
+      .filter { case (b, t) => expect.contains(b) && expect.contains(t) }
+    assert(twinned.nonEmpty, "no planted twin landed in the closure")
+  }
+
+  test("q_cc_incremental: star-merge labels == full-closure labels") {
+    val dir = sf("sf0.01")
+    val full = Multimodal.qPhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val rows = Multimodal.qCcIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // the merge over star(history) ∪ batch edges must be
+    // indistinguishable from the full rerun — same node set, same
+    // labels, same sizes (the incremental-maintenance contract)
+    assert(rows.length == full.size,
+      s"${rows.length} rows vs ${full.size} full-closure participants")
+    val ids = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val hashed = ids.filter(id => Multimodal.BmpPixels
+      .dhashChunks(Multimodal.ImageCodec.encode(id)).isDefined)
+    val cut = hashed.max * 4 / 5
+    rows.foreach { case (doc, label, csize, isNew) =>
+      val (wantLabel, wantSize) = full(doc)
+      assert(label == wantLabel, s"doc $doc: label $label != $wantLabel")
+      assert(csize == wantSize, s"doc $doc: csize $csize != $wantSize")
+      assert((isNew == 1) == (doc > cut), s"doc $doc is_new flag")
+    }
+    // the batch side must actually contribute (cut-straddling planted
+    // twins exist at this sf — the production ingest case)
+    assert(rows.exists(_._4 == 1), "no batch-side cluster member at all")
   }
 }

@@ -167,6 +167,24 @@ class ShardSinkSpec extends SparkSpec {
     assert(v2._5 > 0L, "v2 stats witness empty")
   }
 
+  test("q_index_vacuum: v1 reclaimed + refused, v2 witness byte-unchanged") {
+    val dir = sf("sf0.001")
+    // reference witnesses for the surviving snapshot: q_index_asof's v2
+    // row (same publish flow, vacuum must not change any of it)
+    val asof = graft.ops.Vectors.qIndexAsof(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).find(_._1 == 2).get
+    val rows = graft.ops.Vectors.qIndexVacuum(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getInt(0) === 2, "surviving version")
+    assert(r.getInt(1) === 1, "exactly one version dropped")
+    assert(r.getInt(2) === 1, "v1 AS-OF read must refuse after vacuum")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((asof._2, asof._3, asof._4, asof._5)),
+      "v2 witnesses drifted under the vacuum")
+  }
+
   test("a failed job publishes NOTHING (no manifest)") {
     val out = freshDir()
     val alwaysFail = docs.map { r =>
