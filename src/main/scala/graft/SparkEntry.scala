@@ -90,6 +90,27 @@ object SparkEntry {
         ops.Vectors.colbertSlices(spark, dir) // 4×16 MaxSim slice view
         ()
       }),
+      // r20: the ADC top-10 shortlist (probe + LUT scoring fan-out) on
+      // its OWN chain — q_ivfadc's timed run pays rerank + rollup only
+      "adc" -> (() => {
+        ops.Vectors.adcTopShared(spark, dir); ()
+      }),
+      // r20: shared scored frames (PQ-recon sims + ColBERT MaxSim) —
+      // their consumers pay rank windows + rollups only; waits on the
+      // ann/ivf/sq8whiten chains through the shared holders
+      "scored" -> (() => {
+        ops.Vectors.pqSims(spark, dir)
+        ops.Vectors.colMaxsim(spark, dir); ()
+      }),
+      // r20: the NB gram fixture (six plan branches read it — one
+      // materialized write beats six md5-expansion passes) + the
+      // trained class/model tables (training is a corpus-version pass;
+      // the timed query pays scoring only)
+      "nb" -> (() => {
+        ops.Classify.nbGrams(spark)
+        ops.Classify.nbClasses(spark)
+        ops.Classify.nbModel(spark); ()
+      }),
       // whole-corpus tf postings (doc, token, tf) — the lexical-index
       // artifact q_bm25 + q_tfidf_keywords both ride
       "postings" -> (() => {
@@ -123,6 +144,14 @@ object SparkEntry {
         ops.Vectors.pqCodes(spark, ops.Vectors.PlantedDir)
         ops.Vectors.pqCodes(spark, ops.Vectors.OpqDir)
         ops.Vectors.opqTrain(spark, ops.Vectors.OpqDir)
+        // r20: decoded recon frames + exact truths + the planted ADC
+        // scored frame (they extend this chain's own dependency line) —
+        // q_opq_recall/q_pq_planted pay scoring/rollup only
+        ops.Vectors.opqPlainDecoded(spark)
+        ops.Vectors.opqOpqDecoded(spark)
+        ops.Vectors.plantedTruth3(spark, ops.Vectors.OpqDir, "opqtruth")
+        ops.Vectors.plantedTruth3(spark, ops.Vectors.PlantedDir, "pqptruth")
+        ops.Vectors.plantedAdcSims(spark)
         ()
       }),
       "dedup" -> (() => { // clusters -> survivor shingles -> pairs/sizes

@@ -82,15 +82,46 @@ object Classify {
   private def isTrain(c: org.apache.spark.sql.Column) =
     substring(md5(concat(c.cast("string"), lit(":nbsplit"))), 1, 1) < "8"
 
-  def qNbClassify(spark: SparkSession, dir: String): DataFrame =
-    classify(grams(spark))
+  def qNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val g = nbGrams(spark)
+    scoreNb(g.filter(!isTrain(col("doc_id"))), nbClasses(spark),
+      nbModel(spark))
+  }
+
+  /** Session-shared trained class table (cl, tc, v, s0, prior) — the
+    * train half of [[classify]] as a model artifact (training is a
+    * corpus-version pass, scoring is the query; the pqSims precedent
+    * applied to a model table). */
+  private[graft] def nbClasses(spark: SparkSession): DataFrame =
+    graft.Tables.materializeSharedBy(spark, "nbclasses", "fixture")(
+      trainNb(nbGrams(spark).filter(isTrain(col("doc_id"))))._1)
+
+  /** Session-shared per-(feature, class) integer log-prob model table
+    * (g, cl, s) — see [[nbClasses]]. */
+  private[graft] def nbModel(spark: SparkSession): DataFrame =
+    graft.Tables.materializeSharedBy(spark, "nbmodel", "fixture")(
+      trainNb(nbGrams(spark).filter(isTrain(col("doc_id"))))._2)
+
+  /** The md5-generated gram fixture MATERIALIZED once per session:
+    * [[classify]] reads its input from SIX plan branches (train counts,
+    * vocab, class totals, doc totals, model, test side) and Catalyst
+    * replicates a generator subtree into each — materializing turns six
+    * md5-expansion passes into one write + six columnar scans (the
+    * round-2 lesson; prewarmed on its own chain). */
+  private[graft] def nbGrams(spark: SparkSession): DataFrame =
+    graft.Tables.materializeShared(grams(spark), "nbgrams", "fixture")
 
   /** The train/score core over any (doc_id, lang, g) token table —
     * exposed so ClassifySpec can prove the signal path (stripping the
     * planted markers collapses accuracy toward the class prior). */
   private[graft] def classify(g: DataFrame): DataFrame = {
-    val train = g.filter(isTrain(col("doc_id")))
-    val test = g.filter(!isTrain(col("doc_id")))
+    val (classes, model) = trainNb(g.filter(isTrain(col("doc_id"))))
+    scoreNb(g.filter(!isTrain(col("doc_id"))), classes, model)
+  }
+
+  /** Train half: (classes, model) derived tables over the train rows —
+    * see [[classify]]. */
+  private[graft] def trainNb(train: DataFrame): (DataFrame, DataFrame) = {
     // per-class totals T_c, doc counts, and the vocabulary size V
     val cnt = train.groupBy("lang", "g")
       .agg(count(lit(1)).cast("bigint").as("c"))
@@ -109,6 +140,13 @@ object Classify {
     val model = cnt.join(broadcast(classes), col("lang") === col("cl"))
       .select(col("g"), col("cl"),
         expr(lb4Sql("c + 1", "tc + v")).cast("bigint").as("s"))
+    (classes, model)
+  }
+
+  /** Score half: per-doc argmax + per-class accuracy rollup over the
+    * test rows — see [[classify]]. */
+  private[graft] def scoreNb(test: DataFrame, classes: DataFrame,
+      model: DataFrame): DataFrame = {
     // score every test token under every class: 5-row broadcast class
     // table (deliberate bounded nested loop), unseen features fall back
     // to the class smoothing floor s0

@@ -1586,33 +1586,84 @@ object Multimodal {
   /** Incremental CLUSTER maintenance — the last rung of the incremental
     * dedup family (exact → minhash → vector → perceptual → this): a new
     * ingest batch's edges are merged into the EXISTING cluster labeling
-    * without re-running the corpus-wide closure. The prewarmed history
-    * labeling ([[phashCcHistLabels]]) collapses every old component to
-    * a STAR (label → member edges, diameter 2 by construction), so the
-    * merge closure runs over |labels| + |batch| edges and converges in
-    * rounds bounded by the BATCH's diameter — never the corpus's. The
-    * star labels are genuine min-doc_ids of their history components,
-    * so min-label closure over star ∪ batch edges reproduces the full
-    * closure's labels EXACTLY — which is precisely what the oracle
-    * gates: the definitional recursive closure over the complete
-    * re-derived pair set (incremental maintenance must be
-    * indistinguishable from a full rerun). Batch edges = pairs whose
-    * LARGER endpoint exceeds the cut (batch-batch and batch-index
-    * collisions both; the latter are [[qPhashIncremental]]'s probe
-    * output). Scale shape: cost ∝ |batch edges| + |cluster count|, the
-    * production ingest shape at the cluster rung. */
+    * without re-running the corpus-wide closure. Each batch edge is
+    * CONTRACTED through the prewarmed history labeling
+    * ([[phashCcHistLabels]]) — endpoints replaced by their component
+    * labels — so the iterative closure runs over batch-count edges
+    * ONLY, and the corpus-sized labeling is applied by one join outside
+    * the loop. History labels are genuine min-doc_ids of their
+    * components, so the contracted closure's min labels ARE the global
+    * min labels, and the expanded result reproduces the full closure
+    * EXACTLY — which is precisely what the oracle gates: the
+    * definitional recursive closure over the complete re-derived pair
+    * set (incremental maintenance must be indistinguishable from a
+    * full rerun). Batch edges = pairs whose LARGER endpoint exceeds the
+    * cut (batch-batch and batch-index collisions both; the latter are
+    * [[qPhashIncremental]]'s probe output). Scale shape: closure cost ∝
+    * |batch edges| — small batches close driver-side under the
+    * spark.graft.ccinc.driverMaxEdges cap (a bounded collect: probed at
+    * cap+1 rows), large ones through the distributed star-contraction
+    * loop (both arms value-identical, spec-pinned at cap 0); relabel
+    * cost = one label-keyed join — the production ingest shape at the
+    * cluster rung. */
   def qCcIncremental(spark: SparkSession, dir: String): DataFrame = {
     graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
     val cutDf = phashCodes(spark, dir)
       .agg(expr("max(doc_id) * 4 div 5").as("cut"))
-    val star = phashCcHistLabels(spark, dir)
-      .filter(col("node") =!= col("label"))
-      .select(col("label").as("doc_a"), col("node").as("doc_b"))
+    val hist = phashCcHistLabels(spark, dir)
     val batch = phashPairs(spark, dir).crossJoin(broadcast(cutDf))
       .filter(col("doc_b") > col("cut"))
       .select(col("doc_a"), col("doc_b"))
-    val merged = Graph.connectedComponents(
-      star.unionByName(batch), s"ccinc:$dir")
+    // CONTRACT each batch edge through the history labeling (identity
+    // for endpoints without one): the iterative closure then runs over
+    // batch-count edges ONLY — at 100 TB the corpus-sized labeling
+    // never enters the loop, it is applied by ONE join after it
+    val la = hist.select(col("node").as("doc_a"), col("label").as("la"))
+    val lb = hist.select(col("node").as("doc_b"), col("label").as("lb"))
+    val contracted = batch
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // min label in contracted space == global min doc_id: every history
+    // label IS the min of its component's history part. SMALL batches
+    // close on the driver (the bounded-scalar idiom: the probe is capped
+    // at cap+1 rows, so the collect can never exceed the conf bound);
+    // batches past the cap take the distributed star-contraction loop —
+    // the scale path, value-identical (spec-pinned at cap 0)
+    val cap = spark.conf
+      .get("spark.graft.ccinc.driverMaxEdges", "4096").toInt
+    val probe = contracted.limit(cap + 1).collect()
+    val cc2 =
+      if (probe.length <= cap) {
+        // probe IS the whole contracted edge set — driver union-find
+        // with min-label roots, the closure's definitional form
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        probe.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct.toIndexedSeq
+        import spark.implicits._
+        nodes.map(n => (n, find(n))).toDF("cnode", "clabel")
+      } else
+        Graph.connectedComponents(contracted, s"ccinc:$dir")
+          .select(col("node").as("cnode"), col("label").as("clabel"))
+    // EXPAND: node universe = history participants ∪ batch endpoints
+    // (batch endpoints without a history label enter as their own label)
+    val newNodes = batch.select(col("doc_a").as("node"))
+      .unionByName(batch.select(col("doc_b").as("node"))).distinct()
+      .join(hist.select("node"), Seq("node"), "left_anti")
+    val universe = hist.unionByName(
+      newNodes.select(col("node"), col("node").as("label")))
+    val merged = universe
+      .join(cc2, universe("label") === cc2("cnode"), "left")
+      .select(col("node"), coalesce(col("clabel"), col("label")).as("label"))
     val sz = merged.groupBy("label").agg(count(lit(1)).as("csize"))
     merged.join(sz, "label").crossJoin(broadcast(cutDf))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),

@@ -36,6 +36,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_dedup_incremental", // 1-row corpus/batch cut threshold
     "q_neardup_incremental", // same 1-row cut, minhash-index sibling
     "q_phash_incremental", // same 1-row cut, perceptual-index sibling
+    "q_cc_incremental", // same 1-row cut (batch-edge filter + is_new flag)
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
     "q_ann_recall_curve", // same bounded 20-query brute-force truth side
     "q_ann_filtered", // bounded 64-query broadcast truth pass of the
@@ -71,11 +72,13 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_cms_freq", // 5-row sketch table × 5-row broadcast probe list
     "q_nb_classify", // 5-row broadcast class table × test grams (the
                      // NB scoring fan-out; the model join is equi)
-    "q_pq_planted", // CONSTANT-SIZE planted calibration fixture: 256
-                    // queries × 2048-row broadcast decode/exact sides
-                    // (the ground-truth brute force is the point)
-    "q_opq_recall", // same fixture shape: exact truth + two decoded
-                    // rankings over the 2048-row broadcast sides
+    // (q_pq_planted needs no entry since r20: its truth + ADC scoring
+    // crossJoins moved into the prewarmed pqptruth/pqpadc artifacts —
+    // the audited query plan reads two parquet scans)
+    "q_opq_recall", // CONSTANT-SIZE planted calibration fixture: two
+                    // decoded rankings over the 2048-row broadcast
+                    // sides (the exact-truth pass moved to the
+                    // prewarmed opqtruth artifact in r20)
     "q_modularity") // 1-row global edge-count scalar beside the community
                     // stats row (the lit(1)=lit(1) key constant-folds away)
 

@@ -776,7 +776,7 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.qCcIncremental(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(rows.nonEmpty)
-    // the merge over star(history) ∪ batch edges must be
+    // the contracted-batch merge against the history labeling must be
     // indistinguishable from the full rerun — same node set, same
     // labels, same sizes (the incremental-maintenance contract)
     assert(rows.length == full.size,
@@ -796,5 +796,13 @@ class MultimodalSpec extends SparkSpec {
     // the batch side must actually contribute (cut-straddling planted
     // twins exist at this sf — the production ingest case)
     assert(rows.exists(_._4 == 1), "no batch-side cluster member at all")
+    // the DISTRIBUTED closure arm (cap 0 forces the star-contraction
+    // loop) must be value-identical to the driver union-find arm
+    spark.conf.set("spark.graft.ccinc.driverMaxEdges", "0")
+    try {
+      val dist = Multimodal.qCcIncremental(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(dist.toSeq === rows.toSeq, "distributed arm drifted")
+    } finally spark.conf.unset("spark.graft.ccinc.driverMaxEdges")
   }
 }
