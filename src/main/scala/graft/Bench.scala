@@ -195,7 +195,7 @@ object Bench {
     "q_stream_tws", "q_stream_join_live", "q_stream_topk",
     "q_stream_late", "q_stream_sink", "q_stream_state_metrics",
     "q_stream_static_join", "q_stream_outer_join", "q_stream_session",
-    "q_stream_dim_refresh", "q_stream_cdc_apply")
+    "q_stream_dim_refresh", "q_stream_cdc_apply", "q_stream_phash")
 
   /** Queries that mutate session-global conf during execution
     * (q_autosalt_agg toggles the optimizer-rule gate): excluded from

@@ -230,8 +230,10 @@ object SparkEntry {
         // survivor joins
         ops.Multimodal.phashCcLabels(spark, dir)
         ops.Multimodal.mediaCcLabels(spark, dir)
-        // r20: the history-side labeling q_cc_incremental merges against
+        // r20: the history-side labeling q_cc_incremental merges against,
+        // and q_stream_phash's staged batch-side probe files
         ops.Multimodal.phashCcHistLabels(spark, dir)
+        ops.Multimodal.phashBatchDir(spark, dir)
         ops.Urls.urlTable(spark, dir); ()
       }),
       "partitioned" -> (() => { // hive-partitioned documents layout

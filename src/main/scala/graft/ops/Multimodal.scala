@@ -1067,8 +1067,10 @@ object Multimodal {
       bandedHammingPairs(audioFpCodes(spark, dir), 3))
 
   /** Band-exploded view of a 4-chunk fingerprint table:
-    * (doc_id, c0..c3, c, chunk) — one row per (doc, band). */
-  private def fpBands(codes: DataFrame): DataFrame =
+    * (doc_id, c0..c3, c, chunk) — one row per (doc, band). Stateless
+    * (select + explode), so it also lifts onto a STREAMING frame
+    * ([[qStreamPhash]]'s per-micro-batch probe side). */
+  private[graft] def fpBands(codes: DataFrame): DataFrame =
     codes.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         col(s"c$c").as("chunk"))): _*)).as("b"))
@@ -1428,6 +1430,80 @@ object Multimodal {
       .orderBy("batch_doc", "index_doc")
   }
 
+  /** Staged batch-side dHash codes (doc_id, c0..c3; the > cut slice of
+    * [[phashCodes]]) as a 3-file parquet DIRECTORY — the
+    * FileStreamSource input of [[qStreamPhash]], one micro-batch per
+    * file. A KeyedOnce artifact like the event staging dirs (read-only
+    * after build; prewarmed on the media chain). */
+  private val phashBatchStaged = new graft.Tables.KeyedOnce[String]
+  private[graft] def phashBatchDir(spark: SparkSession,
+      dir: String): String = phashBatchStaged(dir) {
+    val d =
+      java.nio.file.Files.createTempDirectory("graft-streamphash").toString
+    Tables.registerTempDir(s"streamphash:$d", d)
+    val codes = phashCodes(spark, dir)
+    val cut = codes.agg(expr("max(doc_id) * 4 div 5")).head.getLong(0)
+    codes.filter(col("doc_id") > cut)
+      .select("doc_id", "c0", "c1", "c2", "c3")
+      .repartition(3).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  /** STREAMING perceptual ingest — [[qPhashIncremental]]'s probe as a
+    * real Structured Streaming job (the 15th gated stream): the batch
+    * slice of the dHash codes arrives as three file micro-batches
+    * (Trigger.AvailableNow, maxFilesPerTrigger 1), each probing the
+    * prewarmed index's banded buckets through a stream-static broadcast
+    * join; collisions verify by full 64-bit Hamming and dedup through
+    * dropDuplicates state (bounded by the batch's pair count — each
+    * batch doc lives in exactly one staged file, so duplicates are
+    * intra-micro-batch band multi-hits only). This is the production
+    * crawl-ingest shape: the index is a static corpus-version artifact,
+    * the probe side streams, per-micro-batch cost ∝ that batch alone.
+    * Hash-gated: the output must equal the BATCH probe exactly — the
+    * oracle is q_phash_incremental's full independent replay (codes
+    * re-derived from blobs, cut + band join + Hamming in SQL). */
+  def qStreamPhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.OracleExport.export(mediaTable(spark, dir), "media", dir)
+    val name = "streamphash_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val codes = phashCodes(spark, dir)
+    val cut = codes.agg(expr("max(doc_id) * 4 div 5")).head.getLong(0)
+    val hist = fpBands(codes.filter(col("doc_id") <= cut)
+      .select("doc_id", "c0", "c1", "c2", "c3"))
+    graft.streaming.EventsStream.withStatePartitions(spark,
+        graft.streaming.EventsStream.statePartitions(spark)) {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, c0 INT, c1 INT, c2 INT, c3 INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(phashBatchDir(spark, dir))
+      val hits = fpBands(src).as("a")
+        .join(broadcast(hist).as("b"),
+          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk"))
+        .select(col("a.doc_id").as("batch_doc"),
+          col("b.doc_id").as("index_doc"),
+          expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+            "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .dropDuplicates("batch_doc", "index_doc")
+      val q = hits.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      q.awaitTermination()
+    }
+    lastPhashSink.getAndSet(name) match {
+      case null => ()
+      case prev => spark.catalog.dropTempView(prev)
+    }
+    spark.table(name)
+      .select(col("batch_doc"), col("index_doc"), col("hamming"))
+      .orderBy("batch_doc", "index_doc")
+  }
+  private val lastPhashSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Media duplicate clusters with a KEEP-BEST survivor policy over the
     * audio AND video fingerprint pair graphs — the asset-pipeline
     * decision step q_phash_clusters (keep-min) stops short of: within
@@ -1724,6 +1800,7 @@ object Multimodal {
     "q_image_phash" -> qImagePhash _,
     "q_phash_clusters" -> qPhashClusters _,
     "q_phash_incremental" -> qPhashIncremental _,
+    "q_stream_phash" -> qStreamPhash _,
     "q_media_keepbest" -> qMediaKeepbest _,
     "q_image_keepbest" -> qImageKeepbest _,
     "q_cc_incremental" -> qCcIncremental _,
@@ -2087,6 +2164,33 @@ object Multimodal {
        |  JOIN vhsh$s x ON x.doc_id = c.doc_a
        |  JOIN vhsh$s y ON y.doc_id = c.doc_b)""".stripMargin
 
+  /** Full independent replay of the batch-vs-index probe (shared by
+    * q_phash_incremental and its streaming twin q_stream_phash): codes
+    * re-derived from the blobs' pixel arrays, the integer 4/5 id cut
+    * over the HASHED set, the banded batch-vs-index join, full Hamming
+    * verify. Positive operands, so // == Spark's div. */
+  private lazy val phashIncrementalOracle: String =
+    s"""WITH $phashOracleCtes,
+       |cutc AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM hsh),
+       |candi AS (
+       |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS index_doc
+       |  FROM bands a JOIN bands b
+       |    ON a.c = b.c AND a.chunk = b.chunk
+       |  CROSS JOIN cutc
+       |  WHERE a.doc_id > cutc.cut AND b.doc_id <= cutc.cut),
+       |hami AS (
+       |  SELECT c.batch_doc, c.index_doc,
+       |    CAST(bit_count(xor(CAST(x.c0 AS BIGINT), CAST(y.c0 AS BIGINT)))
+       |     + bit_count(xor(CAST(x.c1 AS BIGINT), CAST(y.c1 AS BIGINT)))
+       |     + bit_count(xor(CAST(x.c2 AS BIGINT), CAST(y.c2 AS BIGINT)))
+       |     + bit_count(xor(CAST(x.c3 AS BIGINT), CAST(y.c3 AS BIGINT)))
+       |      AS INT) AS hamming
+       |  FROM candi c
+       |  JOIN hsh x ON x.doc_id = c.batch_doc
+       |  JOIN hsh y ON y.doc_id = c.index_doc)
+       |SELECT batch_doc, index_doc, hamming FROM hami
+       |WHERE hamming <= 3 ORDER BY batch_doc, index_doc""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Independent BMP pixel-array walk over the exported blobs — see
     // qImagePixels: the inclusion predicate mirrors the engine's header
@@ -2131,27 +2235,11 @@ object Multimodal {
     // (codes from the blobs' pixel arrays), then the integer 4/5 id cut
     // over the HASHED set and the banded batch-vs-index join — see
     // qPhashIncremental. Positive operands, so // == Spark's div.
-    "q_phash_incremental" ->
-      s"""WITH $phashOracleCtes,
-         |cutc AS (SELECT (MAX(doc_id) * 4) // 5 AS cut FROM hsh),
-         |candi AS (
-         |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS index_doc
-         |  FROM bands a JOIN bands b
-         |    ON a.c = b.c AND a.chunk = b.chunk
-         |  CROSS JOIN cutc
-         |  WHERE a.doc_id > cutc.cut AND b.doc_id <= cutc.cut),
-         |hami AS (
-         |  SELECT c.batch_doc, c.index_doc,
-         |    CAST(bit_count(xor(CAST(x.c0 AS BIGINT), CAST(y.c0 AS BIGINT)))
-         |     + bit_count(xor(CAST(x.c1 AS BIGINT), CAST(y.c1 AS BIGINT)))
-         |     + bit_count(xor(CAST(x.c2 AS BIGINT), CAST(y.c2 AS BIGINT)))
-         |     + bit_count(xor(CAST(x.c3 AS BIGINT), CAST(y.c3 AS BIGINT)))
-         |      AS INT) AS hamming
-         |  FROM candi c
-         |  JOIN hsh x ON x.doc_id = c.batch_doc
-         |  JOIN hsh y ON y.doc_id = c.index_doc)
-         |SELECT batch_doc, index_doc, hamming FROM hami
-         |WHERE hamming <= 3 ORDER BY batch_doc, index_doc""".stripMargin,
+    "q_phash_incremental" -> phashIncrementalOracle,
+    // The STREAMING probe must be indistinguishable from the batch
+    // probe (micro-batching is an execution detail, not a semantics
+    // change) — same full independent replay
+    "q_stream_phash" -> phashIncrementalOracle,
     // Image keep-best replay: pairs re-derived from the blobs (the full
     // dHash chain), closed with the recursive min-label CTE, quality =
     // W·H straight from the accepted headers (acc), argmax replayed

@@ -409,10 +409,10 @@ object EventsStream {
     * state-store commit cost scales with partition count; a billion-key
     * production stream tunes UP); conf'd so partition-count A/Bs don't
     * need a rebuild. */
-  private def statePartitions(spark: SparkSession): Int =
+  private[graft] def statePartitions(spark: SparkSession): Int =
     spark.conf.get("spark.graft.stream.parts", "4").toInt
 
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(
+  private[graft] def withStatePartitions[A](spark: SparkSession, n: Int)(
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(key)

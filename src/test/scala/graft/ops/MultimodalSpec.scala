@@ -725,6 +725,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_phash: streamed probe == batch probe, real micro-batches") {
+    val dir = sf("sf0.01")
+    val batch = Multimodal.qPhashIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val streamed = Multimodal.qStreamPhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "streaming probe drifted from the batch probe")
+    // the staged source really is multi-file → multi-micro-batch
+    val files = new java.io.File(Multimodal.phashBatchDir(spark, dir))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length === 3, s"staged probe files: ${files.toSeq}")
+  }
+
   test("q_image_keepbest: phash closure, survivor = max W*H then min id") {
     val dir = sf("sf0.01")
     val pairs = Multimodal.qImagePhash(spark, dir).collect()
