@@ -179,8 +179,9 @@ object Bench {
     "q_token_budget", "q_mix_waterfill", "q_dsir_select",
     // r20: the incremental cluster merge rides phashcchist + phashpairs
     // (q_image_keepbest is covered by the "q_image" prefix above);
-    // nb-classify rides the materialized gram fixture
-    "q_cc_incremental", "q_nb_classify")
+    // nb-classify rides the materialized gram fixture; copurchase rides
+    // the bucketed lineitem layout
+    "q_cc_incremental", "q_nb_classify", "q_copurchase")
   private def chainDep(n: String): Boolean =
     chainDepPrefixes.exists(n.startsWith)
 

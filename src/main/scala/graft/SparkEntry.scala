@@ -100,7 +100,14 @@ object SparkEntry {
       // ann/ivf/sq8whiten chains through the shared holders
       "scored" -> (() => {
         ops.Vectors.pqSims(spark, dir)
-        ops.Vectors.colMaxsim(spark, dir); ()
+        ops.Vectors.colMaxsim(spark, dir)
+        ops.Vectors.ivfSims(spark, dir); ()
+      }),
+      // r20: the fuzzy variant-join pair table + entity CC labeling —
+      // q_fuzzy_match/q_entity_resolution pay rollups only
+      "fuzzy" -> (() => {
+        ops.Fuzzy.fuzzyPairs(spark, dir)
+        ops.Fuzzy.entResLabels(spark, dir); ()
       }),
       // r20: the NB gram fixture (six plan branches read it — one
       // materialized write beats six md5-expansion passes) + the

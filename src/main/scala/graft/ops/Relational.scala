@@ -974,12 +974,21 @@ object Relational {
     * items; a pathological mega-order (c_o in the millions) is capped
     * before pairing the same way q_source_cap bounds per-key fan-out. */
   def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
-      .filter(col("pk") < col("pk2"))
-    pairs.groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+    // within-order pair expansion is ROW-LOCAL: group each order's
+    // distinct parts on the bucketed l_orderkey layout (zero-exchange
+    // grouping — the co-location the layout exists for), then expand
+    // ordered pairs from the sorted in-row array. One shuffle total
+    // (the pair rollup) where the self-join form paid the distinct
+    // shuffle plus two join exchanges — and per-order item counts are
+    // bounded (TPC-H ≤ 7), so the in-row quadratic never skews.
+    val sets = Bucketed.bucketedTable(spark, dir, "lineitem", "l_orderkey")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = sets.select(explode(expr(
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+      .as("p"))
+    pairs.groupBy(col("p.x").as("part_a"), col("p.y").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))

