@@ -142,6 +142,7 @@ object Bench {
     "q_text_bigrams", "q_phrase", "q_multimodal", "q_audio", "q_video",
     "q_partition_prune", "q_join_bucketed", "q_constraints",
     "q2_", "q11_", "q12_", "q18_", "q20_", "q_cdc", "q_para", "q_stream",
+    "q_snapshot_diff", // r20: rides the cdcdelta digest chain
     "q_url", "q_robots", "q_split", "q_source_overlap", "q_bfs",
     "q_label_prop", "q_ppr", "q_hamming", "q_modularity", "q_pq",
     "q_ivfadc", "q_image", "q_substring", "q_bitext", "q_exif", "q_mmr",

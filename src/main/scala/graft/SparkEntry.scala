@@ -68,6 +68,10 @@ object SparkEntry {
         ops.Vectors.signCodes(spark, dir) // packed sign bits (3 consumers)
         ops.Vectors.hamSims(spark, dir) // (sim, ham) per sym pair (3 consumers)
         ops.Vectors.symTop10(spark, dir) // ranked sym top-10 (mmr + bitext)
+        ops.Vectors.nnAvg3(spark, dir) // bitext margin denominators (r20)
+        ops.Vectors.hamRerank10(spark, dir) // hamming shortlist rerank (r20)
+        ops.Vectors.mmrCandSims(spark, dir) // shortlist pairwise sims (r20)
+        ops.Vectors.annRcTruth(spark, dir) // recall-curve exact truth (r20)
         ops.Graph.knnEdges(spark, dir) // reranked graph (triangles/kcore)
         ops.Graph.knnCanonEdges(spark, dir) // canonical census edge set
         ops.Graph.pagerankEdges(spark, dir) // contribution-ready PR edges
@@ -121,7 +125,11 @@ object SparkEntry {
       // whole-corpus tf postings (doc, token, tf) — the lexical-index
       // artifact q_bm25 + q_tfidf_keywords both ride
       "postings" -> (() => {
-        ops.TextOps.tfPostings(spark, dir); ()
+        ops.TextOps.tfPostings(spark, dir)
+        // r20: df/dl aggregates are corpus-version artifacts too —
+        // q_bm25's plan re-derived each at every join site
+        ops.TextOps.tfDocFreq(spark, dir)
+        ops.TextOps.tfDocLens(spark, dir); ()
       }),
       // surprisal score table (q_lm_surprisal + the terciles' double
       // read) — its own chain per the r17 chain-hygiene rule
@@ -159,6 +167,10 @@ object SparkEntry {
         ops.Vectors.plantedTruth3(spark, ops.Vectors.OpqDir, "opqtruth")
         ops.Vectors.plantedTruth3(spark, ops.Vectors.PlantedDir, "pqptruth")
         ops.Vectors.plantedAdcSims(spark)
+        // r20: the two decoded-ranking top-3 shortlists (the 524k-row
+        // scored fan-outs were q_opq_recall's whole timed cost)
+        ops.Vectors.opqPq3(spark)
+        ops.Vectors.opqOpq3(spark)
         ()
       }),
       "dedup" -> (() => { // clusters -> survivor shingles -> pairs/sizes
@@ -180,6 +192,9 @@ object SparkEntry {
         ops.Similarity.corpusShingles(spark, dir)
         ops.Similarity.minhashSignatures(spark, dir)
         ops.Similarity.lshCandidates(spark, dir)
+        // r20: the verified t=0.7 hit set (q_minhash_lsh + q_lsh_quality
+        // both re-ran the collect_set + verify join per invocation)
+        ops.Similarity.lshVerified(spark, dir)
         // containment's rare-shingle pair/intersection table rides the
         // same shingle artifact
         ops.Similarity.containmentInter(spark, dir)
@@ -201,10 +216,26 @@ object SparkEntry {
         ops.TextOps.winnowPairs(spark, dir)
         ops.TextOps.winnowFpsPos(spark, dir)
         ops.TextOps.winnowMatches(spark, dir) // spans + chains both ride it
+        // r20: the gap-bounded chain-block table (chains + substring
+        // dedup both re-ran its window per query)
+        ops.TextOps.winnowChainBlocks(spark, dir)
         ()
       }),
       "bigrams" -> (() => { // distinct (doc, bigram) table (novelty family)
         ops.TextOps.docBigrams(spark, dir); ()
+      }),
+      // r20: the exact-substring verified duplicated-position table —
+      // its own chain (rolling-hash corpus pass, shares nothing with
+      // the winnow fingerprint line; the chain-hygiene rule)
+      "exactsub" -> (() => {
+        ops.TextOps.exactDupPos(spark, dir); ()
+      }),
+      // r20: snapshot digest tables + the |Δ|-sized CDC change set
+      // (q_snapshot_diff / q_cdc_apply re-derived both per run)
+      "cdcdelta" -> (() => {
+        ops.Delta.digestV1(spark, dir)
+        ops.Delta.digestV2(spark, dir)
+        ops.Delta.cdcChangeSet(spark, dir); ()
       }),
       "partsupp" -> (() => { // synthetic partsupp bridge (Q2/Q11/Q20)
         ops.Tpch.partsupp(spark, dir); ()

@@ -23,6 +23,21 @@ import graft.Tables
   */
 object Graph {
 
+  /** Session-cached bounded scalars (edge/node/seed counts) of the
+    * PREWARMED graph artifacts (r20): each registered invocation of
+    * q_pagerank / q_ppr_seeds / q_bfs_distance re-ran 1-2 driver count
+    * jobs over a materialized table whose row count cannot change
+    * within a session (the artifacts are session-shared, built once per
+    * corpus version). The k-means-state pattern applied to the counts
+    * themselves — a bounded scalar, never a result memo; keys are
+    * dir-qualified so concurrent dirs never collide. Spec paths (loop
+    * cores called on arbitrary frames) keep counting inline. */
+  private val scalarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def cachedCount(key: String)(df: => DataFrame): Long =
+    scalarCache.computeIfAbsent(key,
+      _ => java.lang.Long.valueOf(df.count())).longValue()
+
   /** Connected components of the undirected graph given by `edges`
     * (first two columns = endpoint ids, any orientation, self-loops and
     * duplicates tolerated). Returns (node, label) with label = MIN node
@@ -193,16 +208,20 @@ object Graph {
     * writes. GraphSpec pins both paths value-identical and the
     * materialized path's constant plan depth. */
   private[ops] def pagerankCore(ce: DataFrame, iters: Int,
-      scale: Long = 1000000000L, nodes: Option[DataFrame] = None): DataFrame = {
+      scale: Long = 1000000000L, nodes: Option[DataFrame] = None,
+      counts: Option[(Long, Long)] = None): DataFrame = {
     val spark = ce.sparkSession
     val minEdges =
       spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
     // bounded driver scalars: edge count feeds the threshold, node count
     // the teleport term. With a PREPARED node table (the session-shared
-    // path) both are cheap parquet counts; otherwise one combined job.
-    val (nEdges, n, nodeDf) = nodes match {
-      case Some(nd) => (ce.count(), nd.count(), nd)
-      case None =>
+    // path) both are cheap parquet counts — and the registered path
+    // passes them in from the session scalar cache (r20); otherwise one
+    // combined job.
+    val (nEdges, n, nodeDf) = (nodes, counts) match {
+      case (Some(nd), Some((e, nn))) => (e, nn, nd)
+      case (Some(nd), None) => (ce.count(), nd.count(), nd)
+      case _ =>
         val cnts = ce.agg(count(lit(1)), count_distinct(col("src"))).head()
         (cnts.getLong(0), cnts.getLong(1), ce.select(col("src")).distinct())
     }
@@ -486,7 +505,10 @@ object Graph {
     // jobs; the integer fixed-point ranking is already stable on the
     // fixture's top-20 at 4)
     pagerankCore(pagerankEdges(spark, dir), iters = 4,
-      nodes = Some(pagerankNodes(spark, dir)))
+      nodes = Some(pagerankNodes(spark, dir)),
+      counts = Some((
+        cachedCount(s"pr-edges:$dir")(pagerankEdges(spark, dir)),
+        cachedCount(s"pr-nodes:$dir")(pagerankNodes(spark, dir)))))
       .orderBy(desc("rank"), asc("node")).limit(20)
 
   /** Multi-source BFS distance over the k-NN similarity graph — the
@@ -512,11 +534,27 @@ object Graph {
     * sum_nodes is the per-distance id checksum (a wrong-but-same-size
     * level set still fails the gate). */
   def qBfsDistance(spark: SparkSession, dir: String): DataFrame =
-    bfsDistance(knnCanonEdges(spark, dir), rounds = 4)
+    bfsDistance(knnCanonEdges(spark, dir), rounds = 4,
+      knownEdges = Some(
+        cachedCount(s"knncanon:$dir")(knnCanonEdges(spark, dir))))
 
   /** BFS core over an ALREADY canonical (a < b, distinct) edge table —
     * see [[qBfsDistance]]. Exposed for GraphSpec's crafted graphs. */
-  private[ops] def bfsDistance(canon: DataFrame, rounds: Int): DataFrame = {
+  private[ops] def bfsDistance(canon: DataFrame, rounds: Int,
+      knownEdges: Option[Long] = None): DataFrame = {
+    // Per-round lineage discipline is THRESHOLDED exactly like
+    // [[pagerankCore]] (r20 optimization): the round count is FIXED (no
+    // convergence read forces a per-round action), so below
+    // spark.graft.pagerank.matMinEdges the four rounds stay one lazy
+    // DAG — a single action executes each stage once, and the four
+    // parquet write/read cycles (4 jobs of pure fixed cost at fixture
+    // scale) disappear; at or above the threshold every round is
+    // materialized as before (constant plan depth, bounded replay —
+    // the 100 TB shape). GraphSpec pins both paths value-identical.
+    val spark = canon.sparkSession
+    val minEdges =
+      spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
+    val matRounds = knownEdges.getOrElse(canon.count()) >= minEdges
     val sym = canon.select(col("a").as("u"), col("b").as("v"))
       .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
     val nodes = canon.select(col("a").as("u"))
@@ -526,10 +564,10 @@ object Graph {
     for (r <- 1 to rounds) {
       val relaxed = sym.join(dist, col("u") === col("node"))
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-      dist = Tables.materialize(
-        dist.unionByName(relaxed)
-          .groupBy("node").agg(min(col("dist")).as("dist")),
-        s"bfs-r${r % 2}")
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      dist = if (matRounds) Tables.materialize(next, s"bfs-r${r % 2}")
+             else next
     }
     nodes.join(dist, col("u") === col("node"), "left")
       .select(coalesce(col("dist"), lit(-1)).as("dist"), col("u"))
@@ -562,22 +600,28 @@ object Graph {
     // the same 4 iterations, so the gate pins whatever count is chosen
     pprCore(pagerankEdges(spark, dir),
       pagerankNodes(spark, dir).filter(col("src") % 20 === 0),
-      iters = 4)
+      iters = 4,
+      counts = Some((
+        cachedCount(s"pr-edges:$dir")(pagerankEdges(spark, dir)),
+        cachedCount(s"pr-seeds:$dir")(
+          pagerankNodes(spark, dir).filter(col("src") % 20 === 0)))))
       .orderBy(desc("rank"), asc("node")).limit(20)
 
   /** PPR core over a PREPARED (src, dst, d) contribution table and a
     * one-column seed table — see [[qPprSeeds]]. */
   private[ops] def pprCore(ce: DataFrame, seeds: DataFrame,
-      iters: Int, scale: Long = 1000000000L): DataFrame = {
+      iters: Int, scale: Long = 1000000000L,
+      counts: Option[(Long, Long)] = None): DataFrame = {
     val spark = ce.sparkSession
     val minEdges =
       spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
     val seedCol = seeds.columns.head
     // bounded driver scalars (the k-means-state pattern): seed count
     // feeds the teleport term, edge count the materialization threshold
-    val nS = seeds.count()
+    // — passed in from the session scalar cache on the registered path
+    val (nE, nS) = counts.getOrElse((ce.count(), seeds.count()))
     require(nS > 0, "pprCore: empty seed set")
-    val matRounds = ce.count() >= minEdges
+    val matRounds = nE >= minEdges
     val tele = (15L * scale) / (100L * nS)
     var r = seeds.select(col(seedCol).as("node"))
       .withColumn("rank", lit(scale / nS))

@@ -661,6 +661,26 @@ object TextOps {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
       "tfpost", dir)
 
+  /** (token, df) document frequencies of the lexical index —
+    * session-shared beside [[tfPostings]] (r20 trim): [[qBm25]]'s plan
+    * re-derived this aggregate TWICE (once under the keyword pass, once
+    * under the scoring join — Catalyst replicates a frame joined at two
+    * sites) and [[qTfidfKeywords]] a third time per run; one prewarmed
+    * aggregate replaces three tf-table shuffles. */
+  private[graft] def tfDocFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      tfPostings(spark, dir).groupBy("token").agg(count(lit(1)).as("df")),
+      "tfdf", dir)
+
+  /** (doc_id, dl) document lengths (Σ tf — exactly the raw token count)
+    * — session-shared beside [[tfPostings]]; [[qBm25]] reads it at two
+    * sites (the corpus scalars and the per-doc norm join). */
+  private[graft] def tfDocLens(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeShared(
+      tfPostings(spark, dir).groupBy("doc_id")
+        .agg(sum(col("tf")).cast("bigint").as("dl")),
+      "tfdl", dir)
+
   /** Top-3 keywords per doc by a rational tf-idf score: tf × N / df
     * (linear inverse document frequency instead of log(N/df) — ln differs
     * in the last ulp across libm implementations, while (tf·N)/df is two
@@ -671,7 +691,7 @@ object TextOps {
     * two-pass distributed tf-idf, no driver-side state. */
   def qTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val tf = tfPostings(spark, dir)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val df = tfDocFreq(spark, dir)
     // N as a lazy one-row cross join (the oracle's scalar-subquery shape):
     // a driver-side .count() here would launch a separate job at
     // DataFrame-CONSTRUCTION time, before the query even runs
@@ -718,11 +738,11 @@ object TextOps {
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val tf = tfPostings(spark, dir)
-    // dl = Σ tf per doc: exactly the raw token count, without a second
-    // tokenize pass over the corpus
-    val dl = tf.groupBy("doc_id")
-      .agg(sum(col("tf")).cast("bigint").as("dl"))
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // dl/df are prewarmed corpus-version artifacts (r20 trim): inline,
+    // each aggregate subtree was replicated at every join site — the
+    // executed plan re-shuffled the tf table four times per run
+    val dl = tfDocLens(spark, dir)
+    val dfT = tfDocFreq(spark, dir)
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).cast("bigint").as("tot"))
     val qdocs = docs
@@ -833,15 +853,6 @@ object TextOps {
 
   /** Per-doc k-gram occurrence counts: (doc_id, gram, c). Shuffle key is
     * (doc_id, gram) — fine-grained and skew-free at any corpus size. */
-  private def gramCounts(toks: DataFrame, k: Int): DataFrame = {
-    val mk = (0 until k).map(j => s"t[i+$j]").mkString(", ")
-    toks
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $mk))"))
-        .as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-  }
-
   /** Repetition-based quality signals (the Gopher/MassiveText repetition
     * rules): per doc, the fraction of bigram occurrences whose bigram
     * repeats within the doc, the same for trigrams, and the top-bigram
@@ -854,14 +865,32 @@ object TextOps {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-    val dupSum = coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
-    val s2 = gramCounts(toks, 2).groupBy("doc_id").agg(
-      sum(col("c")).as("n_bigrams"),
-      (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"),
-      (dupSum.cast("double") / sum(col("c"))).as("dup_bigram_frac"))
-    val s3 = gramCounts(toks, 3).groupBy("doc_id").agg(
-      (dupSum.cast("double") / sum(col("c"))).as("dup_trigram_frac"))
-    s2.join(s3, "doc_id")
+    // ONE tokenize pass emits BOTH gram sizes (r20 trim): the two
+    // gramCounts branches each re-scanned + re-tokenized the corpus and
+    // paid their own (doc, gram) shuffle, then re-joined on doc_id —
+    // one tagged explode + one (doc, n, gram) aggregate + one per-doc
+    // rollup computes the identical fractions (integer counts are
+    // order-free; every division has the same operands as before)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      """concat(
+        |  transform(sequence(0, size(t) - 2), i ->
+        |    named_struct('n', 2, 'g', concat_ws(' ', t[i], t[i+1]))),
+        |  transform(sequence(0, size(t) - 3), i ->
+        |    named_struct('n', 3,
+        |      'g', concat_ws(' ', t[i], t[i+1], t[i+2]))))"""
+        .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    val big = (cond: Column) => sum(when(col("n") === 2 && cond, col("c")))
+    val tri = (cond: Column) => sum(when(col("n") === 3 && cond, col("c")))
+    grams.groupBy("doc_id").agg(
+      big(lit(true)).as("n_bigrams"),
+      (max(when(col("n") === 2, col("c"))).cast("double")
+        / big(lit(true))).as("top_bigram_frac"),
+      (coalesce(big(col("c") > 1), lit(0L)).cast("double")
+        / big(lit(true))).as("dup_bigram_frac"),
+      (coalesce(tri(col("c") > 1), lit(0L)).cast("double")
+        / tri(lit(true))).as("dup_trigram_frac"))
       .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac",
         "dup_trigram_frac")
       .orderBy("doc_id")
@@ -1083,26 +1112,35 @@ object TextOps {
     * position, and the shared frame's amin collapses recurrences), so
     * the window order is total. Rides the SAME shared matches frame as
     * the span report — the fp-keyed pair join never re-runs per query. */
-  private def winnowChainBlocks(spark: SparkSession, dir: String): DataFrame = {
-    val matches = winnowMatches(spark, dir)
-      .select(col("fp"), col("doc_a"), col("doc_b"),
-        col("amin").as("apos"), col("bmin").as("bpos"))
-    val w = Window.partitionBy("doc_a", "doc_b").orderBy("apos")
-    val gap = 64
-    matches
-      .withColumn("brk",
-        (lag(col("apos"), 1).over(w).isNull ||
-          col("apos") - lag(col("apos"), 1).over(w) > gap ||
-          abs(col("bpos") - lag(col("bpos"), 1).over(w)) > gap).cast("int"))
-      .withColumn("chain_id",
-        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("int"))
-      .groupBy("doc_a", "doc_b", "chain_id")
-      .agg(count(lit(1)).cast("int").as("n_matches"),
-        min(col("apos")).as("a_start"), max(col("apos")).as("a_end"),
-        min(col("bpos")).as("b_start"), max(col("bpos")).as("b_end"))
-      .filter(col("n_matches") >= 4)
-  }
+  private[graft] def winnowChainBlocks(spark: SparkSession,
+      dir: String): DataFrame =
+    // session-shared since the r20 optimization round: BOTH consumers
+    // (q_winnow_chains, q_substring_dedup) re-ran the chain window +
+    // aggregate over the shared matches frame per query — the block
+    // table is as much a corpus-version artifact as the matches frame
+    // it derives from (all-integer columns; prewarmed on the "winnow"
+    // chain)
+    Tables.materializeSharedBy(spark, "winnowchainblocks",
+      s"$dir#${winnowKey(spark)}") {
+      val matches = winnowMatches(spark, dir)
+        .select(col("fp"), col("doc_a"), col("doc_b"),
+          col("amin").as("apos"), col("bmin").as("bpos"))
+      val w = Window.partitionBy("doc_a", "doc_b").orderBy("apos")
+      val gap = 64
+      matches
+        .withColumn("brk",
+          (lag(col("apos"), 1).over(w).isNull ||
+            col("apos") - lag(col("apos"), 1).over(w) > gap ||
+            abs(col("bpos") - lag(col("bpos"), 1).over(w)) > gap).cast("int"))
+        .withColumn("chain_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("int"))
+        .groupBy("doc_a", "doc_b", "chain_id")
+        .agg(count(lit(1)).cast("int").as("n_matches"),
+          min(col("apos")).as("a_start"), max(col("apos")).as("a_end"),
+          min(col("bpos")).as("b_start"), max(col("bpos")).as("b_end"))
+        .filter(col("n_matches") >= 4)
+    }
 
   def qWinnowChains(spark: SparkSession, dir: String): DataFrame = {
     graft.OracleExport.export(
@@ -1194,7 +1232,13 @@ object TextOps {
     * oracle re-derives the full result with no exports. */
   private val ExactSubL = 40
 
-  private[graft] def exactDupSpans(docs: DataFrame, L: Int): DataFrame = {
+  private[graft] def exactDupSpans(docs: DataFrame, L: Int): DataFrame =
+    exactDupMerge(exactDupPosOf(docs, L), L)
+
+  /** Rolling-hash pass + hash-hot prefilter + byte-exact verification —
+    * the verified duplicated-position table (doc_id, pos) of
+    * [[exactDupSpans]]. */
+  private def exactDupPosOf(docs: DataFrame, L: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -1246,11 +1290,17 @@ object TextOps {
         expr(s"substring(text, pos + 1, $L)").as("s"))
     // same windowed shape for the byte-exact verification: one shuffle
     // on the candidate substrings, no join back, no list
-    val dpos = cand
+    cand
       .withColumn("m",
         count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("m") >= 2)
       .select("doc_id", "pos")
+  }
+
+  /** Interval-merge + per-doc span report over a verified duplicated-
+    * position table — the tail of [[exactDupSpans]], split out so the
+    * registered query can ride the prewarmed position table. */
+  private def exactDupMerge(dpos: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dpos.withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("brk",
@@ -1266,8 +1316,21 @@ object TextOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Session-shared VERIFIED duplicated-position table (doc_id, pos) of
+    * the corpus at window length [[ExactSubL]] — the rolling-hash pass +
+    * hash-hot prefilter + byte-exact verification of [[exactDupSpans]]
+    * as a corpus-version artifact (r20 trim; the lshtruth prewarm
+    * precedent). Bounded by TRUE duplicate volume (only verified dup
+    * windows survive), so unlike the corpus×16B rolling tuple table —
+    * which stays recompute-only by design — it is cheap to materialize.
+    * All-integer columns; the spec path ([[exactDupSpans]] on crafted
+    * frames) is unchanged. */
+  private[graft] def exactDupPos(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "exactdpos", s"$dir#L$ExactSubL")(
+      exactDupPosOf(Tables(spark, dir, "documents"), ExactSubL))
+
   def qSubstringExact(spark: SparkSession, dir: String): DataFrame =
-    exactDupSpans(Tables(spark, dir, "documents"), ExactSubL)
+    exactDupMerge(exactDupPos(spark, dir), ExactSubL)
 
   /** Feature hashing (the "hashing trick", Weinberger et al. ICML 2009)
     * — the vocabulary-free text vectorizer: every token routes to one of

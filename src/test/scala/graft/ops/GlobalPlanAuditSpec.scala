@@ -38,7 +38,9 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "q_phash_incremental", // same 1-row cut, perceptual-index sibling
     "q_cc_incremental", // same 1-row cut (batch-edge filter + is_new flag)
     "q_cosine_topk", // bounded query-vector side of the brute-force baseline
-    "q_ann_recall_curve", // same bounded 20-query brute-force truth side
+    // (q_ann_recall_curve needs no entry since the r20 optimization
+    // round: its 20-query brute-force truth moved into the prewarmed
+    // annrctruth artifact)
     "q_ann_filtered", // bounded 64-query broadcast truth pass of the
                       // pre/post-filter recall comparison (the exact
                       // filtered ground truth IS the point)
@@ -75,10 +77,10 @@ class GlobalPlanAuditSpec extends SparkSpec {
     // (q_pq_planted needs no entry since r20: its truth + ADC scoring
     // crossJoins moved into the prewarmed pqptruth/pqpadc artifacts —
     // the audited query plan reads two parquet scans)
-    "q_opq_recall", // CONSTANT-SIZE planted calibration fixture: two
-                    // decoded rankings over the 2048-row broadcast
-                    // sides (the exact-truth pass moved to the
-                    // prewarmed opqtruth artifact in r20)
+    // (q_opq_recall likewise since the r20 optimization round: both
+    // decoded-ranking crossJoins moved into the prewarmed
+    // opqpq3/opqopq3 artifacts — the audited plan is three scans +
+    // two equi joins + the rollup)
     "q_modularity") // 1-row global edge-count scalar beside the community
                     // stats row (the lit(1)=lit(1) key constant-folds away)
 

@@ -289,13 +289,24 @@ class PlanShapeSpec extends SparkSpec {
     // queries read the one shared materialized matches frame — their
     // plans must scan it and must NOT touch the positions table or the
     // corpus (a scan of either = the share or the pre-agg regressed).
-    for (q <- Seq("q_winnow_spans", "q_winnow_chains")) {
+    // r20: q_winnow_chains (and q_substring_dedup) moved one artifact
+    // further down the line — they scan the shared CHAIN-BLOCK frame
+    // (itself built from the matches frame, pinned by the builder test
+    // below); q_winnow_spans still reads the matches frame directly
+    val shared = Map(
+      "q_winnow_spans" -> "graft-mat-winnowmatches",
+      "q_winnow_chains" -> "graft-mat-winnowchainblocks",
+      "q_substring_dedup" -> "graft-mat-winnowchainblocks")
+    for ((q, mat) <- shared) {
       val p = plan(q)
-      assert(p.contains("graft-mat-winnowmatches"), s"$q:\n$p")
+      assert(p.contains(mat), s"$q:\n$p")
       assert(!p.contains("winnowfpspos"), s"$q scans raw positions:\n$p")
-      assert(!p.contains("documents.parquet"), s"$q re-scans the corpus:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
+    assert(!plan("q_winnow_spans").contains("documents.parquet"),
+      "q_winnow_spans re-scans the corpus")
+    assert(!plan("q_winnow_chains").contains("documents.parquet"),
+      "q_winnow_chains re-scans the corpus")
   }
 
   test("winnowMatches is extent-aggregated: one row per (fp, doc pair)") {

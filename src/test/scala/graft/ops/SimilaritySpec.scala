@@ -419,6 +419,20 @@ class SimilaritySpec extends SparkSpec {
       s"pre-filter should recover every qualifying neighbor: $row")
     assert(row.getLong(5) === 0L,
       s"post-filter should collapse to zero under the dominant block: $row")
+    // r20: the fused single-pass hits frame (running-sum ranks) must
+    // reproduce the two-frame sets exactly — the registered
+    // q_ann_filtered rides the fused path
+    val hits = Vectors.prePostHits(sims, k = 3, overK = 10, predLabel = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3))).toSet
+    val preSet = pre.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val postSet = post.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.filter(_._3 == 1).map(t => (t._1, t._2)) === preSet)
+    assert(hits.filter(_._4 == 1).map(t => (t._1, t._2)) === postSet)
+    val rowF = Vectors.filteredRecallRowHits(truth,
+      Vectors.prePostHits(sims, k = 3, overK = 10, predLabel = 3))
+      .collect().head
+    assert(rowF.toSeq === row.toSeq)
   }
 
   test("retrieval MRR: exact-fraction invariants hold and the metric is deterministic") {
