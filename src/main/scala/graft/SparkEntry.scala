@@ -90,6 +90,7 @@ object SparkEntry {
       // short (adding them to it inflated q_ivfadc's pass-1 sample)
       "sq8whiten" -> (() => {
         ops.Vectors.sq8Codes(spark, dir) // SQ8 codes + dequant + norms
+        ops.Vectors.sq8Scored(spark, dir) // dual-score pair frame (r20)
         ops.Vectors.whitenTrain(spark, dir) // ZCA moments + eigensolve
         ops.Vectors.colbertSlices(spark, dir) // 4×16 MaxSim slice view
         ()
@@ -125,11 +126,7 @@ object SparkEntry {
       // whole-corpus tf postings (doc, token, tf) — the lexical-index
       // artifact q_bm25 + q_tfidf_keywords both ride
       "postings" -> (() => {
-        ops.TextOps.tfPostings(spark, dir)
-        // r20: df/dl aggregates are corpus-version artifacts too —
-        // q_bm25's plan re-derived each at every join site
-        ops.TextOps.tfDocFreq(spark, dir)
-        ops.TextOps.tfDocLens(spark, dir); ()
+        ops.TextOps.tfPostings(spark, dir); ()
       }),
       // surprisal score table (q_lm_surprisal + the terciles' double
       // read) — its own chain per the r17 chain-hygiene rule

@@ -534,27 +534,22 @@ object Graph {
     * sum_nodes is the per-distance id checksum (a wrong-but-same-size
     * level set still fails the gate). */
   def qBfsDistance(spark: SparkSession, dir: String): DataFrame =
-    bfsDistance(knnCanonEdges(spark, dir), rounds = 4,
-      knownEdges = Some(
-        cachedCount(s"knncanon:$dir")(knnCanonEdges(spark, dir))))
+    bfsDistance(knnCanonEdges(spark, dir), rounds = 4)
 
   /** BFS core over an ALREADY canonical (a < b, distinct) edge table —
-    * see [[qBfsDistance]]. Exposed for GraphSpec's crafted graphs. */
-  private[ops] def bfsDistance(canon: DataFrame, rounds: Int,
-      knownEdges: Option[Long] = None): DataFrame = {
-    // Per-round lineage discipline is THRESHOLDED exactly like
-    // [[pagerankCore]] (r20 optimization): the round count is FIXED (no
-    // convergence read forces a per-round action), so below
-    // spark.graft.pagerank.matMinEdges the four rounds stay one lazy
-    // DAG — a single action executes each stage once, and the four
-    // parquet write/read cycles (4 jobs of pure fixed cost at fixture
-    // scale) disappear; at or above the threshold every round is
-    // materialized as before (constant plan depth, bounded replay —
-    // the 100 TB shape). GraphSpec pins both paths value-identical.
-    val spark = canon.sparkSession
-    val minEdges =
-      spark.conf.get("spark.graft.pagerank.matMinEdges", "10000000").toLong
-    val matRounds = knownEdges.getOrElse(canon.count()) >= minEdges
+    * see [[qBfsDistance]]. Exposed for GraphSpec's crafted graphs.
+    *
+    * Per-round materialization is UNCONDITIONAL here, unlike the
+    * thresholded pagerank loop (an r20 lazy-path experiment was
+    * reverted): each BFS round references the previous round TWICE
+    * (the carry-forward union AND the relaxation join), so a lazy
+    * loop's plan DOUBLES per round — the formatted plan at 4 rounds
+    * carried ~2⁴ replicated subtrees (the q_kcore unrolled-CTE 3^k
+    * lesson in DataFrame form) — and the measured win was zero even
+    * at fixture scale. PageRank's rounds reference the previous round
+    * once, which is why its lazy path stays linear and keeps the
+    * threshold. */
+  private[ops] def bfsDistance(canon: DataFrame, rounds: Int): DataFrame = {
     val sym = canon.select(col("a").as("u"), col("b").as("v"))
       .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
     val nodes = canon.select(col("a").as("u"))
@@ -564,10 +559,10 @@ object Graph {
     for (r <- 1 to rounds) {
       val relaxed = sym.join(dist, col("u") === col("node"))
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-      dist = if (matRounds) Tables.materialize(next, s"bfs-r${r % 2}")
-             else next
+      dist = Tables.materialize(
+        dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist")),
+        s"bfs-r${r % 2}")
     }
     nodes.join(dist, col("u") === col("node"), "left")
       .select(coalesce(col("dist"), lit(-1)).as("dist"), col("u"))

@@ -661,25 +661,6 @@ object TextOps {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
       "tfpost", dir)
 
-  /** (token, df) document frequencies of the lexical index —
-    * session-shared beside [[tfPostings]] (r20 trim): [[qBm25]]'s plan
-    * re-derived this aggregate TWICE (once under the keyword pass, once
-    * under the scoring join — Catalyst replicates a frame joined at two
-    * sites) and [[qTfidfKeywords]] a third time per run; one prewarmed
-    * aggregate replaces three tf-table shuffles. */
-  private[graft] def tfDocFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      tfPostings(spark, dir).groupBy("token").agg(count(lit(1)).as("df")),
-      "tfdf", dir)
-
-  /** (doc_id, dl) document lengths (Σ tf — exactly the raw token count)
-    * — session-shared beside [[tfPostings]]; [[qBm25]] reads it at two
-    * sites (the corpus scalars and the per-doc norm join). */
-  private[graft] def tfDocLens(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      tfPostings(spark, dir).groupBy("doc_id")
-        .agg(sum(col("tf")).cast("bigint").as("dl")),
-      "tfdl", dir)
 
   /** Top-3 keywords per doc by a rational tf-idf score: tf × N / df
     * (linear inverse document frequency instead of log(N/df) — ln differs
@@ -691,7 +672,7 @@ object TextOps {
     * two-pass distributed tf-idf, no driver-side state. */
   def qTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val tf = tfPostings(spark, dir)
-    val df = tfDocFreq(spark, dir)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // N as a lazy one-row cross join (the oracle's scalar-subquery shape):
     // a driver-side .count() here would launch a separate job at
     // DataFrame-CONSTRUCTION time, before the query even runs
@@ -738,11 +719,16 @@ object TextOps {
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val tf = tfPostings(spark, dir)
-    // dl/df are prewarmed corpus-version artifacts (r20 trim): inline,
-    // each aggregate subtree was replicated at every join site — the
-    // executed plan re-shuffled the tf table four times per run
-    val dl = tfDocLens(spark, dir)
-    val dfT = tfDocFreq(spark, dir)
+    // dl = Σ tf per doc: exactly the raw token count, without a second
+    // tokenize pass over the corpus. (Sharing dl/df as prewarmed parquet
+    // artifacts was A/B'd SLOWER in r20 — 2.03 vs 2.37 s interleaved:
+    // runtime exchange reuse already collapses the repeated aggregate
+    // subtrees into one execution, so the "replicated at every join
+    // site" cost never materializes, and the extra scans only add
+    // file-open overhead. Inline aggregates stand.)
+    val dl = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("dl"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scal = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).cast("bigint").as("tot"))
     val qdocs = docs
@@ -788,6 +774,7 @@ object TextOps {
         col("n_terms"))
       .orderBy("qid", "rank")
   }
+
 
   /** Per-language corpus report — the summary a curation run prints:
     * docs, token volume, mean/median/p90 doc length, distinct sources.
@@ -853,6 +840,15 @@ object TextOps {
 
   /** Per-doc k-gram occurrence counts: (doc_id, gram, c). Shuffle key is
     * (doc_id, gram) — fine-grained and skew-free at any corpus size. */
+  private def gramCounts(toks: DataFrame, k: Int): DataFrame = {
+    val mk = (0 until k).map(j => s"t[i+$j]").mkString(", ")
+    toks
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $mk))"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+  }
+
   /** Repetition-based quality signals (the Gopher/MassiveText repetition
     * rules): per doc, the fraction of bigram occurrences whose bigram
     * repeats within the doc, the same for trigrams, and the top-bigram
@@ -865,32 +861,20 @@ object TextOps {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-    // ONE tokenize pass emits BOTH gram sizes (r20 trim): the two
-    // gramCounts branches each re-scanned + re-tokenized the corpus and
-    // paid their own (doc, gram) shuffle, then re-joined on doc_id —
-    // one tagged explode + one (doc, n, gram) aggregate + one per-doc
-    // rollup computes the identical fractions (integer counts are
-    // order-free; every division has the same operands as before)
-    val grams = toks.select(col("doc_id"), explode(expr(
-      """concat(
-        |  transform(sequence(0, size(t) - 2), i ->
-        |    named_struct('n', 2, 'g', concat_ws(' ', t[i], t[i+1]))),
-        |  transform(sequence(0, size(t) - 3), i ->
-        |    named_struct('n', 3,
-        |      'g', concat_ws(' ', t[i], t[i+1], t[i+2]))))"""
-        .stripMargin)).as("s"))
-      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("gram"))
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
-    val big = (cond: Column) => sum(when(col("n") === 2 && cond, col("c")))
-    val tri = (cond: Column) => sum(when(col("n") === 3 && cond, col("c")))
-    grams.groupBy("doc_id").agg(
-      big(lit(true)).as("n_bigrams"),
-      (max(when(col("n") === 2, col("c"))).cast("double")
-        / big(lit(true))).as("top_bigram_frac"),
-      (coalesce(big(col("c") > 1), lit(0L)).cast("double")
-        / big(lit(true))).as("dup_bigram_frac"),
-      (coalesce(tri(col("c") > 1), lit(0L)).cast("double")
-        / tri(lit(true))).as("dup_trigram_frac"))
+    // (a fused single-pass form — one tagged explode emitting both gram
+    // sizes into one (doc, n, gram) aggregate — was A/B'd SLOWER in r20
+    // (1.78 vs 2.58 s interleaved): runtime exchange reuse already
+    // dedupes nothing here, but the struct-tagged explode pays a wider
+    // shuffle row and loses the two branches' independent partial aggs;
+    // the two-pass + join form stands)
+    val dupSum = coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+    val s2 = gramCounts(toks, 2).groupBy("doc_id").agg(
+      sum(col("c")).as("n_bigrams"),
+      (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"),
+      (dupSum.cast("double") / sum(col("c"))).as("dup_bigram_frac"))
+    val s3 = gramCounts(toks, 3).groupBy("doc_id").agg(
+      (dupSum.cast("double") / sum(col("c"))).as("dup_trigram_frac"))
+    s2.join(s3, "doc_id")
       .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac",
         "dup_trigram_frac")
       .orderBy("doc_id")

@@ -1571,44 +1571,55 @@ object Vectors {
     * negatives); every double op appears in the identical order both
     * sides (((x−mn)·255)/(mx−mn); mn + c·((mx−mn)/255); ascending-index
     * folds) — IEEE ops on identical inputs are bit-equal. */
+  /** Session-shared SQ8 dual-score frame (qid, nid, idot, dsim) over
+    * the symmetrized candidate pairs — the hamSims analog for the SQ8
+    * signals (r20): the two code joins + both fused dots were the
+    * expensive half of [[qSq8Recall]], and Catalyst replicated the
+    * whole tower into each of its two ranking branches. A first r20
+    * attempt fused the branches into two row_numbers over one child —
+    * REGRESSED (2.1 → 2.6 s): the fused filter references BOTH ranks,
+    * so neither window gets the WindowGroupLimit top-k pruning the
+    * plain `rank <= 3` branches enjoy, and both sorts ran over the
+    * full pair set. The shape that wins keeps the two group-limited
+    * branch windows and makes their shared child a prewarmed scan. */
+  private[graft] def sq8Scored(spark: SparkSession, dir: String): DataFrame =
+    Tables.materializeSharedBy(spark, "sq8scored", dir) {
+      val codes = sq8Codes(spark, dir)
+      val sym = symPairs(annCandidatesExported(spark, dir))
+      // both dots run as fused codegen loops, not interpreted HOF folds
+      // (the MixedDotProduct lesson — q_pq_recall halved): the integer
+      // dot rides FloatDotProduct on a float view of the codes, EXACT
+      // because codes ≤ 255 ⇒ products ≤ 65025 and the sum ≤ 64·65025
+      // ≪ 2⁵³ in the double accumulator; the dequantized dot is the
+      // same ascending-index double fold the oracle's list_sum replays
+      val dotF = graft.functions.FloatDotProduct.floatDot _
+      val dotM = graft.functions.MixedDotProduct.mixedDot _
+      sym
+        .join(codes.select(col("vec_id").as("qid"),
+          col("codes").cast("array<float>").as("ca"),
+          col("recon").as("ra"), col("rn2").as("na")), "qid")
+        .join(codes.select(col("vec_id").as("nid"),
+          col("codes").cast("array<float>").as("cb"),
+          col("recon").as("rb"), col("rn2").as("nb")), "nid")
+        .select(col("qid"), col("nid"),
+          dotF(col("ca"), col("cb")).cast("long").as("idot"),
+          (dotM(col("ra"), col("rb"))
+            / (sqrt(col("na")) * sqrt(col("nb")))).as("dsim"))
+    }
+
   def qSq8Recall(spark: SparkSession, dir: String): DataFrame = {
-    val codes = sq8Codes(spark, dir)
-    val sym = symPairs(annCandidatesExported(spark, dir))
-    // both dots run as fused codegen loops, not interpreted HOF folds
-    // (the MixedDotProduct lesson — q_pq_recall halved): the integer dot
-    // rides FloatDotProduct on a float view of the codes, EXACT because
-    // codes ≤ 255 ⇒ products ≤ 65025 and the sum ≤ 64·65025 ≪ 2⁵³ in
-    // the double accumulator; the dequantized dot is the same
-    // ascending-index double fold the oracle's list_sum replays
-    val dotF = graft.functions.FloatDotProduct.floatDot _
-    val dotM = graft.functions.MixedDotProduct.mixedDot _
-    val scored = sym
-      .join(codes.select(col("vec_id").as("qid"),
-        col("codes").cast("array<float>").as("ca"),
-        col("recon").as("ra"), col("rn2").as("na")), "qid")
-      .join(codes.select(col("vec_id").as("nid"),
-        col("codes").cast("array<float>").as("cb"),
-        col("recon").as("rb"), col("rn2").as("nb")), "nid")
-      .withColumn("idot", dotF(col("ca"), col("cb")).cast("long"))
-      .withColumn("dsim",
-        dotM(col("ra"), col("rb")) / (sqrt(col("na")) * sqrt(col("nb"))))
-    // BOTH ranks as two row_numbers over the SAME child (the r19
-    // q_rrf_fusion trim applied here in r20): the two filtered window
-    // branches made Catalyst replicate the scored join+dot subtree into
-    // each, and the recall pass paid two (qid, nid) joins — one
-    // exchange, two sorts, one join now; per-discipline ranks and hit
-    // sets are identical because both windows cover the same pair set
+    val scored = sq8Scored(spark, dir)
     val wi = Window.partitionBy("qid").orderBy(desc("idot"), asc("nid"))
     val wd = Window.partitionBy("qid").orderBy(desc("dsim"), asc("nid"))
-    val hits = scored
-      .withColumn("rki", row_number().over(wi))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rki") <= 3 || col("rkd") <= 3)
-      .select(col("qid"), col("nid"),
-        when(col("rki") <= 3, 1).otherwise(0).as("int_hit"),
-        when(col("rkd") <= 3, 1).otherwise(0).as("deq_hit"))
+    val int3 = scored.withColumn("rk", row_number().over(wi))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("int_hit"))
+    val deq3 = scored.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"), lit(1).as("deq_hit"))
     Graph.knnEdges(spark, dir)
-      .join(hits, Seq("qid", "nid"), "left")
+      .join(int3, Seq("qid", "nid"), "left")
+      .join(deq3, Seq("qid", "nid"), "left")
       .agg(count_distinct(col("qid")).as("n_queries"),
         count(lit(1)).as("n_pairs"),
         sum(coalesce(col("int_hit"), lit(0))).cast("bigint").as("int_hits"),
@@ -2843,6 +2854,7 @@ object Vectors {
         expr("cast((offdiag_after * 10000) div diag_after as bigint)")
           .as("ratio_after_bp"))
   }
+
 
   /** OPQ-vs-PQ recall on the low-rank fixture: one row with both
     * compressed rankings' recall@3 against the exact brute-force truth.

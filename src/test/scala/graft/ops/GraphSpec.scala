@@ -302,18 +302,6 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("bfs distance: lazy and per-round-materialized paths identical") {
-    import spark.implicits._
-    val canon = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
-      (20L, 21L), (21L, 22L), (6L, 7L)).toDF("a", "b")
-    val lazyRows = Graph.bfsDistance(canon, rounds = 4).collect().toSeq
-    val key = "spark.graft.pagerank.matMinEdges"
-    val matRows = try {
-      spark.conf.set(key, "1") // force the at-scale path on the tiny graph
-      Graph.bfsDistance(canon, rounds = 4).collect().toSeq
-    } finally spark.conf.unset(key)
-    assert(lazyRows.nonEmpty && matRows === lazyRows)
-  }
 
   test("personalized pagerank: integer fold == local replay; seeds dominate") {
     import spark.implicits._
