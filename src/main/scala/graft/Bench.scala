@@ -324,6 +324,26 @@ object Bench {
     // so a pathological hang still produces an artifact before the
     // driver's kill window. Later passes keep the strict budget checks.
     val hardFuseSec = 1.9 * budgetSec
+    // Lane-escalation line (r21, VERDICT r20 item 1). The old line was
+    // 0.90×budget — but at 270 registered queries the anchor pass-1 Σ is
+    // ~257 s against a 270 s line, so EVERY ordinary-weather (1.0–1.3×)
+    // default-budget run escalated, two rounds running (r19: inflation
+    // 3.90, 211 lanes; r20: 3.53, 211 lanes). And the records show
+    // escalation in that weather band is strictly WORSE than finishing
+    // sequentially: the r20 escalated pass 1 took 374 s of wall for a
+    // 902.8 s recorded Σ (lanes self-contend and race the still-queued
+    // codegen warmups — q_scalar_json sampled 44.3 s vs its 0.95 s
+    // prior), while a sequential finish at that weather projects ~340 s
+    // wall with anchor-comparable samples. Lanes only convert wall time
+    // into samples when the machine is genuinely crushed (queries
+    // latency-bound, ≥ ~1.7× inflation). So the line sits where the
+    // projected SEQUENTIAL finish would endanger the artifact itself
+    // (the hard fuse / driver kill window), not at the soft budget:
+    // 1.4×budget (420 s at the default), capped at 0.8×hardFuse so a
+    // non-default budget keeps shed-headroom. Ordinary weather now runs
+    // pass 1 sequentially (clean record, interpretable scaling block);
+    // real crush still escalates and is flagged exactly as before.
+    val escalateLine = math.min(1.4 * budgetSec, 0.8 * hardFuseSec)
     // FAIR pools so the background prewarm/warmup work yields to the timed
     // queries (weight 1 vs 1000): FAIR interleaves task SCHEDULING — a
     // timed query's tasks go to the front whenever it has demand, and the
@@ -636,9 +656,13 @@ object Bench {
       // ~10 s of background work and their targets run late in pass 1).
       // BOUNDED: under extreme weather an unfinished warmup must cost at
       // most a few seconds of wait, not stall the pass — a sample that
-      // pays its own codegen beats no sample
+      // pays its own codegen beats no sample. 15 s (VERDICT r20 item 1:
+      // the r20 escalated run launched lanes while warmups were still
+      // queued and the 10 s bound expired under 3.5× weather, so
+      // q_scalar_json's lane sample paid its own cold codegen — 44.3 s
+      // against a 0.95 s prior)
       warmFs.get(name).foreach { f =>
-        try { Await.ready(f, scala.concurrent.duration.Duration(10, "s")); () }
+        try { Await.ready(f, scala.concurrent.duration.Duration(15, "s")); () }
         catch { case _: java.util.concurrent.TimeoutException => () }
       }
       val cleanSample = chainsDone
@@ -689,11 +713,11 @@ object Bench {
       math.max(1.0, (inflSumActual + 30.0) / (inflSumPrior + 30.0))
     }
     def projectedOver(remaining: Seq[(String, Fn)], gatesLeft: Seq[(String, Fn)],
-        frac: Double): Boolean = {
+        line: Double): Boolean = {
       val inf = inflationShrunk
       val rem = remaining.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
       val gates = gatesLeft.map(q => anchorP1.getOrElse(q._1, 1.0)).sum
-      elapsedSec + inf * (rem + gates) >= frac * budgetSec
+      elapsedSec + inf * (rem + gates) >= line
     }
 
     /** Two-lane runner for the escalated pass-1 tail: both lanes pull
@@ -834,8 +858,8 @@ object Bench {
           val evidencePath = idx >= 25 && chainsDone && inflEvidence >= 15.0
           val timePath = elapsedSec >= 0.4 * budgetSec
           if (!escalated && !noEscalate && (evidencePath || timePath) &&
-              (projectedOver(remaining ++ alsoRemaining, gates, 0.90) ||
-                elapsedSec >= 0.85 * budgetSec)) {
+              (projectedOver(remaining ++ alsoRemaining, gates, escalateLine) ||
+                elapsedSec >= 0.85 * escalateLine)) {
             escalated = true
             System.err.println(
               f"[bench] pass-1 projection over budget at ${elapsedSec}%.1f s " +
@@ -903,7 +927,7 @@ object Bench {
           if (t != null) t.join()
         } else if (!stop) {
           val par = escalated ||
-            (!noEscalate && projectedOver(Nil, gates, 0.95))
+            (!noEscalate && projectedOver(Nil, gates, 0.95 * escalateLine))
           runGates(gates, par, p)
         }
         if (stop) {
@@ -932,15 +956,25 @@ object Bench {
             yield s / pr).getOrElse(1.0)
         val passOrder = names.sortBy { case (n, _) => (-ratio(n), n) }
         var skippedHere = 0
+        // An escalated pass 1 can itself overrun the soft budget (the
+        // r20 lanes finished at 374 s of a 300 s budget), which used to
+        // leave ZERO room for this triage pass — the record shipped with
+        // 10–46× lane/cold samples uncorrected (VERDICT r20 item 1). The
+        // triage window therefore extends past the soft budget, bounded
+        // well inside the hard fuse: up to 0.3×budget of solo
+        // re-sampling, never past 0.8×hardFuse. Worst-ratio-first order
+        // means the first few re-samples remove most of the distortion.
+        val triageDeadline = math.max(budgetSec,
+          math.min(0.8 * hardFuseSec, elapsedSec + 0.3 * budgetSec))
         for ((name, fn) <- passOrder if !stop) {
           val est = 1.5 * median(samples.getOrElse(name, Nil))
-          if (elapsedSec >= 0.95 * budgetSec) {
+          if (elapsedSec >= 0.95 * triageDeadline) {
             stop = true; partial = true
             System.err.println(
               f"[bench] triage re-sampling stopped in pass ${p + 1}: " +
-                f"elapsed $elapsedSec%.1f s of $budgetSec%.1f s, " +
-                s"$skippedHere skipped for fit")
-          } else if (elapsedSec + est < budgetSec) {
+                f"elapsed $elapsedSec%.1f s of deadline " +
+                f"$triageDeadline%.1f s, $skippedHere skipped for fit")
+          } else if (elapsedSec + est < triageDeadline) {
             runOne(name, fn, p)
             lock.synchronized { resampledSolo += name }
           } else { skippedHere += 1; partial = true }
@@ -977,7 +1011,15 @@ object Bench {
       // queries, and a mispredicted start overshoots by at most one cheap
       // query. Only skip when the budget is essentially gone.
       if (!stop && p < passes) {
-        stop = elapsedSec >= 0.9 * budgetSec
+        // An escalated run's FIRST triage pass is allowed past the soft
+        // budget (its own deadline bounds it — see triageDeadline):
+        // refusing it because the escalated pass 1 overran is exactly
+        // the r20 failure mode (record shipped with lane samples
+        // uncorrected). Subsequent passes keep the strict gate.
+        val triageNext = (lanesN > 0 || streamPar) && p == 1
+        stop =
+          if (triageNext) elapsedSec >= 0.75 * hardFuseSec
+          else elapsedSec >= 0.9 * budgetSec
         if (stop)
           System.err.println(
             f"[bench] stopping after pass $p: elapsed $elapsedSec%.1f s " +

@@ -10,6 +10,12 @@ object Debug {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench conditions: timed debugging must not pay (or plan
+      // around) oracle-export side effects — Verify is the export path.
+      // r21 measurement: with export ON, a deduped export call still
+      // cost ~0.8 s/run of plan construction in timeq A/Bs, silently
+      // skewing every comparison against variants without the call
+      .config("spark.graft.oracleExport", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("prewarm")) {
@@ -301,6 +307,67 @@ object Debug {
         println(f"streamfloor stateful=$stateful run $i: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("frames")) {
+      // row counts of the shared similarity/vector frames at a dir:
+      // Debug frames [dir]
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      def c(n: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val k = df.count()
+        println(f"FRAME $n: $k rows (${(System.nanoTime() - t0) / 1e9}%.2fs)")
+      }
+      c("annSims")(ops.Vectors.annSims(spark, dir))
+      c("hamSims")(ops.Vectors.hamSims(spark, dir))
+      c("knnCanonEdges")(ops.Graph.knnCanonEdges(spark, dir))
+      c("sharedEmb")(ops.Vectors.sharedEmb(spark, dir))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("stageprof")) {
+      // per-stage wall/cpu attribution of one warm run:
+      // Debug stageprof <q> [dir]
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      val q = args(1)
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.write.mode("overwrite").format("noop").save() // warm
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Int, String, Long, Long, Int)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = si.completionTime.getOrElse(0L) -
+            si.submissionTime.getOrElse(0L)
+          stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(80),
+            wall, si.taskMetrics.executorRunTime, si.numTasks))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"TOTAL $q: $total%.2fs")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(stages.iterator())
+        .asScala.toSeq.sortBy(_._1).foreach { case (id, n, w, rt, nt) =>
+          println(f"  stage $id%4d wall=${w / 1e3}%6.2fs taskSum=${rt / 1e3}%7.2fs tasks=$nt%3d  $n")
+        }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("explainrun")) {
+      // execute through the noop sink, then print the FINAL adaptive
+      // plan: Debug explainrun <q1,q2> [dir]
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("q1_pricing"))
+        .foreach { q =>
+          val df = SparkEntry.queries(q)(spark, dir)
+          df.write.mode("overwrite").format("noop").save()
+          println(s"===== $q =====")
+          println(df.queryExecution.executedPlan.toString)
+        }
       spark.stop(); return
     }
     if (args.headOption.contains("explain")) {

@@ -33,12 +33,11 @@ object Bpe {
     * corpus dir; q_bpe_pairs and every q_bpe_merges iteration reread the
     * vocabulary-sized parquet instead of re-scanning the corpus. */
   private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "bpewords", dir)(Tables(spark, dir, "documents")
         .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy("w").agg(count(lit(1)).as("wc")),
-      "bpewords", dir)
+        .groupBy("w").agg(count(lit(1)).as("wc")))
 
   /** Adjacent character-pair frequencies over the initial (character)
     * symbol vocabulary — BPE iteration 0's candidate table, top 100.

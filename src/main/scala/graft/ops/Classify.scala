@@ -109,7 +109,7 @@ object Classify {
     * md5-expansion passes into one write + six columnar scans (the
     * round-2 lesson; prewarmed on its own chain). */
   private[graft] def nbGrams(spark: SparkSession): DataFrame =
-    graft.Tables.materializeShared(grams(spark), "nbgrams", "fixture")
+    graft.Tables.materializeSharedBy(spark, "nbgrams", "fixture")(grams(spark))
 
   /** The train/score core over any (doc_id, lang, g) token table —
     * exposed so ClassifySpec can prove the signal path (stripping the

@@ -76,10 +76,9 @@ object Curation {
     * SAME train index, so the tokenize+explode of the (large) train side
     * builds once and each check pays only its (small) eval side. */
   private[graft] def trainGramIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      gramKeys(splitToks(spark, dir).filter(col("h2") < "f0"))
-        .select(col("doc_id").as("train_doc"), col("gh")),
-      "traingrams", dir)
+    Tables.materializeSharedBy(spark,
+      "traingrams", dir)(gramKeys(splitToks(spark, dir).filter(col("h2") < "f0"))
+        .select(col("doc_id").as("train_doc"), col("gh")))
 
   /** Benchmark-contamination check: for every held-out eval doc (the
     * id-keyed 'test' split), count how many of its distinct 13-grams also

@@ -32,11 +32,19 @@ object Graph {
     * themselves — a bounded scalar, never a result memo; keys are
     * dir-qualified so concurrent dirs never collide. Spec paths (loop
     * cores called on arbitrary frames) keep counting inline. */
+  /** Per-key holder (r20 ADVICE): the count job runs OUTSIDE the CHM
+    * bin lock — computeIfAbsent only allocates the cheap holder, and the
+    * lazy val synchronizes on the holder itself, mirroring
+    * Tables.materializeSharedBy's SharedMat design (a Spark action under
+    * a bin lock invites the 'Recursive update' failure as counts grow). */
+  private final class CachedLong(thunk: () => Long) {
+    lazy val value: Long = thunk()
+  }
   private val scalarCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedLong]()
   private def cachedCount(key: String)(df: => DataFrame): Long =
     scalarCache.computeIfAbsent(key,
-      _ => java.lang.Long.valueOf(df.count())).longValue()
+      _ => new CachedLong(() => df.count())).value
 
   /** Connected components of the undirected graph given by `edges`
     * (first two columns = endpoint ids, any orientation, self-loops and
@@ -343,7 +351,11 @@ object Graph {
     * fixture — and the trajectory being PART OF THE OUTPUT means a
     * convergence regression is visible, not silent. */
   def qKcore(spark: SparkSession, dir: String): DataFrame =
-    kcorePeelCanon(knnCanonEdges(spark, dir), k = 2, rounds = 6)
+    // the session-cached canon edge count seeds the lazy-round gate so
+    // round 1 can skip its materialize too (see kcorePeelCanon)
+    kcorePeelCanon(knnCanonEdges(spark, dir), k = 2, rounds = 6,
+      nCanonEdges = Some(cachedCount(s"knncanon:$dir")(
+        knnCanonEdges(spark, dir))))
 
   /** 4-truss decomposition trajectory (Cohen 2008 — "Trusses: cohesive
     * subgraphs for social network analysis"): iteratively delete every
@@ -376,9 +388,17 @@ object Graph {
     for (r <- 1 to rounds) {
       // each triangle x<y<z enumerated exactly once off the canonical
       // ordering; support = triangle incidences per canonical edge.
-      // sup is materialized (per-round tag, single registered consumer
-      // — lane-safe) because THREE union branches and the Σ/3 census
-      // all read the expensive wedge join
+      // The three per-triangle edges leave the wedge join through ONE
+      // explode (r21): the old three-branch union re-read the join
+      // tower once per branch, which is why sup used to be materialized
+      // (a SECOND action + parquet write/read cycle per round). With
+      // the explode the wedge join executes once inside the e
+      // materialize job, so each round is ONE job end to end — wedge
+      // join → explode → support agg → semi join — with both census
+      // metrics riding it via observe() (bounded-wait fallbacks as
+      // before). The explode rows are the identical (a, b) multiset the
+      // union produced, so support counts — and the whole trajectory —
+      // are value-identical.
       val t = e.as("e1")
         .join(e.as("e2"),
           col("e2.a") === col("e1.a") && col("e1.b") < col("e2.b"))
@@ -386,22 +406,14 @@ object Graph {
           col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"),
           col("e2.b").as("z"))
-      // census Σ and survivor count ride their materialize jobs via
-      // observe() (the kcore trim: zero standalone count actions per
-      // round), with the bounded-wait fallback
       val obsS = org.apache.spark.sql.Observation(s"ktruss_sup_$r")
-      val sup = Tables.materialize(
-        t.select(col("x").as("a"), col("y").as("b"))
-          .unionByName(t.select(col("x").as("a"), col("z").as("b")))
-          .unionByName(t.select(col("y").as("a"), col("z").as("b")))
-          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-          .observe(obsS, coalesce(sum(col("sup")), lit(0L)).as("s")),
-        s"ktruss_s$r")
-      val nTri = (awaitMetrics(obsS) match {
-        case Some(m) => m("s").asInstanceOf[Long]
-        case None => sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s"))
-          .collect().head.getLong(0)
-      }) / 3
+      val sup = t.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("x").as("a"), col("z").as("b")),
+          struct(col("y").as("a"), col("z").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .observe(obsS, coalesce(sum(col("sup")), lit(0L)).as("s"))
       val obsE = org.apache.spark.sql.Observation(s"ktruss_edges_$r")
       e = Tables.materialize(
         e.join(sup.filter(col("sup") >= k - 2), Seq("a", "b"),
@@ -412,6 +424,14 @@ object Graph {
         case Some(m) => m("n").asInstanceOf[Long]
         case None => e.count()
       }
+      // read AFTER the materialize action (sup's subtree executes
+      // inside it); fallback recomputes the census only on a pruned
+      // CollectMetrics (degenerate triangle-free round)
+      val nTri = (awaitMetrics(obsS) match {
+        case Some(m) => m("s").asInstanceOf[Long]
+        case None => sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s"))
+          .collect().head.getLong(0)
+      }) / 3
       rows += ((r, nTri, nEdges))
     }
     import spark.implicits._
@@ -430,12 +450,56 @@ object Graph {
 
   /** Peel core over an ALREADY canonical (a < b, distinct, materialized)
     * edge table — see [[qKcore]]; split out so the session-shared
-    * [[knnCanonEdges]] table feeds it without a per-query re-dedup. */
+    * [[knnCanonEdges]] table feeds it without a per-query re-dedup.
+    *
+    * ROUND MATERIALIZATION IS SIZE-CONDITIONAL (r21, the pagerank
+    * matMinEdges discipline): below spark.graft.kcore.lazyMaxEdges the
+    * odd rounds stay LAZY and only every second round materializes, so
+    * six peel rounds cost three jobs instead of six. A lazy round's
+    * subtree appears three times in its successor's plan (sym reads e
+    * twice, the semi join once), but the expensive parts dedupe at
+    * runtime — the degree aggregate is exchange-rooted and the keep
+    * frame broadcast-rooted, both covered by ReuseExchange (the r20
+    * lesson: only non-exchange-rooted towers replicate) — leaving three
+    * cheap map-side re-probes of the previous materialized scan. Above
+    * the threshold every round materializes exactly as before (lineage
+    * stays flat at 100 TB; the r20 BFS revert showed multi-reference
+    * lazy rounds compound, which is why only ONE lazy level is ever
+    * stacked). The gate uses the last KNOWN edge count — peeling only
+    * removes edges, so it upper-bounds the true size (conservative);
+    * with no count provided, round 1 materializes and learns it.
+    * Metric reads for a lazy round defer until the next materialize
+    * action has executed its subtree (the observe()s fire there — up to
+    * three emissions, all carrying identical values, the documented
+    * safety rule), with the bounded-wait recompute fallbacks intact. */
   private[ops] def kcorePeelCanon(canon: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, nCanonEdges: Option[Long] = None): DataFrame = {
     val spark = canon.sparkSession
+    val lazyMax =
+      spark.conf.get("spark.graft.kcore.lazyMaxEdges", "5000000").toLong
     var e = canon
+    // last KNOWN surviving-edge count (upper bound of the current size)
+    var lastEdges: Option[Long] = nCanonEdges
     val rows = Seq.newBuilder[(Int, Long, Long)]
+    final case class Pend(round: Int, obsK: org.apache.spark.sql.Observation,
+      obsE: org.apache.spark.sql.Observation, keep: DataFrame,
+      eRound: DataFrame)
+    var pending = List.empty[Pend]
+    def flush(): Unit = {
+      pending.reverse.foreach { pd =>
+        val nKeep = awaitMetrics(pd.obsK) match {
+          case Some(m) => m("n").asInstanceOf[Long]
+          case None => pd.keep.count()
+        }
+        val nEdges = awaitMetrics(pd.obsE) match {
+          case Some(m) => m("n").asInstanceOf[Long]
+          case None => pd.eRound.count()
+        }
+        rows += ((pd.round, nKeep, nEdges))
+        lastEdges = Some(nEdges)
+      }
+      pending = Nil
+    }
     for (r <- 1 to rounds) {
       val sym = e.select(col("a").as("u"))
         .unionByName(e.select(col("b").as("u")))
@@ -443,35 +507,28 @@ object Graph {
       // materializing it was A/B'd at sf0.1 and LOST (~+0.5 s/round of
       // write/read against ~-0.2 s of saved recompute) — the
       // cheap-frame materialization anti-pattern from the invariants.
-      // Its COUNT piggybacks on the materialize job via observe()
-      // (CollectMetrics) instead of a third standalone recompute of the
-      // degree shuffle per round — if the two semi-join branches don't
-      // reuse the exchange and the metric fires twice, both emissions
-      // carry the identical count, so the value is safe either way.
-      // The read is BOUNDED (awaitMetrics): on a degenerate empty round
-      // AQE can prune the observed subtree so the metric never fires —
-      // fall back to recomputing the count (r18 ADVICE item).
+      // Its COUNT piggybacks on the consuming job via observe()
+      // (CollectMetrics) instead of a standalone recompute of the
+      // degree shuffle per round; multiple emissions all carry the
+      // identical count, so the value is safe either way. The read is
+      // BOUNDED (awaitMetrics): on a degenerate empty round AQE can
+      // prune the observed subtree so the metric never fires — fall
+      // back to recomputing the count (r18 ADVICE item).
       val obs = org.apache.spark.sql.Observation(s"kcore_keep_$r")
       val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       val observed = keep.observe(obs, count(lit(1)).as("n"))
-      // the survivor EDGE count rides the same materialize job too
-      // (r19: the per-round e.count() was the last standalone action)
       val obsE = org.apache.spark.sql.Observation(s"kcore_edges_$r")
-      e = Tables.materialize(
-        e.join(observed.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
-          .join(observed.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
-          .select("a", "b")
-          .observe(obsE, count(lit(1)).as("n")), s"kcore_e$r")
-      val nKeep = awaitMetrics(obs) match {
-        case Some(m) => m("n").asInstanceOf[Long]
-        case None => keep.count()
-      }
-      val nEdges = awaitMetrics(obsE) match {
-        case Some(m) => m("n").asInstanceOf[Long]
-        case None => e.count()
-      }
-      rows += ((r, nKeep, nEdges))
+      val next = e
+        .join(observed.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+        .join(observed.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .observe(obsE, count(lit(1)).as("n"))
+      val doLazy =
+        lastEdges.exists(_ <= lazyMax) && r % 2 == 1 && r < rounds
+      e = if (doLazy) next else Tables.materialize(next, s"kcore_e$r")
+      pending ::= Pend(r, obs, obsE, keep, e)
+      if (!doLazy) flush()
     }
     import spark.implicits._
     rows.result().toDF("round", "n_nodes", "n_edges")

@@ -162,11 +162,10 @@ object Sampling {
     * own full tokenize pass per run before). */
   private[graft] def langTokenCounts(spark: SparkSession,
       dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "langtok", dir)(Tables(spark, dir, "documents")
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("t"))
-        .groupBy("lang").agg(count(lit(1)).as("n_tokens")),
-      "langtok", dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_tokens")))
 
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

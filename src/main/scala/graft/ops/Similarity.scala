@@ -60,7 +60,7 @@ object Similarity {
     * corpus version, like the survivor shingles the dedup family shares
     * (BENCH_r05 charged a per-query rebuild 16 s to q_minhash_lsh). */
   private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(shingles(spark, dir), "shingles", dir)
+    Tables.materializeSharedBy(spark, "shingles", dir)(shingles(spark, dir))
 
   /** Exact-dup cluster membership (doc_id, rep, lang, n_chars), rep = min
     * doc_id of the md5(text) group — session-shared: q_jaccard_pairs
@@ -70,12 +70,11 @@ object Similarity {
     * of once per consumer (Debug timeq: each per-query rebuild cost ~1s
     * of the 3.2s/2.6s warm steady state). */
   private[graft] def docClusters(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "clusters", dir)(Tables(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
-            .as("rep")),
-      "clusters", dir)
+            .as("rep")))
 
   /** Shingle table of the exact-dedup SURVIVORS (= representatives: min
     * doc_id per md5(text) group), shared across the whole dedup family via
@@ -86,7 +85,7 @@ object Similarity {
     val docs = Tables(spark, dir, "documents")
     val ids = docClusters(spark, dir)
       .filter(col("doc_id") === col("rep")).select("doc_id")
-    Tables.materializeShared(shinglesOf(docs.join(ids, "doc_id")), "shsurv", dir)
+    Tables.materializeSharedBy(spark, "shsurv", dir)(shinglesOf(docs.join(ids, "doc_id")))
   }
 
   /** Per-survivor shingle counts (doc_id, n) — tiny, content-stable, and
@@ -94,10 +93,9 @@ object Similarity {
     * shared so the count agg over the ~shingle-table-sized input runs
     * once per corpus version instead of per query. */
   private[graft] def survivorSizes(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      survivorShingles(spark, dir).groupBy("doc_id")
-        .agg(count(lit(1)).as("n")),
-      "shsurvsz", dir)
+    Tables.materializeSharedBy(spark,
+      "shsurvsz", dir)(survivorShingles(spark, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n")))
 
   /** Verified near-dup pairs among the survivor corpus at J >= [[NearDupT]]
     * — (doc_a, doc_b, common, jac), the shared HEART of the dedup family:
@@ -443,9 +441,8 @@ object Similarity {
     val sh = corpusShingles(spark, dir)
     val minhashCols = (0 until minhashK).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    Tables.materializeShared(
-      sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*),
-      "minhsig", s"$dir:k=$minhashK")
+    Tables.materializeSharedBy(spark,
+      "minhsig", s"$dir:k=$minhashK")(sh.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*))
   }
 
   /** Banded MinHash-LSH near-dup candidates, verified with exact Jaccard.
@@ -529,10 +526,17 @@ object Similarity {
     * re-ran per invocation (collect_set + two joins + the intersect
     * fan-out — the expensive half of each query). Prewarmed on the
     * minhash chain; jac doubles round-trip parquet exactly. */
-  private[graft] def lshVerified(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeSharedBy(spark, "lshverified", s"$dir:t=0.7")(
+  private[graft] def lshVerified(spark: SparkSession, dir: String): DataFrame = {
+    // knob-keyed like its input lshcand (r20 ADVICE): a dir-only key
+    // would serve the stale-knob hit set after a same-session
+    // minhash-knob change (the documented knob-A/B path with
+    // oracleExport=false), making qLshQuality's precision/recall row
+    // internally inconsistent — the r16 same-dir-different-knobs rule
+    val (k, b) = (minhashKN(spark), bandsN(spark))
+    Tables.materializeSharedBy(spark, "lshverified", s"$dir:k=$k.b=$b.t=0.7")(
       verifyJaccard(lshCandidates(spark, dir), corpusShingles(spark, dir),
         0.7).select("doc_a", "doc_b", "jac"))
+  }
 
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshVerified(spark, dir)

@@ -549,15 +549,14 @@ object TextOps {
     * execution — no CSE across a join), and it is a corpus-keyed
     * derived table like the shingle family. */
   private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "docbigrams", dir)(Tables(spark, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
           .as("bigram"))
-        .distinct(),
-      "docbigrams", dir)
+        .distinct())
 
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val db = docBigrams(spark, dir)
@@ -655,11 +654,10 @@ object TextOps {
     * df/dl/avgdl all derive from it with token- or doc-keyed aggregates
     * (dl = Σ tf per doc — duplicates included exactly). */
   private[graft] def tfPostings(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "tfpost", dir)(Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")),
-      "tfpost", dir)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
 
 
   /** Top-3 keywords per doc by a rational tf-idf score: tf × N / df
@@ -950,11 +948,10 @@ object TextOps {
     // corpus-keyed derived table (one winnow pass per corpus version),
     // shared like the shingle/signature tables; knobs key the share
     // (k/w only — the fp table's CONTENT doesn't depend on the df cap)
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "winnowfps", s"$dir#k$k.w$w")(Tables(spark, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
-          graft.functions.Winnow.winnow(col("text"), k, w))).as("fp")),
-      "winnowfps", s"$dir#k$k.w$w")
+          graft.functions.Winnow.winnow(col("text"), k, w))).as("fp")))
   }
 
   def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
@@ -1006,12 +1003,11 @@ object TextOps {
     * increasing, so no (doc, fp, pos) repeats (the fp VALUE may). */
   private[graft] def winnowFpsPos(spark: SparkSession, dir: String): DataFrame = {
     val (k, w) = (winnowK(spark), winnowW(spark))
-    Tables.materializeShared(
-      Tables(spark, dir, "documents")
+    Tables.materializeSharedBy(spark,
+      "winnowfpspos", s"$dir#k$k.w$w")(Tables(spark, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.Winnow.winnowPos(col("text"), k, w)).as("s"))
-        .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos")),
-      "winnowfpspos", s"$dir#k$k.w$w")
+        .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos")))
   }
 
   /** Span-level overlap report: for every candidate pair sharing >= 8

@@ -62,8 +62,8 @@ object Tpch {
     * queries — at 100 TB the output is bounded by |part|×|supplier|,
     * orders of magnitude below the fact table. */
   private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
-      Tables(spark, dir, "lineitem")
+    Tables.materializeSharedBy(spark,
+      "partsupp", dir)(Tables(spark, dir, "lineitem")
         .select(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"))
         .distinct()
@@ -72,8 +72,7 @@ object Tpch {
             lit("availqty")), lit(9999L)) + 1).cast("int").as("ps_availqty"),
           ((pmod(xxhash64(col("ps_partkey"), col("ps_suppkey"),
             lit("supplycost")), lit(99999L)) + 1).cast("double") / 100)
-            .as("ps_supplycost")),
-      "partsupp", dir)
+            .as("ps_supplycost")))
 
   /** [[partsupp]] + oracle export (no-op after the first call / in Bench). */
   private def exportedPartsupp(spark: SparkSession, dir: String): DataFrame = {

@@ -129,7 +129,7 @@ object Vectors {
     * across the whole ANN family via [[graft.Tables.materializeShared]] —
     * the decimal norm2 computes once per session. */
   private[graft] def sharedEmb(spark: SparkSession, dir: String): DataFrame =
-    Tables.materializeShared(
+    Tables.materializeSharedBy(spark, "emb", dir)(
       // the planted marker routes the SAME quantizer/PQ machinery over
       // the deterministic calibration fixture (every downstream share/
       // cache key carries the dir, so the namespaces never mix)
@@ -137,8 +137,7 @@ object Vectors {
        else if (dir == OpqDir) opqEmbDf(spark)
        else Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"),
-          dotD(col("embedding"), col("embedding")).as("norm2")),
-      "emb", dir)
+          dotD(col("embedding"), col("embedding")).as("norm2")))
 
   /** Multi-table sign-LSH table (vec_id, t, bucket, probes) — identical
     * across the ANN queries (same planes, same emb): shared
@@ -177,10 +176,9 @@ object Vectors {
       s"""concat(array(bucket), transform(
          |  slice(array_sort(transform(dots, (d, p) -> struct(abs(d) AS m, p AS p))), 1, $nF),
          |  s -> cast(bucket ^ shiftleft(1, s.p) AS INT)))""".stripMargin)
-    Tables.materializeShared(
-      withDots.select(col("vec_id"), col("t"), bucketExpr.as("bucket"), col("dots"))
-        .select(col("vec_id"), col("t"), col("bucket"), probesExpr.as("probes")),
-      "anntable", s"$dir#L${nT}b${nP}f$nF")
+    Tables.materializeSharedBy(spark,
+      "anntable", s"$dir#L${nT}b${nP}f$nF")(withDots.select(col("vec_id"), col("t"), bucketExpr.as("bucket"), col("dots"))
+        .select(col("vec_id"), col("t"), col("bucket"), probesExpr.as("probes")))
   }
 
   /** Exact-bucket view of [[annTable]] (the join build side). */
@@ -206,14 +204,13 @@ object Vectors {
     * share the expensive derived table, not just its inputs). */
   private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame = {
     val (nT, nP, nF) = (annTablesN(spark), annPlanesN(spark), annFlipsN(spark))
-    Tables.materializeShared(
-      annProbes(spark, dir).as("a").join(annBuckets(spark, dir).as("b"),
+    Tables.materializeSharedBy(spark,
+      "anncand", s"$dir#L${nT}b${nP}f$nF")(annProbes(spark, dir).as("a").join(annBuckets(spark, dir).as("b"),
           col("a.t") === col("b.t") && col("a.pbucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(least(col("a.vec_id"), col("b.vec_id")).as("qid"),
           greatest(col("a.vec_id"), col("b.vec_id")).as("nid"))
-        .distinct(),
-      "anncand", s"$dir#L${nT}b${nP}f$nF")
+        .distinct())
   }
 
   /** Sign-random-projection LSH ANN, multi-table: 8 independent tables of
@@ -448,9 +445,8 @@ object Vectors {
     * embedding it joins with anyway). */
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     val (nList, nIter) = (ivfListsN(spark), ivfItersN(spark))
-    Tables.materializeShared(
-      withCid(sharedEmb(spark, dir), ivfCentroids(spark, dir)),
-      "ivfassign", s"$dir#k$nList.i$nIter.t${trainMaxN(spark)}")
+    Tables.materializeSharedBy(spark,
+      "ivfassign", s"$dir#k$nList.i$nIter.t${trainMaxN(spark)}")(withCid(sharedEmb(spark, dir), ivfCentroids(spark, dir)))
   }
 
   /** IVF-style ANN: a coarse k-means quantizer (nlist=16 centroids, 3
@@ -1114,14 +1110,13 @@ object Vectors {
       col("embedding").as("ae"), col("norm2").as("an"))
     val b = assigned.select(col("cid"), col("vec_id").as("b"),
       col("embedding").as("be"), col("norm2").as("bn"))
-    Tables.materializeShared(
-      a.join(b, "cid").filter(col("a") < col("b"))
+    Tables.materializeSharedBy(spark,
+      "sempairs", semKey(spark, dir))(a.join(b, "cid").filter(col("a") < col("b"))
         .select(col("a"), col("b"),
           (dot2(col("ae"), col("be")) / (sqrt(col("an")) * sqrt(col("bn"))))
             .as("sim"))
         .filter(col("sim") >= tau)
-        .select("a", "b"),
-      "sempairs", semKey(spark, dir))
+        .select("a", "b"))
   }
 
   /** Connected components of the [[semanticPairs]] graph — the SemDeDup
@@ -1364,6 +1359,27 @@ object Vectors {
     val fused = base
       .withColumn("rk_cos", row_number().over(wA))
       .withColumn("rk_ham", row_number().over(wB))
+      // PROVABLE top-3 pre-filter before the fusion window (r21, VERDICT
+      // r20 item 3): a row with BOTH ranks ≥ 66 can never reach the
+      // final top 3. Proof (exact in the integer surrogate): its score
+      // is ≤ 2·(10¹² div 126) = 15 873 015 872, while the three distinct
+      // rows at rk_cos ∈ {1,2,3} (they exist whenever the group has ≥ 66
+      // rows) each score ≥ 10¹² div 63 + 10¹² div (60+rk_ham) ≥
+      // 15 873 015 873 + 1 — STRICTLY larger, so at least three rows
+      // precede it under any tie-break. Dropping such rows changes no
+      // surviving row's fused rank either: every row preceding a true
+      // top-3 row is itself top-3 (≤ 2 precede it) and therefore kept.
+      // The exact rk_cos/rk_ham of the kept rows are already computed
+      // over the FULL candidate set above, so output values are
+      // untouched — only the third sort's input shrinks from the full
+      // symmetrized candidate set (2.06 M rows at sf0.1) to ≤ 130 rows
+      // per query. The predicate is least(a,b) <= 65, NOT
+      // a <= 65 OR b <= 65: the OR form over two window outputs measured
+      // +0.55 s of PER-RUN driver planning (interleaved A/B, stageprof —
+      // constraint/pushdown machinery on disjunctions over window
+      // attributes), swamping the execution saving; the single least()
+      // predicate plans cheaply and keeps the identical row set.
+      .filter(least(col("rk_cos"), col("rk_ham")) <= 65)
       .withColumn("rrf", expr(
         s"cast(1000000000000L div (${k}L + rk_cos) " +
           s"+ 1000000000000L div (${k}L + rk_ham) as bigint)"))
@@ -1432,14 +1448,13 @@ object Vectors {
     * identically, but the fixture has none). */
   private[graft] def colbertSlices(spark: SparkSession,
       dir: String): DataFrame =
-    Tables.materializeShared(
-      sharedEmb(spark, dir).select(
+    Tables.materializeSharedBy(spark,
+      "colslices", dir)(sharedEmb(spark, dir).select(
         col("vec_id") +:
           (0 until 4).flatMap { s =>
             val sl = slice(col("embedding"), s * 16 + 1, 16)
             Seq(sl.as(s"s$s"), dotD(sl, sl).as(s"n$s"))
-          }: _*),
-      "colslices", dir)
+          }: _*))
 
   /** Recall CURVE of the LSH ANN ranking against the exact brute-force
     * truth at k = 1, 3, 5 — the knob-evidence table a deployment reads
@@ -1791,10 +1806,9 @@ object Vectors {
     * payload per vector; the cid doubles as the inverted-list key). */
   private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val books = pqBooks(spark, dir)
-    Tables.materializeShared(
-      pqResiduals(spark, dir).select(col("vec_id") +: col("cid") +:
-        (0 until PqSubs).map(s => pqAssignExpr(s, books(s)).as(s"c$s")): _*),
-      "pqcodes", s"$dir#${pqKey(spark)}")
+    Tables.materializeSharedBy(spark,
+      "pqcodes", s"$dir#${pqKey(spark)}")(pqResiduals(spark, dir).select(col("vec_id") +: col("cid") +:
+        (0 until PqSubs).map(s => pqAssignExpr(s, books(s)).as(s"c$s")): _*))
   }
 
   /** Codebooks as a 128-row frame (sub, cid, vals) — the oracle's

@@ -69,6 +69,28 @@ class TablesSpec extends SparkSpec {
     assert(row.getString(schema.fieldIndex("sf")) === "/root/testdata/sf0.1")
   }
 
+  test("bench summary line stays under the tail buffer at ANY registry size") {
+    // VERDICT r20 item 2: the contract must hold as the registry grows,
+    // not just at today's size. The summary line carries NO per-query
+    // map, so its only growth vectors are digit counts and pass_totals
+    // length — pin the pathological worst case (100k queries, 9 passes,
+    // six-figure totals, long sf path) under the driver's 2000-char
+    // stdout tail
+    val line = Bench.summaryJson(
+      total = 999999.999999, nQueries = 100000, minTotal = 999999.999999,
+      failedN = 100000, skippedN = 100000, multiSampledN = 100000,
+      passes = 9, passesCompleted = 9,
+      passTotals = Seq.fill(9)(999999.999999),
+      passPartial = Seq.fill(9)(true), budgetSec = 99999.0,
+      elapsedSec = 99999.99, prewarmSec = 9999.99, prewarmOk = false,
+      barrierSec = 9999.99, inflation = 999.99, lanesN = 100000,
+      streamPar = true, canaryFactor = 999.999999,
+      ioCanaryFactor = 999.999999,
+      sf = "/root/testdata/sf100.0/some/unusually/long/fixture/path")
+    assert(!line.contains("\n") && !line.contains("\r"))
+    assert(line.length < 2000, s"summary line too long: ${line.length}")
+  }
+
   test("bench JSON escaping survives multi-line exception messages") {
     import spark.implicits._
     val nasty = "line1\nline2\t\"quoted\\path\"\rend"

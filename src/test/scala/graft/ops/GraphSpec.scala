@@ -221,6 +221,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("k-core lazy rounds are value-identical to per-round materialize") {
+    import spark.implicits._
+    // r21: below spark.graft.kcore.lazyMaxEdges the odd rounds stay lazy
+    // (three jobs for six rounds). Pin lazy ≡ eager on random graphs by
+    // forcing the threshold to 0 (every round materializes — the old
+    // behavior) and comparing trajectories.
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val edges =
+        Seq.fill(80)((rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+          .filter(p => p._1 != p._2).distinct
+      val df = edges.toDF("x", "y")
+      def traj(): Seq[(Int, Long, Long)] =
+        Graph.kcorePeel(df, k = 2, rounds = 6).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val lazyT = traj() // lastEdges learned in round 1 → rounds 3,5 lazy
+      spark.conf.set("spark.graft.kcore.lazyMaxEdges", "0")
+      try {
+        val eagerT = traj()
+        assert(lazyT === eagerT, s"trial $trial: $edges")
+      } finally spark.conf.unset("spark.graft.kcore.lazyMaxEdges")
+    }
+  }
+
   test("k-truss peel: hand graph trajectory and random-graph brute force") {
     import spark.implicits._
     // K4 on {1..4} (every edge supports 2 triangles — the stable

@@ -498,4 +498,30 @@ class SimilaritySpec extends SparkSpec {
     val perQ = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
     assert(perQ === Set(3), s"per-query fused counts: $perQ")
   }
+
+  test("RRF top-3 pre-filter (least(rk) <= 65) is output-identical to the unfiltered form") {
+    // r21: qRrfFusion drops rows with BOTH ranks >= 66 before the fusion
+    // window (provably outside any top 3 — see the proof in qRrfFusion).
+    // Pin the equivalence against the definitional unfiltered form.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.01")
+    val base = Vectors.hamSims(spark, dir)
+    val wA = Window.partitionBy("qid").orderBy(desc("sim"), asc("nid"))
+    val wB = Window.partitionBy("qid").orderBy(asc("ham"), asc("nid"))
+    val wF = Window.partitionBy("qid").orderBy(desc("rrf"), asc("nid"))
+    val unfiltered = base
+      .withColumn("rk_cos", row_number().over(wA))
+      .withColumn("rk_ham", row_number().over(wB))
+      .withColumn("rrf", expr(
+        "cast(1000000000000L div (60L + rk_cos) " +
+          "+ 1000000000000L div (60L + rk_ham) as bigint)"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf"),
+        col("rk_cos"), col("rk_ham"))
+      .orderBy("qid", "rank").collect().toSeq
+    val filtered = Vectors.qRrfFusion(spark, dir).collect().toSeq
+    assert(filtered === unfiltered)
+  }
 }
