@@ -325,12 +325,9 @@ object Debug {
       spark.stop(); return
     }
     if (args.headOption.contains("stageprof")) {
-      // per-stage wall/cpu attribution of one warm run:
-      // Debug stageprof <q> [dir]
+      // per-stage wall/cpu attribution of one warm run per query:
+      // Debug stageprof <q1,q2,..> [dir]
       val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-      val q = args(1)
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.write.mode("overwrite").format("noop").save() // warm
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[
         (Int, String, Long, Long, Int)]()
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -343,18 +340,26 @@ object Debug {
             wall, si.taskMetrics.executorRunTime, si.numTasks))
         }
       }
-      spark.sparkContext.addSparkListener(listener)
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      val total = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // let the listener bus drain
-      spark.sparkContext.removeSparkListener(listener)
-      println(f"TOTAL $q: $total%.2fs")
-      scala.jdk.CollectionConverters.IteratorHasAsScala(stages.iterator())
-        .asScala.toSeq.sortBy(_._1).foreach { case (id, n, w, rt, nt) =>
+      for (q <- args(1).split(",").toSeq) {
+        SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save() // warm
+        stages.clear()
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1200) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        val ss = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          stages.iterator()).asScala.toSeq.sortBy(_._1)
+        val stageWall = ss.map(_._3).sum / 1e3
+        println(f"TOTAL $q: $total%.2fs (stage-wall $stageWall%.2fs, " +
+          f"driver-gap ${total - stageWall}%.2fs)")
+        ss.foreach { case (id, n, w, rt, nt) =>
           println(f"  stage $id%4d wall=${w / 1e3}%6.2fs taskSum=${rt / 1e3}%7.2fs tasks=$nt%3d  $n")
         }
+      }
       spark.stop(); return
     }
     if (args.headOption.contains("explainrun")) {

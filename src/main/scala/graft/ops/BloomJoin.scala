@@ -69,9 +69,18 @@ object BloomJoin {
         col("o_totalprice") > 150000)
       .select("o_orderkey")
     // estimatedNumItems sizes the bit array only (bits are capped by
-    // BloomFilterAggregate itself); production would feed a stats-based
-    // estimate here
-    val bloom = bloomOf(sel, "o_orderkey", 1000000L)
+    // BloomFilterAggregate itself). r21: the estimate is now the build
+    // side's MEASURED count (one cheap agg — the "stats-based estimate"
+    // production feeds here) instead of a flat 1 M: the 1 M sizing baked
+    // a ~900 KB binary literal into the plan, and the optimizer's
+    // tree-equality walks over that literal cost ~0.8 s of driver time
+    // per run (stageprof: 1.05 s driver gap on a 0.7 s-of-stages query).
+    // Count-scaled, the sketch is a few KB at sf0.1 and grows exactly
+    // with the subset at 100 TB. The floor keeps fpp sane on tiny SFs;
+    // the final exact join makes the filter semantically transparent at
+    // ANY sizing, so results are unchanged.
+    val bloom = bloomOf(sel, "o_orderkey",
+      math.max(sel.count(), 1024L))
     Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
       .filter(mightContain(bloom, "l_orderkey"))

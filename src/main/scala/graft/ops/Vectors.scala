@@ -2771,7 +2771,7 @@ object Vectors {
     // as the full corpus and keeps the 2080-cell fan-out bounded);
     // the oracle mirrors the exact threshold from its own COUNT(*)
     val auditMax = 1024
-    val emb =
+    val emb0 =
       if (model.n <= auditMax) sharedEmb(spark, dir)
       else {
         val thr = ((BigInt(1) << 60) * auditMax / model.n).toLong
@@ -2779,6 +2779,13 @@ object Vectors {
           conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
             .cast("long") < lit(thr))
       }
+    // the audit stratum arrives as ONE parquet split (~1024 rows in one
+    // shared-emb file), so the 2080-cell fan-out + HOF quantization below
+    // ran as a SINGLE task — measured 1.1 s of the query's 1.9 s on one
+    // core (r21 stageprof). Spread it across the session's parallelism
+    // first (a 1024-row exchange); every downstream aggregate is an
+    // exact LONG/decimal sum, so values are partition-invariant.
+    val emb = emb0.repartition(spark.sparkContext.defaultParallelism)
     // centered-raw and whitened per-(vec, j) quantized values
     // |q| < 2²⁶ guard — the bound that actually protects the LONG sums:
     // per-pair products then stay < 2⁵², so even auditMax=1024 rows sum
@@ -2833,6 +2840,13 @@ object Vectors {
           .as("barr"),
         expr("transform(array_sort(collect_list(struct(j, qa))), s -> s.qa)")
           .as("aarr"))
+      // AQE coalesces the tiny groupBy shuffle (~2 MB) to ONE partition,
+      // blind to the 2080-cell fan-out below it — the explode + partial
+      // (j,k) aggregation ran as a single 1.1 s task (r21 stageprof). An
+      // explicit user repartition is exempt from AQE coalescing and
+      // spreads the fan-out; downstream sums are exact ⇒ values
+      // partition-invariant.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(posexplode(expr(
         """flatten(transform(sequence(0, 63), j ->
           |  transform(sequence(j, 63), k -> named_struct('j', j, 'k', k,
