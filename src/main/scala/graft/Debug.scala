@@ -309,6 +309,24 @@ object Debug {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("kcoreab")) {
+      // interleaved lazy-vs-eager A/B of q_kcore via the conf gate:
+      // Debug kcoreab [n] [dir]
+      val n = args.lift(1).map(_.toInt).getOrElse(6)
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      (1 to n).foreach { i =>
+        for ((tag, v) <- Seq("lazy" -> "5000000", "eager" -> "0")) {
+          spark.conf.set("spark.graft.kcore.lazyMaxEdges", v)
+          val t0 = System.nanoTime()
+          SparkEntry.queries("q_kcore")(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          println(f"kcore $tag run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      }
+      spark.conf.unset("spark.graft.kcore.lazyMaxEdges")
+      spark.stop(); return
+    }
     if (args.headOption.contains("frames")) {
       // row counts of the shared similarity/vector frames at a dir:
       // Debug frames [dir]
